@@ -1,0 +1,101 @@
+"""Local oracle-check harness mirroring the driver's correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle SQL on the same parquet
+tables and compares row count, column names, and an order-insensitive
+canonical value set.  Used by tests; the real gate is the driver's
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from hackatonbigdata_spark.catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connect DuckDB with every testdata table registered as a view."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 4))
+    if isinstance(v, (pd.Timestamp,)):
+        if pd.isna(v):
+            return "NULL"
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):  # numpy nan-likes
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return CompareResult(
+            name,
+            False,
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            name, False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    s_rows = canonical_rows(spark_pdf)
+    o_rows = canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            f"  spark={s} | oracle={o}"
+            for s, o in zip(s_rows, o_rows)
+            if s != o
+        ][:5]
+        return CompareResult(name, False, "value mismatch (first diffs):\n" + "\n".join(diffs))
+    return CompareResult(name, True)
+
+
+def check_query(spark, sf_dir: str, name: str, fn, sql: str | None) -> CompareResult:
+    sdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        ok = len(sdf) >= 0
+        return CompareResult(name, ok, f"rows-only check: {len(sdf)} rows")
+    con = duckdb_connection(sf_dir)
+    try:
+        odf = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(name, sdf, odf)

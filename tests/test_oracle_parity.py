@@ -1,0 +1,34 @@
+"""The core correctness suite: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's t2 gate (row count + schema + order-insensitive values)
+at sf0.001 for speed; `pytest -m sf001` style full runs at sf0.01 happen in
+test_oracle_parity_sf001 via the SPARK_GRAFT_TEST_SF env var.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hackatonbigdata_spark.oracle import check_query
+from hackatonbigdata_spark.registry import all_oracles, all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    res = check_query(spark, SF_DIR, name, QUERIES[name], ORACLES.get(name))
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    # rows-only queries are allowed but must be intentional; keep the list
+    # explicit so a forgotten oracle fails loudly.
+    allowed_rows_only = set()
+    assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"
