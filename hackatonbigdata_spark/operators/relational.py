@@ -93,3 +93,318 @@ def flagship_weekly_brand_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("brand_rank", F.rank().over(rank_win).cast("long"))
         .filter(F.col("brand_rank") <= 5)
     )
+
+
+@register(
+    "scan_project_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+""",
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate at the scan (SURVEY §2.1/2.2).
+
+    The reference passes ``columns=`` and pyarrow ``filters=`` by hand
+    (/root/reference/src/data/loaders.py:43-118); here Catalyst pushes both
+    into the parquet reader — `.explain` shows PushedFilters and a 4-column
+    ReadSchema, so a 100 TB scan reads only the needed pages.
+    """
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    ).filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_discount") > 0.05))
+
+
+@register(
+    "filter_quantile_band",
+    oracle="""
+WITH bounds AS (
+  SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+         round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem, bounds
+WHERE l_extendedprice >= lo AND l_extendedprice <= hi
+""",
+)
+def filter_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band outlier filter (Q01..Q99), thresholds computed in-plan.
+
+    Mirrors /root/reference/src/data/clean_data.py:114-121.  The scalar
+    bounds come from an exact percentile aggregate cross-joined back (no
+    driver round-trip, stays one DAG).  At 100 TB swap `percentile` for
+    `percentile_approx` — documented switch point per SURVEY §7.4(3).
+    """
+    t = Catalog(spark, sf_dir)
+    bounds = t.lineitem.agg(
+        r4(F.percentile("l_extendedprice", F.lit(0.01))).alias("lo"),
+        r4(F.percentile("l_extendedprice", F.lit(0.99))).alias("hi"),
+    )
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") <= F.col("hi")))
+        .drop("lo", "hi")
+    )
+
+
+@register(
+    "filter_date_range_valid",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1997-12-31'
+  AND l_quantity > 0 AND l_extendedprice > 0
+  AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+""",
+)
+def filter_date_range_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range + zero/negative removal + critical-null drop in one pass
+    (/root/reference/src/data/clean_data.py:107-161,181-187)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.na.drop(subset=["l_orderkey", "l_partkey"])
+        .filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+SELECT l_partkey, l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_partkey, l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_partkey, l_suppkey, l_shipdate
+                            ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-'first' dedup with a deterministic tie-break.
+
+    pandas ``drop_duplicates(keep='first')`` relies on file order
+    (/root/reference/src/data/clean_data.py:140-147); Spark has no stable
+    row order, so 'first' is defined as min (l_orderkey, l_linenumber) via
+    row_number — same definition in the oracle (SURVEY §7.4 item 2).
+    """
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_partkey", "l_suppkey", "l_shipdate").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    return (
+        t.lineitem.select(
+            "l_partkey", "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "join_multiway_enrich",
+    oracle="""
+SELECT coalesce(r_name, 'Unknown') AS region_name,
+       coalesce(p_type, 'Unknown') AS part_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+)
+def join_multiway_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast left-join enrichment + rollup aggregate.
+
+    The reference enriches the fact table with product and store dims via
+    hand-rolled per-key dict maps with 'Unknown' null-fill
+    (/root/reference/src/utils/data_loader.py:320-421); here every dim is a
+    real broadcast join — at 100 TB the fact table never shuffles for these
+    joins, and Catalyst prunes dim columns to the ones used.
+    """
+    t = Catalog(spark, sf_dir)
+    df = (
+        t.lineitem.join(F.broadcast(t.part.select("p_partkey", "p_type")),
+                        F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+    )
+    return df.groupBy(
+        F.coalesce("r_name", F.lit("Unknown")).alias("region_name"),
+        F.coalesce("p_type", F.lit("Unknown")).alias("part_type"),
+    ).agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_anti_orphans",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check as a left-anti join.
+
+    The reference computes orphaned keys with driver-side python sets
+    (/root/reference/src/data/clean_data.py:303-322) — a non-starter at
+    scale; left_anti distributes and AQE picks broadcast when the right
+    side's distinct keys are small.
+    """
+    t = Catalog(spark, sf_dir)
+    return t.orders.join(
+        t.lineitem.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "join_semi_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style membership via left-semi join (SURVEY §2.7)."""
+    t = Catalog(spark, sf_dir)
+    return t.customer.join(
+        t.orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "share_window_vs_join_back",
+    oracle="""
+WITH pp AS (
+  SELECT l_suppkey, l_partkey, round(sum(l_quantity), 4) AS part_qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, part_qty,
+       round(sum(part_qty) OVER (PARTITION BY l_suppkey), 4) AS store_qty,
+       round(part_qty / sum(part_qty) OVER (PARTITION BY l_suppkey), 4) AS part_share
+FROM pp
+""",
+)
+def share_window_vs_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join-back rewritten as a window over the aggregate.
+
+    The reference does groupby→merge-back ~40 times (SURVEY §2.3); the Spark
+    idiom aggregates once and takes the group total from an unbounded window
+    partitioned by a prefix of the grouping keys — the window reuses the
+    aggregation's hash partitioning, so it costs zero extra shuffles.
+    """
+    t = Catalog(spark, sf_dir)
+    pp = t.lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        r4(F.sum("l_quantity")).alias("part_qty")
+    )
+    w = W.partitionBy("l_suppkey")
+    return pp.withColumn("store_qty", r4(F.sum("part_qty").over(w))).withColumn(
+        "part_share", r4(F.col("part_qty") / F.sum("part_qty").over(w))
+    )
+
+
+@register(
+    "union_slices",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, 'high_value_return' AS slice
+FROM lineitem WHERE l_returnflag = 'R' AND l_extendedprice > 5000
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_extendedprice, 'small_open' AS slice
+FROM lineitem WHERE l_linestatus = 'O' AND l_quantity < 5
+""",
+)
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of two filtered slices with a provenance marker
+    (pandas concat, /root/reference/src/data/loaders.py:97)."""
+    t = Catalog(spark, sf_dir)
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    a = (
+        t.lineitem.filter((F.col("l_returnflag") == "R") & (F.col("l_extendedprice") > 5000))
+        .select(*cols)
+        .withColumn("slice", F.lit("high_value_return"))
+    )
+    b = (
+        t.lineitem.filter((F.col("l_linestatus") == "O") & (F.col("l_quantity") < 5))
+        .select(*cols)
+        .withColumn("slice", F.lit("small_open"))
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "topk_orders_by_value",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def topk_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k via orderBy+limit (TakeOrdered — per-partition top-k then
+    a k-row merge at the driver; no full sort at any scale).  Deterministic
+    tie-break on the key (SURVEY §2.6)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "cooccurrence_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_baskets
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket co-occurrence as a self-join (SURVEY §2.3).
+
+    Replaces the reference's per-basket python pair loop
+    (/root/reference/src/features/behavioral_features_engine.py:454-485).
+    Scale: the self-join shuffles once on the basket key; baskets are small
+    (few items per order) so the pair blow-up is bounded — for pathological
+    baskets, cap basket size first (standard market-basket practice).
+    """
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+    )
