@@ -11,14 +11,19 @@ from pyspark.sql import functions as F
 
 
 def r4(col: Column | str) -> Column:
-    """Round to 4 decimals — the cross-engine float-stability convention.
+    """Quantize to 4 decimals — the cross-engine float-stability convention.
 
-    Aggregation order affects float sums; both the Spark query and the DuckDB
-    oracle round identically so the driver's value-hash matches
-    (SURVEY.md §7.4 item 4).
+    NOT ``F.round``: Spark's round does HALF_UP on the double's shortest
+    decimal repr (34055.88045 -> .8805) while DuckDB rounds the exact binary
+    value (34055.880449999996 -> .8804), so identical doubles can round
+    differently.  ``floor(x*1e4 + 0.5)/1e4`` is binary-exact arithmetic that
+    matches DuckDB's ``round(x, 4)`` on every reachable double (an exact
+    binary half at scale 1e4 would need x = (2k+1)/20000, which is not
+    representable), so the driver's value-hash stays stable (SURVEY §7.4.4).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c.cast("double"), 4)
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    q = F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(q)
 
 
 def safe_div(num: Column, den: Column, eps: float = 1e-8) -> Column:

@@ -1,1 +1,586 @@
-"""Placeholder — populated in later milestones."""
+"""M2 — aggregation layer (SURVEY.md §2.4).
+
+The reference's groupby-agg surface: multi-stat aggs, higher moments,
+distinct counts, grouped quantiles, market shares, entropy/HHI (rewritten
+from scipy UDAFs to pure two-step aggregates), top-k shares, pivots, basket
+stats, grouped correlation, rollup/cube replacing the manual hierarchy loop.
+
+Cross-engine conventions:
+- exact `percentile` here (matches DuckDB quantile_cont); swap to
+  `percentile_approx` at 100 TB — SURVEY §7.4(3).
+- Spark's skewness/kurtosis are population moments (g1, excess g2); DuckDB's
+  builtins are sample-corrected, so the oracles spell out the population
+  formula explicitly.
+- every float aggregate rounded to 4dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import iso_dow, r4
+from hackatonbigdata_spark.registry import register
+
+
+@register(
+    "agg_multistat_product",
+    oracle="""
+SELECT l_partkey,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(min(l_quantity), 4) AS min_qty,
+       round(max(l_quantity), 4) AS max_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_partkey
+""",
+)
+def agg_multistat_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product multi-stat aggregate — the reference's core feature block
+    (/root/reference/src/features/aggregation_features_engine.py:49,64-77).
+    One hash-agg shuffle; partial aggregation is map-side automatic."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_partkey").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        r4(F.stddev("l_quantity")).alias("std_qty"),
+        r4(F.min("l_quantity")).alias("min_qty"),
+        r4(F.max("l_quantity")).alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_moments_brand",
+    oracle="""
+WITH s AS (
+  SELECT p_brand, l_quantity AS x
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT p_brand, avg(x) AS mu FROM s GROUP BY p_brand
+)
+SELECT s.p_brand,
+       round(avg((x - mu) ^ 3) / power(avg((x - mu) ^ 2), 1.5), 4) AS skew_qty,
+       round(avg((x - mu) ^ 4) / power(avg((x - mu) ^ 2), 2) - 3, 4) AS kurt_qty,
+       round(var_samp(x), 4) AS var_qty
+FROM s JOIN m USING (p_brand)
+GROUP BY s.p_brand
+""",
+)
+def agg_moments_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher moments per brand (skew/kurtosis/variance,
+    /root/reference/src/features/aggregation_features_engine.py:80-91).
+    Spark's builtins are population g1 / excess g2; the oracle mirrors that
+    formula since DuckDB's builtins are sample-corrected."""
+    t = Catalog(spark, sf_dir)
+    df = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return df.groupBy("p_brand").agg(
+        r4(F.skewness("l_quantity")).alias("skew_qty"),
+        r4(F.kurtosis("l_quantity")).alias("kurt_qty"),
+        r4(F.variance("l_quantity")).alias("var_qty"),
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+SELECT p_brand,
+       count(DISTINCT l_suppkey) AS n_stores,
+       count(DISTINCT l_shipdate) AS n_dates,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per brand
+    (/root/reference/src/features/aggregation_features_engine.py:82-84,392-394).
+    Exact `countDistinct` matches the oracle; at 100 TB the scale path is
+    `approx_count_distinct` (HLL, one pass, no expand) — the multi-distinct
+    here triggers Spark's EXPAND operator, acceptable at this cardinality."""
+    t = Catalog(spark, sf_dir)
+    df = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return df.groupBy("p_brand").agg(
+        F.countDistinct("l_suppkey").alias("n_stores"),
+        F.countDistinct("l_shipdate").alias("n_dates"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_grouped_quantiles",
+    oracle="""
+SELECT l_suppkey,
+       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(quantile_cont(l_quantity, 0.95), 4) AS q95
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def agg_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles per store
+    (/root/reference/generate_hackathon_final_perfect.py:159-166)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_suppkey").agg(
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("q50"),
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("q75"),
+        r4(F.percentile("l_quantity", F.lit(0.95))).alias("q95"),
+    )
+
+
+@register(
+    "market_share_brand",
+    oracle="""
+WITH b AS (
+  SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       round(revenue, 4) AS revenue,
+       round(revenue / sum(revenue) OVER (), 4) AS market_share,
+       CAST(rank() OVER (ORDER BY round(revenue, 4) DESC, p_brand) AS BIGINT) AS brand_rank
+FROM b
+""",
+)
+def market_share_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share + global rank per brand
+    (/root/reference/src/features/behavioral_features_engine.py:358-382).
+    Global total via an empty-partition window (scalar broadcast), rank on
+    the ROUNDED revenue with name tie-break for cross-engine determinism."""
+    t = Catalog(spark, sf_dir)
+    b = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    all_w = W.partitionBy()
+    return b.select(
+        "p_brand",
+        r4("revenue").alias("revenue"),
+        r4(F.col("revenue") / F.sum("revenue").over(all_w)).alias("market_share"),
+        F.rank()
+        .over(W.partitionBy().orderBy(r4("revenue").desc(), F.col("p_brand")))
+        .cast("long")
+        .alias("brand_rank"),
+    )
+
+
+@register(
+    "entropy_store_portfolio",
+    oracle="""
+WITH v AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS vol
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), p AS (
+  SELECT l_suppkey, vol / sum(vol) OVER (PARTITION BY l_suppkey) AS share
+  FROM v
+)
+SELECT l_suppkey, round(-sum(share * ln(share)), 4) AS portfolio_entropy
+FROM p WHERE share > 0
+GROUP BY l_suppkey
+""",
+)
+def entropy_store_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each store's product-volume distribution.
+
+    The reference calls scipy.stats.entropy as a groupby-apply UDAF
+    (/root/reference/src/features/aggregation_features_engine.py:194-198);
+    here it is two pure aggregate steps — no Python anywhere, fully
+    distributable (SURVEY §2.12 'rewrite in SQL')."""
+    t = Catalog(spark, sf_dir)
+    v = t.lineitem.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("vol"))
+    w = W.partitionBy("l_suppkey")
+    p = v.select("l_suppkey", (F.col("vol") / F.sum("vol").over(w)).alias("share"))
+    return (
+        p.filter(F.col("share") > 0)
+        .groupBy("l_suppkey")
+        .agg(r4(-F.sum(F.col("share") * F.log("share"))).alias("portfolio_entropy"))
+    )
+
+
+@register(
+    "hhi_by_type",
+    oracle="""
+WITH b AS (
+  SELECT p_type, p_brand, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+), s AS (
+  SELECT p_type, rev / sum(rev) OVER (PARTITION BY p_type) AS share FROM b
+)
+SELECT p_type, round(sum(share * share), 4) AS hhi
+FROM s GROUP BY p_type
+""",
+)
+def hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl index of brand concentration within each part type
+    (/root/reference/src/features/behavioral_features_engine.py:396-400) —
+    same two-step share-then-sum-of-squares pattern as entropy."""
+    t = Catalog(spark, sf_dir)
+    b = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = W.partitionBy("p_type")
+    s = b.select("p_type", (F.col("rev") / F.sum("rev").over(w)).alias("share"))
+    return s.groupBy("p_type").agg(r4(F.sum(F.col("share") * F.col("share"))).alias("hhi"))
+
+
+@register(
+    "top5_share_per_store",
+    oracle="""
+WITH v AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS vol
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), r AS (
+  SELECT l_suppkey, vol,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY round(vol, 4) DESC, l_partkey) AS rn
+  FROM v
+)
+SELECT l_suppkey,
+       round(sum(CASE WHEN rn <= 5 THEN vol ELSE 0 END) / sum(vol), 4) AS top5_share
+FROM r GROUP BY l_suppkey
+""",
+)
+def top5_share_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each store's volume carried by its top-5 products
+    (/root/reference/src/features/aggregation_features_engine.py:233-236) —
+    nlargest-groupby-apply rewritten as row_number + conditional sum."""
+    t = Catalog(spark, sf_dir)
+    v = t.lineitem.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("vol"))
+    rn_w = W.partitionBy("l_suppkey").orderBy(r4("vol").desc(), F.col("l_partkey"))
+    r = v.withColumn("rn", F.row_number().over(rn_w))
+    return r.groupBy("l_suppkey").agg(
+        r4(
+            F.sum(F.when(F.col("rn") <= 5, F.col("vol")).otherwise(F.lit(0.0)))
+            / F.sum("vol")
+        ).alias("top5_share")
+    )
+
+
+@register(
+    "mode_share_store",
+    oracle="""
+WITH c AS (
+  SELECT l_suppkey, l_partkey, count(*) AS cnt
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey,
+       CAST(max(cnt) AS BIGINT) AS top_part_rows,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       round(max(cnt) * 1.0 / sum(cnt), 4) AS mode_share
+FROM c GROUP BY l_suppkey
+""",
+)
+def mode_share_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-focus / mode share: how dominant the most-frequent product is
+    per store (/root/reference/src/features/aggregation_features_engine.py:241-243).
+    Uses max-count over counts (tie-safe) rather than `mode()`."""
+    t = Catalog(spark, sf_dir)
+    c = t.lineitem.groupBy("l_suppkey", "l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("l_suppkey").agg(
+        F.max("cnt").alias("top_part_rows"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        r4(F.max("cnt") * F.lit(1.0) / F.sum("cnt")).alias("mode_share"),
+    )
+
+
+@register(
+    "zero_ratio_per_part",
+    oracle="""
+SELECT l_partkey,
+       round(avg(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END), 4) AS zero_disc_ratio,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_partkey
+""",
+)
+def zero_ratio_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-flag ratio per key — the intermittency zero-demand-ratio pattern
+    (/root/reference/src/features/behavioral_features_engine.py:71-88),
+    expressed on l_discount=0 for this schema."""
+    t = Catalog(spark, sf_dir)
+    is_zero = F.when(F.col("l_discount") == 0, F.lit(1)).otherwise(F.lit(0))
+    return t.lineitem.groupBy("l_partkey").agg(
+        r4(F.avg(is_zero.cast("double"))).alias("zero_disc_ratio"),
+        F.sum(is_zero).cast("long").alias("n_zero"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "weekday_profile",
+    oracle="""
+SELECT CAST(isodow(l_shipdate) AS INTEGER) AS dow,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+""",
+)
+def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday demand profile (ISO dow both engines;
+    /root/reference/generate_hackathon_final_perfect.py:146-149)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy(iso_dow("l_shipdate").alias("dow")).agg(
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        r4(F.stddev("l_quantity")).alias("std_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "monthly_store_volume",
+    oracle="""
+SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def monthly_store_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume per store — trend input
+    (/root/reference/src/features/aggregation_features_engine.py:209-213;
+    pandas to_period('M') → date_trunc)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+    )
+
+
+@register(
+    "pivot_brand_by_status",
+    oracle="""
+SELECT p_brand,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS "F"
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def pivot_brand_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded pivot: brand × linestatus quantity matrix
+    (/root/reference/src/models/cold_start_solutions.py:95-101).  Pivot
+    values are declared explicitly — at scale an unbounded pivot is a
+    schema explosion; SURVEY §7.4(6) mandates capping (or staying long)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select("p_brand", r4(F.coalesce("O", F.lit(0.0))).alias("O"), r4(F.coalesce("F", F.lit(0.0))).alias("F"))
+    )
+
+
+@register(
+    "basket_stats",
+    oracle="""
+SELECT l_orderkey,
+       count(*) AS n_items,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(sum(l_quantity), 4) AS basket_qty
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket size/qty per order — the collect-list basket analysis reduced
+    to its aggregable stats
+    (/root/reference/src/features/behavioral_features_engine.py:454-456,511-517)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        r4(F.sum("l_quantity")).alias("basket_qty"),
+    )
+
+
+@register(
+    "corr_price_quantity",
+    oracle="""
+SELECT p_brand,
+       round(corr(l_extendedprice / l_quantity, l_quantity), 4) AS price_qty_corr,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity > 0
+GROUP BY p_brand
+""",
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-elasticity proxy: per-brand Pearson corr(unit price, quantity)
+    (/root/reference/src/features/business_features_engine.py:516-528)."""
+    t = Catalog(spark, sf_dir)
+    c = F.corr(F.col("l_extendedprice") / F.col("l_quantity"), F.col("l_quantity"))
+    return (
+        t.lineitem.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(r4(c)).alias("price_qty_corr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rollup_type_brand",
+    oracle="""
+SELECT coalesce(p_type, 'ALL') AS part_type,
+       coalesce(p_brand, 'ALL') AS brand,
+       CAST(grouping(p_type) * 2 + grouping(p_brand) AS INTEGER) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_type, p_brand)
+""",
+)
+def rollup_type_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (type, brand) — one shuffle replacing the reference's
+    manual per-level hierarchy aggregation loop
+    (/root/reference/src/features/aggregation_features_engine.py:415-472)."""
+    t = Catalog(spark, sf_dir)
+    df = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_type", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        df.rollup("p_type", "p_brand")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("p_type", F.lit("ALL")).alias("part_type"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            "gid",
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets in one pass
+    (SURVEY §2.4 grouping-sets row)."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "global_describe",
+    oracle="""
+SELECT round(avg(l_quantity), 4) AS mean_qty,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(quantile_cont(l_quantity, 0.95), 4) AS q95,
+       round(stddev_samp(l_quantity) / avg(l_quantity), 4) AS cv,
+       count(*) AS n_rows
+FROM lineitem
+""",
+)
+def global_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table describe (mean/median/std/quantiles/CV,
+    /root/reference/generate_hackathon_final_perfect.py:132-141)."""
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.agg(
+        r4(F.avg("l_quantity")).alias("mean_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        r4(F.stddev("l_quantity")).alias("std_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.25))).alias("q25"),
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("q75"),
+        r4(F.percentile("l_quantity", F.lit(0.95))).alias("q95"),
+        r4(F.stddev("l_quantity") / F.avg("l_quantity")).alias("cv"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "customer_proxy_daily",
+    oracle="""
+SELECT l_suppkey, l_shipdate AS day,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(round(sum(l_extendedprice * (1 - l_discount)), 4) / count(*), 4) AS avg_txn_value
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def customer_proxy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (store, day) customer-proxy aggregate
+    (/root/reference/src/features/business_features_engine.py:500-512)."""
+    t = Catalog(spark, sf_dir)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # avg is derived from the ROUNDED revenue so both engines divide the
+    # identical double (a raw sum/2 can land exactly on a .00005 rounding
+    # boundary and flip under float reassociation).
+    return t.lineitem.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        r4(rev).alias("revenue"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        r4(r4(rev) / F.count(F.lit(1))).alias("avg_txn_value"),
+    )
