@@ -22,7 +22,10 @@ def r4(col: Column | str) -> Column:
     representable), so the driver's value-hash stays stable (SURVEY §7.4.4).
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
-    q = F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    # half-away-from-zero like C round(): dyadic values (e.g. integer means)
+    # do land exactly on .00005 halves, where floor(x*1e4+0.5) would round
+    # negatives toward +inf and diverge from DuckDB.
+    q = F.signum(c) * (F.floor(F.abs(c) * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0))
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(q)
 
 

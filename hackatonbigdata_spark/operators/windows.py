@@ -1,1 +1,526 @@
-"""Placeholder — populated in later milestones."""
+"""M3 — window layer (SURVEY.md §2.5, §2.6 keep-first, §2.12 SQL rewrites).
+
+The reference sorts each (product, store) series then applies shift /
+rolling / ewm / groupby-transform in pandas.  Here every one of those is a
+Spark window over ``partitionBy(keys).orderBy(unique order)``.
+
+Determinism convention: every ordered window orders by a UNIQUE key tuple
+(l_shipdate, l_orderkey, l_linenumber) — ties in a non-unique ordering would
+make lag/row_number engine-dependent and break the oracle hash.  Rank-like
+functions additionally rank on pre-quantized (r4) values.
+
+Scale: (store) / (product, store) partitions are many and small — exactly
+the shape window exchanges want.  Skewed hot keys are handled by AQE; the
+windows below all share one partitioning per query so Catalyst plans a
+single shuffle for stacked window columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import iso_dow, r4
+from hackatonbigdata_spark.registry import register
+
+# unique intra-store ordering shared by the ordered windows below
+_ORDER = ["l_shipdate", "l_orderkey", "l_linenumber"]
+_ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
+
+
+def _keyed(t: Catalog) -> DataFrame:
+    return t.lineitem.select(
+        "l_suppkey", "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "window_lag_family",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       lag(l_quantity, 1) OVER w AS lag1,
+       lag(l_quantity, 7) OVER w AS lag7,
+       round(l_quantity - lag(l_quantity, 1) OVER w, 4) AS diff1,
+       round(l_quantity / (lag(l_quantity, 1) OVER w + 1e-8) - 1, 4) AS pct1,
+       round(l_quantity / (lag(l_quantity, 7) OVER w + 1e-8), 4) AS ratio7
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+""",
+)
+def window_lag_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag family: shift-k + diff/pct-change/ratio
+    (/root/reference/src/features/temporal_features_engine.py:120-148;
+    lags at k∈{{1,7}} here — the full strategic set is a parameter)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER)
+    q = F.col("l_quantity")
+    lag1 = F.lag("l_quantity", 1).over(w)
+    lag7 = F.lag("l_quantity", 7).over(w)
+    return _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        lag1.alias("lag1"),
+        lag7.alias("lag7"),
+        r4(q - lag1).alias("diff1"),
+        r4(q / (lag1 + F.lit(1e-8)) - 1).alias("pct1"),
+        r4(q / (lag7 + F.lit(1e-8))).alias("ratio7"),
+    )
+
+
+@register(
+    "window_rolling_stats",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_quantity) OVER w, 4) AS roll_mean7,
+       round(stddev_samp(l_quantity) OVER w, 4) AS roll_std7,
+       round(min(l_quantity) OVER w, 4) AS roll_min7,
+       round(max(l_quantity) OVER w, 4) AS roll_max7,
+       round(stddev_samp(l_quantity) OVER w / (avg(l_quantity) OVER w + 1e-8), 4) AS roll_cv7
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std/min/max/CV over a 7-row trailing frame with
+    min_periods=1 semantics (frame shrinks at series start, like pandas
+    rolling(min_periods=1); /root/reference/src/features/temporal_features_engine.py:179-201)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(-6, 0)
+    mean = F.avg("l_quantity").over(w)
+    std = F.stddev("l_quantity").over(w)
+    return _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        r4(mean).alias("roll_mean7"),
+        r4(std).alias("roll_std7"),
+        r4(F.min("l_quantity").over(w)).alias("roll_min7"),
+        r4(F.max("l_quantity").over(w)).alias("roll_max7"),
+        r4(std / (mean + F.lit(1e-8))).alias("roll_cv7"),
+    )
+
+
+@register(
+    "window_rolling_slope",
+    oracle=f"""
+WITH r AS (
+  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+         CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}) AS DOUBLE) AS x
+  FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round((count(*) OVER w * sum(x * l_quantity) OVER w
+              - sum(x) OVER w * sum(l_quantity) OVER w)
+             / nullif(count(*) OVER w * sum(x * x) OVER w
+                      - sum(x) OVER w * sum(x) OVER w, 0), 4) AS slope8
+FROM r
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling regression slope, closed form.
+
+    The reference computes np.polyfit per rolling window in a python lambda
+    (/root/reference/src/features/temporal_features_engine.py:203-207) —
+    O(window) python per row.  The closed form
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) with x = row index is pure window sums:
+    JVM-codegen'd, no Python, same answer (SURVEY §2.12 'rewrite')."""
+    t = Catalog(spark, sf_dir)
+    base_w = W.partitionBy("l_suppkey").orderBy(*_ORDER)
+    w = base_w.rowsBetween(-7, 0)
+    df = _keyed(t).withColumn("x", F.row_number().over(base_w).cast("double"))
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w)
+    sy = F.sum(q).over(w)
+    sxy = F.sum(F.col("x") * q).over(w)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(w)
+    denom = n * sx2 - sx * sx
+    slope = (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0))
+    return df.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", r4(slope).alias("slope8")
+    )
+
+
+@register(
+    "window_rank_volume",
+    oracle="""
+WITH v AS (
+  SELECT l_suppkey, l_partkey, round(sum(l_quantity), 4) AS vol
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, vol,
+       CAST(rank() OVER w AS BIGINT) AS vol_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS vol_dense_rank,
+       round(percent_rank() OVER w, 4) AS vol_pct_rank
+FROM v
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY vol DESC, l_partkey)
+""",
+)
+def window_rank_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank of product volume within store
+    (/root/reference/src/features/aggregation_features_engine.py:340-345,
+    behavioral :363-375).  Ranks on quantized volume + key tie-break."""
+    t = Catalog(spark, sf_dir)
+    v = t.lineitem.groupBy("l_suppkey", "l_partkey").agg(r4(F.sum("l_quantity")).alias("vol"))
+    w = W.partitionBy("l_suppkey").orderBy(F.col("vol").desc(), F.col("l_partkey"))
+    return v.select(
+        "l_suppkey",
+        "l_partkey",
+        "vol",
+        F.rank().over(w).cast("long").alias("vol_rank"),
+        F.dense_rank().over(w).cast("long").alias("vol_dense_rank"),
+        r4(F.percent_rank().over(w)).alias("vol_pct_rank"),
+    )
+
+
+@register(
+    "window_interarrival",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT l_suppkey, l_shipdate FROM lineitem
+), g AS (
+  SELECT l_suppkey,
+         date_diff('day', lag(l_shipdate) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate),
+                   l_shipdate) AS gap_days
+  FROM d
+)
+SELECT l_suppkey,
+       round(avg(gap_days), 4) AS avg_gap,
+       CAST(max(gap_days) AS BIGINT) AS max_gap,
+       CAST(count(gap_days) AS BIGINT) AS n_gaps
+FROM g GROUP BY l_suppkey
+""",
+)
+def window_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap stats between active days per store
+    (/root/reference/src/features/behavioral_features_engine.py:135-163)."""
+    t = Catalog(spark, sf_dir)
+    d = t.lineitem.select("l_suppkey", "l_shipdate").distinct()
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+    g = d.withColumn("gap_days", F.datediff("l_shipdate", F.lag("l_shipdate").over(w)))
+    return g.groupBy("l_suppkey").agg(
+        r4(F.avg("gap_days")).alias("avg_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        F.count("gap_days").alias("n_gaps"),
+    )
+
+
+@register(
+    "window_zero_streaks",
+    oracle=f"""
+WITH f AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         CASE WHEN l_discount = 0 THEN 1 ELSE 0 END AS is_zero
+  FROM lineitem
+), isl AS (
+  SELECT *, sum(1 - is_zero) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+), streaks AS (
+  SELECT l_suppkey, island, count(*) AS streak_len
+  FROM isl WHERE is_zero = 1
+  GROUP BY l_suppkey, island
+)
+SELECT l_suppkey,
+       CAST(max(streak_len) AS BIGINT) AS max_streak,
+       round(avg(streak_len), 4) AS avg_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY l_suppkey
+""",
+)
+def window_zero_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-'zero' streak stats via gaps-and-islands.
+
+    The reference walks each series in a python loop
+    (/root/reference/src/features/behavioral_features_engine.py:91-132);
+    the islands rewrite (running count of breakers as island id) is pure
+    SQL — one window + two aggregations, fully distributed."""
+    t = Catalog(spark, sf_dir)
+    f = t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.when(F.col("l_discount") == 0, 1).otherwise(0).alias("is_zero"),
+    )
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(W.unboundedPreceding, 0)
+    isl = f.withColumn("island", F.sum(1 - F.col("is_zero")).over(w))
+    streaks = (
+        isl.filter(F.col("is_zero") == 1)
+        .groupBy("l_suppkey", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("l_suppkey").agg(
+        F.max("streak_len").cast("long").alias("max_streak"),
+        r4(F.avg("streak_len")).alias("avg_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "window_seasonal_dow",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       CAST(isodow(l_shipdate) AS INTEGER) AS dow,
+       round(avg(l_quantity) OVER (PARTITION BY l_suppkey, isodow(l_shipdate)), 4) AS dow_avg,
+       round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_suppkey, isodow(l_shipdate)), 4)
+         AS dow_dev
+FROM lineitem
+""",
+)
+def window_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal per-key average (day-of-week) broadcast back onto rows —
+    fit+transform of the reference's seasonal encoder
+    (/root/reference/src/features/temporal.py:225-305) as one unordered
+    window; no agg+join round-trip."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey", iso_dow("l_shipdate"))
+    avg = F.avg("l_quantity").over(w)
+    return _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        iso_dow("l_shipdate").alias("dow"),
+        r4(avg).alias("dow_avg"),
+        r4(F.col("l_quantity") - avg).alias("dow_dev"),
+    )
+
+
+@register(
+    "window_centered_smoothing",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       round(avg(l_quantity) OVER w, 4) AS smooth7,
+       round(0.7 * l_quantity + 0.3 * avg(l_quantity) OVER w, 4) AS blended
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+""",
+)
+def window_centered_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving-average smoothing + blend-at-factor
+    (/root/reference/src/submissions/post_processor.py:383-432)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(-3, 3)
+    smooth = F.avg("l_quantity").over(w)
+    return _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        r4(smooth).alias("smooth7"),
+        r4(F.lit(0.7) * F.col("l_quantity") + F.lit(0.3) * smooth).alias("blended"),
+    )
+
+
+@register(
+    "window_growth_cap",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       round(CASE WHEN lag(l_quantity) OVER w IS NOT NULL
+                   AND l_quantity > lag(l_quantity) OVER w * 1.5
+                  THEN lag(l_quantity) OVER w * 1.5
+                  ELSE l_quantity END, 4) AS capped_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+""",
+)
+def window_growth_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential growth-rate cap vs previous observation
+    (/root/reference/src/submissions/post_processor.py:135-163)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER)
+    prev = F.lag("l_quantity").over(w)
+    capped = F.when(
+        prev.isNotNull() & (F.col("l_quantity") > prev * 1.5), prev * 1.5
+    ).otherwise(F.col("l_quantity"))
+    return _keyed(t).select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", r4(capped).alias("capped_qty")
+    )
+
+
+@register(
+    "window_group_transform",
+    oracle="""
+SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+       round(avg(l_quantity) OVER p, 4) AS part_mean,
+       round(sum(l_quantity) OVER p, 4) AS part_sum,
+       CAST(count(*) OVER p AS BIGINT) AS part_n,
+       round(l_quantity / (avg(l_quantity) OVER p + 1e-8), 4) AS rel_to_mean
+FROM lineitem
+WINDOW p AS (PARTITION BY l_partkey)
+""",
+)
+def window_group_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().transform('mean'/'sum'/'count') — group stats broadcast to
+    rows via unbounded windows
+    (/root/reference/src/features/temporal_features_engine.py:389-421)."""
+    t = Catalog(spark, sf_dir)
+    p = W.partitionBy("l_partkey")
+    mean = F.avg("l_quantity").over(p)
+    return t.lineitem.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        r4(mean).alias("part_mean"),
+        r4(F.sum("l_quantity").over(p)).alias("part_sum"),
+        F.count(F.lit(1)).over(p).cast("long").alias("part_n"),
+        r4(F.col("l_quantity") / (mean + F.lit(1e-8))).alias("rel_to_mean"),
+    )
+
+
+@register(
+    "window_ffill",
+    oracle=f"""
+WITH s AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS q_sparse
+  FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, q_sparse,
+       last_value(q_sparse IGNORE NULLS) OVER (
+         PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_ffill
+FROM s
+""",
+)
+def window_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill as last(ignorenulls) over an unbounded-preceding frame
+    (pandas ffill, /root/reference/src/features/temporal.py:164-170)."""
+    t = Catalog(spark, sf_dir)
+    sparse = F.when(F.col("l_discount") > 0.05, F.lit(None)).otherwise(F.col("l_quantity"))
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(W.unboundedPreceding, 0)
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        sparse.alias("q_sparse"),
+        F.last(sparse, ignorenulls=True).over(w).alias("q_ffill"),
+    )
+
+
+@register(
+    "window_momentum_accel",
+    oracle=f"""
+WITH b AS (
+  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+         round(l_quantity / (lag(l_quantity, 7) OVER w + 1e-8) - 1, 4) AS momentum7,
+         round(stddev_samp(l_quantity) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+           AS volatility7,
+         round(avg(l_quantity) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS trend4
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, momentum7, volatility7, trend4,
+       round(trend4 - lag(trend4) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}), 4)
+         AS acceleration
+FROM b
+""",
+)
+def window_momentum_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum / rolling volatility / trend acceleration
+    (/root/reference/src/features/temporal_features_engine.py:344-361)."""
+    t = Catalog(spark, sf_dir)
+    ordered = W.partitionBy("l_suppkey").orderBy(*_ORDER)
+    roll7 = ordered.rowsBetween(-6, 0)
+    roll4 = ordered.rowsBetween(-3, 0)
+    q = F.col("l_quantity")
+    b = _keyed(t).select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        r4(q / (F.lag("l_quantity", 7).over(ordered) + F.lit(1e-8)) - 1).alias("momentum7"),
+        r4(F.stddev("l_quantity").over(roll7)).alias("volatility7"),
+        r4(F.avg("l_quantity").over(roll4)).alias("trend4"),
+    )
+    return b.withColumn(
+        "acceleration", r4(F.col("trend4") - F.lag("trend4").over(ordered))
+    ).drop("l_shipdate")
+
+
+@register(
+    "window_decline_indicator",
+    oracle=f"""
+WITH r AS (
+  SELECT l_partkey, l_quantity,
+         percent_rank() OVER (PARTITION BY l_partkey ORDER BY {_ORDER_SQL}) AS pr
+  FROM lineitem
+)
+SELECT l_partkey,
+       round(avg(CASE WHEN pr <= 0.75 THEN l_quantity END), 4) AS early_avg,
+       round(avg(CASE WHEN pr > 0.75 THEN l_quantity END), 4) AS late_avg,
+       round(avg(CASE WHEN pr > 0.75 THEN l_quantity END)
+             / (avg(CASE WHEN pr <= 0.75 THEN l_quantity END) + 1e-8), 4) AS late_early_ratio
+FROM r GROUP BY l_partkey
+""",
+)
+def window_decline_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decline indicator: last-25%-of-history avg vs first-75% avg
+    (/root/reference/src/features/behavioral_features_engine.py:308-334) —
+    row-wise python apply rewritten as percent_rank + conditional aggs."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_partkey").orderBy(*_ORDER)
+    r = t.lineitem.select("l_partkey", "l_quantity", F.percent_rank().over(w).alias("pr"))
+    early = F.avg(F.when(F.col("pr") <= 0.75, F.col("l_quantity")))
+    late = F.avg(F.when(F.col("pr") > 0.75, F.col("l_quantity")))
+    return r.groupBy("l_partkey").agg(
+        r4(early).alias("early_avg"),
+        r4(late).alias("late_avg"),
+        r4(late / (early + F.lit(1e-8))).alias("late_early_ratio"),
+    )
+
+
+@register(
+    "ewm_daily_store",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, l_shipdate,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+  FROM lineitem GROUP BY 1, 2
+), seq AS (
+  SELECT l_suppkey, list(qty ORDER BY l_shipdate) AS qs
+  FROM daily GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       round(list_reduce(qs, (acc, x) -> 0.5 * x + 0.5 * acc), 4) AS ema_qty,
+       CAST(len(qs) AS BIGINT) AS n_days
+FROM seq
+""",
+)
+def ewm_daily_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWM (alpha=0.5, adjust=False) over each store's daily series.
+
+    pandas ewm has no native Spark window; rewritten as an ordered
+    collect_list + `aggregate` higher-order fold — stays JVM-side, no UDF
+    (/root/reference/src/features/temporal_features_engine.py:227-259;
+    SURVEY §2.12).  Daily inputs are quantized first so both engines fold
+    identical doubles; the fold order is defined by the date sort.
+    """
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        r4(F.sum("l_quantity")).alias("qty")
+    )
+    seq = daily.groupBy("l_suppkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_shipdate", "qty"))).alias("arr")
+    )
+    qs = F.col("arr").getField("qty")
+    ema = F.aggregate(
+        F.slice(qs, 2, F.greatest(F.size(qs) - 1, F.lit(0))),
+        F.element_at(qs, 1).cast("double"),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return seq.select(
+        "l_suppkey",
+        r4(ema).alias("ema_qty"),
+        F.size("arr").cast("long").alias("n_days"),
+    )
