@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"name": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the no-op sink (full computation, no
+driver collect) after a warmup scan that absorbs session/IO startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hackatonbigdata_spark.registry import all_queries
+from hackatonbigdata_spark.session import get_spark
+
+# Headline set: one per major operator family (SURVEY §2).
+HEADLINE = [
+    "flagship_weekly_brand_demand",   # scan→join→agg→window→rank
+    "join_multiway_enrich",           # 4-way broadcast join + agg
+    "agg_multistat_product",          # hash agg w/ exact percentile
+    "entropy_store_portfolio",        # two-step agg (UDAF rewrite)
+    "rollup_type_brand",              # ROLLUP hierarchy
+    "window_lag_family",              # ordered window, full table out
+    "window_rolling_stats",           # frame aggregates
+    "cooccurrence_pairs",             # self-join blow-up
+    "ewm_daily_store",                # collect_list + HOF fold
+    "dedup_keep_first",               # row_number dedup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("hackatonbigdata-bench")
+    queries = all_queries()
+
+    # warmup: session + parquet footer reads, then one unrecorded pass so
+    # whole-stage codegen compilation and JIT are out of the measurement
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in HEADLINE:
+        if name in queries:
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
