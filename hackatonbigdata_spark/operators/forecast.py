@@ -1,1 +1,617 @@
-"""Placeholder — populated in later milestones."""
+"""M5 — forecast-pipeline semantics (SURVEY.md §2.9-2.10).
+
+The reference's model-adjacent dataflow re-expressed as queries:
+WMAPE-family metrics, walk-forward CV fold generation, intermittency
+classification, the business-rules post-processing rewrites, and the
+heuristic coalesce-blend predictor (the reference's fallback forecaster).
+
+A deterministic "forecast" column (lagged rolling mean, quantized) stands in
+for model output so every metric/post-processing operator is
+oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+
+_ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
+
+# shared forecast construction: yesterday's 7-row rolling mean, quantized —
+# both engines build the identical column before any metric touches it.
+_FORECAST_SQL = f"""
+  SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber, actual,
+         CASE WHEN rm_lag IS NULL THEN NULL
+              ELSE sign(rm_lag) * (floor(abs(rm_lag) * 10000 + 0.5) / 10000) END AS forecast
+  FROM (
+    SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber, actual,
+           lag(rm) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}) AS rm_lag
+    FROM (
+      SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             l_quantity AS actual,
+             avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+      FROM lineitem
+    )
+  )
+"""
+
+
+def _with_forecast(t: Catalog) -> DataFrame:
+    seq = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    roll = seq.rowsBetween(-6, 0)
+    df = t.lineitem.select(
+        "l_suppkey",
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("actual"),
+        F.avg("l_quantity").over(roll).alias("_rm"),
+    )
+    # quantize BEFORE lag so both engines carry the identical double
+    q = F.signum(F.lag("_rm").over(seq)) * (
+        F.floor(F.abs(F.lag("_rm").over(seq)) * 10000.0 + 0.5) / 10000.0
+    )
+    return df.withColumn("forecast", q).drop("_rm")
+
+
+@register(
+    "metric_suite_global",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL})
+SELECT round(sum(abs(actual - forecast)) / sum(abs(actual)) * 100, 4) AS wmape,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       round(sqrt(avg((actual - forecast) * (actual - forecast))), 4) AS rmse,
+       round(avg(forecast - actual), 4) AS bias,
+       round(100 * avg(2 * abs(actual - forecast) / nullif(abs(actual) + abs(forecast), 0)), 4)
+         AS smape,
+       count(*) AS n_rows
+FROM f WHERE forecast IS NOT NULL
+""",
+)
+def metric_suite_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WMAPE / MAE / RMSE / bias / sMAPE in one distributed aggregate
+    (/root/reference/src/evaluation/metrics.py:12-126).  At any scale this
+    is one map-side-combined shuffle of a handful of doubles."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    a, p = F.col("actual"), F.col("forecast")
+    return f.agg(
+        r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape"),
+        r4(F.avg(F.abs(a - p))).alias("mae"),
+        r4(F.sqrt(F.avg((a - p) * (a - p)))).alias("rmse"),
+        r4(F.avg(p - a)).alias("bias"),
+        r4(100 * F.avg(2 * F.abs(a - p) / F.nullif(F.abs(a) + F.abs(p), F.lit(0.0)))).alias(
+            "smape"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "metric_wmape_by_store",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL})
+SELECT l_suppkey,
+       round(sum(abs(actual - forecast)) / sum(abs(actual)) * 100, 4) AS wmape,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       round(avg(forecast - actual), 4) AS bias,
+       count(*) AS n_rows
+FROM f WHERE forecast IS NOT NULL
+GROUP BY l_suppkey
+""",
+)
+def metric_wmape_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented WMAPE (/root/reference/src/evaluation/metrics.py:128-157)."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    a, p = F.col("actual"), F.col("forecast")
+    return f.groupBy("l_suppkey").agg(
+        r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape"),
+        r4(F.avg(F.abs(a - p))).alias("mae"),
+        r4(F.avg(p - a)).alias("bias"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "metric_abc_tiers",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+vol AS (
+  SELECT l_partkey, floor(sum(actual) * 10000 + 0.5) / 10000 AS vol
+  FROM f GROUP BY l_partkey
+), cum AS (
+  SELECT l_partkey, vol,
+         sum(vol) OVER (ORDER BY vol DESC, l_partkey) / sum(vol) OVER () AS cum_share
+  FROM vol
+), tiers AS (
+  SELECT l_partkey,
+         CASE WHEN cum_share <= 0.8 THEN 'A' WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_tier
+  FROM cum
+)
+SELECT abc_tier,
+       round(sum(abs(actual - forecast)) / sum(abs(actual)) * 100, 4) AS wmape,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       CAST(count(DISTINCT f.l_partkey) AS BIGINT) AS n_parts,
+       count(*) AS n_rows
+FROM f JOIN tiers ON f.l_partkey = tiers.l_partkey
+WHERE forecast IS NOT NULL
+GROUP BY abc_tier
+""",
+)
+def metric_abc_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-tier (cumulative-volume 80/95) metric table
+    (/root/reference/src/evaluation/metrics.py:159-217)."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t)
+    vol = f.groupBy("l_partkey").agg(r4(F.sum("actual")).alias("vol"))
+    cum_w = W.orderBy(F.col("vol").desc(), F.col("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = vol.withColumn(
+        "cum_share", F.sum("vol").over(cum_w) / F.sum("vol").over(W.partitionBy())
+    )
+    tiers = cum.select(
+        "l_partkey",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_tier"),
+    )
+    a, p = F.col("actual"), F.col("forecast")
+    return (
+        f.filter(p.isNotNull())
+        .join(F.broadcast(tiers), "l_partkey")
+        .groupBy("abc_tier")
+        .agg(
+            r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape"),
+            r4(F.avg(F.abs(a - p))).alias("mae"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "cv_walkforward_folds",
+    oracle="""
+WITH bounds AS (
+  SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM lineitem
+), folds AS (
+  SELECT f.fold_id,
+         d0 + INTERVAL 1 DAY * (7 * (52 + f.fold_id)) AS train_end,
+         d0 + INTERVAL 1 DAY * (7 * (53 + f.fold_id)) AS val_start,
+         d0 + INTERVAL 1 DAY * (7 * (57 + f.fold_id)) AS val_end
+  FROM bounds, (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS fold_id) f
+  WHERE d0 + INTERVAL 1 DAY * (7 * (57 + f.fold_id)) <= d1
+)
+SELECT fold_id, train_end, val_start, val_end,
+       (SELECT count(*) FROM lineitem WHERE l_shipdate < train_end) AS n_train,
+       (SELECT count(*) FROM lineitem
+        WHERE l_shipdate >= val_start AND l_shipdate < val_end) AS n_val
+FROM folds
+""",
+)
+def cv_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV folds: 52-week initial train, 4-week horizon, 1-week
+    step, 1-week embargo, ≤10 splits
+    (/root/reference/src/models/time_series_cv.py:42-157;
+    lightgbm_master.py:210-245).  Folds are date-threshold filters — at any
+    scale this is a broadcast of ~10 fold rows against the fact table."""
+    t = Catalog(spark, sf_dir)
+    bounds = t.lineitem.agg(
+        F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1")
+    )
+    folds = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("fold_id"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "fold_id",
+            F.date_add(F.col("d0").cast("date"), 7 * (52 + F.col("fold_id")))
+            .cast("timestamp_ntz")
+            .alias("train_end"),
+            F.date_add(F.col("d0").cast("date"), 7 * (53 + F.col("fold_id")))
+            .cast("timestamp_ntz")
+            .alias("val_start"),
+            F.date_add(F.col("d0").cast("date"), 7 * (57 + F.col("fold_id")))
+            .cast("timestamp_ntz")
+            .alias("val_end"),
+            "d1",
+        )
+        .filter(F.col("val_end") <= F.col("d1"))
+        .drop("d1")
+    )
+    li = t.lineitem.select("l_shipdate")
+    joined = li.crossJoin(F.broadcast(folds))
+    return (
+        joined.groupBy("fold_id", "train_end", "val_start", "val_end")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < F.col("train_end"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.col("val_start"))
+                    & (F.col("l_shipdate") < F.col("val_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_val"),
+        )
+    )
+
+
+@register(
+    "intermittency_classify",
+    oracle="""
+WITH span AS (
+  SELECT l_partkey,
+         date_diff('day', min(l_shipdate), max(l_shipdate)) + 1 AS span_days,
+         count(DISTINCT l_shipdate) AS active_days,
+         avg(l_quantity) AS mu,
+         stddev_samp(l_quantity) AS sigma
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT l_partkey,
+         CAST(span_days AS BIGINT) AS span_days,
+         CAST(active_days AS BIGINT) AS active_days,
+         round(1.0 - active_days * 1.0 / span_days, 4) AS zero_day_ratio,
+         round(span_days * 1.0 / active_days, 4) AS adi,
+         round((sigma / nullif(mu, 0)) * (sigma / nullif(mu, 0)), 4) AS cv2
+  FROM span
+)
+SELECT l_partkey, span_days, active_days, zero_day_ratio, adi, cv2,
+       CASE WHEN adi >= 1.32 AND cv2 >= 0.49 THEN 'lumpy'
+            WHEN adi >= 1.32 THEN 'intermittent'
+            WHEN cv2 >= 0.49 THEN 'erratic'
+            ELSE 'smooth' END AS demand_class
+FROM c
+""",
+)
+def intermittency_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan intermittency classification (ADI × CV² quadrants)
+    (/root/reference/src/models/intermittent_demand.py:411-490) — pure
+    aggregations, no per-series python."""
+    t = Catalog(spark, sf_dir)
+    span = t.lineitem.groupBy("l_partkey").agg(
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1).cast("long").alias("span_days"),
+        F.countDistinct("l_shipdate").alias("active_days"),
+        F.avg("l_quantity").alias("mu"),
+        F.stddev("l_quantity").alias("sigma"),
+    )
+    cv = F.col("sigma") / F.nullif(F.col("mu"), F.lit(0.0))
+    c = span.select(
+        "l_partkey",
+        "span_days",
+        "active_days",
+        r4(1.0 - F.col("active_days") * F.lit(1.0) / F.col("span_days")).alias("zero_day_ratio"),
+        r4(F.col("span_days") * F.lit(1.0) / F.col("active_days")).alias("adi"),
+        r4(cv * cv).alias("cv2"),
+    )
+    return c.withColumn(
+        "demand_class",
+        F.when((F.col("adi") >= 1.32) & (F.col("cv2") >= 0.49), "lumpy")
+        .when(F.col("adi") >= 1.32, "intermittent")
+        .when(F.col("cv2") >= 0.49, "erratic")
+        .otherwise("smooth"),
+    )
+
+
+@register(
+    "postproc_clip_caps",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+keystats AS (
+  SELECT l_partkey,
+         floor(avg(actual) * 10000 + 0.5) / 10000 AS mu,
+         floor(coalesce(stddev_samp(actual), 0) * 10000 + 0.5) / 10000 AS sigma
+  FROM f GROUP BY l_partkey
+), p99 AS (
+  SELECT floor(quantile_cont(forecast, 0.99) * 10000 + 0.5) / 10000 AS cap99
+  FROM f WHERE forecast IS NOT NULL
+)
+SELECT f.l_suppkey, f.l_partkey, f.l_orderkey, f.l_linenumber, forecast,
+       round(least(greatest(forecast, 0), mu + 5 * sigma, cap99), 4) AS forecast_capped
+FROM f JOIN keystats ON f.l_partkey = keystats.l_partkey, p99
+WHERE forecast IS NOT NULL
+""",
+)
+def postproc_clip_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-processing caps: non-negativity, hist-mean+5σ clip, global P99
+    quantile cap (/root/reference/src/submissions/post_processor.py:100-231)."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t)
+    keystats = f.groupBy("l_partkey").agg(
+        r4(F.avg("actual")).alias("mu"),
+        r4(F.coalesce(F.stddev("actual"), F.lit(0.0))).alias("sigma"),
+    )
+    p99 = f.filter(F.col("forecast").isNotNull()).agg(
+        r4(F.percentile("forecast", F.lit(0.99))).alias("cap99")
+    )
+    return (
+        f.filter(F.col("forecast").isNotNull())
+        .join(keystats, "l_partkey")
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "forecast",
+            r4(
+                F.least(
+                    F.greatest(F.col("forecast"), F.lit(0.0)),
+                    F.col("mu") + 5 * F.col("sigma"),
+                    F.col("cap99"),
+                )
+            ).alias("forecast_capped"),
+        )
+    )
+
+
+@register(
+    "postproc_business_rules",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, forecast
+  FROM f WHERE forecast IS NOT NULL
+), moq AS (
+  SELECT *,
+         CASE WHEN forecast < 6 THEN 0.0
+              ELSE ceil(forecast / 12.0) * 12.0 END AS forecast_moq
+  FROM p
+), cap AS (
+  SELECT *,
+         sum(forecast_moq) OVER (PARTITION BY l_suppkey) AS store_total
+  FROM moq
+)
+SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, forecast, forecast_moq,
+       round(CASE WHEN store_total > 50000
+                  THEN forecast_moq * 50000 / store_total
+                  ELSE forecast_moq END, 4) AS forecast_final,
+       CASE WHEN forecast < 0.5 THEN 0
+            ELSE CAST(floor(forecast + 0.5) AS BIGINT) END AS forecast_int
+FROM cap
+""",
+)
+def postproc_business_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business rules: MOQ rounding (min-order 12, zero below half), per-store
+    capacity scaling, integer rounding with zero-below-0.5
+    (/root/reference/src/models/business_rules.py:120-208,553-690)."""
+    t = Catalog(spark, sf_dir)
+    p = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    moq = p.withColumn(
+        "forecast_moq",
+        F.when(F.col("forecast") < 6, F.lit(0.0)).otherwise(
+            F.ceil(F.col("forecast") / 12.0) * 12.0
+        ),
+    )
+    cap = moq.withColumn("store_total", F.sum("forecast_moq").over(W.partitionBy("l_suppkey")))
+    return cap.select(
+        "l_suppkey",
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "forecast",
+        "forecast_moq",
+        r4(
+            F.when(
+                F.col("store_total") > 50000,
+                F.col("forecast_moq") * 50000 / F.col("store_total"),
+            ).otherwise(F.col("forecast_moq"))
+        ).alias("forecast_final"),
+        F.when(F.col("forecast") < 0.5, F.lit(0))
+        .otherwise(F.floor(F.col("forecast") + 0.5))
+        .cast("long")
+        .alias("forecast_int"),
+    )
+
+
+@register(
+    "postproc_seasonal_nudge",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, forecast
+  FROM f WHERE forecast IS NOT NULL
+), s AS (
+  SELECT *,
+         floor(avg(forecast) OVER (PARTITION BY l_suppkey, isodow(l_shipdate)) * 10000 + 0.5)
+           / 10000 AS dow_mean
+  FROM p
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, forecast, dow_mean,
+       round(forecast + least(greatest(dow_mean - forecast, -0.05 * forecast),
+                              0.05 * forecast), 4) AS forecast_nudged
+FROM s
+""",
+)
+def postproc_seasonal_nudge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal adjustment: nudge ≤±5% toward the per-(store, dow) seasonal
+    mean (/root/reference/src/submissions/post_processor.py:233-349)."""
+    from hackatonbigdata_spark.functions.core import iso_dow
+
+    t = Catalog(spark, sf_dir)
+    p = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    s = p.withColumn(
+        "dow_mean",
+        r4(F.avg("forecast").over(W.partitionBy("l_suppkey", iso_dow("l_shipdate")))),
+    )
+    nudge = F.least(
+        F.greatest(F.col("dow_mean") - F.col("forecast"), -0.05 * F.col("forecast")),
+        0.05 * F.col("forecast"),
+    )
+    return s.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "forecast",
+        "dow_mean",
+        r4(F.col("forecast") + nudge).alias("forecast_nudged"),
+    )
+
+
+@register(
+    "heuristic_blend_forecast",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000 AS sp_q75
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), st AS (
+  SELECT l_suppkey, floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS store_mean
+  FROM lineitem GROUP BY l_suppkey
+), pr AS (
+  SELECT l_partkey, floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS part_mean,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS part_vol
+  FROM lineitem GROUP BY l_partkey
+), g AS (
+  SELECT floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000 AS global_q75
+  FROM lineitem
+), tier AS (
+  SELECT l_partkey, part_mean, percent_rank() OVER (ORDER BY part_vol, l_partkey) AS vol_pr
+  FROM pr
+)
+SELECT sp.l_suppkey, sp.l_partkey,
+       round((0.4 * sp_q75 + 0.25 * store_mean + 0.2 * part_mean + 0.15 * global_q75)
+             * 1.687
+             * CASE WHEN vol_pr > 0.9 THEN 1.2 WHEN vol_pr > 0.7 THEN 1.1 ELSE 1.0 END,
+             4) AS blended_forecast
+FROM sp
+JOIN st ON sp.l_suppkey = st.l_suppkey
+JOIN tier ON sp.l_partkey = tier.l_partkey, g
+""",
+)
+def heuristic_blend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's heuristic ensemble predictor: weighted coalesce-blend
+    0.4·(store,product Q75) + 0.25·store-mean + 0.2·product-mean +
+    0.15·global-Q75, ×1.687 global calibration, ×volume-tier boost
+    (/root/reference/generate_hackathon_final_perfect.py:233-340).
+
+    Scale: three aggregate tables + one scalar, joined back on their keys —
+    store/part aggregates broadcast; the (store,product) grain never
+    re-shuffles more than once."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("sp_q75")
+    )
+    st = li.groupBy("l_suppkey").agg(r4(F.avg("l_quantity")).alias("store_mean"))
+    pr = li.groupBy("l_partkey").agg(
+        r4(F.avg("l_quantity")).alias("part_mean"), r4(F.sum("l_quantity")).alias("part_vol")
+    )
+    g = li.agg(r4(F.percentile("l_quantity", F.lit(0.75))).alias("global_q75"))
+    tier = pr.withColumn(
+        "vol_pr", F.percent_rank().over(W.orderBy("part_vol", "l_partkey"))
+    ).select("l_partkey", "part_mean", "vol_pr")
+    boost = (
+        F.when(F.col("vol_pr") > 0.9, 1.2).when(F.col("vol_pr") > 0.7, 1.1).otherwise(1.0)
+    )
+    return (
+        sp.join(F.broadcast(st), "l_suppkey")
+        .join(F.broadcast(tier), "l_partkey")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            r4(
+                (
+                    0.4 * F.col("sp_q75")
+                    + 0.25 * F.col("store_mean")
+                    + 0.2 * F.col("part_mean")
+                    + 0.15 * F.col("global_q75")
+                )
+                * 1.687
+                * boost
+            ).alias("blended_forecast"),
+        )
+    )
+
+
+@register(
+    "kpi_quality_bands",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+m AS (
+  SELECT l_suppkey,
+         floor(sum(abs(actual - forecast)) / sum(abs(actual)) * 100 * 10000 + 0.5) / 10000
+           AS wmape
+  FROM f WHERE forecast IS NOT NULL GROUP BY l_suppkey
+)
+SELECT l_suppkey, wmape,
+       CASE WHEN wmape <= 10 THEN 'excellent'
+            WHEN wmape <= 15 THEN 'good'
+            WHEN wmape <= 20 THEN 'warning'
+            WHEN wmape <= 30 THEN 'critical'
+            ELSE 'failing' END AS kpi_band
+FROM m
+""",
+)
+def kpi_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded KPI banding of per-store WMAPE
+    (/root/reference/src/validation/kpi_system.py:43-330; bands at
+    10/15/20/30)."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    a, p = F.col("actual"), F.col("forecast")
+    m = f.groupBy("l_suppkey").agg(
+        r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape")
+    )
+    return m.withColumn(
+        "kpi_band",
+        F.when(F.col("wmape") <= 10, "excellent")
+        .when(F.col("wmape") <= 15, "good")
+        .when(F.col("wmape") <= 20, "warning")
+        .when(F.col("wmape") <= 30, "critical")
+        .otherwise("failing"),
+    )
+
+
+@register(
+    "error_decomposition_brand",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL})
+SELECT p_brand,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       round(avg(forecast - actual), 4) AS bias,
+       round(stddev_samp(forecast - actual), 4) AS err_std,
+       CAST(sum(CASE WHEN forecast > actual THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       CAST(sum(CASE WHEN forecast < actual THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+       count(*) AS n_rows
+FROM f JOIN part ON f.l_partkey = p_partkey
+WHERE forecast IS NOT NULL
+GROUP BY p_brand
+""",
+)
+def error_decomposition_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error decomposition by dimension: MAE/bias/error-std/over-under
+    counts per brand (/root/reference/src/evaluation/error_analysis.py:89-610)."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    a, p = F.col("actual"), F.col("forecast")
+    return (
+        f.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            r4(F.avg(F.abs(a - p))).alias("mae"),
+            r4(F.avg(p - a)).alias("bias"),
+            r4(F.stddev(p - a)).alias("err_std"),
+            F.sum(F.when(p > a, 1).otherwise(0)).cast("long").alias("n_over"),
+            F.sum(F.when(p < a, 1).otherwise(0)).cast("long").alias("n_under"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

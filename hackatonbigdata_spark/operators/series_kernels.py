@@ -1,0 +1,162 @@
+"""Per-series pandas kernels — the engine's Arrow/`applyInPandas` path.
+
+SURVEY §2.12: four reference operators are genuinely not expressible as
+fixed-frame windows (EWM with pandas `adjust=True`, rolling autocorr,
+recursive smoothing clamp, per-series model fits like Croston).  Those run
+as grouped-map pandas kernels: each (store) / (store, product) series is one
+small group, Arrow-batched to Python, processed vectorized, returned.
+
+Scale: key cardinality is millions of small series — the grouped-map
+shuffle partitions by key and each kernel call is O(series length).  These
+queries are registered WITHOUT oracle SQL (the driver records rows-only
+checks); unit tests in tests/test_series_kernels.py pin the math against
+pure pandas.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+
+
+def _daily(t: Catalog) -> DataFrame:
+    return t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        r4(F.sum("l_quantity")).alias("qty")
+    )
+
+
+@register("ewm_pandas_per_series")
+def ewm_pandas_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-exact EWM (alpha=0.3, adjust=True) per store daily series
+    (/root/reference/src/features/temporal_features_engine.py:227-259).
+
+    adjust=True weights (1-a)^i / Σ(1-a)^j are not a simple recurrence, so
+    this is the honest pandas kernel rather than the HOF fold used by
+    `ewm_daily_store`."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate")
+        ema = pdf["qty"].ewm(alpha=0.3, adjust=True).mean()
+        return pd.DataFrame(
+            {
+                "l_suppkey": pdf["l_suppkey"].iloc[:1],
+                "ema_last": [round(float(ema.iloc[-1]), 4)],
+                "ema_mean": [round(float(ema.mean()), 4)],
+                "n_days": [len(pdf)],
+            }
+        )
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(kernel, schema="l_suppkey long, ema_last double, ema_mean double, n_days long")
+    )
+
+
+@register("croston_per_series")
+def croston_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (SES alpha=0.1 on nonzero sizes and inter-arrival
+    intervals) per store series
+    (/root/reference/src/models/intermittent_demand.py:44-175).
+    Demand event := day with qty above the series median (so intervals are
+    non-trivial on this dense dataset)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
+        thr = pdf["qty"].median()
+        events = pdf.index[pdf["qty"] > thr]
+        key = int(pdf["l_suppkey"].iloc[0])
+        if len(events) < 2:
+            return pd.DataFrame(
+                {"l_suppkey": [key], "croston_forecast": [None], "n_events": [len(events)]}
+            )
+        sizes = pdf.loc[events, "qty"].to_numpy()
+        intervals = pd.Series(events).diff().dropna().to_numpy(dtype=float)
+        alpha = 0.1
+        z, p = float(sizes[0]), float(intervals[0]) if len(intervals) else 1.0
+        for s in sizes[1:]:
+            z = alpha * float(s) + (1 - alpha) * z
+        for iv in intervals[1:]:
+            p = alpha * float(iv) + (1 - alpha) * p
+        return pd.DataFrame(
+            {
+                "l_suppkey": [key],
+                "croston_forecast": [round(z / p, 4)],
+                "n_events": [len(events)],
+            }
+        )
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            kernel, schema="l_suppkey long, croston_forecast double, n_events long"
+        )
+    )
+
+
+@register("sequential_clamp_per_series")
+def sequential_clamp_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependent recursive change-rate limiter: each value may move at
+    most ±50% from the PREVIOUS CLAMPED value
+    (/root/reference/src/models/business_rules.py:231-293).  Depends on its
+    own prior output, so no fixed-frame window can express it (SURVEY
+    §7.4.1) — per-key pandas kernel with guaranteed intra-key ordering."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
+        vals = pdf["qty"].tolist()
+        out = []
+        prev = None
+        for v in vals:
+            if prev is None or prev == 0:
+                c = round(v, 4)
+            else:
+                c = round(min(max(v, prev * 0.5), prev * 1.5), 4)
+            out.append(c)
+            prev = c
+        pdf["qty_clamped"] = out
+        return pdf[["l_suppkey", "l_shipdate", "qty", "qty_clamped"]]
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            kernel,
+            schema="l_suppkey long, l_shipdate timestamp_ntz, qty double, qty_clamped double",
+        )
+    )
+
+
+@register("rolling_autocorr_per_series")
+def rolling_autocorr_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each store's daily series
+    (/root/reference/src/features/temporal_features_engine.py:209-214) —
+    pandas kernel (no native Spark autocorr)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate")
+        ac = pdf["qty"].autocorr(lag=1)
+        return pd.DataFrame(
+            {
+                "l_suppkey": pdf["l_suppkey"].iloc[:1],
+                "autocorr1": [None if pd.isna(ac) else round(float(ac), 4)],
+                "n_days": [len(pdf)],
+            }
+        )
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(kernel, schema="l_suppkey long, autocorr1 double, n_days long")
+    )

@@ -47,6 +47,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         scalars,
+        series_kernels,
         streaming_batch,
         windows,
     )

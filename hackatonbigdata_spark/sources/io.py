@@ -1,0 +1,71 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Schema-on-read typed loaders with required-column checks (replacing the
+reference's TransactionLoader/ProductLoader/StoreLoader,
+/root/reference/src/data/loaders.py:159-239) and the submission CSV sink
+(`;`-separated UTF-8, fixed schema, row-count assert,
+/root/reference/generate_submission_with_trained_model.py:222-243).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SchemaError(ValueError):
+    pass
+
+
+def load_typed(
+    spark: SparkSession,
+    path: str,
+    required_cols: list[str],
+    not_null_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parquet scan + required-column validation + optional null-drop on
+    critical columns.  Projection/predicate pushdown is Catalyst's job —
+    no manual ``columns=``/``filters=`` plumbing needed."""
+    df = spark.read.parquet(path)
+    missing = [c for c in required_cols if c not in df.columns]
+    if missing:
+        raise SchemaError(f"{path}: missing required columns {missing}")
+    if not_null_cols:
+        df = df.na.drop(subset=not_null_cols)
+    return df
+
+
+SUBMISSION_COLS = ["semana", "pdv", "produto", "quantidade"]
+
+
+def write_submission(df: DataFrame, path: str) -> int:
+    """Write the 4-column submission CSV: `;` separator, UTF-8, header,
+    single file.  Returns the row count written (the reference asserts
+    count and schema before writing).
+
+    Scale note: coalesce(1) is required by the output contract (one CSV);
+    everything upstream stays parallel and only the final encoded rows
+    funnel through one writer task.
+    """
+    missing = [c for c in SUBMISSION_COLS if c not in df.columns]
+    if missing:
+        raise SchemaError(f"submission missing columns {missing}")
+    out = df.select(*SUBMISSION_COLS)
+    n = out.count()
+    (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", ";")
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+    return n
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Snappy parquet sink (Spark default codec), optionally partitioned —
+    the scale path writes partitioned-by-date so downstream scans prune."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

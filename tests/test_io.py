@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.sources.io import SchemaError, load_typed, write_submission
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_load_typed_checks_columns(spark):
+    df = load_typed(spark, f"{SF_DIR}/lineitem.parquet", ["l_orderkey", "l_quantity"])
+    assert df.count() > 0
+    with pytest.raises(SchemaError, match="missing required columns"):
+        load_typed(spark, f"{SF_DIR}/lineitem.parquet", ["nonexistent_col"])
+
+
+def test_write_submission_roundtrip(spark, tmp_path):
+    sub = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy(
+            F.weekofyear("l_shipdate").alias("semana"),
+            F.col("l_suppkey").alias("pdv"),
+            F.col("l_partkey").alias("produto"),
+        )
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("quantidade"))
+    )
+    out = str(tmp_path / "submission")
+    n = write_submission(sub, out)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1, "submission must be a single CSV file"
+    back = spark.read.option("sep", ";").option("header", "true").csv(out)
+    assert back.columns == ["semana", "pdv", "produto", "quantidade"]
+    assert back.count() == n
+    with pytest.raises(SchemaError):
+        write_submission(sub.drop("quantidade"), str(tmp_path / "bad"))

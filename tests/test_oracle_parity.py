@@ -30,5 +30,12 @@ def test_every_query_has_oracle_or_reason():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # rows-only queries are allowed but must be intentional; keep the list
     # explicit so a forgotten oracle fails loudly.
-    allowed_rows_only = set()
+    allowed_rows_only = {
+        # per-series pandas kernels: order-dependent/recursive semantics not
+        # expressible in one SQL statement; pinned by tests/test_series_kernels.py
+        "ewm_pandas_per_series",
+        "croston_per_series",
+        "sequential_clamp_per_series",
+        "rolling_autocorr_per_series",
+    }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

@@ -1,0 +1,64 @@
+"""Pin the pandas-kernel math against pure pandas on the same data.
+
+These queries have no DuckDB oracle (rows-only in the driver), so the unit
+tests here are their correctness gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from hackatonbigdata_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def daily_pdf() -> pd.DataFrame:
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"""
+        SELECT l_suppkey, l_shipdate,
+               floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+        FROM '{SF_DIR}/lineitem.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchdf()
+    con.close()
+    return pdf
+
+
+def test_ewm_pandas_matches_reference(spark, daily_pdf):
+    got = (
+        all_queries()["ewm_pandas_per_series"](spark, SF_DIR)
+        .toPandas()
+        .set_index("l_suppkey")
+        .sort_index()
+    )
+    for key, grp in daily_pdf.groupby("l_suppkey"):
+        ema = grp.sort_values("l_shipdate")["qty"].ewm(alpha=0.3, adjust=True).mean()
+        assert got.loc[key, "ema_last"] == pytest.approx(round(float(ema.iloc[-1]), 4))
+        assert got.loc[key, "n_days"] == len(grp)
+
+
+def test_sequential_clamp_properties(spark, daily_pdf):
+    got = all_queries()["sequential_clamp_per_series"](spark, SF_DIR).toPandas()
+    assert len(got) == len(daily_pdf)
+    # every step change is within ±50% of the previous clamped value
+    for _, grp in got.groupby("l_suppkey"):
+        grp = grp.sort_values("l_shipdate")
+        prev = None
+        for v in grp["qty_clamped"]:
+            if prev not in (None, 0):
+                # kernel rounds each step to 4dp, so allow that quantum
+                assert v <= prev * 1.5 + 1e-4 and v >= prev * 0.5 - 1e-4
+            prev = v
+
+
+def test_croston_positive_and_autocorr_bounded(spark):
+    croston = all_queries()["croston_per_series"](spark, SF_DIR).toPandas()
+    assert (croston["croston_forecast"].dropna() > 0).all()
+    ac = all_queries()["rolling_autocorr_per_series"](spark, SF_DIR).toPandas()
+    assert ac["autocorr1"].dropna().between(-1, 1).all()
