@@ -11,6 +11,7 @@ projection pruning and predicate pushdown for free
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,6 +37,14 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+            # rejects; read the raw int64 and truncate ns -> us exactly as
+            # DuckDB does, so event-time semantics match the oracle.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return self.spark.read.parquet(f"{self.sf_dir}/events.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+            )
         return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
 
     def __getattr__(self, name: str) -> DataFrame:

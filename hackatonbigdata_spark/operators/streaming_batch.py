@@ -1,1 +1,315 @@
-"""Placeholder — populated in later milestones."""
+"""M6 — event-stream semantics, batch-checkable form (SURVEY.md §2.11).
+
+The reference has no streaming; its closest analogs are threshold-based
+alerting off an event bus (/root/reference/src/monitoring/alerts.py:632-662)
+and a 5-minute alert rate-limit window
+(/root/reference/src/monitoring/alerts.py:399,482-491).  This module defines
+the engine's event-time semantics on the ``events`` table as DataFrame
+queries whose results are identical whether executed in batch or incremental
+mode — tumbling/sliding/session windows, within-watermark dedup, late-data
+policy, and threshold alerts.  Every query here has a DuckDB oracle; the
+live Structured Streaming twins (same logic through ``readStream``) live in
+``hackatonbigdata_spark/streaming/jobs.py`` and are pinned batch-vs-stream
+by tests/test_streaming.py.
+
+Scale: every query keys its shuffle by (window bucket, low-cardinality
+dimension) — state per key is a handful of doubles, so a 1000-executor
+streaming job partitions cleanly by bucket hash with no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the batch form of
+    ``groupBy(window("ts", "1 hour"), "event_type")``.  Windowed-rate
+    semantics from /root/reference/src/monitoring/alerts.py:399."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            r4(F.sum("value")).alias("sum_value"),
+            # avg derived from the quantized sum: engine-order ulp drift in
+            # SUM(float) can straddle a 4dp half boundary (e.g. 290.93/8 =
+            # 36.36625); dividing identical rounded doubles is deterministic
+            r4(r4(F.sum("value")) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events",
+                "n_users", "sum_value", "avg_value")
+    )
+
+
+@register(
+    "stream_sliding_1h_30m",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                 time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — each event lands in
+    two overlapping windows.  Spark: ``F.window(ts, '1 hour', '30 minutes')``;
+    the oracle expands each row into its two member windows explicitly."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTES
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTES AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user —
+    ``F.session_window`` (which also works in batch).  Session end is
+    last-event + gap, matching Spark's semantics; the oracle derives the
+    same sessions with gaps-and-islands SQL."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_threshold_alerts",
+    oracle="""
+WITH rates AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events
+  GROUP BY 1
+)
+SELECT window_start, n_total, n_errors,
+       round(n_errors * 1.0 / n_total, 4) AS error_rate,
+       CASE WHEN n_errors * 1.0 / n_total > 0.25 AND n_total >= 5
+            THEN 'critical'
+            WHEN n_errors * 1.0 / n_total > 0.15 AND n_total >= 5
+            THEN 'warning'
+            ELSE 'ok' END AS alert_level
+FROM rates
+""",
+)
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting over 5-minute windows: error-rate banded at
+    warn 0.15 / critical 0.25 with a minimum sample size — the reference's
+    WMAPE threshold alert semantics
+    (/root/reference/src/monitoring/alerts.py:632-662) applied to an event
+    stream."""
+    t = Catalog(spark, sf_dir)
+    rates = t.events.groupBy(F.window("ts", "5 minutes")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    rate = F.col("n_errors") * F.lit(1.0) / F.col("n_total")
+    return rates.select(
+        F.col("window.start").alias("window_start"),
+        "n_total",
+        "n_errors",
+        r4(rate).alias("error_rate"),
+        F.when((rate > 0.25) & (F.col("n_total") >= 5), "critical")
+        .when((rate > 0.15) & (F.col("n_total") >= 5), "warning")
+        .otherwise("ok")
+        .alias("alert_level"),
+    )
+
+
+@register(
+    "stream_alert_rate_limit",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL 5 MINUTES, ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type = 'error'
+)
+SELECT event_id, user_id, ts
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_alert_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert rate-limiting: at most one error alert per user per 5-minute
+    window, keeping the earliest
+    (/root/reference/src/monitoring/alerts.py:399,482-491)."""
+    t = Catalog(spark, sf_dir)
+    errors = t.events.filter(F.col("event_type") == "error")
+    w = W.partitionBy("user_id", F.window("ts", "5 minutes")).orderBy("ts", "event_id")
+    return (
+        errors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, time_bucket(INTERVAL 10 MINUTES, ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts, value
+FROM ranked WHERE rn = 1
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-watermark dedup: first (user, event_type) occurrence per
+    10-minute bucket survives — the batch form of
+    ``withWatermark("ts", "10 minutes").dropDuplicates([...])`` with a
+    deterministic keep-first tie-break (SURVEY §7.4.2)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type", F.window("ts", "10 minutes")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+@register(
+    "stream_late_data_policy",
+    oracle="""
+WITH marked AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_watermark_ts
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN ts < high_watermark_ts - INTERVAL 10 MINUTES
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+       CAST(sum(CASE WHEN high_watermark_ts IS NULL
+                     OR ts >= high_watermark_ts - INTERVAL 10 MINUTES
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       count(*) AS n_total
+FROM marked
+GROUP BY event_type
+""",
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting under a 10-minute watermark: arrival order is
+    ``event_id``; an event is dropped-late if its event time is more than
+    10 minutes behind the max event time already seen (SURVEY §7.4.7 —
+    documented default: 10-min watermark, drop beyond it).
+
+    Scale note: the running max over global arrival order is a
+    batch-audit query (single ordered window); the live path gets the same
+    watermark from the streaming engine per micro-batch, no global sort."""
+    t = Catalog(spark, sf_dir)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    marked = t.events.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_watermark_ts"),
+    )
+    late = F.col("ts") < F.col("high_watermark_ts") - F.expr("INTERVAL 10 MINUTES")
+    return marked.groupBy("event_type").agg(
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late_dropped"),
+        F.sum(F.when(F.col("high_watermark_ts").isNull() | ~late, 1).otherwise(0))
+        .cast("long")
+        .alias("n_accepted"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "stream_json_props_extract",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``events.props`` payload column —
+    ``get_json_object`` stays JVM-side (SURVEY §2.8 notes the reference only
+    touches JSON driver-side; the column form is the engine extension)."""
+    t = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return t.events.groupBy("event_type").agg(
+        r4(F.avg(k)).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

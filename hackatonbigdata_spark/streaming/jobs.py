@@ -1,0 +1,165 @@
+"""M6 — live Structured Streaming jobs over the ``events`` table.
+
+The reference is batch-only; these jobs give the engine the incremental
+execution mode for the same event semantics defined (and oracle-checked) in
+``operators/streaming_batch.py``: a file-source stream with event-time
+watermarking, tumbling-window aggregation, threshold alerting, in-stream
+dedup, and an ``applyInPandasWithState`` custom stateful counter (the
+pattern per-series forecast state would use in production).
+
+tests/test_streaming.py runs each with ``trigger(availableNow=True)`` into a
+memory sink and pins the result against the batch twin — the engine's
+batch/stream consistency guarantee.
+
+Scale: state is keyed by (window, low-cardinality dim) or user_id; the
+10-minute watermark bounds state size, so a long-running job's store stays
+O(active keys), not O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+WATERMARK = "10 minutes"
+
+
+def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """File-source streams need an explicit schema; derive it from the batch
+    footer read once (driver-side, cheap).  ``ts`` arrives as raw int64
+    nanoseconds (parquet TIMESTAMP(NANOS) — see Catalog.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet directory — one file = one
+    micro-batch under availableNow; in production the same code points at a
+    landing directory or Kafka source.  Applies the same ns→us event-time
+    conversion as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(events_schema(spark, sf_dir))
+        # the file stream source needs a directory base path; glob down to
+        # the events file inside the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (ltz); session tz is pinned UTC so the
+        # values are identical to the batch catalog's timestamp_ntz column
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read with the same column types as ``read_events_stream`` — the
+    twin input for batch/stream consistency tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def tumbling_hourly_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``stream_tumbling_hourly`` query: watermarked
+    1-hour tumbling windows per event type."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def threshold_alerts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_threshold_alerts``: 5-minute error-rate
+    windows banded at warn 0.15 / critical 0.25
+    (threshold semantics from /root/reference/src/monitoring/alerts.py:632-662)."""
+    rates = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    rate = F.col("n_errors") * F.lit(1.0) / F.col("n_total")
+    return rates.select(
+        F.col("window.start").alias("window_start"),
+        "n_total",
+        "n_errors",
+        F.when((rate > 0.25) & (F.col("n_total") >= 5), "critical")
+        .when((rate > 0.15) & (F.col("n_total") >= 5), "warning")
+        .otherwise("ok")
+        .alias("alert_level"),
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """In-stream exact dedup on (user_id, event_type, 10-min bucket) within
+    the watermark — ``dropDuplicates`` keyed on the window column so state
+    expires with the watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+def stateful_user_counter_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event counter + value total that survives across micro-batches
+    — the state pattern a production per-series forecaster (Croston/EWM
+    state per (store, product)) plugs into."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Drain a stream into an in-memory table with availableNow (test/dev
+    path); production uses the same writer with a real sink + checkpoint.
+    ``output_mode``: "complete" for windowed aggs, "append" for row streams,
+    "update" for stateful operators."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

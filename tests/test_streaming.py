@@ -1,0 +1,82 @@
+"""Structured Streaming jobs: batch/stream consistency pins.
+
+Each live stream (availableNow → memory sink) must produce exactly what the
+same transformation computes over a batch read of the same files — the
+engine's core streaming guarantee (``withWatermark`` is a no-op in batch, so
+one function body serves both modes).  sf0.001 keeps each run a few seconds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return jobs.read_events_stream(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return jobs.read_events_batch(spark, SF_DIR)
+
+
+def _sorted_pdf(df, cols):
+    return df.toPandas().sort_values(cols).reset_index(drop=True)
+
+
+def test_tumbling_hourly_stream_matches_batch(spark, events_stream, events_batch):
+    jobs.run_to_memory(
+        jobs.tumbling_hourly_stream(events_stream), "t_tumbling", "complete"
+    )
+    got = spark.table("t_tumbling")
+    batch = jobs.tumbling_hourly_stream(events_batch)
+    keys = ["window_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(batch, keys), rtol=1e-9
+    )
+
+
+def test_threshold_alerts_stream_matches_batch(spark, events_stream, events_batch):
+    jobs.run_to_memory(
+        jobs.threshold_alerts_stream(events_stream), "t_alerts", "complete"
+    )
+    got = spark.table("t_alerts")
+    batch = jobs.threshold_alerts_stream(events_batch)
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, ["window_start"]), _sorted_pdf(batch, ["window_start"])
+    )
+
+
+def test_dedup_stream_is_subset_and_unique(spark, events_stream, events_batch):
+    jobs.run_to_memory(jobs.dedup_stream(events_stream), "t_dedup", "append")
+    got = spark.table("t_dedup")
+    # one row per (user_id, event_type); every kept row exists in the source
+    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+    assert got.join(events_batch.select("event_id"), "event_id", "left_anti").count() == 0
+
+
+def test_stateful_user_counter_totals(spark, events_stream, events_batch):
+    jobs.run_to_memory(
+        jobs.stateful_user_counter_stream(events_stream), "t_counter", "update"
+    )
+    # final state per user (last update) must equal the batch totals
+    final = (
+        spark.table("t_counter")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    expect = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    f = _sorted_pdf(final, ["user_id"])
+    e = _sorted_pdf(expect, ["user_id"])
+    pd.testing.assert_series_equal(f["n_events"], e["n_events"], check_names=False)
+    pd.testing.assert_series_equal(
+        f["total_value"].round(6), e["total_value"].round(6), check_names=False
+    )
