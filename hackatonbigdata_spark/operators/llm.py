@@ -1,1 +1,705 @@
-"""Placeholder — populated in later milestones."""
+"""M7 — LLM-training-data pipeline operators (SURVEY.md §7.2 M7).
+
+Deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine), similarity search (brute-force top-k, IVF-bucketed ANN),
+and text analysis (language-ID, quality scoring, token counting, document
+fingerprinting) over the ``documents`` and ``embeddings`` tables.
+
+The in-reference precedents are the cold-start similarity engine
+(/root/reference/src/models/cold_start_solutions.py:95-205: pivot → SVD →
+cosine → k-means) and basket co-occurrence
+(/root/reference/src/features/behavioral_features_engine.py:454-508); the
+operators here generalize those patterns to the document/embedding domain.
+
+Cross-engine determinism: every hash is the shared
+``first-8-hex-of-md5 → bigint`` construction (bit-identical in Spark and
+DuckDB), and cosine similarity is IEEE-sequential ``dot/(‖a‖·‖b‖)`` which
+both engines evaluate bit-exactly (verified over all 124,750 sf0.01 pairs).
+
+Scale notes (100 TB):
+- Exact/fingerprint dedup: one hash-shuffle on the digest — embarrassingly
+  parallel.
+- Pairwise ops (Jaccard join, brute-force cosine) are the CORRECTNESS spec;
+  the scale path is the banded MinHash-LSH query (candidates only from
+  band-bucket equi-joins, never an O(n²) cross join) and the IVF query
+  (search restricted to a coarse bucket).  MLlib twins
+  (``MinHashLSH``/``BucketedRandomProjectionLSH.approxSimilarityJoin``) are
+  registered rows-only below — their internal hashes aren't reproducible in
+  SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared text-normalization / hashing helpers (Spark side + DuckDB fragments)
+
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
+# distinct word-3-gram shingles per doc (1-indexed lists in DuckDB)
+_DUCK_SHINGLES = f"""
+w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM w, unnest(range(1, len(w)-1)) AS u(i))
+"""
+
+
+def _duck_hash(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _norm_text() -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def _h(col: Column) -> Column:
+    """Shared 32-bit hash: first 8 hex chars of md5 as a bigint — the one
+    hash function both engines compute identically."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _doc_words(t: Catalog) -> DataFrame:
+    return t.documents.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+
+
+def _doc_shingles(t: Catalog) -> DataFrame:
+    """Distinct word-3-gram shingles per document (0-indexed arrays)."""
+    return (
+        _doc_words(t)
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _embeddings(t: Catalog) -> DataFrame:
+    """Embeddings cast to double with a precomputed L2 norm — both engines
+    build the identical (emb, nrm) intermediate so cosine is bit-exact."""
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(emb, emb, (x,y) -> x*y),"
+                " cast(0.0 as double), (acc,v) -> acc+v)"
+            )
+        ),
+    )
+
+
+_DUCK_EMB = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+"""
+
+_DOT = (
+    "aggregate(zip_with(a.emb, b.emb, (x,y) -> x*y),"
+    " cast(0.0 as double), (acc,v) -> acc+v)"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+WITH n AS (SELECT doc_id, md5({_DUCK_NORM}) AS text_hash FROM documents)
+SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, count(*) AS n_copies
+FROM n GROUP BY text_hash
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: md5 digest → hash-groupBy, keep the
+    lowest doc_id (deterministic keep-first, SURVEY §7.4.2).  One shuffle on
+    the digest at any scale."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.md5(_norm_text()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram shingle sets, candidate pairs from a
+    shingle equi-join (docs sharing ≥1 shingle — never a cross join), exact
+    Jaccard ≥ 0.5.  The sf0.01 corpus has planted near-dups at J≈0.97-0.99.
+
+    Scale: the shingle join explodes on hot shingles — the production path
+    is ``dedup_minhash_lsh`` below; this query is the exact spec."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("n_common") * F.lit(1.0) / (F.col("sza") + F.col("szb") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "n_common", r4(jac).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 8  # 4 bands × 2 rows
+
+
+def _duck_sig() -> str:
+    parts = []
+    for s in range(_N_MINHASH):
+        seeded = _duck_hash(f"'{s}|' || shingle")
+        parts.append(f"min({seeded}) AS m{s}")
+    mins = ",\n  ".join(parts)
+    return f"sig AS (SELECT doc_id,\n  {mins}\n  FROM sh GROUP BY doc_id)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+{_duck_sig()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END" for s in range(_N_MINHASH))}) / {_N_MINHASH}.0, 4) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates: 8 minhashes per doc
+    (shingle → 8 seeded shared hashes → min), 4 bands of 2 rows; a pair is a
+    candidate iff it collides in ≥1 band; estimated Jaccard = fraction of
+    equal minhashes.
+
+    Spark builds candidates the scale-correct way — one equi-join per band
+    on the (band-key) pair, unioned and deduped — so work is proportional to
+    colliding pairs, not n².  The oracle states the same result naively
+    (cross-join + band filter), which is fine as a spec at sf0.01."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_h(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
+            for s in range(_N_MINHASH)
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    per_band = [
+        a.join(
+            b,
+            (F.col(f"a.m{2 * band}") == F.col(f"b.m{2 * band}"))
+            & (F.col(f"a.m{2 * band + 1}") == F.col(f"b.m{2 * band + 1}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.m{s}").alias(f"am{s}") for s in range(_N_MINHASH)],
+            *[F.col(f"b.m{s}").alias(f"bm{s}") for s in range(_N_MINHASH)],
+        )
+        for band in range(_N_MINHASH // 2)
+    ]
+    cand = reduce(DataFrame.unionByName, per_band).dropDuplicates(["doc_a", "doc_b"])
+    n_eq = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"am{s}") == F.col(f"bm{s}"), 1).otherwise(0)
+            for s in range(_N_MINHASH)
+        ],
+    )
+    return cand.select(
+        "doc_a", "doc_b", r4(n_eq / float(_N_MINHASH)).alias("est_jaccard")
+    )
+
+
+_N_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+h AS (SELECT doc_id, {_duck_hash("word")} AS hw FROM w),
+bits AS (SELECT doc_id,
+  {", ".join(f"sum(CASE WHEN (hw >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS w{bit}" for bit in range(_N_SIMHASH_BITS))}
+  FROM h GROUP BY doc_id),
+sg AS (SELECT doc_id,
+  CAST({" + ".join(f"CASE WHEN w{bit} > 0 THEN {1 << bit} ELSE 0 END" for bit in range(_N_SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM bits)
+SELECT doc_id, simhash,
+       count(*) OVER (PARTITION BY simhash) AS n_docs_sharing
+FROM sg
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each word (with multiplicity) votes ±1
+    on every bit of its shared hash; the sign vector is the fingerprint.
+    Near-dups land on equal (or Hamming-close) simhashes.  One explode + one
+    groupBy — linear in corpus size."""
+    t = Catalog(spark, sf_dir)
+    words = _doc_words(t).select("doc_id", F.explode("w").alias("word"))
+    h = words.select("doc_id", _h(F.col("word")).alias("hw"))
+    bits = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(hw, {bit}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"w{bit}")
+            for bit in range(_N_SIMHASH_BITS)
+        ]
+    )
+    simhash = reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"w{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+            for bit in range(_N_SIMHASH_BITS)
+        ],
+    ).cast("long")
+    sg = bits.select("doc_id", simhash.alias("simhash"))
+    return sg.withColumn(
+        "n_docs_sharing", F.count(F.lit(1)).over(W.partitionBy("simhash"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_DUCK_EMB}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim,
+       CAST(least(a.vec_id, b.vec_id) AS BIGINT) AS keep_vec_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 (this corpus's high tail),
+    canonical keep = lower vec_id.  The exact-pairs spec; the ANN scale path
+    is ``similarity_ivf_bucketed`` / the BRP-LSH rows-only query."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("keep_vec_id"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+WITH {_DUCK_EMB},
+p AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector — the exact ANN
+    baseline.  Ties broken by neighbor_id on the 4dp-quantized similarity so
+    ranking is engine-independent.
+
+    Scale: O(n²·d) by construction — the correctness oracle for the IVF and
+    LSH variants, to be run on samples at 100 TB, never the full corpus."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+_N_IVF_CENTROIDS = 8
+
+
+@register(
+    "similarity_ivf_bucketed",
+    oracle=f"""
+WITH {_DUCK_EMB},
+c AS (SELECT vec_id AS centroid_id, emb, nrm FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+buckets AS (SELECT vec_id, centroid_id AS bucket_id FROM assign0 WHERE rn = 1),
+p AS (
+  SELECT ba.vec_id, ba.bucket_id, bb.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket_id = bb.bucket_id AND ba.vec_id <> bb.vec_id
+  JOIN e a ON a.vec_id = ba.vec_id
+  JOIN e b ON b.vec_id = bb.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p)
+SELECT vec_id, bucket_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""",
+)
+def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 coarse
+    centroids (deterministically the vectors with vec_id < 8), then search
+    top-3 neighbors only within the bucket.
+
+    Scale: candidate set shrinks from n to n/n_buckets per query — the
+    centroid table broadcasts, and the per-bucket self-join shuffles on
+    bucket_id.  At 100 TB the centroids come from MLlib KMeans instead; the
+    plumbing is identical."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    c = (
+        e.filter(F.col("vec_id") < _N_IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    ccos = r4(
+        F.expr(
+            "aggregate(zip_with(emb, cemb, (x,y) -> x*y),"
+            " cast(0.0 as double), (acc,v) -> acc+v)"
+        )
+        / (F.col("nrm") * F.col("cnrm"))
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "centroid_id", ccos.alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("bucket_id"))
+    )
+    ea = e.join(assign, "vec_id")
+    a = ea.alias("a")
+    b = ea.alias("b")
+    cos = r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.bucket_id").alias("bucket_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register("dedup_minhash_mllib")
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup join — the production-scale twin of
+    ``dedup_minhash_lsh`` (rows-only: MLlib's internal hash seeds aren't
+    reproducible in SQL).  HashingTF over shingles → approxSimilarityJoin at
+    Jaccard distance ≤ 0.5."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            r4(F.col("jaccard_dist")).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("similarity_brp_lsh_mllib")
+def similarity_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN join on unit-normalized
+    embeddings — cosine via euclidean on the unit sphere
+    (cos = 1 - d²/2).  Rows-only: projection vectors are model-internal.
+    The scale path for ``dedup_embedding_cosine``."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    unit = Normalizer(inputCol="v", outputCol="u", p=2.0).transform(e)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="u", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(unit)
+    # euclidean 1.1 on unit vectors ≈ cosine ≥ 0.395
+    joined = model.approxSimilarityJoin(unit, unit, 1.1, distCol="eucl_dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            r4(1 - F.col("eucl_dist") * F.col("eucl_dist") / 2).alias("cos_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang AS lang_actual, unnest({_DUCK_WORDS}) AS word
+           FROM documents),
+s AS (SELECT doc_id, lang_actual, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stopwords
+      FROM w GROUP BY 1, 2)
+SELECT doc_id, lang_actual, n_tokens, n_stopwords,
+       round(n_stopwords * 1.0 / n_tokens, 4) AS stop_ratio,
+       CASE WHEN n_stopwords * 1.0 / n_tokens >= 0.01 THEN 'en'
+            ELSE 'unknown' END AS lang_pred
+FROM s
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: share of tokens that are English function
+    words; ≥1% → 'en'.  A real system swaps the wordlist for per-language
+    n-gram profiles — the dataflow (explode → conditional agg) is the same."""
+    t = Catalog(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id", F.col("lang").alias("lang_actual"), F.explode(F.split(_norm_text(), " ")).alias("word")
+    )
+    s = w.groupBy("doc_id", "lang_actual").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("word").isin(*_STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    ratio = F.col("n_stopwords") * F.lit(1.0) / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "lang_actual",
+        "n_tokens",
+        "n_stopwords",
+        r4(ratio).alias("stop_ratio"),
+        F.when(ratio >= 0.01, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, length(text) AS n_chars_actual, {_DUCK_WORDS} AS w
+           FROM documents),
+s AS (SELECT doc_id, n_chars_actual,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(length(array_to_string(w, '')) * 1.0 / len(w), 4) AS avg_token_len
+      FROM w)
+SELECT doc_id, n_chars_actual, n_tokens, avg_token_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.6
+             + least(n_chars_actual / 500.0, 1.0) * 0.4, 4) AS quality_score,
+       CASE WHEN least(n_tokens / 100.0, 1.0) * 0.6
+                 + least(n_chars_actual / 500.0, 1.0) * 0.4 >= 0.8 THEN 'high'
+            WHEN least(n_tokens / 100.0, 1.0) * 0.6
+                 + least(n_chars_actual / 500.0, 1.0) * 0.4 >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM s
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length/token signals, banded
+    high/medium/low — the LLM-pipeline filter stage (quality thresholds and
+    band shape mirror the reference's KPI banding pattern,
+    /root/reference/src/validation/kpi_system.py:43-330)."""
+    t = Catalog(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.split(_norm_text(), " ").alias("w"),
+    )
+    s = w.select(
+        "doc_id",
+        "n_chars_actual",
+        F.size("w").cast("long").alias("n_tokens"),
+        r4(
+            F.length(F.array_join("w", "")) * F.lit(1.0) / F.size("w")
+        ).alias("avg_token_len"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.6
+        + F.least(F.col("n_chars_actual") / 500.0, F.lit(1.0)) * 0.4
+    )
+    return s.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "avg_token_len",
+        r4(score).alias("quality_score"),
+        F.when(score >= 0.8, "high")
+        .when(score >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT)
+           AS n_bpe_tokens
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(sum(n_bpe_tokens) * 1.0 / count(*), 4) AS avg_bpe_per_doc
+FROM c GROUP BY source
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    (alnum runs or single non-space symbols) — aggregated per source.  The
+    budget/accounting query every training-data pipeline runs first."""
+    t = Catalog(spark, sf_dir)
+    c = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        r4(F.sum("n_bpe_tokens") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "avg_bpe_per_doc"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+       FROM sh GROUP BY doc_id)
+SELECT doc_id, fingerprint, n_shingles,
+       count(*) OVER (PARTITION BY fingerprint) AS n_docs_sharing
+FROM fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite document fingerprint: the minimum shingle digest per
+    document (min-of-hashes ≙ a 1-hash MinHash).  Docs sharing a fingerprint
+    are near-dup candidates at zero join cost — the cheapest dedup
+    pre-filter at scale."""
+    t = Catalog(spark, sf_dir)
+    fp = _doc_shingles(t).groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return fp.withColumn(
+        "n_docs_sharing", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+    )

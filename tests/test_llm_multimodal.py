@@ -1,0 +1,77 @@
+"""Pins for the rows-only M7 queries (MLlib LSH paths + decode stub) and
+cross-checks between the exact and approximate dedup/similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.operators.multimodal import decode_image, fake_decode
+from hackatonbigdata_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_minhash_mllib_finds_planted_near_dups(spark):
+    """The MLlib LSH candidates must cover every exact-Jaccard≥0.5 pair —
+    at J≈0.97-0.99 the 4-table MinHash misses with probability ≈ 0."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_mllib"](spark, SF_DIR).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    assert exact <= approx
+
+
+def test_sql_minhash_bands_find_planted_near_dups(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert exact <= banded
+
+
+def test_brp_lsh_recall_against_bruteforce(spark):
+    """BRP-LSH pairs at cos≥0.45 must be a subset of the exact pair set at
+    a slightly looser threshold (cos_est is exact math on the join output,
+    so equality would hold; subset keeps the pin robust to threshold
+    boundary rounding)."""
+    brp = QUERIES["similarity_brp_lsh_mllib"](spark, SF_DIR)
+    strong = {
+        (r.vec_a, r.vec_b) for r in brp.filter(F.col("cos_est") >= 0.45).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    assert strong <= exact
+
+
+def test_decode_stub_batch_shape(spark):
+    out = QUERIES["multimodal_decode_stub"](spark, SF_DIR)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "byte_len", "width", "height", "n_channels", "est_frames",
+    ]
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs
+    # deterministic fake: metadata is a pure function of byte length
+    for r in rows[:20]:
+        m = fake_decode(b"x" * r.byte_len)
+        assert (r.width, r.height, r.est_frames) == (
+            m["width"], m["height"], m["est_frames"],
+        )
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
