@@ -33,6 +33,10 @@ HEADLINE = [
     "cooccurrence_pairs",             # self-join blow-up
     "ewm_daily_store",                # collect_list + HOF fold
     "dedup_keep_first",               # row_number dedup
+    "heuristic_blend_forecast",       # M5: multi-agg coalesce blend
+    "stream_session_windows",         # M6: session windows (gaps-and-islands)
+    "dedup_minhash_lsh",              # M7: shingle explode + banded LSH joins
+    "similarity_topk_cosine",         # M7: vector math + per-key top-k
 ]
 
 

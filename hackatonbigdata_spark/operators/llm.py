@@ -96,20 +96,31 @@ def _doc_shingles(t: Catalog) -> DataFrame:
     )
 
 
+def _dot(a: str, b: str) -> Column:
+    """Dot product as a sequential left-to-right fold — the same IEEE
+    addition order as DuckDB's ``list_dot_product`` loop, so cosine is
+    bit-exact cross-engine (verified over all 124,750 sf0.01 pairs)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x,y) -> x*y),"
+        " cast(0.0 as double), (acc,v) -> acc+v)"
+    )
+
+
 def _embeddings(t: Catalog) -> DataFrame:
     """Embeddings cast to double with a precomputed L2 norm — both engines
-    build the identical (emb, nrm) intermediate so cosine is bit-exact."""
+    build the identical (emb, nrm) intermediate so cosine is bit-exact.
+
+    The probe side of every pair join is repartitioned: the embeddings
+    parquet is one file → one input partition, and without the repartition a
+    broadcast-nested-loop pair join runs in a SINGLE task.  Spreading the
+    n rows across the cluster makes the O(n²) work embarrassingly parallel
+    (each task scans the broadcast build side)."""
     e = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return e.withColumn(
-        "nrm",
-        F.sqrt(
-            F.expr(
-                "aggregate(zip_with(emb, emb, (x,y) -> x*y),"
-                " cast(0.0 as double), (acc,v) -> acc+v)"
-            )
-        ),
+    n_parts = t.spark.sparkContext.defaultParallelism
+    return e.repartition(n_parts, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot("emb", "emb"))
     )
 
 
@@ -118,11 +129,6 @@ e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings)
 """
-
-_DOT = (
-    "aggregate(zip_with(a.emb, b.emb, (x,y) -> x*y),"
-    " cast(0.0 as double), (acc,v) -> acc+v)"
-)
 
 
 # ---------------------------------------------------------------------------
@@ -332,9 +338,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    cos = r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+    cos = r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -370,15 +376,19 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is engine-independent.
 
     Scale: O(n²·d) by construction — the correctness oracle for the IVF and
-    LSH variants, to be run on samples at 100 TB, never the full corpus."""
+    LSH variants, to be run on samples at 100 TB, never the full corpus.
+    The probe side is pre-partitioned (see ``_embeddings``) and the build
+    side broadcast, so the pair scan parallelizes across all cores."""
     t = Catalog(spark, sf_dir)
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
-        r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -436,13 +446,7 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    ccos = r4(
-        F.expr(
-            "aggregate(zip_with(emb, cemb, (x,y) -> x*y),"
-            " cast(0.0 as double), (acc,v) -> acc+v)"
-        )
-        / (F.col("nrm") * F.col("cnrm"))
-    )
+    ccos = r4(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm")))
     assign = (
         e.crossJoin(F.broadcast(c))
         .select("vec_id", "centroid_id", ccos.alias("ccos"))
@@ -458,7 +462,7 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = e.join(assign, "vec_id")
     a = ea.alias("a")
     b = ea.alias("b")
-    cos = r4(F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+    cos = r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")))
     pairs = (
         a.join(
             b,
