@@ -615,3 +615,281 @@ def error_decomposition_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "cv_blocked_folds",
+    oracle="""
+WITH bounds AS (
+  SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM lineitem
+), folds AS (
+  SELECT f.fold_id,
+         d0 + INTERVAL 1 DAY * (63 * f.fold_id) AS block_start,
+         d0 + INTERVAL 1 DAY * (63 * f.fold_id + 42) AS train_end,
+         d0 + INTERVAL 1 DAY * (63 * f.fold_id + 49) AS val_start,
+         d0 + INTERVAL 1 DAY * (63 * f.fold_id + 63) AS val_end
+  FROM bounds, (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS fold_id) f
+  WHERE d0 + INTERVAL 1 DAY * (63 * f.fold_id + 63) <= d1
+)
+SELECT fold_id, block_start, train_end, val_start, val_end,
+       (SELECT count(*) FROM lineitem
+        WHERE l_shipdate >= block_start AND l_shipdate < train_end) AS n_train,
+       (SELECT count(*) FROM lineitem
+        WHERE l_shipdate >= val_start AND l_shipdate < val_end) AS n_val
+FROM folds
+""",
+)
+def cv_blocked_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked time-series CV: non-overlapping 9-week blocks, 6-week train +
+    1-week purge gap + 2-week validation each
+    (/root/reference/src/models/time_series_cv.py:159-242).  Like the
+    walk-forward splitter this is ~10 broadcast fold rows against date
+    filters — no data movement at any scale."""
+    t = Catalog(spark, sf_dir)
+    bounds = t.lineitem.agg(
+        F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1")
+    )
+    day = lambda n: F.date_add(F.col("d0").cast("date"), n).cast("timestamp_ntz")  # noqa: E731
+    folds = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("fold_id"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "fold_id",
+            day(63 * F.col("fold_id")).alias("block_start"),
+            day(63 * F.col("fold_id") + 42).alias("train_end"),
+            day(63 * F.col("fold_id") + 49).alias("val_start"),
+            day(63 * F.col("fold_id") + 63).alias("val_end"),
+            "d1",
+        )
+        .filter(F.col("val_end") <= F.col("d1"))
+        .drop("d1")
+    )
+    li = t.lineitem.select("l_shipdate")
+    return (
+        li.crossJoin(F.broadcast(folds))
+        .groupBy("fold_id", "block_start", "train_end", "val_start", "val_end")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.col("block_start"))
+                    & (F.col("l_shipdate") < F.col("train_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.col("val_start"))
+                    & (F.col("l_shipdate") < F.col("val_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_val"),
+        )
+    )
+
+
+@register(
+    "kpi_directional_accuracy",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+d AS (
+  SELECT l_suppkey,
+         actual - lag(actual) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+           AS d_act,
+         forecast - lag(forecast) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+           AS d_fc
+  FROM f WHERE forecast IS NOT NULL
+), s AS (
+  SELECT l_suppkey,
+         CAST(sum(CASE WHEN sign(d_act) = sign(d_fc) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+         count(*) AS n_moves
+  FROM d WHERE d_act IS NOT NULL AND d_fc IS NOT NULL
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_agree, n_moves,
+       round(n_agree * 1.0 / n_moves, 4) AS directional_accuracy,
+       CASE WHEN n_agree * 1.0 / n_moves >= 0.80 THEN 'excellent'
+            WHEN n_agree * 1.0 / n_moves >= 0.70 THEN 'good'
+            ELSE 'poor' END AS kpi_band
+FROM s
+""",
+)
+def kpi_directional_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional accuracy KPI: share of steps where forecast and actual
+    move in the same direction, banded at the reference's 0.80/0.70
+    thresholds (/root/reference/src/validation/kpi_system.py:184)."""
+    t = Catalog(spark, sf_dir)
+    seq = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    d = f.select(
+        "l_suppkey",
+        (F.col("actual") - F.lag("actual").over(seq)).alias("d_act"),
+        (F.col("forecast") - F.lag("forecast").over(seq)).alias("d_fc"),
+    )
+    s = (
+        d.filter(F.col("d_act").isNotNull() & F.col("d_fc").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.signum("d_act") == F.signum("d_fc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+            F.count(F.lit(1)).alias("n_moves"),
+        )
+    )
+    acc = F.col("n_agree") * F.lit(1.0) / F.col("n_moves")
+    return s.select(
+        "l_suppkey",
+        "n_agree",
+        "n_moves",
+        r4(acc).alias("directional_accuracy"),
+        F.when(acc >= 0.80, "excellent")
+        .when(acc >= 0.70, "good")
+        .otherwise("poor")
+        .alias("kpi_band"),
+    )
+
+
+@register(
+    "meta_features_ensemble",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+base AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, actual,
+         forecast AS m_roll,
+         lag(actual) OVER (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}) AS m_lag1,
+         floor(avg(actual) OVER (PARTITION BY l_suppkey) * 10000 + 0.5) / 10000
+           AS m_store
+  FROM f
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, m_roll, m_lag1, m_store,
+       round((m_roll + m_lag1 + m_store) / 3, 4) AS pred_mean,
+       round(least(m_roll, m_lag1, m_store), 4) AS pred_min,
+       round(greatest(m_roll, m_lag1, m_store), 4) AS pred_max,
+       round(greatest(m_roll, m_lag1, m_store)
+             - least(m_roll, m_lag1, m_store), 4) AS pred_range,
+       round(abs(m_roll - m_lag1), 4) AS diff_roll_lag1,
+       round(abs(m_roll - m_store), 4) AS diff_roll_store,
+       round(m_roll / (m_store + 0.00000001), 4) AS ratio_roll_store
+FROM base
+WHERE m_roll IS NOT NULL AND m_lag1 IS NOT NULL
+""",
+)
+def meta_features_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacking meta-features over three base predictors (rolling-mean
+    forecast, lag-1, store mean): cross-model mean/min/max/range, pairwise
+    absolute differences, and safe-divide ratios
+    (/root/reference/src/models/advanced_ensemble.py:75-204).  Pure column
+    expressions over one windowed pass — no extra shuffle beyond the
+    per-store window."""
+    t = Catalog(spark, sf_dir)
+    seq = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    base = _with_forecast(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "actual",
+        F.col("forecast").alias("m_roll"),
+        F.lag("actual").over(seq).alias("m_lag1"),
+        r4(F.avg("actual").over(W.partitionBy("l_suppkey"))).alias("m_store"),
+        "l_shipdate",
+    )
+    three = [F.col("m_roll"), F.col("m_lag1"), F.col("m_store")]
+    return (
+        base.filter(F.col("m_roll").isNotNull() & F.col("m_lag1").isNotNull())
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "m_roll",
+            "m_lag1",
+            "m_store",
+            r4((three[0] + three[1] + three[2]) / 3).alias("pred_mean"),
+            r4(F.least(*three)).alias("pred_min"),
+            r4(F.greatest(*three)).alias("pred_max"),
+            r4(F.greatest(*three) - F.least(*three)).alias("pred_range"),
+            r4(F.abs(three[0] - three[1])).alias("diff_roll_lag1"),
+            r4(F.abs(three[0] - three[2])).alias("diff_roll_store"),
+            r4(three[0] / (three[2] + F.lit(1e-8))).alias("ratio_roll_store"),
+        )
+    )
+
+
+@register(
+    "corr_matrix_top_parts",
+    oracle="""
+WITH top5 AS (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+  ORDER BY sum(l_quantity) DESC, l_partkey LIMIT 5
+), daily AS (
+  SELECT l_partkey, l_shipdate, sum(l_quantity) AS q
+  FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM top5)
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n,
+         sum(a.q) AS sx, sum(b.q) AS sy,
+         sum(a.q * b.q) AS sxy, sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+  FROM daily a JOIN daily b
+    ON a.l_shipdate = b.l_shipdate AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0), 4)
+         AS pearson_r
+FROM pairs
+""",
+)
+def corr_matrix_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the top-5 parts' daily demand
+    series (/root/reference/src/features/behavioral_features_engine.py:593-615
+    samples top products before correlating — the sample-then-compute
+    policy).  Computed closed-form from co-moment sums: every sum is over
+    exact integer-valued quantities, so both engines produce bit-identical
+    doubles — no F.corr/corr() implementation drift."""
+    t = Catalog(spark, sf_dir)
+    top5 = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("vol"))
+        .orderBy(F.col("vol").desc(), "l_partkey")
+        .limit(5)
+        .select("l_partkey")
+    )
+    daily = (
+        t.lineitem.join(F.broadcast(top5), "l_partkey")
+        .groupBy("l_partkey", "l_shipdate")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_shipdate") == F.col("b.l_shipdate"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.q").alias("sx"),
+            F.sum("b.q").alias("sy"),
+            F.sum(F.col("a.q") * F.col("b.q")).alias("sxy"),
+            F.sum(F.col("a.q") * F.col("a.q")).alias("sxx"),
+            F.sum(F.col("b.q") * F.col("b.q")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / F.nullif(
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy),
+        F.lit(0.0),
+    )
+    return pairs.select("part_a", "part_b", "n", r4(r).alias("pearson_r"))
