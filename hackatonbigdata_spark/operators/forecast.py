@@ -893,3 +893,57 @@ def corr_matrix_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     return pairs.select("part_a", "part_b", "n", r4(r).alias("pearson_r"))
+
+
+@register(
+    "postproc_outlier_dampening",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, forecast
+  FROM f WHERE forecast IS NOT NULL
+), q AS (
+  SELECT l_suppkey,
+         floor(quantile_cont(forecast, 0.25) * 10000 + 0.5) / 10000 AS q1,
+         floor(quantile_cont(forecast, 0.50) * 10000 + 0.5) / 10000 AS med,
+         floor(quantile_cont(forecast, 0.75) * 10000 + 0.5) / 10000 AS q3
+  FROM p GROUP BY l_suppkey
+)
+SELECT p.l_suppkey, l_orderkey, l_linenumber, forecast,
+       CASE WHEN forecast < q1 - 1.5 * (q3 - q1) OR forecast > q3 + 1.5 * (q3 - q1)
+            THEN round(forecast + 0.3 * (med - forecast), 4)
+            ELSE round(forecast, 4) END AS forecast_dampened,
+       (forecast < q1 - 1.5 * (q3 - q1) OR forecast > q3 + 1.5 * (q3 - q1))
+         AS was_outlier
+FROM p JOIN q ON p.l_suppkey = q.l_suppkey
+""",
+)
+def postproc_outlier_dampening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-outlier dampening: forecasts outside [Q1-1.5·IQR, Q3+1.5·IQR] of
+    their store's distribution are pulled 30% toward the store median
+    (/root/reference/src/models/business_rules.py:295-351).  Group quantiles
+    + broadcast join back — one shuffle to the per-store grain."""
+    t = Catalog(spark, sf_dir)
+    p = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    q = p.groupBy("l_suppkey").agg(
+        r4(F.percentile("forecast", F.lit(0.25))).alias("q1"),
+        r4(F.percentile("forecast", F.lit(0.50))).alias("med"),
+        r4(F.percentile("forecast", F.lit(0.75))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("forecast") < F.col("q1") - 1.5 * iqr) | (
+        F.col("forecast") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        p.join(F.broadcast(q), "l_suppkey")
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "forecast",
+            F.when(is_out, r4(F.col("forecast") + 0.3 * (F.col("med") - F.col("forecast"))))
+            .otherwise(r4(F.col("forecast")))
+            .alias("forecast_dampened"),
+            is_out.alias("was_outlier"),
+        )
+    )

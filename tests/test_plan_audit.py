@@ -1,0 +1,40 @@
+"""Physical-plan assertions for headline queries: the scale contract
+(broadcast dims, bounded shuffles, projection pruning, no Python in the hot
+path) checked mechanically from the executed plan."""
+
+from __future__ import annotations
+
+from hackatonbigdata_spark.plans.audit import plan_stats, read_schema_columns
+from hackatonbigdata_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_flagship_broadcasts_dim_and_prunes_columns(spark):
+    df = QUERIES["flagship_weekly_brand_demand"](spark, SF_DIR)
+    s = plan_stats(df)
+    assert s.broadcasts >= 1, "part dim should broadcast"
+    assert s.shuffles <= 3, f"agg+window should need ≤3 shuffles, got {s.shuffles}"
+    assert not s.has_python_udf
+    for cols in read_schema_columns(df):
+        # every scan must be pruned well below the full table width
+        assert len(cols) <= 6, f"unpruned scan: {cols}"
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    s = plan_stats(QUERIES["join_multiway_enrich"](spark, SF_DIR))
+    assert s.broadcasts >= 3, "supplier/nation/region dims should all broadcast"
+
+
+def test_heuristic_blend_bounded_shuffles(spark):
+    s = plan_stats(QUERIES["heuristic_blend_forecast"](spark, SF_DIR))
+    # 3 aggregate grains + rank + final join — must not grow beyond that
+    assert s.shuffles <= 6, f"got {s.shuffles}"
+    assert s.broadcasts >= 2
+
+
+def test_series_kernels_are_the_only_python(spark):
+    assert plan_stats(QUERIES["ewm_pandas_per_series"](spark, SF_DIR)).has_python_udf
+    for name in ["agg_multistat_product", "window_rolling_stats", "ewm_daily_store"]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
