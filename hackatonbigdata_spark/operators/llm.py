@@ -230,10 +230,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate iff it collides in ≥1 band; estimated Jaccard = fraction of
     equal minhashes.
 
-    Spark builds candidates the scale-correct way — one equi-join per band
-    on the (band-key) pair, unioned and deduped — so work is proportional to
-    colliding pairs, not n².  The oracle states the same result naively
-    (cross-join + band filter), which is fine as a spec at sf0.01."""
+    Spark builds candidates the scale-correct way — explode each doc's
+    signature into (band, band-key) bucket rows and self-join ON the bucket,
+    so work is proportional to colliding pairs, not n², and the signature
+    subtree is computed once (identical join sides → exchange reuse).  The
+    oracle states the same result naively (cross-join + band filter), which
+    is fine as a spec at sf0.01."""
     t = Catalog(spark, sf_dir)
     sh = _doc_shingles(t)
     sig = sh.groupBy("doc_id").agg(
@@ -242,32 +244,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_N_MINHASH)
         ]
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    per_band = [
-        a.join(
-            b,
-            (F.col(f"a.m{2 * band}") == F.col(f"b.m{2 * band}"))
-            & (F.col(f"a.m{2 * band + 1}") == F.col(f"b.m{2 * band + 1}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.m{s}").alias(f"am{s}") for s in range(_N_MINHASH)],
-            *[F.col(f"b.m{s}").alias(f"bm{s}") for s in range(_N_MINHASH)],
-        )
-        for band in range(_N_MINHASH // 2)
-    ]
-    cand = reduce(DataFrame.unionByName, per_band).dropDuplicates(["doc_a", "doc_b"])
+    buckets = sig.select(
+        "doc_id",
+        *[F.col(f"m{s}") for s in range(_N_MINHASH)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            "|", F.col(f"m{2 * band}"), F.col(f"m{2 * band + 1}")
+                        ).alias("bkey"),
+                    )
+                    for band in range(_N_MINHASH // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *[f"m{s}" for s in range(_N_MINHASH)], "bk.band", "bk.bkey")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     n_eq = reduce(
         Column.__add__,
         [
-            F.when(F.col(f"am{s}") == F.col(f"bm{s}"), 1).otherwise(0)
+            F.when(F.col(f"a.m{s}") == F.col(f"b.m{s}"), 1).otherwise(0)
             for s in range(_N_MINHASH)
         ],
     )
-    return cand.select(
-        "doc_a", "doc_b", r4(n_eq / float(_N_MINHASH)).alias("est_jaccard")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r4(n_eq / float(_N_MINHASH)).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
