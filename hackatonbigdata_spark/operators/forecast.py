@@ -947,3 +947,162 @@ def postproc_outlier_dampening(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_out.alias("was_outlier"),
         )
     )
+
+
+@register(
+    "cv_hierarchical_folds",
+    oracle="""
+WITH seg AS (
+  SELECT p_brand, count(*) AS n_rows
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+  HAVING count(*) >= 1000
+), bounds AS (
+  SELECT p_brand, min(l_shipdate) AS d0, max(l_shipdate) AS d1
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN (SELECT p_brand FROM seg)
+  GROUP BY p_brand
+), folds AS (
+  SELECT b.p_brand, f.fold_id,
+         d0 + INTERVAL 1 DAY * (7 * (26 + 4 * f.fold_id)) AS train_end,
+         d0 + INTERVAL 1 DAY * (7 * (30 + 4 * f.fold_id)) AS val_end
+  FROM bounds b,
+       (SELECT CAST(unnest(generate_series(0, 4)) AS INTEGER) AS fold_id) f
+  WHERE d0 + INTERVAL 1 DAY * (7 * (30 + 4 * f.fold_id)) <= d1
+)
+SELECT folds.p_brand, fold_id, train_end, val_end,
+       (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = folds.p_brand AND l_shipdate < train_end) AS n_train,
+       (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = folds.p_brand
+          AND l_shipdate >= train_end AND l_shipdate < val_end) AS n_val
+FROM folds
+""",
+)
+def cv_hierarchical_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical CV: per-segment (brand) walk-forward folds, only for
+    segments with ≥1000 rows — 26-week initial train, 4-week horizon,
+    4-week step, ≤5 folds per segment
+    (/root/reference/src/models/time_series_cv.py:244-301).
+
+    Scale: fold boundaries are one small broadcast table (segments × ≤5);
+    counting is a single pass over the enriched fact with conditional
+    aggregation — no per-segment job loop."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("p_brand", "l_shipdate")
+    bounds = (
+        li.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("d0"),
+            F.max("l_shipdate").alias("d1"),
+        )
+        .filter(F.col("n_rows") >= 1000)
+        .drop("n_rows")
+    )
+    day = lambda n: F.date_add(F.col("d0").cast("date"), n).cast("timestamp_ntz")  # noqa: E731
+    folds = (
+        bounds.crossJoin(spark.range(5).select(F.col("id").cast("int").alias("fold_id")))
+        .select(
+            "p_brand",
+            "fold_id",
+            day(7 * (26 + 4 * F.col("fold_id"))).alias("train_end"),
+            day(7 * (30 + 4 * F.col("fold_id"))).alias("val_end"),
+            "d1",
+        )
+        .filter(F.col("val_end") <= F.col("d1"))
+        .drop("d1")
+    )
+    return (
+        li.join(F.broadcast(folds), "p_brand")
+        .groupBy("p_brand", "fold_id", "train_end", "val_end")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < F.col("train_end"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.col("train_end"))
+                    & (F.col("l_shipdate") < F.col("val_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_val"),
+        )
+    )
+
+
+@register(
+    "feature_matrix_daily_store",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, l_shipdate,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+  FROM lineitem GROUP BY 1, 2
+), feat AS (
+  SELECT l_suppkey, l_shipdate, qty,
+         CAST(year(l_shipdate) AS INTEGER) AS year,
+         CAST(month(l_shipdate) AS INTEGER) AS month,
+         CAST(isodow(l_shipdate) AS INTEGER) AS dow,
+         CASE WHEN isodow(l_shipdate) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+         round(sin(2 * pi() * month(l_shipdate) / 12), 4) AS month_sin,
+         lag(qty, 1) OVER w AS lag_1,
+         lag(qty, 7) OVER w AS lag_7,
+         floor(avg(qty) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               * 10000 + 0.5) / 10000 AS roll_mean_7,
+         round(coalesce(stddev_samp(qty)
+               OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 0), 4)
+           AS roll_std_7,
+         floor(avg(qty) OVER (PARTITION BY l_suppkey) * 10000 + 0.5) / 10000
+           AS store_mean,
+         round(percent_rank() OVER (PARTITION BY l_suppkey ORDER BY qty, l_shipdate), 4)
+           AS qty_pctile
+  FROM daily
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+)
+SELECT l_suppkey, l_shipdate, qty, year, month, dow, is_weekend, month_sin,
+       lag_1, lag_7, roll_mean_7, roll_std_7, store_mean, qty_pctile,
+       round(qty / (store_mean + 0.00000001), 4) AS rel_to_store
+FROM feat
+""",
+)
+def feature_matrix_daily_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-B in miniature: the feature pipeline as ONE lazy DAG —
+    calendar extracts, cyclical encoding, lag family, rolling stats, group
+    transforms, and percentile rank appended to the per-(store, day) series
+    in a single pass (/root/reference/src/features/feature_pipeline.py:80-186
+    runs four sequential whole-table rewrites; Catalyst collapses all of
+    these projections into one stage over one shuffle per window grain)."""
+    from hackatonbigdata_spark.functions.core import iso_dow, safe_div
+
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        r4(F.sum("l_quantity")).alias("qty")
+    )
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+    roll = w.rowsBetween(-6, 0)
+    store = W.partitionBy("l_suppkey")
+    pct = W.partitionBy("l_suppkey").orderBy("qty", "l_shipdate")
+    dow = iso_dow("l_shipdate")
+    return daily.select(
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+        F.year("l_shipdate").alias("year"),
+        F.month("l_shipdate").alias("month"),
+        dow.cast("int").alias("dow"),
+        F.when(dow >= 6, 1).otherwise(0).alias("is_weekend"),
+        r4(F.sin(2 * F.lit(3.141592653589793) * F.month("l_shipdate") / 12)).alias(
+            "month_sin"
+        ),
+        F.lag("qty", 1).over(w).alias("lag_1"),
+        F.lag("qty", 7).over(w).alias("lag_7"),
+        r4(F.avg("qty").over(roll)).alias("roll_mean_7"),
+        r4(F.coalesce(F.stddev("qty").over(roll), F.lit(0.0))).alias("roll_std_7"),
+        r4(F.avg("qty").over(store)).alias("store_mean"),
+        r4(F.percent_rank().over(pct)).alias("qty_pctile"),
+    ).withColumn("rel_to_store", r4(safe_div(F.col("qty"), F.col("store_mean"))))
