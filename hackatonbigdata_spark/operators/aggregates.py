@@ -584,3 +584,38 @@ def customer_proxy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         r4(r4(rev) / F.count(F.lit(1))).alias("avg_txn_value"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_partkey,
+       round(sum(l_quantity), 4) AS sum_value,
+       count(l_quantity) AS count_value,
+       round(min(l_quantity), 4) AS min_value,
+       round(max(l_quantity), 4) AS max_value
+FROM lineitem GROUP BY l_partkey
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys
+    (hackatonbigdata_spark.functions.scale.salted_agg): phase 1 groups by
+    (key, random salt) so a hot key's rows spread across reducers, phase 2
+    merges the algebraic partials.  The result is EXACTLY a plain groupBy —
+    which is what the oracle states — but the first shuffle is uniform even
+    when 5% of keys carry 80% of rows
+    (/root/reference/src/features/aggregation_features_engine.py:7-10)."""
+    from hackatonbigdata_spark.functions.core import r4
+    from hackatonbigdata_spark.functions.scale import salted_agg
+
+    t = Catalog(spark, sf_dir)
+    out = salted_agg(
+        t.lineitem, ["l_partkey"], "l_quantity", ["sum", "count", "min", "max"]
+    )
+    return out.select(
+        "l_partkey",
+        r4("sum_value").alias("sum_value"),
+        F.col("count_value").alias("count_value"),
+        r4("min_value").alias("min_value"),
+        r4("max_value").alias("max_value"),
+    )

@@ -1,0 +1,59 @@
+"""Scale utilities: salted aggregation correctness + shuffle-free bucketed
+joins, both asserted on results AND physical plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.functions.scale import salted_agg, write_bucketed
+from hackatonbigdata_spark.plans.audit import plan_stats
+from tests.conftest import SF_DIR
+
+
+def test_salted_agg_matches_direct_groupby(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    salted = salted_agg(li, ["l_partkey"], "l_quantity", ["sum", "count", "min", "max"])
+    direct = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_value"),
+        F.count("l_quantity").alias("count_value"),
+        F.min("l_quantity").alias("min_value"),
+        F.max("l_quantity").alias("max_value"),
+    )
+    assert salted.exceptAll(direct).count() == 0
+    assert direct.exceptAll(salted).count() == 0
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(li, ["l_partkey"], "l_quantity", ["median"])
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "t_li_b", str(tmp_path / "li"), ["l_orderkey"], 8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_ord_b",
+        str(tmp_path / "ord"),
+        ["l_orderkey"],
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucketing is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(spark.table("t_ord_b"), "l_orderkey")
+        s = plan_stats(joined)
+        assert s.shuffles == 0, f"bucketed join must not shuffle, got {s.shuffles}"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
