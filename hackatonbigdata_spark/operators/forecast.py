@@ -1106,3 +1106,225 @@ def feature_matrix_daily_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("qty").over(store)).alias("store_mean"),
         r4(F.percent_rank().over(pct)).alias("qty_pctile"),
     ).withColumn("rel_to_store", r4(safe_div(F.col("qty"), F.col("store_mean"))))
+
+
+@register(
+    "calibration_interval_coverage",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, actual, forecast, actual - forecast AS resid
+  FROM f WHERE forecast IS NOT NULL
+), ranked AS (
+  SELECT l_suppkey, resid,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY resid) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM p
+), q AS (
+  SELECT l_suppkey,
+         max(CASE WHEN rn = CAST(floor((n-1) * 0.1) AS BIGINT) + 1
+                  THEN resid END) AS a10,
+         max(CASE WHEN rn = least(CAST(floor((n-1) * 0.1) AS BIGINT) + 2, n)
+                  THEN resid END) AS b10,
+         max((n-1) * 0.1 - floor((n-1) * 0.1)) AS f10,
+         max(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1
+                  THEN resid END) AS a90,
+         max(CASE WHEN rn = least(CAST(floor((n-1) * 0.9) AS BIGINT) + 2, n)
+                  THEN resid END) AS b90,
+         max((n-1) * 0.9 - floor((n-1) * 0.9)) AS f90
+  FROM ranked GROUP BY l_suppkey
+), iv AS (
+  -- half-away-from-zero like the Spark side's r4: residuals are negative,
+  -- where a bare floor(x*1e4+0.5) would round halves toward +inf instead
+  SELECT l_suppkey,
+         sign(a10 + (b10 - a10) * f10)
+           * floor(abs(a10 + (b10 - a10) * f10) * 10000 + 0.5) / 10000 AS r10,
+         sign(a90 + (b90 - a90) * f90)
+           * floor(abs(a90 + (b90 - a90) * f90) * 10000 + 0.5) / 10000 AS r90
+  FROM q
+)
+SELECT p.l_suppkey,
+       count(*) AS n_rows,
+       round(avg(CASE WHEN actual >= forecast + r10 AND actual <= forecast + r90
+                      THEN 1.0 ELSE 0.0 END), 4) AS coverage_80,
+       round(min(r10), 4) AS r10, round(min(r90), 4) AS r90,
+       CASE WHEN avg(CASE WHEN actual >= forecast + r10 AND actual <= forecast + r90
+                          THEN 1.0 ELSE 0.0 END) >= 0.75 THEN 'calibrated'
+            ELSE 'undercovered' END AS calibration_band
+FROM p JOIN iv ON p.l_suppkey = iv.l_suppkey
+GROUP BY p.l_suppkey
+""",
+)
+def calibration_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformal-style interval calibration: per-store empirical P10/P90
+    residual band around the forecast, then the fraction of actuals the
+    interval covers (/root/reference/src/models/model_calibration.py:49-520
+    — the interval-coverage validation reduced to its dataflow).
+
+    Quantiles are rank-interpolated EXPLICITLY (value at floor((n-1)q) and
+    the next, blended by the fractional part) rather than via
+    percentile()/quantile_cont(): residuals sit on a 1e-4 grid and q=0.1 is
+    not dyadic, so the engines' internal interpolation orders diverge in the
+    last ulp right at 4dp rounding boundaries.  Writing the same arithmetic
+    on both sides makes the value deterministic."""
+    t = Catalog(spark, sf_dir)
+    p = (
+        _with_forecast(t)
+        .filter(F.col("forecast").isNotNull())
+        .select(
+            "l_suppkey",
+            "actual",
+            "forecast",
+            (F.col("actual") - F.col("forecast")).alias("resid"),
+        )
+    )
+    ranked = p.select(
+        "l_suppkey",
+        "resid",
+        F.row_number()
+        .over(W.partitionBy("l_suppkey").orderBy("resid"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).alias("n"),
+    )
+
+    def _q(tag: str, frac: float) -> list:
+        k = F.floor((F.col("n") - 1) * frac).cast("long")
+        return [
+            F.max(F.when(F.col("rn") == k + 1, F.col("resid"))).alias(f"a{tag}"),
+            F.max(
+                F.when(F.col("rn") == F.least(k + 2, F.col("n")), F.col("resid"))
+            ).alias(f"b{tag}"),
+            F.max((F.col("n") - 1) * frac - F.floor((F.col("n") - 1) * frac)).alias(
+                f"f{tag}"
+            ),
+        ]
+
+    qagg = ranked.groupBy("l_suppkey").agg(*_q("10", 0.1), *_q("90", 0.9))
+    q = qagg.select(
+        "l_suppkey",
+        r4(F.col("a10") + (F.col("b10") - F.col("a10")) * F.col("f10")).alias("r10"),
+        r4(F.col("a90") + (F.col("b90") - F.col("a90")) * F.col("f90")).alias("r90"),
+    )
+    covered = (
+        (F.col("actual") >= F.col("forecast") + F.col("r10"))
+        & (F.col("actual") <= F.col("forecast") + F.col("r90"))
+    ).cast("double")
+    return (
+        p.join(F.broadcast(q), "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.avg(covered)).alias("coverage_80"),
+            r4(F.min("r10")).alias("r10"),
+            r4(F.min("r90")).alias("r90"),
+            F.when(F.avg(covered) >= 0.75, "calibrated")
+            .otherwise("undercovered")
+            .alias("calibration_band"),
+        )
+    )
+
+
+@register(
+    "prophet_prep_segments",
+    oracle="""
+WITH daily AS (
+  SELECT p_brand, l_shipdate AS ds,
+         round(sum(l_quantity), 4) AS y,
+         count(*) AS n_transactions
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), sized AS (
+  SELECT p_brand, count(*) AS n_points FROM daily WHERE y > 0 GROUP BY 1
+)
+SELECT daily.p_brand, ds, y, n_transactions
+FROM daily JOIN sized ON daily.p_brand = sized.p_brand
+WHERE n_points >= 30 AND y > 0
+""",
+)
+def prophet_prep_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model-input preparation: daily (ds, y) series per brand,
+    zero days dropped, segments below 30 usable points excluded
+    (/root/reference/src/models/prophet_seasonal.py:304-367).  The output
+    grain is exactly what an ``applyInPandas`` per-segment fit consumes."""
+    t = Catalog(spark, sf_dir)
+    daily = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.col("l_shipdate").alias("ds"))
+        .agg(
+            r4(F.sum("l_quantity")).alias("y"),
+            F.count(F.lit(1)).alias("n_transactions"),
+        )
+    )
+    pos = daily.filter(F.col("y") > 0)
+    sized = pos.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        pos.join(F.broadcast(sized.filter(F.col("n_points") >= 30)), "p_brand")
+        .select("p_brand", "ds", "y", "n_transactions")
+    )
+
+
+@register("zero_inflated_hurdle_mllib")
+def zero_inflated_hurdle_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflated hurdle model as an MLlib pipeline (rows-only: model
+    coefficients aren't SQL-reproducible): stage 1 logistic regression
+    predicts P(demand event), stage 2 linear regression predicts magnitude
+    on positive rows; final = p * magnitude
+    (/root/reference/src/models/intermittent_demand.py:177-375).
+
+    The dataflow is the point: one feature matrix, two fits, predictions
+    joined back — all distributed, deterministic seed."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import LinearRegression
+
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    seq = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+    feats = (
+        daily.select(
+            "l_suppkey",
+            "l_shipdate",
+            "qty",
+            F.lag("qty", 1).over(seq).alias("lag1"),
+            F.lag("qty", 7).over(seq).alias("lag7"),
+            F.avg("qty").over(seq.rowsBetween(-6, 0)).alias("roll7"),
+        )
+        .na.drop()
+        # demand "event" := day above the store median, so stage 1 is
+        # non-degenerate on this dense dataset (cf. croston_per_series)
+        .withColumn(
+            "med", F.expr("percentile(qty, 0.5)").over(W.partitionBy("l_suppkey"))
+        )
+        .withColumn("is_event", (F.col("qty") > F.col("med")).cast("double"))
+    )
+    assembler = VectorAssembler(inputCols=["lag1", "lag7", "roll7"], outputCol="x")
+    vec = assembler.transform(feats)
+    stage1 = LogisticRegression(
+        featuresCol="x", labelCol="is_event", maxIter=20, regParam=0.1
+    ).fit(vec)
+    stage2 = LinearRegression(
+        featuresCol="x", labelCol="qty", maxIter=20, regParam=0.1
+    ).fit(vec.filter(F.col("is_event") > 0))
+    p_event = stage1.transform(vec).select(
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+        F.element_at(vector_to_array("probability"), 2).alias("p_event"),
+    )
+    magnitude = stage2.transform(vec).select(
+        "l_suppkey", "l_shipdate", F.col("prediction").alias("magnitude")
+    )
+    return p_event.join(magnitude, ["l_suppkey", "l_shipdate"]).select(
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+        F.round("p_event", 4).alias("p_event"),
+        F.round("magnitude", 4).alias("magnitude"),
+        F.round(F.col("p_event") * F.col("magnitude"), 4).alias("hurdle_forecast"),
+    )
