@@ -69,3 +69,36 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def export_feature_store(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Feature-store export: partitioned parquet + a JSON metadata sidecar
+    (schema, key columns, feature list, row count) — the Spark form of the
+    reference's export (/root/reference/src/features/feature_pipeline.py:
+    470-585 writes parquet + JSON metadata + importance CSV + txt summary;
+    the metadata sidecar subsumes the sidecar family).
+
+    Returns the metadata dict that was written.  The parquet write is fully
+    parallel; only the tiny sidecar is driver-side."""
+    import json
+    import os
+
+    write_parquet(df, f"{path}/features", partition_by)
+    features = [c for c in df.columns if c not in set(key_cols)]
+    meta = {
+        "key_columns": key_cols,
+        "feature_columns": features,
+        "n_features": len(features),
+        "n_rows": df.count(),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "partitioned_by": partition_by or [],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/metadata.json", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2)
+    return meta

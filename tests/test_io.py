@@ -37,3 +37,20 @@ def test_write_submission_roundtrip(spark, tmp_path):
     assert back.count() == n
     with pytest.raises(SchemaError):
         write_submission(sub.drop("quantidade"), str(tmp_path / "bad"))
+
+
+def test_export_feature_store_roundtrip(spark, tmp_path):
+    from hackatonbigdata_spark.registry import all_queries
+    from hackatonbigdata_spark.sources.io import export_feature_store
+    import json
+
+    df = all_queries()["feature_matrix_daily_store"](spark, SF_DIR)
+    out = str(tmp_path / "fs")
+    meta = export_feature_store(df, out, key_cols=["l_suppkey", "l_shipdate"])
+    back = spark.read.parquet(f"{out}/features")
+    assert back.count() == meta["n_rows"] > 0
+    with open(f"{out}/metadata.json", encoding="utf-8") as fh:
+        disk = json.load(fh)
+    assert disk == meta
+    assert "qty_pctile" in disk["feature_columns"]
+    assert "l_suppkey" not in disk["feature_columns"]
