@@ -53,13 +53,17 @@ def main() -> None:
         if name in queries:
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # two measured passes, keep the min per query — scheduler/GC noise on a
+    # shared box otherwise dominates sub-second queries
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
