@@ -1328,3 +1328,81 @@ def zero_inflated_hurdle_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("magnitude", 4).alias("magnitude"),
         F.round(F.col("p_event") * F.col("magnitude"), 4).alias("hurdle_forecast"),
     )
+
+
+@register(
+    "postproc_lifecycle_promo",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber, l_shipdate, forecast
+  FROM f WHERE forecast IS NOT NULL
+), promo(month_no, promo_mult) AS (
+  VALUES (11, 1.15), (12, 1.30), (1, 0.90)
+), span AS (
+  SELECT l_partkey,
+         date_diff('day', min(l_shipdate), max(l_shipdate)) + 1 AS life_days
+  FROM lineitem GROUP BY l_partkey
+), lifecycle AS (
+  SELECT l_partkey,
+         CASE WHEN life_days < 180 THEN 'launch'
+              WHEN life_days < 360 THEN 'growth'
+              ELSE 'mature' END AS life_stage,
+         CASE WHEN life_days < 180 THEN 1.20
+              WHEN life_days < 360 THEN 1.05
+              ELSE 1.00 END AS life_mult
+  FROM span
+)
+SELECT l_suppkey, p.l_partkey, l_orderkey, l_linenumber, forecast,
+       life_stage,
+       coalesce(promo_mult, 1.0) AS promo_mult,
+       round(forecast * coalesce(promo_mult, 1.0) * life_mult, 4)
+         AS forecast_adjusted
+FROM p
+LEFT JOIN promo ON month(l_shipdate) = promo.month_no
+JOIN lifecycle ON p.l_partkey = lifecycle.l_partkey
+""",
+)
+def postproc_lifecycle_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional-calendar and lifecycle-stage multipliers: forecasts join
+    two small rule dims — month→promo factor and product-age→lifecycle
+    factor — and scale (/root/reference/src/models/business_rules.py:
+    353-551,692-880).  Both rule tables broadcast; the fact never
+    re-shuffles."""
+    t = Catalog(spark, sf_dir)
+    p = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    promo = spark.createDataFrame(
+        [(11, 1.15), (12, 1.30), (1, 0.90)], "month_no int, promo_mult double"
+    )
+    span = t.lineitem.groupBy("l_partkey").agg(
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1).alias("life_days")
+    )
+    lifecycle = span.select(
+        "l_partkey",
+        F.when(F.col("life_days") < 180, "launch")
+        .when(F.col("life_days") < 360, "growth")
+        .otherwise("mature")
+        .alias("life_stage"),
+        F.when(F.col("life_days") < 180, 1.20)
+        .when(F.col("life_days") < 360, 1.05)
+        .otherwise(1.00)
+        .alias("life_mult"),
+    )
+    return (
+        p.join(F.broadcast(promo), F.month("l_shipdate") == F.col("month_no"), "left")
+        .join(F.broadcast(lifecycle), "l_partkey")
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "forecast",
+            "life_stage",
+            F.coalesce("promo_mult", F.lit(1.0)).alias("promo_mult"),
+            r4(
+                F.col("forecast")
+                * F.coalesce("promo_mult", F.lit(1.0))
+                * F.col("life_mult")
+            ).alias("forecast_adjusted"),
+        )
+    )

@@ -408,3 +408,54 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= 2)
     )
+
+
+@register(
+    "join_integrity_check",
+    oracle="""
+WITH pre AS (
+  SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty FROM lineitem
+), post AS (
+  SELECT count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+)
+SELECT pre.n_rows AS rows_before, post.n_rows AS rows_after,
+       pre.sum_qty AS qty_before, post.sum_qty AS qty_after,
+       pre.n_rows = post.n_rows AND pre.sum_qty = post.sum_qty AS join_lossless
+FROM pre, post
+""",
+)
+def join_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-loss validation: row count and quantity sum must be unchanged
+    by a left enrichment join
+    (/root/reference/src/utils/data_loader.py:424-439).  One row out; both
+    legs are single aggregates, the dim broadcasts."""
+    t = Catalog(spark, sf_dir)
+    pre = t.lineitem.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        r4(F.sum("l_quantity")).alias("qty_before"),
+    )
+    post = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            r4(F.sum("l_quantity")).alias("qty_after"),
+        )
+    )
+    return (
+        pre.crossJoin(post)
+        .select(
+            "rows_before",
+            "rows_after",
+            "qty_before",
+            "qty_after",
+            (
+                (F.col("rows_before") == F.col("rows_after"))
+                & (F.col("qty_before") == F.col("qty_after"))
+            ).alias("join_lossless"),
+        )
+    )
