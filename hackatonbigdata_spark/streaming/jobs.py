@@ -163,3 +163,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+def session_windows_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_session_windows``: 30-minute-gap session
+    windows per user under the watermark.  In append mode a session emits
+    only once the watermark passes its end — sessions still open (or ending
+    within the watermark of the final event) are withheld, which
+    tests/test_streaming.py pins against the batch result."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

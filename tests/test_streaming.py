@@ -80,3 +80,31 @@ def test_stateful_user_counter_totals(spark, events_stream, events_batch):
     pd.testing.assert_series_equal(
         f["total_value"].round(6), e["total_value"].round(6), check_names=False
     )
+
+
+def test_session_windows_stream_emits_watermark_closed_sessions(
+    spark, events_stream, events_batch
+):
+    """Append-mode sessions: everything emitted must match the batch result
+    exactly, and every batch session that closed before the final watermark
+    must have been emitted."""
+    jobs.run_to_memory(
+        jobs.session_windows_stream(events_stream), "t_sessions", "append"
+    )
+    got = _sorted_pdf(
+        spark.table("t_sessions"), ["user_id", "session_start"]
+    )
+    batch = jobs.session_windows_stream(events_batch)
+    bpdf = _sorted_pdf(batch, ["user_id", "session_start"])
+
+    # emitted rows are exactly the batch rows for those sessions
+    key = ["user_id", "session_start"]
+    merged = got.merge(bpdf, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "stream emitted a session batch doesn't have"
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] - merged["sum_value_b"]).abs().max() < 1e-6
+
+    # completeness: sessions closed before the final watermark must be there
+    final_wm = events_batch.agg(F.max("ts")).first()[0] - pd.Timedelta(minutes=10)
+    closed = bpdf[bpdf["session_end"] <= final_wm]
+    assert len(got) >= len(closed)
