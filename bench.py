@@ -37,6 +37,9 @@ HEADLINE = [
     "stream_session_windows",         # M6: session windows (gaps-and-islands)
     "dedup_minhash_lsh",              # M7: shingle explode + banded LSH joins
     "similarity_topk_cosine",         # M7: vector math + per-key top-k
+    "calendar_extract",               # M4: scalar date block, full table out
+    "stream_tumbling_hourly",         # M6 batch twin: event-time tumbling agg
+    "text_token_count",               # M7 text: tokenization + length stats
 ]
 
 

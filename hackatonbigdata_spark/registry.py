@@ -53,11 +53,99 @@ def _load_all() -> None:
     )
 
 
+# Explicit verification priority: the driver's correctness gate walks the
+# queries() dict in insertion order and checks a bounded prefix per round, so
+# queries that are new, recently modified, or not yet driver-verified must
+# come first.  Names listed here lead (in this order); everything else follows
+# in registration order.  Rotate per round as coverage lands.
+_PRIORITY: list[str] = [
+    # flagship + queries modified or added this round
+    "flagship_weekly_brand_demand",
+    "metric_suite_global",
+    "metric_abc_tiers",
+    "heuristic_blend_forecast",
+    "binning_quantile_ntile",
+    "window_rolling_stats",
+    "window_rolling_median_skew",
+    "stream_session_windows",
+    "stream_dedup_within_watermark",
+    "holt_level_trend",
+    "store_coldstart_fallback",
+    "sample_scan",
+    "stacking_predictions_join",
+    # relational — never driver-checked in round 1
+    "scan_project_filter",
+    "filter_quantile_band",
+    "filter_date_range_valid",
+    "dedup_keep_first",
+    "join_multiway_enrich",
+    "join_anti_orphans",
+    "join_semi_active_customers",
+    "share_window_vs_join_back",
+    "union_slices",
+    "topk_orders_by_value",
+    "cooccurrence_pairs",
+    "join_integrity_check",
+    # windows — never driver-checked in round 1
+    "window_lag_family",
+    "window_rolling_slope",
+    "window_rank_volume",
+    "window_interarrival",
+    "window_zero_streaks",
+    "window_seasonal_dow",
+    "window_centered_smoothing",
+    "window_growth_cap",
+    "window_group_transform",
+    "window_ffill",
+    "window_momentum_accel",
+    "window_decline_indicator",
+    "ewm_daily_store",
+    # scalars — never driver-checked in round 1
+    "calendar_extract",
+    "cyclical_fourier",
+    "binning_fixed_tiers",
+    "string_normalize",
+    "null_strategies",
+    "frequency_encoding",
+    "label_encode_other",
+    "holiday_proximity",
+    "business_calendar_flags",
+    "clip_and_rewrite",
+    # streaming batch twins — never driver-checked in round 1
+    "stream_tumbling_hourly",
+    "stream_threshold_alerts",
+    "stream_json_props_extract",
+    "stream_sliding_1h_30m",
+    "stream_alert_rate_limit",
+    "stream_late_data_policy",
+    # text + multimodal — never driver-checked in round 1
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_metadata",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+    # rows-only kernels last among the unverified
+    "similarity_brp_lsh_mllib",
+    "ewm_pandas_per_series",
+    "croston_per_series",
+    "sequential_clamp_per_series",
+    "rolling_autocorr_per_series",
+]
+
+
+def _ordered(mapping: dict[str, "QueryFn | str"]) -> dict:
+    lead = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    tail = {n: v for n, v in mapping.items() if n not in lead}
+    return {**lead, **tail}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
