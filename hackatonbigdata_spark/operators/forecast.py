@@ -66,6 +66,7 @@ def _with_forecast(t: Catalog) -> DataFrame:
     oracle=f"""
 WITH f AS ({_FORECAST_SQL})
 SELECT round(sum(abs(actual - forecast)) / sum(abs(actual)) * 100, 4) AS wmape,
+       round(100 * avg(abs(actual - forecast) / nullif(abs(actual), 0)), 4) AS mape,
        round(avg(abs(actual - forecast)), 4) AS mae,
        round(sqrt(avg((actual - forecast) * (actual - forecast))), 4) AS rmse,
        round(avg(forecast - actual), 4) AS bias,
@@ -76,14 +77,16 @@ FROM f WHERE forecast IS NOT NULL
 """,
 )
 def metric_suite_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WMAPE / MAE / RMSE / bias / sMAPE in one distributed aggregate
-    (/root/reference/src/evaluation/metrics.py:12-126).  At any scale this
-    is one map-side-combined shuffle of a handful of doubles."""
+    """WMAPE / MAPE / MAE / RMSE / bias / sMAPE in one distributed aggregate
+    (/root/reference/src/evaluation/metrics.py:12-126; plain MAPE masks
+    zero-actual rows via nullif, the reference's epsilon guard).  At any
+    scale this is one map-side-combined shuffle of a handful of doubles."""
     t = Catalog(spark, sf_dir)
     f = _with_forecast(t).filter(F.col("forecast").isNotNull())
     a, p = F.col("actual"), F.col("forecast")
     return f.agg(
         r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape"),
+        r4(100 * F.avg(F.abs(a - p) / F.nullif(F.abs(a), F.lit(0.0)))).alias("mape"),
         r4(F.avg(F.abs(a - p))).alias("mae"),
         r4(F.sqrt(F.avg((a - p) * (a - p)))).alias("rmse"),
         r4(F.avg(p - a)).alias("bias"),
@@ -125,15 +128,17 @@ def metric_wmape_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH f AS ({_FORECAST_SQL}),
 vol AS (
-  SELECT l_partkey, floor(sum(actual) * 10000 + 0.5) / 10000 AS vol
+  SELECT l_partkey, CAST(floor(sum(actual) * 10000 + 0.5) AS BIGINT) AS vl
   FROM f GROUP BY l_partkey
 ), cum AS (
-  SELECT l_partkey, vol,
-         sum(vol) OVER (ORDER BY vol DESC, l_partkey) / sum(vol) OVER () AS cum_share
+  SELECT l_partkey,
+         sum(vl) OVER (ORDER BY vl DESC, l_partkey) AS cum_vl,
+         sum(vl) OVER () AS tot_vl
   FROM vol
 ), tiers AS (
   SELECT l_partkey,
-         CASE WHEN cum_share <= 0.8 THEN 'A' WHEN cum_share <= 0.95 THEN 'B'
+         CASE WHEN 5 * cum_vl <= 4 * tot_vl THEN 'A'
+              WHEN 20 * cum_vl <= 19 * tot_vl THEN 'B'
               ELSE 'C' END AS abc_tier
   FROM cum
 )
@@ -149,27 +154,67 @@ GROUP BY abc_tier
 )
 def metric_abc_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC-tier (cumulative-volume 80/95) metric table
-    (/root/reference/src/evaluation/metrics.py:159-217)."""
+    (/root/reference/src/evaluation/metrics.py:159-217).
+
+    Scale: the cumulative share over all parts is computed as a BUCKETED
+    prefix sum, not a global ordered window (WindowExec with no partition
+    key moves every row to one task).  Parts are binned by balanced
+    approx-quantile edges of their volume (the bin layout is a physical
+    detail — results are edge-independent), per-bin running sums stay
+    partition-parallel, and the ≤ O(bins) cross-bin offsets are driver-side
+    metadata, exactly like Spark's own RangePartitioner sampling.  Volume is
+    carried as a 1e4-scaled BIGINT so every sum is order-independent and
+    the 80/95 thresholds are exact integer comparisons in both engines."""
     t = Catalog(spark, sf_dir)
     f = _with_forecast(t)
-    vol = f.groupBy("l_partkey").agg(r4(F.sum("actual")).alias("vol"))
-    cum_w = W.orderBy(F.col("vol").desc(), F.col("l_partkey")).rowsBetween(
-        W.unboundedPreceding, 0
+    vol = f.groupBy("l_partkey").agg(
+        F.floor(F.sum("actual") * 10000.0 + F.lit(0.5)).cast("long").alias("vl")
     )
-    cum = vol.withColumn(
-        "cum_share", F.sum("vol").over(cum_w) / F.sum("vol").over(W.partitionBy())
+    # balanced monotonic bins: ~32 approx-quantile edges of vl (tiny driver
+    # metadata; any monotonic binning yields identical results)
+    qs = [i / 32.0 for i in range(1, 32)]
+    edges = sorted(set(vol.agg(F.percentile_approx("vl", qs).alias("e")).first()["e"] or []))
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + F.when(F.col("vl") > F.lit(int(e)), 1).otherwise(0)
+    binned = vol.withColumn("bin", bin_col)
+    # per-bin totals -> driver (≤ len(edges)+1 rows): offset of each bin is
+    # the total volume of all strictly-higher-volume bins
+    bin_tot = {
+        r["bin"]: r["s"]
+        for r in binned.groupBy("bin").agg(F.sum("vl").alias("s")).collect()
+    }
+    tot_vl = sum(bin_tot.values())
+    running, offs = 0, {}
+    for b in sorted(bin_tot, reverse=True):
+        offs[b] = running
+        running += bin_tot[b]
+    off_col = F.lit(0)
+    for b, o in offs.items():
+        off_col = F.when(F.col("bin") == b, F.lit(o)).otherwise(off_col)
+    in_bin = (
+        W.partitionBy("bin")
+        .orderBy(F.col("vl").desc(), F.col("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
     )
+    cum = binned.withColumn("cum_vl", off_col.cast("long") + F.sum("vl").over(in_bin))
+    # thresholds premultiplied in Python (arbitrary precision) and emitted as
+    # LONG literals — `4 * F.lit(tot)` would overflow if tot fits int32
+    a_thr = F.lit(4 * int(tot_vl)).cast("long")
+    b_thr = F.lit(19 * int(tot_vl)).cast("long")
     tiers = cum.select(
         "l_partkey",
-        F.when(F.col("cum_share") <= 0.8, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
+        F.when(5 * F.col("cum_vl") <= a_thr, "A")
+        .when(20 * F.col("cum_vl") <= b_thr, "B")
         .otherwise("C")
         .alias("abc_tier"),
     )
     a, p = F.col("actual"), F.col("forecast")
+    # tiers is per-part (can exceed broadcast size at scale) — let AQE pick
+    # the join strategy rather than forcing a broadcast
     return (
         f.filter(p.isNotNull())
-        .join(F.broadcast(tiers), "l_partkey")
+        .join(tiers, "l_partkey")
         .groupBy("abc_tier")
         .agg(
             r4(F.sum(F.abs(a - p)) / F.sum(F.abs(a)) * 100).alias("wmape"),
@@ -479,14 +524,20 @@ WITH sp AS (
 ), g AS (
   SELECT floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000 AS global_q75
   FROM lineitem
-), tier AS (
-  SELECT l_partkey, part_mean, percent_rank() OVER (ORDER BY part_vol, l_partkey) AS vol_pr
+), thr AS (
+  SELECT floor(quantile_cont(part_vol, 0.9) * 10000 + 0.5) / 10000 AS thr_hi,
+         floor(quantile_cont(part_vol, 0.7) * 10000 + 0.5) / 10000 AS thr_mid
   FROM pr
+), tier AS (
+  SELECT l_partkey, part_mean,
+         CASE WHEN part_vol > thr_hi THEN 1.2
+              WHEN part_vol > thr_mid THEN 1.1
+              ELSE 1.0 END AS vol_boost
+  FROM pr, thr
 )
 SELECT sp.l_suppkey, sp.l_partkey,
        round((0.4 * sp_q75 + 0.25 * store_mean + 0.2 * part_mean + 0.15 * global_q75)
-             * 1.687
-             * CASE WHEN vol_pr > 0.9 THEN 1.2 WHEN vol_pr > 0.7 THEN 1.1 ELSE 1.0 END,
+             * 1.687 * vol_boost,
              4) AS blended_forecast
 FROM sp
 JOIN st ON sp.l_suppkey = st.l_suppkey
@@ -499,9 +550,13 @@ def heuristic_blend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.15·global-Q75, ×1.687 global calibration, ×volume-tier boost
     (/root/reference/generate_hackathon_final_perfect.py:233-340).
 
-    Scale: three aggregate tables + one scalar, joined back on their keys —
-    store/part aggregates broadcast; the (store,product) grain never
-    re-shuffles more than once."""
+    Scale: three aggregate tables + two scalars, joined back on their keys —
+    store aggregates broadcast; the (store,product) grain never re-shuffles
+    more than once.  The volume-tier boost comes from two scalar quantile
+    thresholds (90th/70th pct of per-part volume) cross-joined back — NOT a
+    global percent_rank window, which would funnel every part through one
+    WindowExec task.  At 100 TB swap ``F.percentile`` for
+    ``F.percentile_approx`` (single-reduce exact -> mergeable sketch)."""
     t = Catalog(spark, sf_dir)
     li = t.lineitem
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
@@ -512,11 +567,17 @@ def heuristic_blend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("l_quantity")).alias("part_mean"), r4(F.sum("l_quantity")).alias("part_vol")
     )
     g = li.agg(r4(F.percentile("l_quantity", F.lit(0.75))).alias("global_q75"))
-    tier = pr.withColumn(
-        "vol_pr", F.percent_rank().over(W.orderBy("part_vol", "l_partkey"))
-    ).select("l_partkey", "part_mean", "vol_pr")
-    boost = (
-        F.when(F.col("vol_pr") > 0.9, 1.2).when(F.col("vol_pr") > 0.7, 1.1).otherwise(1.0)
+    thr = pr.agg(
+        r4(F.percentile("part_vol", F.lit(0.9))).alias("thr_hi"),
+        r4(F.percentile("part_vol", F.lit(0.7))).alias("thr_mid"),
+    )
+    tier = pr.crossJoin(F.broadcast(thr)).select(
+        "l_partkey",
+        "part_mean",
+        F.when(F.col("part_vol") > F.col("thr_hi"), 1.2)
+        .when(F.col("part_vol") > F.col("thr_mid"), 1.1)
+        .otherwise(1.0)
+        .alias("vol_boost"),
     )
     return (
         sp.join(F.broadcast(st), "l_suppkey")
@@ -533,7 +594,7 @@ def heuristic_blend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + 0.15 * F.col("global_q75")
                 )
                 * 1.687
-                * boost
+                * F.col("vol_boost")
             ).alias("blended_forecast"),
         )
     )
@@ -1405,4 +1466,351 @@ def postproc_lifecycle_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("life_mult")
             ).alias("forecast_adjusted"),
         )
+    )
+
+
+@register(
+    "store_coldstart_fallback",
+    oracle="""
+WITH prof AS (
+  SELECT l_suppkey,
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS np
+  FROM lineitem GROUP BY l_suppkey
+), feat AS (
+  SELECT l_suppkey,
+         s1 AS qty_sum,
+         s1 / n AS qty_mean,
+         CASE WHEN n >= 2 THEN sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1))
+              ELSE 0.0 END AS qty_std,
+         CAST(n AS DOUBLE) AS n_rows,
+         CAST(np AS DOUBLE) AS n_parts
+  FROM prof
+), mm AS (
+  SELECT min(qty_sum) AS lo1, max(qty_sum) AS hi1,
+         min(qty_mean) AS lo2, max(qty_mean) AS hi2,
+         min(qty_std) AS lo3, max(qty_std) AS hi3,
+         min(n_rows) AS lo4, max(n_rows) AS hi4,
+         min(n_parts) AS lo5, max(n_parts) AS hi5
+  FROM feat
+), sc AS (
+  SELECT l_suppkey, qty_mean,
+         CASE WHEN hi1 > lo1 THEN (qty_sum - lo1) / (hi1 - lo1) ELSE 0.0 END AS f1,
+         CASE WHEN hi2 > lo2 THEN (qty_mean - lo2) / (hi2 - lo2) ELSE 0.0 END AS f2,
+         CASE WHEN hi3 > lo3 THEN (qty_std - lo3) / (hi3 - lo3) ELSE 0.0 END AS f3,
+         CASE WHEN hi4 > lo4 THEN (n_rows - lo4) / (hi4 - lo4) ELSE 0.0 END AS f4,
+         CASE WHEN hi5 > lo5 THEN (n_parts - lo5) / (hi5 - lo5) ELSE 0.0 END AS f5
+  FROM feat, mm
+), pairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+         (a.f1 * b.f1 + a.f2 * b.f2 + a.f3 * b.f3 + a.f4 * b.f4 + a.f5 * b.f5)
+         / nullif(sqrt(a.f1 * a.f1 + a.f2 * a.f2 + a.f3 * a.f3 + a.f4 * a.f4 + a.f5 * a.f5)
+                  * sqrt(b.f1 * b.f1 + b.f2 * b.f2 + b.f3 * b.f3 + b.f4 * b.f4 + b.f5 * b.f5),
+                  0) AS cos_sim
+  FROM sc a JOIN sc b ON a.l_suppkey <> b.l_suppkey
+), top1 AS (
+  SELECT sa, sb, cos_sim FROM (
+    SELECT sa, sb, cos_sim,
+           row_number() OVER (PARTITION BY sa ORDER BY cos_sim DESC NULLS LAST, sb) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), qm AS (
+  SELECT l_suppkey, CAST(floor(qty_mean * 10000 + 0.5) AS BIGINT) AS qml
+  FROM feat
+), nat AS (
+  SELECT s.s_nationkey,
+         floor((sum(qml) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS nation_avg
+  FROM qm JOIN supplier s ON qm.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey
+), reg AS (
+  SELECT n.n_regionkey,
+         floor((sum(qml) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS region_avg
+  FROM qm JOIN supplier s ON qm.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey
+), g_avg AS (
+  SELECT floor((sum(qml) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS global_avg
+  FROM qm
+)
+SELECT s.s_suppkey,
+       CASE WHEN f.l_suppkey IS NULL THEN 0 ELSE 1 END AS has_history,
+       CASE WHEN f.l_suppkey IS NULL THEN NULL
+            ELSE floor(f.qty_mean * 10000 + 0.5) / 10000 END AS own_mean,
+       t.sb AS sim_suppkey,
+       round(t.cos_sim, 4) AS sim_score,
+       nat.nation_avg AS nation_avg,
+       reg.region_avg AS region_avg,
+       g_avg.global_avg AS global_avg,
+       round(coalesce(floor(f.qty_mean * 10000 + 0.5) / 10000,
+                      nat.nation_avg, reg.region_avg, g_avg.global_avg), 4)
+         AS coldstart_forecast
+FROM supplier s
+LEFT JOIN feat f ON s.s_suppkey = f.l_suppkey
+LEFT JOIN top1 t ON s.s_suppkey = t.sa
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN nat ON s.s_nationkey = nat.s_nationkey
+LEFT JOIN reg ON n.n_regionkey = reg.n_regionkey
+CROSS JOIN g_avg
+""",
+)
+def store_coldstart_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-similarity cold-start: per-store sales profiles -> scaled
+    feature vectors -> top-1 most-similar store (cosine), plus the
+    hierarchical fallback coalesce-chain own-mean -> nation avg -> region
+    avg -> global avg for stores with no history
+    (/root/reference/src/models/cold_start_solutions.py:281-507: profile =
+    quantity sum/mean/std/count + distinct products, StandardScaler +
+    cosine_similarity, fallback category->regional->global averages).
+
+    Cross-engine determinism: profile stats come from exact integer power
+    sums (closed-form std); features are min-max scaled (extrema are
+    summation-order-independent, unlike a mean/std standardizer) so both
+    engines scale bit-identical doubles; hierarchy averages divide exact
+    1e4-scaled BIGINT sums.  Scale: the store-pair cosine is O(S²) on the
+    STORE dimension only (stores are bounded — thousands, not fact-table
+    cardinality); at larger S the MLlib BRP-LSH twin
+    (``similarity_brp_lsh_mllib``) is the bucketed path.  Hierarchy
+    averages are tiny keyed aggregates broadcast back."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem
+    prof = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("s1"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("np"),
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n")
+    feat = prof.select(
+        "l_suppkey",
+        s1.alias("qty_sum"),
+        (s1 / n).alias("qty_mean"),
+        F.when(
+            n >= 2, F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qty_std"),
+        n.cast("double").alias("n_rows"),
+        F.col("np").cast("double").alias("n_parts"),
+    )
+    cols = ["qty_sum", "qty_mean", "qty_std", "n_rows", "n_parts"]
+    mm = feat.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(cols, 1)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(cols, 1)],
+    )
+    sc = feat.crossJoin(F.broadcast(mm)).select(
+        "l_suppkey",
+        "qty_mean",
+        *[
+            F.when(
+                F.col(f"hi{i}") > F.col(f"lo{i}"),
+                (F.col(c) - F.col(f"lo{i}")) / (F.col(f"hi{i}") - F.col(f"lo{i}")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"f{i}")
+            for i, c in enumerate(cols, 1)
+        ],
+    )
+    a = sc.select(
+        F.col("l_suppkey").alias("sa"), *[F.col(f"f{i}").alias(f"a{i}") for i in range(1, 6)]
+    )
+    b = sc.select(
+        F.col("l_suppkey").alias("sb"), *[F.col(f"f{i}").alias(f"b{i}") for i in range(1, 6)]
+    )
+    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in range(1, 6))
+    na = F.sqrt(sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(1, 6)))
+    nb = F.sqrt(sum(F.col(f"b{i}") * F.col(f"b{i}") for i in range(1, 6)))
+    pairs = a.join(b, F.col("sa") != F.col("sb")).select(
+        "sa", "sb", (dot / F.nullif(na * nb, F.lit(0.0))).alias("cos_sim")
+    )
+    top1 = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("sa").orderBy(F.col("cos_sim").desc_nulls_last(), "sb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("sa", "sb", "cos_sim")
+    )
+    qm = feat.select(
+        "l_suppkey", F.floor(F.col("qty_mean") * 10000 + F.lit(0.5)).cast("long").alias("qml")
+    )
+    sup = t.supplier
+    nat = (
+        qm.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), qm.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(r4(F.sum("qml") / (F.count(F.lit(1)) * 10000.0)).alias("nation_avg"))
+    )
+    reg = (
+        qm.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), qm.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(r4(F.sum("qml") / (F.count(F.lit(1)) * 10000.0)).alias("region_avg"))
+    )
+    glob = qm.agg(r4(F.sum("qml") / (F.count(F.lit(1)) * 10000.0)).alias("global_avg"))
+    own_mean = F.floor(F.col("qty_mean") * 10000 + F.lit(0.5)) / 10000.0
+    return (
+        sup.select("s_suppkey", "s_nationkey")
+        .join(feat.select(F.col("l_suppkey"), "qty_mean"), sup.s_suppkey == F.col("l_suppkey"), "left")
+        .join(F.broadcast(top1), sup.s_suppkey == F.col("sa"), "left")
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_regionkey")), F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(nat), "s_nationkey", "left")
+        .join(F.broadcast(reg), "n_regionkey", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "s_suppkey",
+            F.when(F.col("l_suppkey").isNull(), 0).otherwise(1).alias("has_history"),
+            F.when(F.col("l_suppkey").isNull(), F.lit(None).cast("double"))
+            .otherwise(own_mean)
+            .alias("own_mean"),
+            F.col("sb").alias("sim_suppkey"),
+            r4(F.col("cos_sim")).alias("sim_score"),
+            "nation_avg",
+            "region_avg",
+            "global_avg",
+            r4(F.coalesce(own_mean, F.col("nation_avg"), F.col("region_avg"), F.col("global_avg"))).alias(
+                "coldstart_forecast"
+            ),
+        )
+    )
+
+
+@register(
+    "stacking_predictions_join",
+    oracle="""
+WITH bounds AS (
+  SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM lineitem
+), split AS (
+  SELECT d0 + INTERVAL 1 DAY * CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS mid
+  FROM bounds
+), train AS (
+  SELECT l.* FROM lineitem l, split WHERE l.l_shipdate < split.mid
+), valid AS (
+  SELECT l.* FROM lineitem l, split WHERE l.l_shipdate >= split.mid
+), base_sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(l_quantity) AS tr_sum, CAST(count(*) AS BIGINT) AS tr_n,
+         floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000 AS pred_q75
+  FROM train GROUP BY l_suppkey, l_partkey
+), base_store AS (
+  SELECT l_suppkey,
+         floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS pred_store
+  FROM train GROUP BY l_suppkey
+), preds AS (
+  SELECT b.l_suppkey, b.l_partkey,
+         floor((tr_sum / tr_n) * 10000 + 0.5) / 10000 AS pred_mean,
+         pred_q75, pred_store, tr_n
+  FROM base_sp b JOIN base_store s ON b.l_suppkey = s.l_suppkey
+), act AS (
+  SELECT l_suppkey, l_partkey,
+         floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS actual
+  FROM valid GROUP BY l_suppkey, l_partkey
+), j AS (
+  SELECT p.*, a.actual FROM preds p JOIN act a
+  ON p.l_suppkey = a.l_suppkey AND p.l_partkey = a.l_partkey
+), err AS (
+  SELECT sum(CAST(floor(abs(actual - pred_mean) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) AS w_mean,
+         sum(CAST(floor(abs(actual - pred_q75) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) AS w_q75,
+         sum(CAST(floor(abs(actual - pred_store) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) AS w_store
+  FROM j
+), wts AS (
+  SELECT (1.0 / w_mean) / (1.0 / w_mean + 1.0 / w_q75 + 1.0 / w_store) AS a_mean,
+         (1.0 / w_q75) / (1.0 / w_mean + 1.0 / w_q75 + 1.0 / w_store) AS a_q75,
+         (1.0 / w_store) / (1.0 / w_mean + 1.0 / w_q75 + 1.0 / w_store) AS a_store
+  FROM err
+)
+SELECT j.l_suppkey, j.l_partkey, j.pred_mean, j.pred_q75, j.pred_store,
+       j.actual, j.tr_n AS n_train,
+       round(a_mean, 4) AS wt_mean,
+       round(a_q75, 4) AS wt_q75,
+       round(a_store, 4) AS wt_store,
+       round(a_mean * pred_mean + a_q75 * pred_q75 + a_store * pred_store, 4)
+         AS stacked_forecast
+FROM j, wts
+""",
+)
+def stacking_predictions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacking-ensemble DATAFLOW: N base predictions joined on the
+    series key + holdout actuals -> per-model global error -> inverse-error
+    dynamic weights -> weighted meta-forecast
+    (/root/reference/src/models/advanced_ensemble.py:204-660 stacker +
+    dynamic weighting; meta_ensemble.py:60-700).  The sklearn/LightGBM
+    meta-LEARNER itself is library-level model fitting, out of engine scope
+    (SURVEY §2.9) — this query is the distributed part: the predictions
+    join, the holdout split, and the weight computation.
+
+    Base models are deterministic stand-ins (train-half per-series mean,
+    per-series Q75, per-store mean) so the whole flow is oracle-checkable.
+    Cross-engine: every error sum is an exact 1e4-scaled BIGINT sum, so
+    the weights are identical doubles in both engines.  Scale: two keyed
+    aggregates + one keyed join + one scalar broadcast — map-side combine
+    everywhere, no global window."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem
+    bounds = li.agg(F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1"))
+    split = bounds.select(
+        F.date_add(
+            F.col("d0").cast("date"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        )
+        .cast("timestamp_ntz")
+        .alias("mid")
+    )
+    lis = li.crossJoin(F.broadcast(split))
+    train = lis.filter(F.col("l_shipdate") < F.col("mid"))
+    valid = lis.filter(F.col("l_shipdate") >= F.col("mid"))
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    base_sp = train.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("tr_sum"),
+        F.count(F.lit(1)).alias("tr_n"),
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("pred_q75"),
+    )
+    base_store = train.groupBy("l_suppkey").agg(
+        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("pred_store")
+    )
+    preds = base_sp.join(F.broadcast(base_store), "l_suppkey").select(
+        "l_suppkey",
+        "l_partkey",
+        q4(F.col("tr_sum") / F.col("tr_n")).alias("pred_mean"),
+        "pred_q75",
+        "pred_store",
+        "tr_n",
+    )
+    act = valid.groupBy("l_suppkey", "l_partkey").agg(
+        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("actual")
+    )
+    j = preds.join(act, ["l_suppkey", "l_partkey"])
+    lq = lambda c: F.floor(F.abs(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    err = j.agg(
+        (F.sum(lq(F.col("actual") - F.col("pred_mean"))) * 1.0 / F.sum(lq(F.col("actual")))).alias("w_mean"),
+        (F.sum(lq(F.col("actual") - F.col("pred_q75"))) * 1.0 / F.sum(lq(F.col("actual")))).alias("w_q75"),
+        (F.sum(lq(F.col("actual") - F.col("pred_store"))) * 1.0 / F.sum(lq(F.col("actual")))).alias("w_store"),
+    )
+    inv_tot = 1.0 / F.col("w_mean") + 1.0 / F.col("w_q75") + 1.0 / F.col("w_store")
+    wts = err.select(
+        ((1.0 / F.col("w_mean")) / inv_tot).alias("a_mean"),
+        ((1.0 / F.col("w_q75")) / inv_tot).alias("a_q75"),
+        ((1.0 / F.col("w_store")) / inv_tot).alias("a_store"),
+    )
+    return j.crossJoin(F.broadcast(wts)).select(
+        "l_suppkey",
+        "l_partkey",
+        "pred_mean",
+        "pred_q75",
+        "pred_store",
+        "actual",
+        F.col("tr_n").alias("n_train"),
+        r4(F.col("a_mean")).alias("wt_mean"),
+        r4(F.col("a_q75")).alias("wt_q75"),
+        r4(F.col("a_store")).alias("wt_store"),
+        r4(
+            F.col("a_mean") * F.col("pred_mean")
+            + F.col("a_q75") * F.col("pred_q75")
+            + F.col("a_store") * F.col("pred_store")
+        ).alias("stacked_forecast"),
     )

@@ -162,20 +162,43 @@ def binning_fixed_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "binning_quantile_ntile",
     oracle="""
+WITH e AS (
+  SELECT floor(quantile_cont(p_retailprice, 0.2) * 10000 + 0.5) / 10000 AS q1,
+         floor(quantile_cont(p_retailprice, 0.4) * 10000 + 0.5) / 10000 AS q2,
+         floor(quantile_cont(p_retailprice, 0.6) * 10000 + 0.5) / 10000 AS q3,
+         floor(quantile_cont(p_retailprice, 0.8) * 10000 + 0.5) / 10000 AS q4
+  FROM part
+)
 SELECT p_partkey, p_retailprice,
-       CAST(ntile(5) OVER (ORDER BY p_retailprice, p_partkey) AS BIGINT) AS price_quintile
-FROM part
+       CAST(1 + (CASE WHEN p_retailprice > q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN p_retailprice > q2 THEN 1 ELSE 0 END)
+              + (CASE WHEN p_retailprice > q3 THEN 1 ELSE 0 END)
+              + (CASE WHEN p_retailprice > q4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS price_quintile
+FROM part, e
 """,
 )
 def binning_quantile_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile binning (pd.qcut) as ntile over a unique ordering
+    """Quantile binning (pd.qcut semantics: right-closed value bins at the
+    0.2/0.4/0.6/0.8 quantile edges, ties share a bin)
     (/root/reference/src/features/business_features_engine.py:287-292).
-    Scale: a global ntile is a single-partition sort — at 100 TB use
-    percent_rank-threshold bins or approx quantile edges instead."""
+
+    Scale: four scalar quantile edges cross-joined back as a broadcast row —
+    no global sort or single-partition ntile window anywhere in the plan.
+    At 100 TB swap ``F.percentile`` for ``F.percentile_approx``."""
     t = Catalog(spark, sf_dir)
-    w = W.orderBy("p_retailprice", "p_partkey")
-    return t.part.select(
-        "p_partkey", "p_retailprice", F.ntile(5).over(w).cast("long").alias("price_quintile")
+    edges = t.part.agg(
+        *[
+            r4(F.percentile("p_retailprice", F.lit(q))).alias(f"q{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    quintile = F.lit(1)
+    for i in range(1, 5):
+        quintile = quintile + F.when(F.col("p_retailprice") > F.col(f"q{i}"), 1).otherwise(0)
+    return (
+        t.part.crossJoin(F.broadcast(edges))
+        .select("p_partkey", "p_retailprice", quintile.cast("long").alias("price_quintile"))
     )
 
 
@@ -269,17 +292,23 @@ FROM part
 )
 def frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency encoding of a categorical
-    (/root/reference/src/data/preprocessors.py:210-248) via unordered
-    windows — one shuffle, no join-back."""
+    (/root/reference/src/data/preprocessors.py:210-248): per-brand counts
+    via an unordered keyed window (one shuffle, no join-back); the global
+    denominator is a scalar aggregate broadcast back — never an
+    empty-partition window, which would funnel every row into one task."""
     t = Catalog(spark, sf_dir)
     wb = W.partitionBy("p_brand")
-    return t.part.select(
-        "p_partkey",
-        "p_brand",
-        F.count(F.lit(1)).over(wb).cast("long").alias("brand_freq"),
-        r4(F.count(F.lit(1)).over(wb) * F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy())).alias(
-            "brand_freq_ratio"
-        ),
+    tot = t.part.agg(F.count(F.lit(1)).alias("_total_rows"))
+    return (
+        t.part.crossJoin(F.broadcast(tot))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.count(F.lit(1)).over(wb).cast("long").alias("brand_freq"),
+            r4(F.count(F.lit(1)).over(wb) * F.lit(1.0) / F.col("_total_rows")).alias(
+                "brand_freq_ratio"
+            ),
+        )
     )
 
 

@@ -57,3 +57,20 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
         cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
         out.append(cols)
     return out
+
+
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Count Window specs with NO partition key — every such window funnels
+    all rows through one task (`WARN WindowExec: No Partition Defined`), the
+    classic 100 TB scale-killer.  In the plan text, partition columns appear
+    before the ordering columns and carry no ASC/DESC marker, so a spec
+    whose first argument is already directional (or that starts at the
+    frame) has an empty partition clause."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^()]*?)(?:,\s*specifiedwindowframe|\))", plan):
+        args = m.group(1).strip()
+        first = args.split(",")[0].strip() if args else ""
+        if not first or re.search(r"\s(ASC|DESC)\b", first):
+            n += 1
+    return n

@@ -38,3 +38,25 @@ def test_series_kernels_are_the_only_python(spark):
     assert plan_stats(QUERIES["ewm_pandas_per_series"](spark, SF_DIR)).has_python_udf
     for name in ["agg_multistat_product", "window_rolling_stats", "ewm_daily_store"]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_no_unpartitioned_windows_in_scale_paths(spark):
+    """The r1 scale-killers (global percent_rank / cumulative-share / ntile /
+    global-count windows) must stay rewritten: no Window node without a
+    partition key in any fact-table-sized query.  Queries over bounded
+    domains (25 brands, ~26 label buckets) and the documented
+    stream_late_data_policy batch audit are the only allowed exceptions."""
+    from hackatonbigdata_spark.plans.audit import unpartitioned_windows
+
+    for name in [
+        "metric_abc_tiers",
+        "heuristic_blend_forecast",
+        "binning_quantile_ntile",
+        "frequency_encoding",
+        "flagship_weekly_brand_demand",
+        "window_rolling_stats",
+        "window_rolling_median_skew",
+        "store_coldstart_fallback",
+        "stacking_predictions_join",
+    ]:
+        assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
