@@ -26,11 +26,18 @@ from pyspark.sql.types import StructType
 WATERMARK = "10 minutes"
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Guard for sessions not built by session.get_spark (which sets this at
+    build time): events.parquet is TIMESTAMP(NANOS), readable only as int64."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """File-source streams need an explicit schema; derive it from the batch
     footer read once (driver-side, cheap).  ``ts`` arrives as raw int64
     nanoseconds (parquet TIMESTAMP(NANOS) — see Catalog.table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_conf(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
@@ -39,7 +46,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch under availableNow; in production the same code points at a
     landing directory or Kafka source.  Applies the same ns→us event-time
     conversion as the batch catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(events_schema(spark, sf_dir))
         # the file stream source needs a directory base path; glob down to
@@ -55,7 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read with the same column types as ``read_events_stream`` — the
     twin input for batch/stream consistency tests."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_conf(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "ts", F.expr("timestamp_micros(ts div 1000)")
     )
@@ -107,13 +113,33 @@ def threshold_alerts_stream(events: DataFrame) -> DataFrame:
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:
-    """In-stream exact dedup on (user_id, event_type, 10-min bucket) within
-    the watermark — ``dropDuplicates`` keyed on the window column so state
-    expires with the watermark."""
+    """In-stream dedup: the first (user_id, event_type) occurrence per
+    10-minute event-time bucket survives, keep-first by (ts, event_id).
+
+    Expressed as a watermarked windowed ``min_by`` aggregate rather than
+    ``dropDuplicates`` because (a) the event-time window is part of the
+    state key, so the store is evicted as the watermark advances — a plain
+    ``dropDuplicates([user_id, event_type])`` key has no event-time column
+    and its state NEVER expires — and (b) the survivor is the
+    (ts, event_id)-minimal row, so the stream output equals the oracled
+    batch twin ``stream_dedup_within_watermark`` exactly instead of keeping
+    whichever duplicate happened to arrive first.  When duplicates are
+    byte-identical redeliveries (at-least-once sources), Spark 3.5+'s
+    ``dropDuplicatesWithinWatermark`` is the cheaper arrival-order variant."""
+    first_row = F.min_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    )
     return (
         events.withWatermark("ts", WATERMARK)
-        .dropDuplicates(["user_id", "event_type"])
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        .groupBy("user_id", "event_type", F.window("ts", "10 minutes"))
+        .agg(first_row.alias("first_row"))
+        .select(
+            F.col("first_row.event_id").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.col("first_row.ts").alias("ts"),
+            F.col("first_row.value").alias("value"),
+        )
     )
 
 

@@ -53,12 +53,37 @@ def test_threshold_alerts_stream_matches_batch(spark, events_stream, events_batc
     )
 
 
-def test_dedup_stream_is_subset_and_unique(spark, events_stream, events_batch):
+def test_dedup_stream_matches_batch_twin(spark, events_stream, events_batch):
+    """Append-mode dedup: every emitted row must be exactly the batch twin's
+    survivor for its (user, type, 10-min bucket); every bucket closed before
+    the final watermark must have been emitted; state is watermark-keyed."""
     jobs.run_to_memory(jobs.dedup_stream(events_stream), "t_dedup", "append")
-    got = spark.table("t_dedup")
-    # one row per (user_id, event_type); every kept row exists in the source
-    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
-    assert got.join(events_batch.select("event_id"), "event_id", "left_anti").count() == 0
+    got = _sorted_pdf(spark.table("t_dedup"), ["event_id"])
+    # batch twin: withWatermark is a no-op in batch, same function body
+    bpdf = _sorted_pdf(jobs.dedup_stream(events_batch), ["event_id"])
+
+    # every stream row is a batch-survivor row, byte-for-byte
+    merged = got.merge(bpdf, on=["user_id", "event_type", "ts"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "stream emitted a row the batch dedup doesn't keep"
+    assert (merged["event_id_s"] == merged["event_id_b"]).all()
+    assert (merged["value_s"] - merged["value_b"]).abs().max() < 1e-9
+
+    # completeness: buckets whose window end precedes the final watermark
+    # must all have been emitted (later ones may be withheld in append mode)
+    final_wm = events_batch.agg(F.max("ts")).first()[0] - pd.Timedelta(minutes=10)
+    bucket_end = bpdf["ts"].dt.floor("10min") + pd.Timedelta(minutes=10)
+    closed = bpdf[bucket_end <= final_wm]
+    assert len(got) >= len(closed)
+    # and the registry's oracled batch query agrees with the batch twin
+    from hackatonbigdata_spark.registry import all_queries
+
+    oracle_q = _sorted_pdf(
+        all_queries()["stream_dedup_within_watermark"](spark, SF_DIR), ["event_id"]
+    )
+    pd.testing.assert_frame_equal(
+        bpdf[["event_id", "user_id", "event_type", "ts"]],
+        oracle_q[["event_id", "user_id", "event_type", "ts"]],
+    )
 
 
 def test_stateful_user_counter_totals(spark, events_stream, events_batch):
