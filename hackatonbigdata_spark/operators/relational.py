@@ -118,6 +118,37 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+""",
+)
+def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sampling dev-subset scan (~10%), SURVEY §2.1
+    (/root/reference/src/data/loaders.py:68-98 uses Bernoulli
+    ``df.sample(fraction)``).
+
+    Implemented as a deterministic hash-bucket filter on the key — the same
+    10% sample on every run, engine, and partitioning, which Bernoulli
+    ``df.sample(fraction, seed)`` cannot promise across engines (RNG
+    stream is implementation-defined; it also can't be oracle-checked).
+    ``df.sample`` remains the one-liner when reproducibility doesn't
+    matter.  Scale: the filter is rowwise and codegen'd — no shuffle."""
+    t = Catalog(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(10),
+    )
+    return t.orders.filter(bucket == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@register(
     "filter_quantile_band",
     oracle="""
 WITH bounds AS (

@@ -56,15 +56,24 @@ def window_lag_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     w = W.partitionBy("l_suppkey").orderBy(*_ORDER)
     q = F.col("l_quantity")
-    lag1 = F.lag("l_quantity", 1).over(w)
-    lag7 = F.lag("l_quantity", 7).over(w)
-    return _keyed(t).select(
+    # one window slot per lag (window expressions are extracted per
+    # occurrence, not CSE'd — see window_rolling_stats)
+    raw = _keyed(t).select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        lag1.alias("lag1"),
-        lag7.alias("lag7"),
+        F.lag("l_quantity", 1).over(w).alias("lag1"),
+        F.lag("l_quantity", 7).over(w).alias("lag7"),
+    )
+    lag1, lag7 = F.col("lag1"), F.col("lag7")
+    return raw.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "lag1",
+        "lag7",
         r4(q - lag1).alias("diff1"),
         r4(q / (lag1 + F.lit(1e-8)) - 1).alias("pct1"),
         r4(q / (lag7 + F.lit(1e-8))).alias("ratio7"),
@@ -88,20 +97,115 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
 def window_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling mean/std/min/max/CV over a 7-row trailing frame with
     min_periods=1 semantics (frame shrinks at series start, like pandas
-    rolling(min_periods=1); /root/reference/src/features/temporal_features_engine.py:179-201)."""
+    rolling(min_periods=1); /root/reference/src/features/temporal_features_engine.py:179-201).
+
+    Each window aggregate is materialized ONCE into a raw column before any
+    r4/derived arithmetic touches it: the analyzer extracts one window slot
+    per *occurrence* (no CSE across window expressions), so wrapping
+    ``avg().over(w)`` in r4 directly would make WindowExec evaluate every
+    sliding aggregate 4-8 times per row."""
     t = Catalog(spark, sf_dir)
     w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(-6, 0)
-    mean = F.avg("l_quantity").over(w)
-    std = F.stddev("l_quantity").over(w)
-    return _keyed(t).select(
+    raw = _keyed(t).select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        r4(mean).alias("roll_mean7"),
-        r4(std).alias("roll_std7"),
-        r4(F.min("l_quantity").over(w)).alias("roll_min7"),
-        r4(F.max("l_quantity").over(w)).alias("roll_max7"),
-        r4(std / (mean + F.lit(1e-8))).alias("roll_cv7"),
+        F.avg("l_quantity").over(w).alias("_mean"),
+        F.stddev("l_quantity").over(w).alias("_std"),
+        F.min("l_quantity").over(w).alias("_min"),
+        F.max("l_quantity").over(w).alias("_max"),
+    )
+    return raw.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        r4("_mean").alias("roll_mean7"),
+        r4("_std").alias("roll_std7"),
+        r4("_min").alias("roll_min7"),
+        r4("_max").alias("roll_max7"),
+        r4(F.col("_std") / (F.col("_mean") + F.lit(1e-8))).alias("roll_cv7"),
+    )
+
+
+@register(
+    "window_rolling_median_skew",
+    oracle=f"""
+WITH s AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         count(*) OVER w AS n,
+         median(l_quantity) OVER w AS med,
+         sum(l_quantity) OVER w AS s1,
+         sum(l_quantity * l_quantity) OVER w AS s2,
+         sum(l_quantity * l_quantity * l_quantity) OVER w AS s3
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, n, med,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+  FROM s
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(med, 4) AS roll_med7,
+       CASE WHEN n >= 3 AND m2 > 0
+            THEN round(sqrt(CAST(n * (n - 1) AS DOUBLE)) / (n - 2)
+                       * m3 / (m2 * sqrt(m2)), 4)
+            ELSE 0.0 END AS roll_skew7
+FROM m
+""",
+)
+def window_rolling_median_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median + rolling sample skewness over the 7-row trailing
+    frame (pandas rolling(7, min_periods=1).median() and
+    rolling(7, min_periods=3).skew().fillna(0);
+    /root/reference/src/features/temporal_features_engine.py:179-201).
+
+    Skewness is the bias-corrected sample statistic
+    G1 = sqrt(n(n-1))/(n-2) * m3/m2^1.5 computed in closed form from the
+    window power sums Σx, Σx², Σx³ — no per-row Python, one WindowExec pass
+    (same frame for every aggregate).  Spark's ``median`` rejects window
+    frames, so the median interpolates the sorted 7-element frame array
+    (``collect_list`` over the frame), O(w log w) on a bounded w=7.  Both
+    engines evaluate identical expression trees on exact integer-valued
+    sums, so the doubles agree bit-for-bit before quantization.  n<3 or
+    zero variance -> 0, the reference's fillna(0)."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(*_ORDER).rowsBetween(-6, 0)
+    q = F.col("l_quantity")
+    # one window slot per aggregate (see window_rolling_stats: the analyzer
+    # duplicates window expressions per occurrence, so derive the composite
+    # stats from materialized raw columns)
+    raw = _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum(q).over(w).alias("_s1"),
+        F.sum(q * q).over(w).alias("_s2"),
+        F.sum(q * q * q).over(w).alias("_s3"),
+        F.array_sort(F.collect_list(q).over(w)).alias("_arr"),
+    )
+    n, s1, s2, s3 = F.col("_n"), F.col("_s1"), F.col("_s2"), F.col("_s3")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    skew = (
+        F.sqrt((n * (n - 1)).cast("double")) / (n - 2) * m3 / (m2 * F.sqrt(m2))
+    )
+    arr = F.col("_arr")
+    na = F.size(arr)
+    half = (na / 2).cast("int")
+    med = F.when(na % 2 == 1, F.element_at(arr, half + 1)).otherwise(
+        (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2
+    )
+    return raw.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        r4(med).alias("roll_med7"),
+        F.when((n >= 3) & (m2 > 0), r4(skew)).otherwise(F.lit(0.0)).alias("roll_skew7"),
     )
 
 
@@ -434,18 +538,30 @@ def window_momentum_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll7 = ordered.rowsBetween(-6, 0)
     roll4 = ordered.rowsBetween(-3, 0)
     q = F.col("l_quantity")
-    b = _keyed(t).select(
+    # raw window slots first (no r4 around .over — expressions are
+    # extracted per occurrence, see window_rolling_stats)
+    raw = _keyed(t).select(
         "l_suppkey",
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
-        r4(q / (F.lag("l_quantity", 7).over(ordered) + F.lit(1e-8)) - 1).alias("momentum7"),
-        r4(F.stddev("l_quantity").over(roll7)).alias("volatility7"),
-        r4(F.avg("l_quantity").over(roll4)).alias("trend4"),
+        "l_quantity",
+        F.lag("l_quantity", 7).over(ordered).alias("_lag7"),
+        F.stddev("l_quantity").over(roll7).alias("_vol7"),
+        F.avg("l_quantity").over(roll4).alias("_trend4"),
+    )
+    b = raw.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        r4(q / (F.col("_lag7") + F.lit(1e-8)) - 1).alias("momentum7"),
+        r4("_vol7").alias("volatility7"),
+        r4("_trend4").alias("trend4"),
     )
     return b.withColumn(
-        "acceleration", r4(F.col("trend4") - F.lag("trend4").over(ordered))
-    ).drop("l_shipdate")
+        "_accel_raw", F.col("trend4") - F.lag("trend4").over(ordered)
+    ).withColumn("acceleration", r4("_accel_raw")).drop("l_shipdate", "_accel_raw")
 
 
 @register(
@@ -523,4 +639,69 @@ def ewm_daily_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         r4(ema).alias("ema_qty"),
         F.size("arr").cast("long").alias("n_days"),
+    )
+
+
+@register(
+    "holt_level_trend",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, l_shipdate,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+  FROM lineitem GROUP BY 1, 2
+), seq AS (
+  SELECT l_suppkey, list(qty ORDER BY l_shipdate) AS qs
+  FROM daily GROUP BY l_suppkey
+), d AS (
+  SELECT l_suppkey, qs,
+         list_transform(range(2, len(qs) + 1), i -> qs[i] - qs[i - 1]) AS ds
+  FROM seq
+)
+SELECT l_suppkey,
+       round(list_reduce(qs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS holt_level,
+       CASE WHEN len(qs) < 2 THEN 0.0
+            ELSE round(list_reduce(ds, (acc, x) -> 0.15 * x + 0.85 * acc), 4)
+            END AS holt_trend,
+       CAST(len(qs) AS BIGINT) AS n_days
+FROM d
+""",
+)
+def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing, the reference's approximation:
+    level = ewm(alpha=0.3, adjust=False) of the daily series, trend =
+    ewm(alpha/2=0.15, adjust=False) of its first differences, 0 for
+    single-point series (pandas ``.diff().ewm(...).mean()`` then fillna(0);
+    /root/reference/src/features/temporal_features_engine.py:261-276).
+
+    Same scale shape as ``ewm_daily_store``: the recursive folds run as
+    JVM higher-order ``aggregate`` over each store's date-sorted daily
+    array — one shuffle to the (store) grain, no Python, state bounded by
+    series length (at 100 TB the per-(store,product) grain keeps arrays
+    to a few hundred elements)."""
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        r4(F.sum("l_quantity")).alias("qty")
+    )
+    seq = daily.groupBy("l_suppkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_shipdate", "qty"))).alias("arr")
+    )
+    qs = F.col("arr").getField("qty")
+    n1 = F.greatest(F.size(qs) - 1, F.lit(0))
+    # first differences qs[i+1] - qs[i]
+    ds = F.zip_with(F.slice(qs, 2, n1), F.slice(qs, 1, n1), lambda a, b: a - b)
+    level = F.aggregate(
+        F.slice(qs, 2, n1),
+        F.element_at(qs, 1).cast("double"),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    trend = F.aggregate(
+        F.slice(ds, 2, F.greatest(F.size(ds) - 1, F.lit(0))),
+        F.element_at(ds, 1).cast("double"),
+        lambda acc, x: F.lit(0.15) * x + F.lit(0.85) * acc,
+    )
+    return seq.select(
+        "l_suppkey",
+        r4(level).alias("holt_level"),
+        F.when(F.size(qs) < 2, F.lit(0.0)).otherwise(r4(trend)).alias("holt_trend"),
+        F.size(qs).cast("long").alias("n_days"),
     )
