@@ -41,7 +41,11 @@ class Catalog:
             # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
             # rejects; read the raw int64 and truncate ns -> us exactly as
             # DuckDB does, so event-time semantics match the oracle.
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # session.get_spark sets nanosAsLong at build time; this guard
+            # only exists for sessions the engine didn't build (the driver's)
+            # and is idempotent.
+            if self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return self.spark.read.parquet(f"{self.sf_dir}/events.parquet").withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
             )

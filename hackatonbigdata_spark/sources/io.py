@@ -49,16 +49,21 @@ def write_submission(df: DataFrame, path: str) -> int:
     missing = [c for c in SUBMISSION_COLS if c not in df.columns]
     if missing:
         raise SchemaError(f"submission missing columns {missing}")
-    out = df.select(*SUBMISSION_COLS)
-    n = out.count()
-    (
-        out.coalesce(1)
-        .write.mode("overwrite")
-        .option("sep", ";")
-        .option("header", "true")
-        .option("encoding", "UTF-8")
-        .csv(path)
-    )
+    # persist so the upstream DAG executes once for both the row-count
+    # assert and the write (count + write were two full executions before)
+    out = df.select(*SUBMISSION_COLS).persist()
+    try:
+        n = out.count()
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("sep", ";")
+            .option("header", "true")
+            .option("encoding", "UTF-8")
+            .csv(path)
+        )
+    finally:
+        out.unpersist()
     return n
 
 
