@@ -1814,3 +1814,331 @@ def stacking_predictions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("a_store") * F.col("pred_store")
         ).alias("stacked_forecast"),
     )
+
+
+@register(
+    "residual_diagnostics_store",
+    oracle=f"""
+WITH f AS ({{_FORECAST_SQL}}),
+r AS (
+  SELECT l_suppkey,
+         CAST(floor((actual - forecast) * 10000 + 0.5) AS BIGINT) AS el,
+         CAST(floor(forecast * 10000 + 0.5) AS BIGINT) AS fl,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY l_suppkey) AS cnt,
+         lag(CAST(floor((actual - forecast) * 10000 + 0.5) AS BIGINT)) OVER w AS lel
+  FROM f WHERE forecast IS NOT NULL
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY {{_ORDER_SQL}})
+), med AS (
+  SELECT l_suppkey, median(el) AS med_el FROM r GROUP BY l_suppkey
+), rb AS (
+  SELECT r.*, CASE WHEN r.el > m.med_el THEN 1 ELSE 0 END AS b,
+         lag(CASE WHEN r.el > m.med_el THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.l_suppkey ORDER BY r.rn) AS lb
+  FROM r JOIN med m ON r.l_suppkey = m.l_suppkey
+), a AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(el) AS HUGEINT) AS s1,
+         sum(CAST(el AS HUGEINT) * el) AS s2,
+         sum(CAST(el AS HUGEINT) * el * el) AS s3,
+         sum(CAST(el AS HUGEINT) * el * el * el) AS s4,
+         sum(CASE WHEN lel IS NULL THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(el AS HUGEINT) * lel END) AS lp,
+         CAST(sum(fl) AS HUGEINT) AS sf1,
+         sum(CAST(fl AS HUGEINT) * fl) AS sf2,
+         sum(CAST(fl AS HUGEINT) * el * el) AS sxy,
+         max(CASE WHEN rn = 1 THEN el END) AS el_first,
+         max(CASE WHEN rn = cnt THEN el END) AS el_last,
+         CAST(sum(b) AS BIGINT) AS n1,
+         1 + CAST(sum(CASE WHEN lb IS NOT NULL AND b <> lb THEN 1 ELSE 0 END) AS BIGINT)
+           AS runs
+  FROM rb GROUP BY l_suppkey
+), s AS (
+  SELECT l_suppkey, n, n1, runs, el_first, el_last,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4,
+         CAST(s2 AS DOUBLE) AS s2d, CAST(lp AS DOUBLE) AS lpd,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(sf1 AS DOUBLE) AS sf1d,
+         CAST(sf2 AS DOUBLE) AS sf2d, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(s4 AS DOUBLE) AS s4d
+  FROM a
+), t AS (
+  SELECT l_suppkey, n, n1, runs,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew_pop,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt_pop,
+         CASE WHEN s2d > 0 THEN
+           ((s2d - el_first * CAST(el_first AS DOUBLE))
+            + (s2d - el_last * CAST(el_last AS DOUBLE)) - 2 * lpd) / s2d END AS dw,
+         (n * sxyd - sf1d * (s2d))
+           / nullif(sqrt(n * sf2d - sf1d * sf1d) * sqrt(n * s4d - s2d * s2d), 0) AS bp_corr,
+         n - n1 AS n0
+  FROM s
+)
+SELECT l_suppkey, n AS n_resid,
+       round(CASE WHEN skew_pop IS NOT NULL AND kurt_pop IS NOT NULL THEN
+         n / 6.0 * (skew_pop * skew_pop + (kurt_pop - 3) * (kurt_pop - 3) / 4.0) END, 4)
+         AS jb_stat,
+       round(skew_pop, 4) AS resid_skew,
+       round(kurt_pop, 4) AS resid_kurt,
+       round(dw, 4) AS dw_stat,
+       round(bp_corr, 4) AS bp_corr,
+       round(bp_corr * sqrt((n - 2) / nullif(1 - bp_corr * bp_corr, 0)), 4) AS bp_t,
+       CAST(runs AS BIGINT) AS n_runs,
+       round((runs - (2.0 * n1 * n0 / n + 1))
+             / nullif(sqrt((2.0 * n1 * n0 * (2.0 * n1 * n0 - n))
+                           / (CAST(n AS DOUBLE) * n * (n - 1))), 0), 4) AS runs_z
+FROM t
+""".replace("{_FORECAST_SQL}", _FORECAST_SQL).replace("{_ORDER_SQL}", _ORDER_SQL),
+)
+def residual_diagnostics_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store residual diagnostics: Jarque-Bera normality statistic,
+    Durbin-Watson + lag-1 structure, Breusch-Pagan correlation form, and
+    the Wald-Wolfowitz runs test
+    (/root/reference/src/evaluation/error_analysis.py:611-953: _test_normality
+    jarque_bera, _test_autocorrelation, _test_heteroskedasticity's manual
+    corr(fitted, e²) + t-stat, _test_randomness runs test on the
+    above/below-median binary; p-values need CDF lookups — the reference
+    thresholds them driver-side, the engine emits the statistics).
+
+    Everything is closed-form from per-store power sums of the 1e4-scaled
+    integer residual: Σe..Σe⁴ accumulate as DECIMAL(38,0)/HUGEINT so the
+    sums are EXACT (e⁴ exceeds both int64 and the 2^53 double mantissa) and
+    summation order can't drift between engines; the doubles only appear in
+    the final closed forms, identically on both sides.  Scale: two keyed
+    window passes + one keyed aggregate per store — no global ordering, no
+    Python, map-side partial aggregation throughout."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    el = F.floor((F.col("actual") - F.col("forecast")) * 10000 + F.lit(0.5)).cast("long")
+    fl = F.floor(F.col("forecast") * 10000 + F.lit(0.5)).cast("long")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    r = f.select(
+        "l_suppkey",
+        el.alias("el"),
+        fl.alias("fl"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).alias("cnt"),
+        F.lag(el).over(w).alias("lel"),
+    )
+    med = r.groupBy("l_suppkey").agg(F.percentile("el", F.lit(0.5)).alias("med_el"))
+    b = F.when(F.col("el") > F.col("med_el"), 1).otherwise(0)
+    wb = W.partitionBy("l_suppkey").orderBy("rn")
+    rb = r.join(med, "l_suppkey").select(
+        "l_suppkey", "el", "fl", "rn", "cnt", "lel",
+        b.alias("b"),
+        F.lag(b).over(wb).alias("lb"),
+    )
+    d38 = "decimal(38,0)"
+    eld = F.col("el").cast(d38)
+    fld = F.col("fl").cast(d38)
+    a = rb.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("el").cast(d38).alias("s1"),
+        F.sum(eld * F.col("el")).alias("s2"),
+        F.sum(eld * F.col("el") * F.col("el")).alias("s3"),
+        F.sum(eld * F.col("el") * F.col("el") * F.col("el")).alias("s4"),
+        F.sum(
+            F.when(F.col("lel").isNull(), F.lit(0).cast(d38)).otherwise(eld * F.col("lel"))
+        ).alias("lp"),
+        F.sum("fl").cast(d38).alias("sf1"),
+        F.sum(fld * F.col("fl")).alias("sf2"),
+        F.sum(fld * F.col("el") * F.col("el")).alias("sxy"),
+        F.max(F.when(F.col("rn") == 1, F.col("el"))).alias("el_first"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("el"))).alias("el_last"),
+        F.sum("b").alias("n1"),
+        (1 + F.sum(
+            F.when(F.col("lb").isNotNull() & (F.col("b") != F.col("lb")), 1).otherwise(0)
+        )).alias("runs"),
+    )
+    n = F.col("n")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mean = s1d / n
+    m2 = s2d / n - mean * mean
+    m3 = s3d / n - 3 * mean * (s2d / n) + 2 * mean * mean * mean
+    m4 = (
+        s4d / n
+        - 4 * mean * (s3d / n)
+        + 6 * mean * mean * (s2d / n)
+        - 3 * mean * mean * mean * mean
+    )
+    s = a.select(
+        "l_suppkey", "n", "n1", "runs", "el_first", "el_last",
+        m2.alias("m2"), m3.alias("m3"), m4.alias("m4"),
+        s2d.alias("s2d"),
+        F.col("lp").cast("double").alias("lpd"),
+        s1d.alias("s1d"),
+        F.col("sf1").cast("double").alias("sf1d"),
+        F.col("sf2").cast("double").alias("sf2d"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        s4d.alias("s4d"),
+    )
+    m2c, m3c, m4c = F.col("m2"), F.col("m3"), F.col("m4")
+    skew_pop = F.when(m2c > 0, m3c / (m2c * F.sqrt(m2c)))
+    kurt_pop = F.when(m2c > 0, m4c / (m2c * m2c))
+    dw = F.when(
+        F.col("s2d") > 0,
+        (
+            (F.col("s2d") - F.col("el_first") * F.col("el_first").cast("double"))
+            + (F.col("s2d") - F.col("el_last") * F.col("el_last").cast("double"))
+            - 2 * F.col("lpd")
+        )
+        / F.col("s2d"),
+    )
+    bp_corr = (n * F.col("sxyd") - F.col("sf1d") * F.col("s2d")) / F.nullif(
+        F.sqrt(n * F.col("sf2d") - F.col("sf1d") * F.col("sf1d"))
+        * F.sqrt(n * F.col("s4d") - F.col("s2d") * F.col("s2d")),
+        F.lit(0.0),
+    )
+    tt = s.select(
+        "l_suppkey", "n", "n1", "runs",
+        skew_pop.alias("skew_pop"),
+        kurt_pop.alias("kurt_pop"),
+        dw.alias("dw"),
+        bp_corr.alias("bp_corr"),
+        (n - F.col("n1")).alias("n0"),
+    )
+    sk, ku = F.col("skew_pop"), F.col("kurt_pop")
+    bpc = F.col("bp_corr")
+    n1c, n0c, runsc = F.col("n1"), F.col("n0"), F.col("runs")
+    nn = F.col("n")
+    return tt.select(
+        "l_suppkey",
+        nn.alias("n_resid"),
+        r4(
+            F.when(
+                sk.isNotNull() & ku.isNotNull(),
+                nn / 6.0 * (sk * sk + (ku - 3) * (ku - 3) / 4.0),
+            )
+        ).alias("jb_stat"),
+        r4(sk).alias("resid_skew"),
+        r4(ku).alias("resid_kurt"),
+        r4(F.col("dw")).alias("dw_stat"),
+        r4(bpc).alias("bp_corr"),
+        r4(bpc * F.sqrt((nn - 2) / F.nullif(1 - bpc * bpc, F.lit(0.0)))).alias("bp_t"),
+        runsc.cast("long").alias("n_runs"),
+        r4(
+            (runsc - (2.0 * n1c * n0c / nn + 1))
+            / F.nullif(
+                F.sqrt(
+                    (2.0 * n1c * n0c * (2.0 * n1c * n0c - nn))
+                    / (nn.cast("double") * nn * (nn - 1))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("runs_z"),
+    )
+
+
+@register(
+    "calibration_curve_bins",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v AS (
+  SELECT actual, forecast,
+         CAST(floor(forecast * 10000 + 0.5) AS BIGINT) AS fl
+  FROM f WHERE forecast IS NOT NULL
+), e AS (
+  SELECT floor(quantile_cont(forecast, 0.1) * 10000 + 0.5) / 10000 AS q1,
+         floor(quantile_cont(forecast, 0.2) * 10000 + 0.5) / 10000 AS q2,
+         floor(quantile_cont(forecast, 0.3) * 10000 + 0.5) / 10000 AS q3,
+         floor(quantile_cont(forecast, 0.4) * 10000 + 0.5) / 10000 AS q4,
+         floor(quantile_cont(forecast, 0.5) * 10000 + 0.5) / 10000 AS q5,
+         floor(quantile_cont(forecast, 0.6) * 10000 + 0.5) / 10000 AS q6,
+         floor(quantile_cont(forecast, 0.7) * 10000 + 0.5) / 10000 AS q7,
+         floor(quantile_cont(forecast, 0.8) * 10000 + 0.5) / 10000 AS q8,
+         floor(quantile_cont(forecast, 0.9) * 10000 + 0.5) / 10000 AS q9
+  FROM v
+), binned AS (
+  SELECT actual, fl,
+         1 + (CASE WHEN forecast > q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q5 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q6 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q7 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q8 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q9 THEN 1 ELSE 0 END) AS forecast_decile
+  FROM v, e
+)
+SELECT CAST(forecast_decile AS BIGINT) AS forecast_decile,
+       count(*) AS n_rows,
+       floor((CAST(sum(fl) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000
+         AS mean_forecast,
+       floor((CAST(sum(actual) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+         AS mean_actual,
+       round(CAST(sum(actual) AS DOUBLE) * 10000.0 / nullif(CAST(sum(fl) AS DOUBLE), 0), 4)
+         AS calibration_ratio
+FROM binned
+GROUP BY forecast_decile
+""",
+)
+def calibration_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability curve: forecasts bucketed into value-deciles,
+    per-bin mean forecast vs mean actual and their ratio — the distributed
+    dataflow behind the reference's calibration suite
+    (/root/reference/src/models/model_calibration.py:49-520; the
+    Platt/isotonic/temperature FITTING loops are scipy/sklearn model
+    internals, out of engine scope — the engine supplies the binned curve
+    they fit on, plus the conformal intervals in
+    ``calibration_interval_coverage`` and the global 1.687 bias factor in
+    ``heuristic_blend_forecast``).
+
+    Scale: nine scalar quantile edges broadcast back (no ntile window), one
+    keyed aggregate; means and ratio derive from exact integer sums of the
+    1e4-scaled forecast so both engines emit identical doubles."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    v = f.select(
+        "actual",
+        "forecast",
+        F.floor(F.col("forecast") * 10000 + F.lit(0.5)).cast("long").alias("fl"),
+    )
+    edges = v.agg(
+        *[
+            r4(F.percentile("forecast", F.lit(i / 10.0))).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("forecast") > F.col(f"q{i}"), 1).otherwise(0)
+    binned = v.crossJoin(F.broadcast(edges)).select(
+        "actual", "fl", decile.alias("forecast_decile")
+    )
+    return binned.groupBy("forecast_decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.floor(
+                (F.sum("fl").cast("double") / (F.count(F.lit(1)) * 10000.0)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_forecast"),
+        (
+            F.floor((F.sum("actual").cast("double") / F.count(F.lit(1))) * 10000 + F.lit(0.5))
+            / 10000.0
+        ).alias("mean_actual"),
+        r4(
+            F.sum("actual").cast("double")
+            * 10000.0
+            / F.nullif(F.sum("fl").cast("double"), F.lit(0.0))
+        ).alias("calibration_ratio"),
+    ).select(
+        F.col("forecast_decile").cast("long").alias("forecast_decile"),
+        "n_rows",
+        "mean_forecast",
+        "mean_actual",
+        "calibration_ratio",
+    )

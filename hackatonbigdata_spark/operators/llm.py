@@ -349,16 +349,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    cos = r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("keep_vec_id"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            r4("_cos_raw").alias("cos_sim"),
+            F.least(F.col("vec_a"), F.col("vec_b")).alias("keep_vec_id"),
         )
         .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim", "keep_vec_id")
     )
 
 
@@ -394,12 +399,17 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-            "cos_sim"
-        ),
+    # the HOF dot-product fold is materialized ONCE per pair (raw column in
+    # an inner projection), then rounded — r4(X) references X four times and
+    # interpreted HOFs get no reliable subexpression elimination
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
+        )
+        .select("vec_id", "neighbor_id", r4("_cos_raw").alias("cos_sim"))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -457,10 +467,14 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    ccos = r4(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm")))
     assign = (
         e.crossJoin(F.broadcast(c))
-        .select("vec_id", "centroid_id", ccos.alias("ccos"))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("_ccos_raw"),
+        )
+        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -473,7 +487,6 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = e.join(assign, "vec_id")
     a = ea.alias("a")
     b = ea.alias("b")
-    cos = r4(_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")))
     pairs = (
         a.join(
             b,
@@ -484,8 +497,9 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_id"),
             F.col("a.bucket_id").alias("bucket_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
         )
+        .select("vec_id", "bucket_id", "neighbor_id", r4("_cos_raw").alias("cos_sim"))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -73,6 +73,8 @@ _PRIORITY: list[str] = [
     "store_coldstart_fallback",
     "sample_scan",
     "stacking_predictions_join",
+    "residual_diagnostics_store",
+    "calibration_curve_bins",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",

@@ -133,3 +133,35 @@ def test_session_windows_stream_emits_watermark_closed_sessions(
     final_wm = events_batch.agg(F.max("ts")).first()[0] - pd.Timedelta(minutes=10)
     closed = bpdf[bpdf["session_end"] <= final_wm]
     assert len(got) >= len(closed)
+
+
+def test_tumbling_stream_parquet_sink_roundtrip(spark, events_stream, events_batch, tmp_path):
+    """Production sink path: windowed agg -> checkpointed parquet file sink
+    (append mode), read back and compared to the batch twin restricted to
+    watermark-closed windows.  Memory-sink tests cover semantics; this
+    covers the real sink + checkpoint wiring."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        jobs.tumbling_hourly_stream(events_stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = _sorted_pdf(spark.read.parquet(out), ["window_start", "event_type"])
+    batch = jobs.tumbling_hourly_stream(events_batch)
+    bpdf = _sorted_pdf(batch, ["window_start", "event_type"])
+    # append mode emits only watermark-closed windows; all emitted rows must
+    # equal the batch rows and closed windows must be complete
+    key = ["window_start", "event_type"]
+    merged = got.merge(bpdf, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] - merged["sum_value_b"]).abs().max() < 1e-9
+    final_wm = events_batch.agg(F.max("ts")).first()[0] - pd.Timedelta(minutes=10)
+    closed = bpdf[bpdf["window_start"] + pd.Timedelta(hours=1) <= final_wm]
+    assert len(got) >= len(closed)
