@@ -399,17 +399,27 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    # the HOF dot-product fold is materialized ONCE per pair (raw column in
-    # an inner projection), then rounded — r4(X) references X four times and
-    # interpreted HOFs get no reliable subexpression elimination
-    pairs = (
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+    # Each unordered pair's fold is evaluated ONCE (join on a < b, then the
+    # two directions are emitted by a cheap union): cosine is symmetric and
+    # the zip_with products commute elementwise, so both directions carry
+    # the identical double.  The fold is also materialized in an inner
+    # projection before rounding — r4(X) references X four times and
+    # interpreted HOFs get no reliable subexpression elimination.
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
             (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
         )
-        .select("vec_id", "neighbor_id", r4("_cos_raw").alias("cos_sim"))
+        .select("id_lo", "id_hi", r4("_cos_raw").alias("cos_sim"))
+    )
+    pairs = half.select(
+        F.col("id_lo").alias("vec_id"), F.col("id_hi").alias("neighbor_id"), "cos_sim"
+    ).unionAll(
+        half.select(
+            F.col("id_hi").alias("vec_id"), F.col("id_lo").alias("neighbor_id"), "cos_sim"
+        )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -731,4 +741,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fp.withColumn(
         "n_docs_sharing", F.count(F.lit(1)).over(W.partitionBy("fingerprint"))
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM w WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         floor(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) * 10000 + 0.5) / 10000
+           AS tfidf
+  FROM tf JOIN df ON tf.term = df.term, n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: smoothed idf
+    ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf convention) over the shared
+    normalized tokenization — the distributed term-weighting pass an LLM
+    data pipeline runs for keyword extraction / quality filtering (extends
+    the reference's text scope, SURVEY §2 LLM-ops block; tokenization
+    matches text_token_count).
+
+    Scale: explode -> two keyed aggregates (term frequency per doc, doc
+    frequency per term) -> term-keyed join + scalar broadcast; ranking is
+    per-doc (partitioned window + WindowGroupLimit).  Ranks on the
+    quantized score with a term tie-break so ordering is engine-independent."""
+    t = Catalog(spark, sf_dir)
+    w = _doc_words(t).select("doc_id", F.explode("w").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("_tfidf_raw"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.floor(F.col("_tfidf_raw") * 10000 + F.lit(0.5)) / 10000.0).alias("tfidf"),
+        )
+    )
+    rw = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= 3)
     )

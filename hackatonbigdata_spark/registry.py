@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "stacking_predictions_join",
     "residual_diagnostics_store",
     "calibration_curve_bins",
+    "text_tfidf_topterms",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
@@ -102,25 +103,25 @@ _PRIORITY: list[str] = [
     "window_momentum_accel",
     "window_decline_indicator",
     "ewm_daily_store",
-    # scalars — never driver-checked in round 1
+    # scalars + streaming batch twins, interleaved so both families land in
+    # the driver's bounded check window — none were driver-checked in round 1
     "calendar_extract",
     "cyclical_fourier",
-    "binning_fixed_tiers",
-    "string_normalize",
     "null_strategies",
-    "frequency_encoding",
-    "label_encode_other",
     "holiday_proximity",
-    "business_calendar_flags",
     "clip_and_rewrite",
-    # streaming batch twins — never driver-checked in round 1
     "stream_tumbling_hourly",
     "stream_threshold_alerts",
     "stream_json_props_extract",
     "stream_sliding_1h_30m",
     "stream_alert_rate_limit",
+    # below here: checked only if the driver's window extends past 50
+    "binning_fixed_tiers",
+    "string_normalize",
+    "frequency_encoding",
+    "label_encode_other",
+    "business_calendar_flags",
     "stream_late_data_policy",
-    # text + multimodal — never driver-checked in round 1
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
