@@ -2142,3 +2142,63 @@ def calibration_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_actual",
         "calibration_ratio",
     )
+
+
+@register(
+    "metric_wmape_weighted",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v AS (
+  SELECT f.l_suppkey AS l_suppkey,
+         CAST(floor(abs(f.actual - f.forecast) * 10000 + 0.5) AS BIGINT) AS el,
+         CAST(floor(abs(f.actual) * 10000 + 0.5) AS BIGINT) AS al,
+         CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT) AS wl
+  FROM f JOIN lineitem li
+    ON f.l_orderkey = li.l_orderkey AND f.l_linenumber = li.l_linenumber
+  WHERE f.forecast IS NOT NULL
+)
+SELECT l_suppkey,
+       round(CAST(sum(CAST(wl AS HUGEINT) * el) AS DOUBLE)
+             / nullif(CAST(sum(CAST(wl AS HUGEINT) * al) AS DOUBLE), 0) * 100, 4)
+         AS weighted_wmape,
+       round(CAST(sum(el) AS DOUBLE) / nullif(CAST(sum(al) AS DOUBLE), 0) * 100, 4)
+         AS wmape,
+       count(*) AS n_rows
+FROM v GROUP BY l_suppkey
+""",
+)
+def metric_wmape_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume(revenue)-weighted WMAPE per store next to the unweighted one
+    (/root/reference/src/evaluation/metrics.py:159-190: weighted WMAPE/MAE
+    with an external weight column).
+
+    The weights multiply 1e4-scaled integer errors as HUGEINT/DECIMAL(38,0)
+    sums, so both engines aggregate exact integers and divide identically —
+    no float-summation-order drift (same discipline as
+    ``residual_diagnostics_store``).  One keyed join + one aggregate."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    li = t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    v = f.join(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_suppkey",
+        F.floor(F.abs(F.col("actual") - F.col("forecast")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("el"),
+        F.floor(F.abs(F.col("actual")) * 10000 + F.lit(0.5)).cast("long").alias("al"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("wl"),
+    )
+    d38 = "decimal(38,0)"
+    wld = F.col("wl").cast(d38)
+    return v.groupBy("l_suppkey").agg(
+        r4(
+            F.sum(wld * F.col("el")).cast("double")
+            / F.nullif(F.sum(wld * F.col("al")).cast("double"), F.lit(0.0))
+            * 100
+        ).alias("weighted_wmape"),
+        r4(
+            F.sum("el").cast("double")
+            / F.nullif(F.sum("al").cast("double"), F.lit(0.0))
+            * 100
+        ).alias("wmape"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -490,3 +490,90 @@ def join_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("join_lossless"),
         )
     )
+
+
+@register(
+    "data_quality_profile",
+    oracle="""
+WITH c AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_keys,
+         sum(CASE WHEN l_suppkey IS NULL OR l_partkey IS NULL THEN 1 ELSE 0 END)
+           AS n_null_keys,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_nonpositive_qty,
+         sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                    OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END)
+           AS n_bad_dates
+  FROM lineitem
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_dup_keys AS BIGINT) AS n_dup_keys,
+       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+       CAST(n_null_qty AS BIGINT) AS n_null_qty,
+       CAST(n_nonpositive_qty AS BIGINT) AS n_nonpositive_qty,
+       CAST(n_bad_dates AS BIGINT) AS n_bad_dates,
+       round(1.0 - CAST(n_dup_keys AS DOUBLE) / n_rows, 4) AS uniqueness,
+       round(1.0 - CAST(n_null_keys + n_null_qty AS DOUBLE) / (2.0 * n_rows), 4)
+         AS completeness,
+       round(1.0 - CAST(n_nonpositive_qty + n_bad_dates AS DOUBLE) / (2.0 * n_rows), 4)
+         AS validity,
+       round(0.4 * (1.0 - CAST(n_dup_keys AS DOUBLE) / n_rows)
+           + 0.3 * (1.0 - CAST(n_null_keys + n_null_qty AS DOUBLE) / (2.0 * n_rows))
+           + 0.3 * (1.0 - CAST(n_nonpositive_qty + n_bad_dates AS DOUBLE) / (2.0 * n_rows)),
+           4) AS quality_score
+FROM c
+""",
+)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table data-quality score: uniqueness (dup line keys),
+    completeness (critical nulls), validity (non-positive quantities,
+    out-of-range dates), and the 0.4/0.3/0.3 weighted composite — the
+    data-quality component of the reference's KPI system
+    (/root/reference/src/validation/kpi_system.py:43-330; validation rules
+    from src/data/clean_data.py:107-187).
+
+    Scale: ONE full-scan aggregate (count distinct on the line key is the
+    only shuffle); every input to the score is an exact integer count, so
+    the composite is engine-identical by construction."""
+    t = Catalog(spark, sf_dir)
+    n = F.count(F.lit(1))
+    dup = n - F.countDistinct("l_orderkey", "l_linenumber")
+    nulk = F.sum(
+        F.when(F.col("l_suppkey").isNull() | F.col("l_partkey").isNull(), 1).otherwise(0)
+    )
+    nulq = F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+    nonpos = F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+    bad_dates = F.sum(
+        F.when(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz")),
+            1,
+        ).otherwise(0)
+    )
+    c = t.lineitem.agg(
+        n.alias("n_rows"),
+        dup.alias("n_dup_keys"),
+        nulk.alias("n_null_keys"),
+        nulq.alias("n_null_qty"),
+        nonpos.alias("n_nonpositive_qty"),
+        bad_dates.alias("n_bad_dates"),
+    )
+    nr = F.col("n_rows")
+    uniq = 1.0 - F.col("n_dup_keys").cast("double") / nr
+    comp = 1.0 - (F.col("n_null_keys") + F.col("n_null_qty")).cast("double") / (2.0 * nr)
+    valid = 1.0 - (F.col("n_nonpositive_qty") + F.col("n_bad_dates")).cast("double") / (
+        2.0 * nr
+    )
+    return c.select(
+        nr.cast("long").alias("n_rows"),
+        F.col("n_dup_keys").cast("long").alias("n_dup_keys"),
+        F.col("n_null_keys").cast("long").alias("n_null_keys"),
+        F.col("n_null_qty").cast("long").alias("n_null_qty"),
+        F.col("n_nonpositive_qty").cast("long").alias("n_nonpositive_qty"),
+        F.col("n_bad_dates").cast("long").alias("n_bad_dates"),
+        r4(uniq).alias("uniqueness"),
+        r4(comp).alias("completeness"),
+        r4(valid).alias("validity"),
+        r4(0.4 * uniq + 0.3 * comp + 0.3 * valid).alias("quality_score"),
+    )

@@ -705,3 +705,71 @@ def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.size(qs) < 2, F.lit(0.0)).otherwise(r4(trend)).alias("holt_trend"),
         F.size(qs).cast("long").alias("n_days"),
     )
+
+
+@register(
+    "window_rolling_multiscale",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, l_shipdate,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_suppkey, l_shipdate, qty,
+         avg(qty) OVER w4  AS m4,  stddev_samp(qty) OVER w4  AS s4,
+         avg(qty) OVER w12 AS m12, stddev_samp(qty) OVER w12 AS s12,
+         avg(qty) OVER w26 AS m26, stddev_samp(qty) OVER w26 AS s26
+  FROM daily
+  WINDOW w4  AS (PARTITION BY l_suppkey ORDER BY l_shipdate ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         w12 AS (PARTITION BY l_suppkey ORDER BY l_shipdate ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY l_suppkey ORDER BY l_shipdate ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, l_shipdate, qty,
+       round(m4, 4) AS mean_w4,   round(coalesce(s4, 0.0), 4) AS std_w4,
+       round(m12, 4) AS mean_w12, round(coalesce(s12, 0.0), 4) AS std_w12,
+       round(m26, 4) AS mean_w26, round(coalesce(s26, 0.0), 4) AS std_w26
+FROM r
+""",
+)
+def window_rolling_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window rolling stats — the reference computes its rolling set
+    over window sizes {4,8,12,26,52} per series
+    (/root/reference/src/features/temporal_features_engine.py:55,179-194);
+    here three scales (4/12/26) on the daily store series.
+
+    Scale: all three frames share ONE partitioning and ordering, so
+    Catalyst plans a single sort+shuffle feeding stacked Window operators —
+    adding a window size costs compute, never another exchange.  Raw
+    aggregates materialize once per frame (no r4 around .over)."""
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
+        r4(F.sum("l_quantity")).alias("qty")
+    )
+    base = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+    frames = {4: base.rowsBetween(-3, 0), 12: base.rowsBetween(-11, 0), 26: base.rowsBetween(-25, 0)}
+    raw = daily.select(
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+        *[
+            c
+            for k, w in frames.items()
+            for c in (
+                F.avg("qty").over(w).alias(f"_m{k}"),
+                F.stddev("qty").over(w).alias(f"_s{k}"),
+            )
+        ],
+    )
+    return raw.select(
+        "l_suppkey",
+        "l_shipdate",
+        "qty",
+        *[
+            c
+            for k in frames
+            for c in (
+                r4(f"_m{k}").alias(f"mean_w{k}"),
+                r4(F.coalesce(f"_s{k}", F.lit(0.0))).alias(f"std_w{k}"),
+            )
+        ],
+    )

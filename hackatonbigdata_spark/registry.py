@@ -76,6 +76,9 @@ _PRIORITY: list[str] = [
     "residual_diagnostics_store",
     "calibration_curve_bins",
     "text_tfidf_topterms",
+    "window_rolling_multiscale",
+    "metric_wmape_weighted",
+    "data_quality_profile",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
