@@ -2202,3 +2202,93 @@ def metric_wmape_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wmape"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH mx AS (
+  SELECT max(o_orderdate) AS max_d FROM orders
+), base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate), (SELECT max_d FROM mx)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY o_custkey
+), e AS (
+  SELECT floor(quantile_cont(CAST(recency_days AS DOUBLE), 0.5) * 10000 + 0.5) / 10000 AS r_med,
+         floor(quantile_cont(CAST(frequency AS DOUBLE), 0.5) * 10000 + 0.5) / 10000 AS f_med,
+         floor(quantile_cont(CAST(monetary_c AS DOUBLE), 0.5) * 10000 + 0.5) / 10000 AS m_med
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency,
+       floor(CAST(monetary_c AS DOUBLE) / 100 * 10000 + 0.5) / 10000 AS monetary,
+       CASE WHEN recency_days <= r_med THEN 1 ELSE 0 END AS r_hi,
+       CASE WHEN frequency > f_med THEN 1 ELSE 0 END AS f_hi,
+       CASE WHEN monetary_c > m_med THEN 1 ELSE 0 END AS m_hi,
+       CASE
+         WHEN recency_days <= r_med AND frequency > f_med AND monetary_c > m_med
+           THEN 'champion'
+         WHEN recency_days <= r_med AND frequency > f_med THEN 'loyal'
+         WHEN recency_days <= r_med THEN 'recent'
+         WHEN frequency > f_med OR monetary_c > m_med THEN 'at_risk'
+         ELSE 'hibernating' END AS rfm_segment
+FROM base, e
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation: recency (days since last order vs corpus
+    max date), frequency (order count), monetary (total spend), split at
+    the median of each and combined into named segments — the behavioral
+    customer-profiling pattern of
+    /root/reference/src/features/behavioral_features_engine.py:135-382
+    (purchase frequency/recency stats + threshold segmentation).
+
+    Cross-engine: monetary accumulates as a 1e2-scaled BIGINT (prices are
+    2dp) so spend sums are exact; the three median thresholds are scalar
+    quantile aggregates cross-joined back (no global ntile window).
+    Scale: one keyed aggregate over orders + one tiny broadcast."""
+    t = Catalog(spark, sf_dir)
+    o = t.orders
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate")).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias(
+                "monetary_c"
+            ),
+        )
+    )
+    e = base.agg(
+        r4(F.percentile(F.col("recency_days").cast("double"), F.lit(0.5))).alias("r_med"),
+        r4(F.percentile(F.col("frequency").cast("double"), F.lit(0.5))).alias("f_med"),
+        r4(F.percentile(F.col("monetary_c").cast("double"), F.lit(0.5))).alias("m_med"),
+    )
+    r_hi = F.when(F.col("recency_days") <= F.col("r_med"), 1).otherwise(0)
+    f_hi = F.when(F.col("frequency") > F.col("f_med"), 1).otherwise(0)
+    m_hi = F.when(F.col("monetary_c") > F.col("m_med"), 1).otherwise(0)
+    seg = (
+        F.when((r_hi == 1) & (f_hi == 1) & (m_hi == 1), "champion")
+        .when((r_hi == 1) & (f_hi == 1), "loyal")
+        .when(r_hi == 1, "recent")
+        .when((f_hi == 1) | (m_hi == 1), "at_risk")
+        .otherwise("hibernating")
+    )
+    return base.crossJoin(F.broadcast(e)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.floor(F.col("monetary_c").cast("double") / 100 * 10000 + F.lit(0.5)) / 10000.0).alias(
+            "monetary"
+        ),
+        r_hi.alias("r_hi"),
+        f_hi.alias("f_hi"),
+        m_hi.alias("m_hi"),
+        seg.alias("rfm_segment"),
+    )

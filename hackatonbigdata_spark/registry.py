@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "window_rolling_multiscale",
     "metric_wmape_weighted",
     "data_quality_profile",
+    "customer_rfm_segments",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",

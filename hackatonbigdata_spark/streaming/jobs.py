@@ -212,3 +212,27 @@ def session_windows_stream(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def rate_limit_stream(events: DataFrame) -> DataFrame:
+    """Live twin of ``stream_alert_rate_limit``: at most one error alert per
+    (user, 5-minute window).  Uses ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+) — state for a key is dropped once the watermark passes its event
+    time, so a long-running job holds O(active windows × alerting users)
+    state, and duplicates arriving inside the watermark are suppressed.
+    Within a micro-batch the survivor is the first ARRIVAL; the oracled
+    batch twin keeps the (ts, event_id)-minimal row instead, so the test
+    pins per-window alert counts and membership, not the surviving row id."""
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 300).cast("long") * 300
+    )
+    return (
+        events.filter(F.col("event_type") == "error")
+        .withWatermark("ts", WATERMARK)
+        # arithmetic 5-min bucket, NOT F.window(): a window over a
+        # watermarked column would introduce a second event-time column,
+        # which streaming dedup rejects
+        .withColumn("win", bucket)
+        .dropDuplicatesWithinWatermark(["user_id", "win"])
+        .select("event_id", "user_id", "ts")
+    )

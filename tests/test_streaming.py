@@ -165,3 +165,29 @@ def test_tumbling_stream_parquet_sink_roundtrip(spark, events_stream, events_bat
     final_wm = events_batch.agg(F.max("ts")).first()[0] - pd.Timedelta(minutes=10)
     closed = bpdf[bpdf["window_start"] + pd.Timedelta(hours=1) <= final_wm]
     assert len(got) >= len(closed)
+
+
+def test_rate_limit_stream_one_alert_per_user_window(spark, events_stream, events_batch):
+    """dropDuplicatesWithinWatermark path: exactly one surviving alert per
+    (user, 5-min window), same windows as the oracled batch query (the
+    surviving row may differ: arrival-order vs ts-order keep-first)."""
+    jobs.run_to_memory(jobs.rate_limit_stream(events_stream), "t_ratelimit", "append")
+    got = spark.table("t_ratelimit").toPandas()
+    got["win"] = got["ts"].dt.floor("5min")
+    assert got.groupby(["user_id", "win"]).size().max() == 1
+    # same (user, window) membership as the batch twin
+    from hackatonbigdata_spark.registry import all_queries
+
+    batch = all_queries()["stream_alert_rate_limit"](spark, SF_DIR).toPandas()
+    batch["win"] = batch["ts"].dt.floor("5min")
+    gkeys = set(map(tuple, got[["user_id", "win"]].itertuples(index=False)))
+    bkeys = set(map(tuple, batch[["user_id", "win"]].itertuples(index=False)))
+    assert gkeys == bkeys
+    # every emitted alert is a real error event
+    src = jobs.read_events_batch(spark, SF_DIR).filter("event_type = 'error'")
+    assert (
+        spark.createDataFrame(got[["event_id"]])
+        .join(src.select("event_id"), "event_id", "left_anti")
+        .count()
+        == 0
+    )
