@@ -812,3 +812,95 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+{_duck_sig()},
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         ({" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END" for s in range(_N_MINHASH))}) / {_N_MINHASH}.0 AS est_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}
+),
+edges AS (
+  SELECT da, db FROM cand WHERE est_j >= 0.5
+  UNION ALL
+  SELECT db, da FROM cand WHERE est_j >= 0.5
+),
+verts AS (SELECT DISTINCT da AS doc_id FROM edges),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.da, r.lab FROM reach r JOIN edges e ON e.db = r.doc_id
+),
+comp AS (SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id)
+SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
+       CAST(s.n_docs AS BIGINT) AS component_size,
+       CASE WHEN c.doc_id = c.component_id THEN 1 ELSE 0 END AS is_canonical
+FROM comp c
+JOIN (SELECT component_id, count(*) AS n_docs FROM comp GROUP BY component_id) s
+  ON c.component_id = s.component_id
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH dup
+    graph (candidate pairs with estimated Jaccard ≥ 0.5), canonical doc =
+    minimum doc_id in the component — turning pairwise dup hits into
+    keep/drop groups, the step an LLM dedup pipeline runs after candidate
+    generation.
+
+    Iterative min-label propagation to a FIXPOINT: each round joins labels
+    across edges and takes the elementwise min; convergence is detected by
+    the (exact, integer) sum of labels going unchanged — one scalar agg per
+    round, no collect of data rows.  Labels are localCheckpoint()ed each
+    round so lineage stays O(1).  The oracle states the same fixpoint as a
+    recursive CTE.  Scale: rounds = graph diameter (dup clusters are
+    shallow); each round is one keyed join + agg.  At larger graphs use the
+    large-star/small-star variant or GraphFrames — same dataflow."""
+    cand = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    half = cand.select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+    edges = half.unionAll(
+        half.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("da").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.db == labels.doc_id)
+            .groupBy("da")
+            .agg(F.min("component_id").alias("ncomp"))
+        )
+        labels = (
+            labels.join(prop, labels.doc_id == prop.da, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("ncomp", F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component_id")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sizes = labels.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(F.broadcast(sizes), "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "component_size",
+            F.when(F.col("doc_id") == F.col("component_id"), 1).otherwise(0).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "metric_wmape_weighted",
     "data_quality_profile",
     "customer_rfm_segments",
+    "dedup_cluster_components",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
