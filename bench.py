@@ -40,6 +40,11 @@ HEADLINE = [
     "calendar_extract",               # M4: scalar date block, full table out
     "stream_tumbling_hourly",         # M6 batch twin: event-time tumbling agg
     "text_token_count",               # M7 text: tokenization + length stats
+    "residual_diagnostics_store",     # M5: exact-decimal residual statistics
+    "customer_rfm_segments",          # M5: RFM quantile segmentation
+    "store_coldstart_fallback",       # M5: store-pair cosine + fallback chain
+    "text_tfidf_topterms",            # M7 text: tf-idf weighting + top-k
+    "dedup_cluster_components",       # M7: iterative connected components
 ]
 
 
