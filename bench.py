@@ -61,10 +61,11 @@ def main() -> None:
         if name in queries:
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # two measured passes, keep the min per query — scheduler/GC noise on a
-    # shared box otherwise dominates sub-second queries
+    # three measured passes, keep the min per query — scheduler/GC noise on
+    # a shared box otherwise dominates sub-second queries, and one contended
+    # pass must not define a query's recorded time
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             if name not in queries:
                 continue

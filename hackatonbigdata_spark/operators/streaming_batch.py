@@ -313,3 +313,149 @@ def stream_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "event_cohort_retention",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firstday f ON e.user_id = f.user_id
+), cohort_size AS (
+  SELECT cohort_day, count(*) AS n_cohort FROM firstday GROUP BY cohort_day
+)
+SELECT CAST(a.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       round(count(*) * 1.0 / s.n_cohort, 4) AS retention
+FROM activity a JOIN cohort_size s ON a.cohort_day = s.cohort_day
+GROUP BY a.cohort_day, a.day_offset, s.n_cohort
+""",
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, the
+    fraction active again N days later — the engine extension of the
+    reference's behavioral recency/frequency profiling
+    (/root/reference/src/features/behavioral_features_engine.py:135-230)
+    to event streams.
+
+    Scale: two user-keyed aggregates + one distinct at (user, offset) grain
+    + a cohort-keyed join of a tiny per-day table; every output value is an
+    exact integer count or a single division of two of them."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events.select("user_id", F.col("ts").cast("date").alias("d"))
+    firstday = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(firstday, "user_id")
+        .select(
+            "user_id", "cohort_day", F.datediff("d", "cohort_day").alias("day_offset")
+        )
+        .distinct()
+    )
+    cohort_size = firstday.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            # DATE out of one engine canonicalizes as midnight TIMESTAMP out
+            # of the other; emit TIMESTAMP explicitly on both sides
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "n_cohort",
+            r4(F.col("n_active") * F.lit(1.0) / F.col("n_cohort")).alias("retention"),
+        )
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS stage_no, 'signup' AS stage, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+)
+SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(n_users * 1.0 / nullif(lag(n_users) OVER (ORDER BY stage_no), 0), 4)
+         AS conv_from_prev,
+       round(n_users * 1.0 / nullif(first_value(n_users) OVER (ORDER BY stage_no), 0), 4)
+         AS conv_from_start
+FROM counts
+""",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> click -> purchase: a user advances a
+    stage only with an event at-or-after their previous stage's first time;
+    per-stage user counts and step/overall conversion rates (event-stream
+    engine extension of the reference's behavioral profiling; alert
+    semantics from /root/reference/src/monitoring/alerts.py thresholds).
+
+    Scale: four user-keyed min-aggregates chained by keyed joins (each
+    stage's frame shrinks), then a 4-row driver-sized summary — the final
+    ordered window runs over exactly 4 rows.  All counts exact."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame, tprev: str, tcol: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(tprev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("click", s2, "t2", "t3")
+    s4 = first_after("purchase", s3, "t3", "t4")
+    rows = None
+    for no, (stage, df) in enumerate(
+        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], start=1
+    ):
+        c = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.col("n_users"),
+        )
+        rows = c if rows is None else rows.unionAll(c)
+    w = W.orderBy("stage_no")
+    raw = rows.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        F.lag("n_users").over(w).alias("_prev"),
+        F.first("n_users").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("_start"),
+    )
+    return raw.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        r4(F.col("n_users") * F.lit(1.0) / F.nullif(F.col("_prev"), F.lit(0))).alias(
+            "conv_from_prev"
+        ),
+        r4(F.col("n_users") * F.lit(1.0) / F.nullif(F.col("_start"), F.lit(0))).alias(
+            "conv_from_start"
+        ),
+    )

@@ -81,6 +81,8 @@ _PRIORITY: list[str] = [
     "data_quality_profile",
     "customer_rfm_segments",
     "dedup_cluster_components",
+    "event_cohort_retention",
+    "event_funnel_conversion",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
