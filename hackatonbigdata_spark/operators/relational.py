@@ -577,3 +577,60 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(valid).alias("validity"),
         r4(0.4 * uniq + 0.3 * comp + 0.3 * valid).alias("quality_score"),
     )
+
+
+@register(
+    "join_range_price_band",
+    oracle="""
+WITH b AS (
+  SELECT p_brand,
+         floor(min(p_retailprice) * 10000 + 0.5) / 10000 AS lo,
+         floor(max(p_retailprice) * 10000 + 0.5) / 10000 AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, b.p_brand AS band_brand,
+       floor(p.p_retailprice * 10000 + 0.5) / 10000 AS price, b.lo, b.hi
+FROM part p JOIN b ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi
+""",
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval containment) join: every part matched to every brand
+    whose [min, max] price band contains its price — the non-equi join
+    class that naively plans as a nested-loop pair scan.
+
+    Spark-first scale pattern: BIN-BUCKETED range join.  Each interval
+    explodes to the fixed-width buckets it covers
+    (``sequence(floor(lo/W), floor(hi/W))``), the probe side computes its
+    single bucket, and the join becomes an EQUI-join on bucket followed by
+    the exact range filter — shuffle work is proportional to interval
+    coverage, never |probe|x|intervals|.  The oracle states the naive
+    BETWEEN join; results are identical.  (Here the build side is 25 brand
+    bands and would broadcast anyway — the bucketed plan is the point: it
+    stays a hash join when both sides are fact-scale.)"""
+    t = Catalog(spark, sf_dir)
+    width = 100
+    bands = t.part.groupBy("p_brand").agg(
+        r4(F.min("p_retailprice")).alias("lo"), r4(F.max("p_retailprice")).alias("hi")
+    )
+    buckets = bands.select(
+        F.col("p_brand").alias("band_brand"),
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                F.floor(F.col("hi") / width).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    probe = t.part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("_raw_price"),
+        F.floor(F.col("p_retailprice") / width).cast("long").alias("bucket"),
+    )
+    # range test on the RAW price (as the oracle does); quantize for output
+    return (
+        probe.join(buckets, "bucket")
+        .filter((F.col("_raw_price") >= F.col("lo")) & (F.col("_raw_price") <= F.col("hi")))
+        .select("p_partkey", "band_brand", r4("_raw_price").alias("price"), "lo", "hi")
+    )

@@ -459,3 +459,97 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_from_start"
         ),
     )
+
+
+@register(
+    "join_asof_view_attribution",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id AS purchase_event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_event_id, p.user_id, p.ts AS purchase_ts,
+       round(p.value, 4) AS purchase_value,
+       v.view_event_id AS attributed_view_id,
+       v.ts AS view_ts,
+       CAST(CASE WHEN v.ts IS NULL THEN NULL
+                 ELSE date_diff('second', v.ts, p.ts) END AS BIGINT)
+         AS seconds_since_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def join_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase attributed to the user's most recent view
+    at-or-before it (last-touch attribution) — the time-series join class
+    Spark lacks natively.
+
+    Spark-first implementation is the union-sort trick, NOT a range join:
+    tag views and purchases, union, and take ``last(view_id, ignorenulls)``
+    over (user, ts, tag) — views sort before purchases at equal ts so the
+    match is inclusive.  ONE shuffle on user_id, no non-equi join, no pair
+    explosion; this is the scalable pattern for as-of at any size.  Views
+    are pre-deduped to one per (user, ts) (keep max event_id) so the
+    attribution is deterministic under timestamp ties; the oracle uses
+    DuckDB's native ASOF LEFT JOIN over the same deduped view table."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts", "value"
+    )
+    tagged = v.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        "view_event_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionAll(
+        p.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_p"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            "purchase_event_id",
+            "value",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    raw = tagged.select(
+        "user_id",
+        "ts",
+        "is_p",
+        "purchase_event_id",
+        "value",
+        F.last(F.when(F.col("is_p") == 0, F.col("view_event_id")), ignorenulls=True)
+        .over(w)
+        .alias("attributed_view_id"),
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    return raw.filter(F.col("is_p") == 1).select(
+        "purchase_event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        r4("value").alias("purchase_value"),
+        "attributed_view_id",
+        "view_ts",
+        F.when(
+            F.col("view_ts").isNotNull(),
+            (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")),
+        )
+        .cast("long")
+        .alias("seconds_since_view"),
+    )

@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "dedup_cluster_components",
     "event_cohort_retention",
     "event_funnel_conversion",
+    "join_asof_view_attribution",
+    "join_range_price_band",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
