@@ -619,3 +619,45 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("min_value").alias("min_value"),
         r4("max_value").alias("max_value"),
     )
+
+
+@register("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB approx substitutions, exercised for real:
+    ``approx_count_distinct`` (HyperLogLog++) and ``percentile_approx``
+    (KLL-style quantile sketch) per brand next to their exact twins, with
+    relative-error columns (SURVEY §7.4.3 names these as the exact->approx
+    switch points; the exact forms stay the oracle-parity path).
+
+    Rows-only by design: sketch outputs are implementation-specific, so
+    there is no cross-engine oracle — tests/test_scale.py pins the relative
+    error bounds instead.  Scale: sketches are mergeable, map-side partial
+    aggregates; the exact twins here are the test harness, not the plan."""
+    t = Catalog(spark, sf_dir)
+    j = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_p50"),
+        r4(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))).alias(
+            "approx_p50"
+        ),
+    )
+    return agg.select(
+        "p_brand",
+        "exact_orders",
+        "approx_orders",
+        r4(
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+        ).alias("orders_rel_err"),
+        "exact_p50",
+        "approx_p50",
+        r4(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.nullif(F.col("exact_p50"), F.lit(0.0))
+        ).alias("p50_rel_err"),
+    )

@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "event_funnel_conversion",
     "join_asof_view_attribution",
     "join_range_price_band",
+    "agg_approx_sketches",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",

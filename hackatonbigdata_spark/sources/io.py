@@ -107,3 +107,36 @@ def export_feature_store(
     with open(f"{path}/metadata.json", "w", encoding="utf-8") as fh:
         json.dump(meta, fh, indent=2)
     return meta
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into files sized
+    for scan efficiency (the 100 TB operational chore — thousands of tiny
+    files per partition destroy scan parallelism economics and NameNode/
+    listing budgets).
+
+    Sizing is data-driven: total input bytes / target size -> file count ->
+    ``repartition(n)`` before a single overwrite.  Returns {files_before,
+    files_after, bytes}.  At cluster scale the same routine runs per
+    partition directory with ``spark.read.parquet(part_dir)``."""
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ] or ([src_path] if os.path.isfile(src_path) else [])
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    files_after = len(
+        [f for f in glob.glob(os.path.join(dst_path, "*.parquet")) if os.path.isfile(f)]
+    )
+    return {"files_before": len(files), "files_after": files_after, "bytes": total_bytes}

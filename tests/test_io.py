@@ -54,3 +54,39 @@ def test_export_feature_store_roundtrip(spark, tmp_path):
     assert disk == meta
     assert "qty_pctile" in disk["feature_columns"]
     assert "l_suppkey" not in disk["feature_columns"]
+
+
+def test_partitioned_export_prunes_partitions(spark, tmp_path):
+    """A feature-store export partitioned by a column must let a reader skip
+    partitions: the filtered read-back plan shows a partition filter and
+    reads only the matching directory."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.sources.io import write_parquet
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    out = str(tmp_path / "bymonth")
+    write_parquet(df, out, partition_by=["ship_month"])
+    back = spark.read.parquet(out).filter(F.col("ship_month") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan.split("PartitionFilters", 1)[1][:200]
+    got = back.count()
+    expect = df.filter(F.col("ship_month") == 3).count()
+    assert got == expect > 0
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Small-files compaction: 40 shards in -> size-targeted file count out,
+    same rows."""
+    from hackatonbigdata_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "shards")
+    dst = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.repartition(40).write.mode("overwrite").parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(dst).count() == li.count()

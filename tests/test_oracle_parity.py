@@ -47,5 +47,8 @@ def test_every_query_has_oracle_or_reason():
         # MLlib two-stage hurdle model: fitted coefficients aren't
         # SQL-reproducible; sanity-pinned by tests/test_hurdle.py
         "zero_inflated_hurdle_mllib",
+        # HLL++/KLL sketch outputs are implementation-specific; error bounds
+        # pinned by tests/test_scale.py
+        "agg_approx_sketches",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

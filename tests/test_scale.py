@@ -57,3 +57,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The documented exact->approx switch points must actually be accurate:
+    HLL++ distinct counts within 5% and the sketch median within 2.5% of the
+    exact interpolated median (the sketch returns a real data point, so at
+    sf0.001's 100-300 rows per brand the interpolation gap dominates)."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    pdf = all_queries()["agg_approx_sketches"](spark, SF_DIR).toPandas()
+    assert (pdf["orders_rel_err"] <= 0.05).all()
+    assert (pdf["p50_rel_err"] <= 0.025).all()
