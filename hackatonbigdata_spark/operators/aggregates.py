@@ -661,3 +661,42 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("exact_p50"), F.lit(0.0))
         ).alias("p50_rel_err"),
     )
+
+
+@register(
+    "unpivot_store_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_suppkey,
+         floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS qty_mean,
+         floor(coalesce(stddev_samp(l_quantity), 0) * 10000 + 0.5) / 10000 AS qty_std,
+         floor(min(l_quantity) * 10000 + 0.5) / 10000 AS qty_min,
+         floor(max(l_quantity) * 10000 + 0.5) / 10000 AS qty_max
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, metric, value FROM wide
+UNPIVOT (value FOR metric IN (qty_mean, qty_std, qty_min, qty_max))
+""",
+)
+def unpivot_store_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (pd.melt): the per-store metric block folded from wide to
+    long (store, metric, value) — the inverse of the bounded pivot
+    (SURVEY §2.4; the reference melts feature frames for its reporting,
+    e.g. /root/reference/src/features/feature_pipeline.py summary exports).
+
+    Spark: native ``DataFrame.unpivot`` (Tungsten ``Expand`` — one pass, no
+    shuffle beyond the aggregate); oracle: DuckDB UNPIVOT."""
+    t = Catalog(spark, sf_dir)
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    wide = t.lineitem.groupBy("l_suppkey").agg(
+        q4(F.avg("l_quantity")).alias("qty_mean"),
+        q4(F.coalesce(F.stddev("l_quantity"), F.lit(0.0))).alias("qty_std"),
+        q4(F.min("l_quantity")).alias("qty_min"),
+        q4(F.max("l_quantity")).alias("qty_max"),
+    )
+    return wide.unpivot(
+        ids=["l_suppkey"],
+        values=["qty_mean", "qty_std", "qty_min", "qty_max"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

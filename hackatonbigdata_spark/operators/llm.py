@@ -904,3 +904,79 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+WITH p AS (SELECT p_partkey, p_brand, trim(p_name) AS name FROM part)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.name, b.name) <= 5
+""",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string dedup: near-identical part names (edit distance ≤ 5)
+    within a brand — the catalog-entity-resolution flavor of near-dup
+    detection (complements the document-level MinHash/SimHash family;
+    ``levenshtein`` has identical unit-cost semantics in both engines).
+
+    Scale: the pair space is BLOCKED on the brand key before any distance
+    is computed (the standard entity-resolution blocking pattern) — an
+    equi-join on p_brand, never an all-pairs scan; O(block²) work per
+    brand.  Finer blocking (first token, length band) drops in the same
+    way when blocks grow."""
+    t = Catalog(spark, sf_dir)
+    p = t.part.select("p_partkey", "p_brand", F.trim("p_name").alias("name"))
+    a = p.select(
+        F.col("p_partkey").alias("part_a"), "p_brand", F.col("name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("_brand_b"),
+        F.col("name").alias("name_b"),
+    )
+    return (
+        a.join(b, (F.col("p_brand") == F.col("_brand_b")) & (F.col("part_a") < F.col("part_b")))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_distance") <= 5)
+        .select("part_a", "part_b", "p_brand", "name_a", "name_b", "edit_distance")
+    )
+
+
+@register(
+    "text_scrub_numbers",
+    oracle="""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[0-9]+', '', 'g')) AS BIGINT)
+         AS n_chars_no_digits,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs,
+       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_hash
+FROM documents
+""",
+)
+def text_scrub_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text scrubbing transform: mask digit runs with a placeholder token —
+    the shape of PII/number normalization passes an LLM data pipeline runs
+    before tokenization (the reference's text handling stops at cleaning,
+    src/data/clean_data.py:190-256; this is the engine extension).  The
+    scrubbed text is emitted as an md5 so the oracle compares content
+    without hauling full documents through the hash gate.
+
+    Scale: pure rowwise regex, JVM-side, no shuffle."""
+    t = Catalog(spark, sf_dir)
+    scrubbed = F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")
+    return t.documents.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), "[0-9]+", "")).cast("long").alias(
+            "n_chars_no_digits"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias(
+            "n_number_runs"
+        ),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )

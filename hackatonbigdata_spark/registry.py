@@ -86,6 +86,9 @@ _PRIORITY: list[str] = [
     "join_asof_view_attribution",
     "join_range_price_band",
     "agg_approx_sketches",
+    "unpivot_store_metrics",
+    "dedup_fuzzy_names",
+    "text_scrub_numbers",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
