@@ -30,3 +30,16 @@ def test_sql_over_views(eng):
 def test_unknown_query_is_clear(eng):
     with pytest.raises(KeyError, match="unknown query"):
         eng.query("nope")
+
+
+def test_queries_fail_cleanly_on_missing_sf_dir(spark):
+    """The driver's robustness probe: a bad sf_dir must raise a clean
+    AnalysisException (PATH_NOT_FOUND), not a hang or a wrong result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from hackatonbigdata_spark.registry import all_queries
+
+    fn = all_queries()["flagship_weekly_brand_demand"]
+    with pytest.raises(AnalysisException):
+        fn(spark, "/root/testdata/sf_does_not_exist").collect()
