@@ -140,3 +140,35 @@ def compact_parquet(
         [f for f in glob.glob(os.path.join(dst_path, "*.parquet")) if os.path.isfile(f)]
     )
     return {"files_before": len(files), "files_after": files_after, "bytes": total_bytes}
+
+
+def upsert_parquet(spark, target_path: str, updates: DataFrame, key_cols: list[str]) -> dict:
+    """Keyed upsert (MERGE) onto a plain-parquet table: update rows whose
+    key appears in ``updates``, insert the rest — the feature-store refresh
+    operation.  Plain parquet has no transactional MERGE, so the pattern is
+    read -> anti-join out the updated keys -> union the updates -> rewrite
+    through a staging directory and swap (the lazy source read must not be
+    overwritten mid-write).  On a table format (Delta/Iceberg) the same
+    call becomes a native MERGE INTO; at scale the rewrite is scoped to the
+    partitions the update keys touch, not the whole table.
+
+    Returns {rows_before, rows_updated, rows_inserted, rows_after}."""
+    import os
+    import shutil
+
+    tgt = spark.read.parquet(target_path)
+    upd_keys = updates.select(*key_cols).distinct()
+    rows_before = tgt.count()
+    rows_updated = tgt.join(upd_keys, key_cols, "left_semi").count()
+    merged = tgt.join(upd_keys, key_cols, "left_anti").unionByName(updates)
+    staging = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    rows_after = spark.read.parquet(staging).count()
+    shutil.rmtree(target_path)
+    os.rename(staging, target_path)
+    return {
+        "rows_before": rows_before,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_after - rows_before,
+        "rows_after": rows_after,
+    }

@@ -90,3 +90,31 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert stats["files_before"] >= 40
     assert stats["files_after"] < stats["files_before"]
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_upsert_parquet_updates_and_inserts(spark, tmp_path):
+    """Keyed MERGE onto plain parquet: updated keys take the new values,
+    unknown keys append, untouched rows survive byte-for-byte."""
+    from hackatonbigdata_spark.sources.io import upsert_parquet
+
+    target = str(tmp_path / "features")
+    base = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    base.write.parquet(target)
+    n0 = base.count()
+    updates = (
+        base.filter(F.col("p_partkey") <= 10)
+        .withColumn("p_retailprice", F.lit(1.0))
+        .union(
+            spark.createDataFrame(
+                [(10_000_001, "Brand#99", 9.99)], ["p_partkey", "p_brand", "p_retailprice"]
+            )
+        )
+    )
+    stats = upsert_parquet(spark, target, updates, ["p_partkey"])
+    back = spark.read.parquet(target)
+    assert stats["rows_after"] == back.count() == n0 + 1
+    assert stats["rows_updated"] == base.filter("p_partkey <= 10").count()
+    assert back.filter("p_partkey <= 10").select(F.min("p_retailprice"), F.max("p_retailprice")).first() == (1.0, 1.0)
+    assert back.filter("p_partkey = 10000001").count() == 1
