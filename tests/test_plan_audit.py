@@ -58,5 +58,13 @@ def test_no_unpartitioned_windows_in_scale_paths(spark):
         "window_rolling_median_skew",
         "store_coldstart_fallback",
         "stacking_predictions_join",
+        "residual_diagnostics_store",
+        "join_asof_view_attribution",
+        "text_tfidf_topterms",
+        "window_rolling_multiscale",
+        "customer_rfm_segments",
+        "metric_wmape_weighted",
+        "calibration_curve_bins",
+        "join_range_price_band",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
