@@ -773,3 +773,70 @@ def window_rolling_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+@register(
+    "window_expanding_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         count(*) OVER w AS n,
+         sum(l_quantity) OVER w AS s1,
+         sum(l_quantity * l_quantity) OVER w AS s2,
+         min(l_quantity) OVER w AS mn,
+         max(l_quantity) OVER w AS mx
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(n AS BIGINT) AS n_to_date,
+       round(s1 / n, 4) AS expanding_mean,
+       CASE WHEN n >= 2
+            THEN round(sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1)), 4)
+            ELSE 0.0 END AS expanding_std,
+       round(mn, 4) AS expanding_min,
+       round(mx, 4) AS expanding_max
+FROM s
+""",
+)
+def window_expanding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding (to-date) mean/std/min/max per store series — pandas
+    ``expanding()`` semantics, the prefix-frame complement of the bounded
+    rolling family (/root/reference/src/features/temporal_features_engine.py
+    uses cumulative transforms alongside rolling ones at :389-421).
+
+    Std comes closed-form from the exact prefix power sums (sums of
+    integer-valued quantities are exact doubles at any prefix length, so
+    both engines compute identical values); raw window aggregates
+    materialize once, derived stats in a second projection.  One shuffle,
+    one running-frame WindowExec pass."""
+    t = Catalog(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*_ORDER)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    q = F.col("l_quantity")
+    raw = _keyed(t).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum(q).over(w).alias("_s1"),
+        F.sum(q * q).over(w).alias("_s2"),
+        F.min(q).over(w).alias("_mn"),
+        F.max(q).over(w).alias("_mx"),
+    )
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    std = F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1))
+    return raw.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        n.cast("long").alias("n_to_date"),
+        r4(s1 / n).alias("expanding_mean"),
+        F.when(n >= 2, r4(std)).otherwise(F.lit(0.0)).alias("expanding_std"),
+        r4("_mn").alias("expanding_min"),
+        r4("_mx").alias("expanding_max"),
+    )

@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "unpivot_store_metrics",
     "dedup_fuzzy_names",
     "text_scrub_numbers",
+    "window_expanding_stats",
     # relational — never driver-checked in round 1
     "scan_project_filter",
     "filter_quantile_band",
