@@ -75,12 +75,25 @@ def _h(col: Column) -> Column:
 
 
 def _doc_words(t: Catalog) -> DataFrame:
-    return t.documents.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+    """Normalized word arrays per doc.  The documents parquet is a single
+    small file → ONE input partition; without a repartition every downstream
+    explode/md5 runs in a single task.  Spreading the docs first costs one
+    tiny shuffle and parallelizes the hashing across all cores (same fix as
+    ``_embeddings``)."""
+    n_parts = t.spark.sparkContext.defaultParallelism
+    return t.documents.repartition(n_parts, "doc_id").select(
+        "doc_id", F.split(_norm_text(), " ").alias("w")
+    )
 
 
-def _doc_shingles(t: Catalog) -> DataFrame:
-    """Distinct word-3-gram shingles per document (0-indexed arrays)."""
-    return (
+def _doc_shingles(t: Catalog, *, distinct: bool = True) -> DataFrame:
+    """Word-3-gram shingles per document (0-indexed arrays).
+
+    ``distinct=True`` is the set semantics Jaccard needs (one shuffle on
+    (doc_id, shingle)); pass ``distinct=False`` for duplicate-insensitive
+    consumers — MinHash signatures take a per-doc ``min`` which is identical
+    over the multiset, so the dedup shuffle would be pure waste."""
+    sh = (
         _doc_words(t)
         .filter(F.size("w") >= 3)
         .select(
@@ -92,8 +105,8 @@ def _doc_shingles(t: Catalog) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def _dot(a: str, b: str) -> Column:
@@ -237,7 +250,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the same result naively (cross-join + band filter), which
     is fine as a spec at sf0.01."""
     t = Catalog(spark, sf_dir)
-    sh = _doc_shingles(t)
+    # min() is duplicate-insensitive -> skip the distinct-shingle shuffle
+    sh = _doc_shingles(t, distinct=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(_h(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
@@ -399,9 +413,12 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(t)
     a = e.alias("a")
     b = e.alias("b")
-    # Each unordered pair's fold is evaluated ONCE (join on a < b, then the
-    # two directions are emitted by a cheap union): cosine is symmetric and
-    # the zip_with products commute elementwise, so both directions carry
+    # Each unordered pair's fold is evaluated ONCE: join on a < b, then emit
+    # BOTH directions from the same row with explode(array(struct, struct)).
+    # (A unionAll of two selects over the half-join re-executes the join and
+    # the fold per branch — Spark does not share un-persisted subplans across
+    # union arms, which doubles the physical n² work.)  Cosine is symmetric
+    # and the zip_with products commute elementwise, so both directions carry
     # the identical double.  The fold is also materialized in an inner
     # projection before rounding — r4(X) references X four times and
     # interpreted HOFs get no reliable subexpression elimination.
@@ -415,12 +432,21 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_lo", "id_hi", r4("_cos_raw").alias("cos_sim"))
     )
     pairs = half.select(
-        F.col("id_lo").alias("vec_id"), F.col("id_hi").alias("neighbor_id"), "cos_sim"
-    ).unionAll(
-        half.select(
-            F.col("id_hi").alias("vec_id"), F.col("id_lo").alias("neighbor_id"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("neighbor_id"),
+                    F.col("cos_sim").alias("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("neighbor_id"),
+                    F.col("cos_sim").alias("cos_sim"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.vec_id", "_p.neighbor_id", "_p.cos_sim")
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -853,26 +879,33 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation.
 
     Iterative min-label propagation to a FIXPOINT: each round joins labels
-    across edges and takes the elementwise min; convergence is detected by
-    the (exact, integer) sum of labels going unchanged — one scalar agg per
-    round, no collect of data rows.  Labels are localCheckpoint()ed each
-    round so lineage stays O(1).  The oracle states the same fixpoint as a
-    recursive CTE.  Scale: rounds = graph diameter (dup clusters are
-    shallow); each round is one keyed join + agg.  At larger graphs use the
-    large-star/small-star variant or GraphFrames — same dataflow."""
+    across edges and takes the elementwise min.  Labels are SEEDED with
+    min(self, min(neighbor)) — the first propagation round folded into
+    initialization — so shallow dup clusters converge with fewer joins.
+    Convergence is detected by the (exact, integer) sum of labels going
+    unchanged; labels only ever decrease, so checking every SECOND round
+    (paired with the localCheckpoint that keeps lineage O(1)) still
+    certifies the fixpoint at half the driver-sync cost.  The oracle states
+    the same fixpoint as a recursive CTE.  Scale: rounds = graph diameter
+    (dup clusters are shallow); each round is one keyed join + agg.  At
+    larger graphs use the large-star/small-star variant or GraphFrames —
+    same dataflow."""
     cand = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
     half = cand.select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
     edges = half.unionAll(
         half.select(F.col("db").alias("da"), F.col("da").alias("db"))
     ).localCheckpoint(eager=True)
     labels = (
-        edges.select(F.col("da").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("component_id"))
+        edges.groupBy("da")
+        .agg(F.min("db").alias("_mn"))
+        .select(
+            F.col("da").alias("doc_id"),
+            F.least(F.col("da"), F.col("_mn")).alias("component_id"),
+        )
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component_id")).first()[0]
-    for _ in range(20):
+    for rnd in range(1, 21):
         prop = (
             edges.join(labels, edges.db == labels.doc_id)
             .groupBy("da")
@@ -886,12 +919,16 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component_id"), F.coalesce("ncomp", F.col("component_id"))
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("component_id")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        # sync at rounds 1,3,5,...: the min-neighbor seed already IS the
+        # fixpoint for diameter-2 clusters (the common case), so the first
+        # certification fires after a single join instead of two
+        if rnd % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+            new_sum = labels.agg(F.sum("component_id")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     sizes = labels.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         labels.join(F.broadcast(sizes), "component_id")

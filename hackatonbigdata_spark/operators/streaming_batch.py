@@ -269,15 +269,51 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 minutes behind the max event time already seen (SURVEY §7.4.7 —
     documented default: 10-min watermark, drop beyond it).
 
-    Scale note: the running max over global arrival order is a
-    batch-audit query (single ordered window); the live path gets the same
-    watermark from the streaming engine per micro-batch, no global sort."""
+    Scale: the running max over global arrival order is a BUCKETED prefix
+    max, not a global ordered window (WindowExec with no partition key moves
+    every row to one task).  Events are binned by balanced approx-quantile
+    edges of ``event_id``; the ≤ O(bins) per-bin maxima collect to the
+    driver, their prefix maxima come back as bin offsets, and the within-bin
+    running max stays partition-parallel — the same pattern as
+    ``metric_abc_tiers``.  Timestamps cross the driver as integer
+    epoch-micros so no tz/precision drift is possible.  The live path gets
+    the watermark from the streaming engine per micro-batch, no sort at all."""
     t = Catalog(spark, sf_dir)
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
-    marked = t.events.select(
+    ev = t.events.select("event_id", "event_type", "ts")
+    qs = [i / 32.0 for i in range(1, 32)]
+    edges = sorted(
+        set(ev.agg(F.percentile_approx("event_id", qs).alias("e")).first()["e"] or [])
+    )
+    bin_col = F.lit(0)
+    for e in edges:
+        bin_col = bin_col + F.when(F.col("event_id") > F.lit(int(e)), 1).otherwise(0)
+    binned = ev.withColumn("bin", bin_col)
+    # per-bin max event time -> driver (≤ len(edges)+1 rows); the offset of
+    # each bin is the max over all strictly-earlier bins (None for bin 0)
+    # ts is TIMESTAMP_NTZ here; session tz is UTC so the NTZ->LTZ cast for
+    # unix_micros (and the reverse below) is a lossless identity
+    bin_max = {
+        r["bin"]: r["m"]
+        for r in binned.groupBy("bin")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("m"))
+        .collect()
+    }
+    run, offs = None, {}
+    for b in sorted(bin_max):
+        offs[b] = run
+        run = bin_max[b] if run is None else max(run, bin_max[b])
+    off_col = F.lit(None).cast("long")
+    for b, o in offs.items():
+        if o is not None:
+            off_col = F.when(F.col("bin") == b, F.lit(int(o))).otherwise(off_col)
+    in_bin = W.partitionBy("bin").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    marked = binned.select(
         "event_type",
         "ts",
-        F.max("ts").over(w).alias("high_watermark_ts"),
+        F.greatest(
+            F.timestamp_micros(off_col).cast("timestamp_ntz"),
+            F.max("ts").over(in_bin),
+        ).alias("high_watermark_ts"),
     )
     late = F.col("ts") < F.col("high_watermark_ts") - F.expr("INTERVAL 10 MINUTES")
     return marked.groupBy("event_type").agg(

@@ -44,8 +44,8 @@ def test_no_unpartitioned_windows_in_scale_paths(spark):
     """The r1 scale-killers (global percent_rank / cumulative-share / ntile /
     global-count windows) must stay rewritten: no Window node without a
     partition key in any fact-table-sized query.  Queries over bounded
-    domains (25 brands, ~26 label buckets) and the documented
-    stream_late_data_policy batch audit are the only allowed exceptions."""
+    domains (25 brands, ~26 label buckets) are the only allowed
+    exceptions."""
     from hackatonbigdata_spark.plans.audit import unpartitioned_windows
 
     for name in [
@@ -66,5 +66,6 @@ def test_no_unpartitioned_windows_in_scale_paths(spark):
         "metric_wmape_weighted",
         "calibration_curve_bins",
         "join_range_price_band",
+        "stream_late_data_policy",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
