@@ -59,92 +59,95 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # flagship + queries modified or added this round
-    "flagship_weekly_brand_demand",
-    "metric_suite_global",
-    "metric_abc_tiers",
-    "heuristic_blend_forecast",
-    "binning_quantile_ntile",
-    "window_rolling_stats",
-    "window_rolling_median_skew",
-    "stream_session_windows",
-    "stream_dedup_within_watermark",
-    "holt_level_trend",
-    "store_coldstart_fallback",
-    "sample_scan",
-    "stacking_predictions_join",
-    "residual_diagnostics_store",
-    "calibration_curve_bins",
-    "text_tfidf_topterms",
-    "window_rolling_multiscale",
-    "metric_wmape_weighted",
-    "data_quality_profile",
-    "customer_rfm_segments",
-    "dedup_cluster_components",
-    "event_cohort_retention",
-    "event_funnel_conversion",
-    "join_asof_view_attribution",
-    "join_range_price_band",
-    "agg_approx_sketches",
-    "unpivot_store_metrics",
-    "dedup_fuzzy_names",
-    "text_scrub_numbers",
-    "window_expanding_stats",
-    # relational — never driver-checked in round 1
-    "scan_project_filter",
-    "filter_quantile_band",
-    "filter_date_range_valid",
-    "dedup_keep_first",
-    "join_multiway_enrich",
-    "join_anti_orphans",
-    "join_semi_active_customers",
-    "share_window_vs_join_back",
-    "union_slices",
-    "topk_orders_by_value",
-    "cooccurrence_pairs",
-    "join_integrity_check",
-    # windows — never driver-checked in round 1
-    "window_lag_family",
-    "window_rolling_slope",
-    "window_rank_volume",
-    "window_interarrival",
-    "window_zero_streaks",
-    "window_seasonal_dow",
-    "window_centered_smoothing",
-    "window_growth_cap",
-    "window_group_transform",
-    "window_ffill",
-    "window_momentum_accel",
-    "window_decline_indicator",
-    "ewm_daily_store",
-    # scalars + streaming batch twins, interleaved so both families land in
-    # the driver's bounded check window — none were driver-checked in round 1
+    # --- round 3: the 27 oracled queries never yet in a driver window ------
+    # scalars / calendar family
     "calendar_extract",
     "cyclical_fourier",
     "null_strategies",
     "holiday_proximity",
     "clip_and_rewrite",
-    "stream_tumbling_hourly",
-    "stream_threshold_alerts",
-    "stream_json_props_extract",
-    "stream_sliding_1h_30m",
-    "stream_alert_rate_limit",
-    # below here: checked only if the driver's window extends past 50
     "binning_fixed_tiers",
     "string_normalize",
     "frequency_encoding",
     "label_encode_other",
     "business_calendar_flags",
+    # streaming batch twins
+    "stream_tumbling_hourly",
+    "stream_threshold_alerts",
+    "stream_json_props_extract",
+    "stream_sliding_1h_30m",
+    "stream_alert_rate_limit",
     "stream_late_data_policy",
+    # windows
+    "window_group_transform",
+    "window_ffill",
+    "window_momentum_accel",
+    "window_decline_indicator",
+    "ewm_daily_store",
+    # text + multimodal
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
     "multimodal_binary_metadata",
     "multimodal_frame_sample",
+    # --- queries modified or added this round (need re-verification) -------
+    "similarity_topk_cosine",
+    "dedup_cluster_components",
+    "io_compact_roundtrip",
+    "io_upsert_roundtrip",
+    "flagship_weekly_brand_demand",
+    # --- refresh: oracled queries whose only evidence is round 1 -----------
+    "agg_multistat_product",
+    "agg_moments_brand",
+    "agg_distinct_counts",
+    "agg_grouped_quantiles",
+    "market_share_brand",
+    "entropy_store_portfolio",
+    "hhi_by_type",
+    "top5_share_per_store",
+    "mode_share_store",
+    "zero_ratio_per_part",
+    "weekday_profile",
+    "monthly_store_volume",
+    "pivot_brand_by_status",
+    "basket_stats",
+    "corr_price_quantity",
+    "rollup_type_brand",
+    "postproc_clip_caps",
+    "cv_walkforward_folds",
+    # ---- slot 50 boundary: below here only if the driver window extends ----
+    # new rows-only queries this round (weaker rows-only driver check)
+    "similarity_ivf_kmeans",
+    "similarity_pca_cosine",
+    "calibration_isotonic",
+    # remaining oracled refreshes
+    "cube_flag_status",
+    "global_describe",
+    "customer_proxy_daily",
+    "agg_salted_skew",
+    "metric_wmape_by_store",
+    "intermittency_classify",
+    "postproc_business_rules",
+    "postproc_seasonal_nudge",
+    "kpi_quality_bands",
+    "error_decomposition_brand",
+    "cv_blocked_folds",
+    "kpi_directional_accuracy",
+    "meta_features_ensemble",
+    "corr_matrix_top_parts",
+    "postproc_outlier_dampening",
+    "cv_hierarchical_folds",
+    "feature_matrix_daily_store",
+    "calibration_interval_coverage",
+    "prophet_prep_segments",
+    "postproc_lifecycle_promo",
+    # rows-only kernels last (they can only yield err: no_oracle)
+    "agg_approx_sketches",
     "multimodal_decode_stub",
-    # rows-only kernels last among the unverified
     "similarity_brp_lsh_mllib",
+    "dedup_minhash_mllib",
+    "zero_inflated_hurdle_mllib",
     "ewm_pandas_per_series",
     "croston_per_series",
     "sequential_clamp_per_series",
