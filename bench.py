@@ -45,6 +45,12 @@ HEADLINE = [
     "store_coldstart_fallback",       # M5: store-pair cosine + fallback chain
     "text_tfidf_topterms",            # M7 text: tf-idf weighting + top-k
     "dedup_cluster_components",       # M7: iterative connected components
+    # never-benched families added round 4 (round-2 advice #7):
+    "window_expanding_stats",         # expanding (to-date) window frames
+    "join_asof_view_attribution",     # as-of join (last-touch attribution)
+    "event_funnel_conversion",        # ordered funnel over events
+    "unpivot_store_metrics",          # melt/stack unpivot
+    "agg_approx_sketches",            # HLL++/KLL approximate sketches
 ]
 
 
@@ -55,11 +61,19 @@ def main() -> None:
     queries = all_queries()
 
     # warmup: session + parquet footer reads, then one unrecorded pass so
-    # whole-stage codegen compilation and JIT are out of the measurement
+    # whole-stage codegen compilation and JIT are out of the measurement.
+    # Every call is fault-isolated: one broken query must never abort the
+    # harness (round 3 shipped no numbers because a warmup failure did).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        if name in queries:
+        if name not in queries:
+            errors[name] = "ERROR: not registered"
+            continue
+        try:
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
 
     # three measured passes, keep the min per query — scheduler/GC noise on
     # a shared box otherwise dominates sub-second queries, and one contended
@@ -67,22 +81,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
-            if name not in queries:
+            if name not in queries or name in errors:
                 continue
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"ERROR: {type(exc).__name__}: {str(exc)[:200]}"
+                timings.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+    out: dict[str, object] = dict(timings)
+    out.update(errors)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": out,
                 "sf": sf,
+                "n_errors": len(errors),
             }
         )
     )

@@ -10,6 +10,8 @@ projection pruning and predicate pushdown for free
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,28 +29,94 @@ TABLES = (
 )
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers via ``addPyFile`` — the
+    local-mode equivalent of ``spark-submit --py-files``.  Worker processes
+    do not inherit the driver's ``sys.path`` edits, so any
+    ``mapInPandas``/``applyInPandas`` closure that references a module-level
+    name fails with ModuleNotFoundError unless the package is shipped.  On a
+    real cluster the deploy does this once per job; here it is one zip of
+    the source tree per session (idempotent, guarded)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_hbd_pkg_shipped", False):
+        return
+    import tempfile  # noqa: PLC0415 — driver-side only
+    import zipfile  # noqa: PLC0415
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"hackatonbigdata_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._hbd_pkg_shipped = True
+
+
+# Footer-type cache: one pyarrow metadata read per events path per process.
+_EVENTS_TS_NANOS: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark's reader
+    rejects that type unless ``nanosAsLong`` makes it a raw int64; False for
+    a normal us/ms timestamp column, which reads natively.  Checked from the
+    parquet footer (driver-side, milliseconds) instead of being hard-coded,
+    because the two generations of test data disagree on the physical type.
+    """
+    if path not in _EVENTS_TS_NANOS:
+        import pyarrow.parquet as pq  # noqa: PLC0415 — driver-side only
+
+        probe = path
+        if os.path.isdir(probe):
+            parts = sorted(
+                f for f in os.listdir(probe) if f.endswith(".parquet")
+            )
+            probe = os.path.join(probe, parts[0])
+        ts_type = str(pq.read_schema(probe).field("ts").type)
+        _EVENTS_TS_NANOS[path] = ts_type.startswith("timestamp[ns")
+    return _EVENTS_TS_NANOS[path]
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dtype-aware events read: footer decides the ``ts`` normalization so
+    the engine survives the driver regenerating the data with a different
+    physical timestamp type.  Either way the column lands as
+    ``timestamp_ntz`` truncated to microseconds — identical to what DuckDB
+    sees — so event-time semantics match the oracle."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if events_ts_is_nanos(path):
+        # TIMESTAMP(NANOS): readable only as int64; truncate ns -> us.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    # us/ms timestamp: native read; normalize to ntz for oracle parity.
+    return spark.read.parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+
+
 class Catalog:
     """Lazy table accessor: ``Catalog(spark, sf_dir).lineitem`` -> DataFrame."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        ensure_package_on_executors(spark)
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-            # rejects; read the raw int64 and truncate ns -> us exactly as
-            # DuckDB does, so event-time semantics match the oracle.
-            # session.get_spark sets nanosAsLong at build time; this guard
-            # only exists for sessions the engine didn't build (the driver's)
-            # and is idempotent.
-            if self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            return self.spark.read.parquet(f"{self.sf_dir}/events.parquet").withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-            )
+            return read_events(self.spark, self.sf_dir)
         return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -2144,6 +2144,77 @@ def calibration_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("calibration_isotonic")
+def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the rolling-mean forecast: MLlib
+    ``IsotonicRegression`` fits the monotone map forecast → actual (the
+    distributed PAVA the reference's sklearn isotonic calibrator runs
+    single-node, /root/reference/src/models/model_calibration.py:49-200),
+    then the calibrated predictions are summarized per forecast-decile.
+    Rows-only: the fitted piecewise-linear boundaries are model internals;
+    tests pin (a) calibrated means monotone non-decreasing across deciles
+    and (b) total squared error not worse than the raw forecast — guaranteed
+    on training data because the identity map is itself monotone, so the
+    isotonic L2 optimum can only improve on it.
+
+    Scale: MLlib's isotonic is parallel PAVA (per-partition pools, driver
+    merge of the boundary arrays — O(#distinct features) driver state, not
+    O(rows)); the transform broadcasts the boundary table and is a narrow
+    map.  The decile summary reuses the broadcast-quantile-edge pattern
+    (no global window)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import IsotonicRegression
+
+    t = Catalog(spark, sf_dir)
+    f = (
+        _with_forecast(t)
+        .filter(F.col("forecast").isNotNull())
+        .select(
+            "actual",
+            "forecast",
+            array_to_vector(F.array(F.col("forecast"))).alias("features"),
+        )
+    )
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="actual", predictionCol="calibrated"
+    )
+    model = iso.fit(f)
+    cal = model.transform(f).select("actual", "forecast", "calibrated")
+    edges = cal.agg(
+        *[
+            r4(F.percentile("forecast", F.lit(i / 10.0))).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("forecast") > F.col(f"q{i}"), 1).otherwise(0)
+    raw_err = F.col("forecast") - F.col("actual")
+    cal_err = F.col("calibrated") - F.col("actual")
+    return (
+        cal.crossJoin(F.broadcast(edges))
+        .select("actual", "forecast", "calibrated", decile.alias("forecast_decile"))
+        .groupBy("forecast_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.avg("forecast")).alias("mean_forecast"),
+            r4(F.avg("calibrated")).alias("mean_calibrated"),
+            r4(F.avg("actual")).alias("mean_actual"),
+            r4(F.sum(raw_err * raw_err)).alias("sse_raw"),
+            r4(F.sum(cal_err * cal_err)).alias("sse_calibrated"),
+        )
+        .select(
+            F.col("forecast_decile").cast("long").alias("forecast_decile"),
+            "n_rows",
+            "mean_forecast",
+            "mean_calibrated",
+            "mean_actual",
+            "sse_raw",
+            "sse_calibrated",
+        )
+    )
+
+
 @register(
     "metric_wmape_weighted",
     oracle=f"""

@@ -1,0 +1,107 @@
+"""Driver-checkable sink round-trips (SURVEY.md §2.1 extras).
+
+Small-files compaction and keyed MERGE-upsert (``sources/io.py``) exercised
+end-to-end as registered queries: write a scratch copy of a real table, run
+the sink operation, read the result back, and return a content aggregate the
+DuckDB oracle can compute directly from the SOURCE table — equality proves
+the round-trip preserved every row and value (the reference's sink contract,
+/root/reference/src/data/load_data.py:120-135).
+
+Scratch lives under the repo (``.scratch/io``), one directory per scale
+factor, overwritten per run so the queries are idempotent.  At cluster scale
+the same routines run against object-store paths; nothing here is
+local-mode-specific except the scratch location.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+from hackatonbigdata_spark.sources.io import compact_parquet, upsert_parquet
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_REPO_ROOT, ".scratch", "io", tag, leaf)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@register(
+    "io_compact_roundtrip",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 4) AS sum_retail
+FROM part
+GROUP BY p_brand
+""",
+)
+def io_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip: fragment ``part`` into 16 small
+    files, compact them into size-targeted files, and aggregate the
+    read-back — matching the oracle's aggregate over the original table
+    proves compaction is content-preserving.
+
+    Scale: compaction is the 100 TB operational chore (tiny files destroy
+    scan parallelism economics); sizing is data-driven bytes/target →
+    ``repartition(n)`` → single overwrite, per partition directory in
+    production."""
+    t = Catalog(spark, sf_dir)
+    src = _scratch(sf_dir, "compact_src")
+    dst = _scratch(sf_dir, "compact_dst")
+    t.part.repartition(16).write.mode("overwrite").parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=128)
+    back = spark.read.parquet(dst)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        r4(F.sum("p_retailprice")).alias("sum_retail"),
+    )
+
+
+@register(
+    "io_upsert_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice * 1.1
+                      ELSE o_totalprice END), 4) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def io_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE-upsert round-trip: seed a scratch copy of ``orders``,
+    upsert a 10% slice with repriced totals (key = o_orderkey), and
+    aggregate the read-back — the oracle computes the expected post-merge
+    state directly from the source with a CASE, so equality proves the
+    anti-join + union + staged-swap rewrite updated exactly the keyed rows
+    and lost none.
+
+    Scale: plain parquet has no transactional MERGE, so the pattern is
+    read → anti-join out updated keys → union updates → staged rewrite;
+    on Delta/Iceberg the same call is a native MERGE INTO scoped to touched
+    partitions."""
+    t = Catalog(spark, sf_dir)
+    target = _scratch(sf_dir, "upsert_target")
+    t.orders.write.mode("overwrite").parquet(target)
+    updates = (
+        spark.read.parquet(target)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    upsert_parquet(spark, target, updates, ["o_orderkey"])
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("sum_price"),
+    )

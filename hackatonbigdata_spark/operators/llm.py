@@ -601,6 +601,124 @@ def similarity_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_topk(ea: DataFrame, k: int) -> DataFrame:
+    """Top-k cosine neighbors searched only within each vector's bucket.
+    ``ea`` carries (vec_id, emb, nrm, bucket_id); the pair join shuffles on
+    bucket_id, so candidate work is n·(bucket size) instead of n² — the IVF
+    search step shared by the deterministic and KMeans-centroid variants."""
+    a = ea.alias("a")
+    b = ea.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.bucket_id").alias("bucket_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
+        )
+        .select("vec_id", "bucket_id", "neighbor_id", r4("_cos_raw").alias("cos_sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("similarity_ivf_kmeans")
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids: MLlib KMeans(k=8) clusters the
+    embeddings, each vector searches top-3 neighbors only inside its
+    cluster — the learned-centroid step of the reference cold-start engine
+    (/root/reference/src/models/cold_start_solutions.py:109-205: pivot →
+    SVD → cosine → KMeans(20)), replacing ``similarity_ivf_bucketed``'s
+    deterministic placeholder buckets.  Rows-only: KMeans centroids are
+    model-internal (seeded for reproducibility); tests pin recall ≥ 0.8
+    against the exact ``similarity_topk_cosine`` baseline.
+
+    Scale: fit on a bounded sample (MLlib KMeans is iterative scans of the
+    input — at 100 TB fit on ~1M sampled rows, broadcast the 8×d centroid
+    matrix in the model), then one narrow transform assigns buckets and the
+    search is a bucket-keyed shuffle join, never all-pairs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    vecs = e.withColumn("v", array_to_vector("emb"))
+    km = KMeans(k=_N_IVF_CENTROIDS, seed=42, maxIter=20, featuresCol="v",
+                predictionCol="bucket_id")
+    model = km.fit(vecs)
+    ea = model.transform(vecs).select("vec_id", "emb", "nrm", "bucket_id")
+    return _bucket_topk(ea, 3)
+
+
+@register("similarity_pca_cosine")
+def similarity_pca_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduced similarity: MLlib PCA projects the 64-dim
+    embeddings to 16 components, then brute-force cosine top-5 runs in the
+    reduced space — the SVD-reduction step of the reference cold-start
+    engine (/root/reference/src/models/cold_start_solutions.py:95-130,
+    TruncatedSVD(n_components=50) before cosine).  Rows-only: the PCA basis
+    is model-internal; tests pin recall against the full-dim exact top-5.
+
+    Scale: PCA's covariance step is one distributed grammian (64×64 driver
+    eigendecomposition — constant-size regardless of row count); the
+    projection is a narrow map.  The 4× dim cut reduces every downstream
+    pair-scan FLOP and shuffle byte by the same factor; at 100 TB the
+    reduced vectors feed the IVF/LSH bucketed searches, with the pairwise
+    scan here as the on-sample correctness oracle."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    vecs = e.withColumn("v", array_to_vector("emb"))
+    pca = PCA(k=16, inputCol="v", outputCol="pv")
+    model = pca.fit(vecs)
+    red = (
+        model.transform(vecs)
+        .select("vec_id", vector_to_array("pv").alias("emb"))
+        .withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    )
+    a = red.alias("a")
+    b = red.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias("_cos_raw"),
+        )
+        .select("id_lo", "id_hi", r4("_cos_raw").alias("cos_sim"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("neighbor_id"),
+                    F.col("cos_sim").alias("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("neighbor_id"),
+                    F.col("cos_sim").alias("cos_sim"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.vec_id", "_p.neighbor_id", "_p.cos_sim")
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 

@@ -160,3 +160,86 @@ def rolling_autocorr_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .applyInPandas(kernel, schema="l_suppkey long, autocorr1 double, n_days long")
     )
+
+
+def holt_winters_fit(
+    y: list[float],
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 7,
+) -> tuple[float, float, float] | None:
+    """Additive Holt-Winters recursion over one series: returns (level,
+    trend, h-step forecast), or None when the series is shorter than two
+    seasons.  Standard initialization: first-season mean level, mean
+    season-over-season difference for trend, de-meaned first season for the
+    seasonal state."""
+    if len(y) < 2 * m:
+        return None
+    level = float(sum(y[:m]) / m)
+    trend = float((sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m)
+    season = [float(v - level) for v in y[:m]]
+    for i in range(m, len(y)):
+        s = season[i % m]
+        prev_level = level
+        level = alpha * (y[i] - s) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev_level) + (1 - beta) * trend
+        season[i % m] = gamma * (y[i] - level) + (1 - gamma) * s
+    fc = level + horizon * trend + season[(len(y) + horizon - 1) % m]
+    return level, trend, fc
+
+
+@register("holt_winters_per_series")
+def holt_winters_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality) fit per
+    store daily series — the closed-form per-series seasonal fit the
+    reference runs through Prophet
+    (/root/reference/src/models/prophet_seasonal.py:304-367: per-segment
+    seasonal model fit + forecast).  Smoothing recursions (alpha=0.3,
+    beta=0.1, gamma=0.2, m=7) depend on their own prior state, so this is a
+    pandas kernel, not a window rewrite; emits the final state and a 7-day-
+    ahead forecast per series.
+
+    Scale: one grouped-map shuffle keyed by series; each kernel call is
+    O(series length) with O(m) state.  Millions of series parallelize
+    embarrassingly — the same shape as the reference's per-segment loop,
+    minus the driver-side iteration."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
+        key = int(pdf["l_suppkey"].iloc[0])
+        fit = holt_winters_fit([float(v) for v in pdf["qty"]])
+        if fit is None:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": [key],
+                    "level": [None],
+                    "trend": [None],
+                    "forecast_7d": [None],
+                    "n_days": [len(pdf)],
+                }
+            )
+        level, trend, fc = fit
+        return pd.DataFrame(
+            {
+                "l_suppkey": [key],
+                "level": [round(level, 4)],
+                "trend": [round(trend, 4)],
+                "forecast_7d": [round(fc, 4)],
+                "n_days": [len(pdf)],
+            }
+        )
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            kernel,
+            schema=(
+                "l_suppkey long, level double, trend double,"
+                " forecast_7d double, n_days long"
+            ),
+        )
+    )
