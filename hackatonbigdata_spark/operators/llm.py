@@ -996,23 +996,38 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop groups, the step an LLM dedup pipeline runs after candidate
     generation.
 
-    Iterative min-label propagation to a FIXPOINT: each round joins labels
-    across edges and takes the elementwise min.  Labels are SEEDED with
-    min(self, min(neighbor)) — the first propagation round folded into
-    initialization — so shallow dup clusters converge with fewer joins.
-    Convergence is detected by the (exact, integer) sum of labels going
-    unchanged; labels only ever decrease, so checking every SECOND round
-    (paired with the localCheckpoint that keeps lineage O(1)) still
-    certifies the fixpoint at half the driver-sync cost.  The oracle states
-    the same fixpoint as a recursive CTE.  Scale: rounds = graph diameter
-    (dup clusters are shallow); each round is one keyed join + agg.  At
+    Iterative min-label propagation to a FIXPOINT: each round sends every
+    label across the edges and folds messages with the self-label in ONE
+    keyed min-aggregate (join → union → groupBy.min — no second join back).
+    Labels are SEEDED with min(self, min(neighbor)) — the first propagation
+    round folded into initialization — so shallow dup clusters converge
+    with fewer joins.  Convergence is detected by the (exact, integer) sum
+    of labels going unchanged; labels only ever decrease, so checking every
+    SECOND round still certifies the fixpoint, and the sum rides the
+    checkpoint job itself via ``observe`` — zero extra driver round-trips
+    (the r3 version ran a separate agg job per certification).  The oracle
+    states the same fixpoint as a recursive CTE.  Scale: rounds = graph
+    diameter (dup clusters are shallow); each round is one keyed join +
+    one keyed agg, lineage kept O(1) by the periodic localCheckpoint.  At
     larger graphs use the large-star/small-star variant or GraphFrames —
     same dataflow."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     cand = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
     half = cand.select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
-    edges = half.unionAll(
-        half.select(F.col("db").alias("da"), F.col("da").alias("db"))
-    ).localCheckpoint(eager=True)
+    # The dup graph is orders of magnitude smaller than the corpus (only
+    # docs with a candidate edge).  Re-key it onto a handful of partitions
+    # before checkpointing: otherwise every propagation round inherits the
+    # LSH union's 2×shuffle.partitions layout and pays 64 near-empty tasks
+    # of scheduling overhead per stage.  At a scale where the dup graph is
+    # itself large, raise the count — partitions should track |edges|, not
+    # the corpus layout.
+    edges = (
+        half.unionAll(half.select(F.col("db").alias("da"), F.col("da").alias("db")))
+        .repartition(8, "db")
+        .localCheckpoint(eager=True)
+    )
+    seed_obs = Observation()
     labels = (
         edges.groupBy("da")
         .agg(F.min("db").alias("_mn"))
@@ -1020,30 +1035,28 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("da").alias("doc_id"),
             F.least(F.col("da"), F.col("_mn")).alias("component_id"),
         )
+        .observe(seed_obs, F.sum("component_id").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    prev_sum = seed_obs.get["s"]
     for rnd in range(1, 21):
-        prop = (
-            edges.join(labels, edges.db == labels.doc_id)
-            .groupBy("da")
-            .agg(F.min("component_id").alias("ncomp"))
+        prop = edges.join(labels, edges.db == labels.doc_id).select(
+            F.col("da").alias("doc_id"), "component_id"
         )
         labels = (
-            labels.join(prop, labels.doc_id == prop.da, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("ncomp", F.col("component_id"))
-                ).alias("component_id"),
-            )
+            prop.unionByName(labels.select("doc_id", "component_id"))
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
         )
         # sync at rounds 1,3,5,...: the min-neighbor seed already IS the
         # fixpoint for diameter-2 clusters (the common case), so the first
         # certification fires after a single join instead of two
         if rnd % 2 == 1:
-            labels = labels.localCheckpoint(eager=True)
-            new_sum = labels.agg(F.sum("component_id")).first()[0]
+            obs = Observation()
+            labels = labels.observe(
+                obs, F.sum("component_id").alias("s")
+            ).localCheckpoint(eager=True)
+            new_sum = obs.get["s"]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
