@@ -632,20 +632,29 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: sketch outputs are implementation-specific, so
     there is no cross-engine oracle — tests/test_scale.py pins the relative
     error bounds instead.  Scale: sketches are mergeable, map-side partial
-    aggregates; the exact twins here are the test harness, not the plan."""
+    aggregates; the exact twins here are the test harness, not the plan.
+
+    The distinct counts and the percentile sketches are computed in
+    SEPARATE aggregations joined on the 25-row brand key: mixing a DISTINCT
+    aggregate with object-buffer aggregates in one ``agg`` makes Catalyst's
+    distinct-rewrite carry the percentile buffers through the per-(brand,
+    orderkey) pre-aggregation — measured 27 s vs 2.5 s split at sf0.1."""
     t = Catalog(spark, sf_dir)
     j = t.lineitem.join(
         F.broadcast(t.part.select("p_partkey", "p_brand")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    agg = j.groupBy("p_brand").agg(
+    counts = j.groupBy("p_brand").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+    pcts = j.groupBy("p_brand").agg(
         r4(F.percentile("l_extendedprice", F.lit(0.5))).alias("exact_p50"),
         r4(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))).alias(
             "approx_p50"
         ),
     )
+    agg = counts.join(F.broadcast(pcts), "p_brand")
     return agg.select(
         "p_brand",
         "exact_orders",
