@@ -1148,3 +1148,214 @@ def text_scrub_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrubbed).alias("scrubbed_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline infrastructure: splits, contamination, quantization,
+# sequence packing
+
+
+@register(
+    "sample_stratified_split",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+            AS BIGINT) AS split_bucket,
+       CASE
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+           THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+           THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10): the
+    split a 100 TB pipeline must use instead of ``rand()`` — stable across
+    reruns, engines, and partitionings, so no document ever migrates
+    between splits when data is re-processed.  Uses the shared
+    first-8-hex-of-md5 bucket construction (bit-identical in Spark and
+    DuckDB).
+
+    Scale: pure rowwise hashing, no shuffle, no state; stratification
+    reporting is one keyed agg downstream of this assignment."""
+    t = Catalog(spark, sf_dir)
+    bucket = (_h(F.col("doc_id").cast("string")) % 100).alias("split_bucket")
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        bucket,
+        F.when(F.col("split_bucket") < 80, "train")
+        .when(F.col("split_bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).select("doc_id", "lang", "split_bucket", "split")
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id, b.doc_id
+)
+SELECT o.doc_id, o.bench_id, o.n_shared,
+       round(o.n_shared * 1.0 / s.n_shingles, 4) AS overlap_ratio
+FROM ov o JOIN sizes s ON o.doc_id = s.doc_id
+WHERE o.n_shared >= 5
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing ≥5
+    word-3-gram shingles with any held-out benchmark document (here the
+    deterministic 2% slice doc_id % 50 = 0), with the shingle-overlap ratio
+    — the decontamination screen every LLM training corpus needs before a
+    benchmark is trusted.
+
+    Scale: one equi-join keyed on the shingle — the benchmark side is tiny
+    by construction, so it broadcasts; never an all-pairs document
+    comparison.  The shingle explode is the same shuffle the dedup family
+    already pays, shareable in a combined pipeline."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    return ov.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        r4(F.col("n_shared") * F.lit(1.0) / F.col("n_shingles")).alias("overlap_ratio"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS mn,
+         CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS mx
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb, mn, mx, (mx - mn) / 255.0 AS scale FROM e
+), err AS (
+  SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx, round(scale, 4) AS scale,
+         list_transform(emb, x -> abs(x - (mn + round((x - mn) / scale) * scale)))
+           AS errs
+  FROM s
+)
+SELECT vec_id, mn, mx, scale,
+       round(list_aggregate(errs, 'max'), 4) AS max_abs_err,
+       round(list_aggregate(errs, 'sum') / len(errs), 4) AS mean_abs_err
+FROM err
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (per-vector affine min/max scale) with
+    reconstruction-error accounting — the 4× storage/bandwidth cut applied
+    before embeddings feed ANN indexes at corpus scale.  Emits per-vector
+    scale parameters and max/mean absolute dequantization error; the
+    quantized codes themselves are ``round((x - mn) / scale)``, recomputed
+    here only for the error check.
+
+    Scale: pure rowwise array math (JVM higher-order functions, no Python,
+    no shuffle); quantization parameters ride with each row so the
+    transform is embarrassingly parallel and re-entrant."""
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("mn"),
+        F.array_max("emb").alias("mx"),
+    )
+    s = e.withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    errs = F.expr(
+        "transform(emb, x -> abs(x - (mn + round((x - mn) / scale) * scale)))"
+    )
+    return s.select(
+        "vec_id",
+        r4("mn").alias("mn"),
+        r4("mx").alias("mx"),
+        r4("scale").alias("scale"),
+        r4(F.array_max(errs)).alias("max_abs_err"),
+        r4(
+            F.expr(
+                "aggregate(transform(emb, x -> abs(x - (mn + round((x - mn) / scale)"
+                " * scale))), cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            / F.size("emb")
+        ).alias("mean_abs_err"),
+    )
+
+
+@register(
+    "seqpack_greedy_bins",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+              AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM tok
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 4096.0) AS BIGINT) AS bin_id
+FROM packed
+""",
+)
+def seqpack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents are hashed into
+    8 shards, concatenated in stable (doc_id) order, and cut into 4096-token
+    context windows — each doc's bin is the window its first token lands in
+    (GPT-style packed sequences; straddling docs are split at the boundary
+    by the downstream tokenizer writer).
+
+    Scale: packing is per-shard, so there is NO global sort — each shard is
+    one independent ordered window, shard count scales with the cluster,
+    and the stable hash keeps assignment deterministic across reruns.  The
+    running offset is the one window computation; everything else is
+    rowwise."""
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        (_h(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = tok.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return packed.withColumn(
+        "bin_id", F.floor(F.col("start_offset") / F.lit(4096.0)).cast("long")
+    )

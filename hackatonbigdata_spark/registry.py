@@ -83,6 +83,10 @@ _PRIORITY: list[str] = [
     "similarity_pca_cosine",
     "calibration_isotonic",
     "holt_winters_per_series",
+    "sample_stratified_split",
+    "contamination_ngram_overlap",
+    "embedding_quantize_int8",
+    "seqpack_greedy_bins",
     # --- modified this round (need re-verification) ------------------------
     "dedup_cluster_components",
     "flagship_weekly_brand_demand",
@@ -116,8 +120,8 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 46 names above; a 50-slot driver window reaches 4 entries into
-    # this r2-green refresh block (through store_coldstart_fallback) --------
+    # ---- exactly 50 names above fill a 50-slot driver window; below this
+    # line only if the window extends ---------------------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",
