@@ -1336,10 +1336,18 @@ def zero_inflated_hurdle_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/models/intermittent_demand.py:177-375).
 
     The dataflow is the point: one feature matrix, two fits, predictions
-    joined back — all distributed, deterministic seed."""
+    joined back — all distributed, deterministic seed.
+
+    Scoring is COLUMN MATH over the extracted coefficients (3 weights + an
+    intercept per stage), not ``model.transform``: serializing a fitted
+    MLlib model into task closures drags its trainingSummary and with it
+    the owning SparkSession — which becomes non-serializable the moment
+    anything in the session has used ``Observation`` (the connected-
+    components query does).  Collecting the coefficient vector to the
+    driver and broadcasting it as literals is also the cheaper plan: no
+    Scala UDF, stays inside whole-stage codegen."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
     from pyspark.ml.regression import LinearRegression
 
     t = Catalog(spark, sf_dir)
@@ -1372,22 +1380,21 @@ def zero_inflated_hurdle_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage2 = LinearRegression(
         featuresCol="x", labelCol="qty", maxIter=20, regParam=0.1
     ).fit(vec.filter(F.col("is_event") > 0))
-    p_event = stage1.transform(vec).select(
+    w1 = [float(v) for v in stage1.coefficients]
+    b1 = float(stage1.intercept)
+    w2 = [float(v) for v in stage2.coefficients]
+    b2 = float(stage2.intercept)
+    feat_cols = [F.col("lag1"), F.col("lag7"), F.col("roll7")]
+    z1 = sum((F.lit(w) * c for w, c in zip(w1, feat_cols)), F.lit(b1))
+    p_event = F.lit(1.0) / (F.lit(1.0) + F.exp(-z1))
+    magnitude = sum((F.lit(w) * c for w, c in zip(w2, feat_cols)), F.lit(b2))
+    return feats.select(
         "l_suppkey",
         "l_shipdate",
         "qty",
-        F.element_at(vector_to_array("probability"), 2).alias("p_event"),
-    )
-    magnitude = stage2.transform(vec).select(
-        "l_suppkey", "l_shipdate", F.col("prediction").alias("magnitude")
-    )
-    return p_event.join(magnitude, ["l_suppkey", "l_shipdate"]).select(
-        "l_suppkey",
-        "l_shipdate",
-        "qty",
-        F.round("p_event", 4).alias("p_event"),
-        F.round("magnitude", 4).alias("magnitude"),
-        F.round(F.col("p_event") * F.col("magnitude"), 4).alias("hurdle_forecast"),
+        F.round(p_event, 4).alias("p_event"),
+        F.round(magnitude, 4).alias("magnitude"),
+        F.round(p_event * magnitude, 4).alias("hurdle_forecast"),
     )
 
 
