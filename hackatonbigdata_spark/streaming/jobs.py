@@ -203,6 +203,47 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
     )
 
 
+def upsert_serving_table_stream(
+    spark: SparkSession, sf_dir: str, target_path: str
+) -> None:
+    """``foreachBatch`` sink: each micro-batch of the hourly aggregate
+    MERGEs into a parquet serving table keyed by (window_start, event_type)
+    — the production pattern for keeping a queryable table incrementally
+    fresh from a stream when the store has no native streaming MERGE.
+    Update-mode emissions re-upsert a window every time late data revises
+    it, so the table converges to the batch aggregate.
+
+    Scale/semantics: the upsert is idempotent per key (a replayed batch
+    after a failure rewrites the same rows), which is what makes
+    foreachBatch + MERGE exactly-once at the table level even though
+    foreachBatch itself is at-least-once.  On Delta/Iceberg the body
+    becomes a native MERGE INTO; the staged-parquet rewrite here is scoped
+    the same way."""
+    import os  # noqa: PLC0415
+
+    from hackatonbigdata_spark.sources.io import upsert_parquet  # noqa: PLC0415
+
+    agg = tumbling_hourly_stream(read_events_stream(spark, sf_dir))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.isdir(target_path):
+            upsert_parquet(
+                spark, target_path, batch_df, ["window_start", "event_type"]
+            )
+        else:
+            batch_df.write.mode("overwrite").parquet(target_path)
+
+    (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_windows_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of ``stream_session_windows``: 30-minute-gap session
     windows per user under the watermark.  In append mode a session emits

@@ -191,3 +191,27 @@ def test_rate_limit_stream_one_alert_per_user_window(spark, events_stream, event
         .count()
         == 0
     )
+
+
+def test_upsert_serving_table_stream_converges_to_batch(spark, events_batch, tmp_path):
+    """foreachBatch MERGE sink: after availableNow drains the source, the
+    parquet serving table must equal the batch aggregate — the table-level
+    exactly-once property of idempotent keyed upserts."""
+    target = str(tmp_path / "serving")
+    jobs.upsert_serving_table_stream(spark, SF_DIR, target)
+    got = spark.read.parquet(target)
+    batch = jobs.tumbling_hourly_stream(events_batch)
+    keys = ["window_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got.select(*batch.columns), keys),
+        _sorted_pdf(batch, keys),
+        rtol=1e-9,
+    )
+    # idempotence: re-running the stream over the same source changes nothing
+    jobs.upsert_serving_table_stream(spark, SF_DIR, target)
+    again = spark.read.parquet(target)
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(again.select(*batch.columns), keys),
+        _sorted_pdf(batch, keys),
+        rtol=1e-9,
+    )
