@@ -67,5 +67,34 @@ def test_no_unpartitioned_windows_in_scale_paths(spark):
         "calibration_curve_bins",
         "join_range_price_band",
         "stream_late_data_policy",
+        # round-4 additions: packing must stay per-shard, splits/contamination
+        # and the new similarity/calibration paths must stay window-free or
+        # keyed
+        "seqpack_greedy_bins",
+        "sample_stratified_split",
+        "contamination_ngram_overlap",
+        "embedding_quantize_int8",
+        "similarity_ivf_kmeans",
+        "similarity_pca_cosine",
+        "calibration_isotonic",
+        "io_upsert_roundtrip",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
+
+
+def test_new_pipeline_ops_stay_jvm_side(spark):
+    """The round-4 pipeline operators are pure column math / joins — no
+    Python UDF may appear in their plans (the kernels in series_kernels.py
+    and the decode stub stay the only Python)."""
+    for name in [
+        "sample_stratified_split",
+        "contamination_ngram_overlap",
+        "embedding_quantize_int8",
+        "seqpack_greedy_bins",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    s = plan_stats(QUERIES["contamination_ngram_overlap"](spark, SF_DIR))
+    assert s.broadcasts >= 1, "the 2% benchmark shingle set should broadcast"
