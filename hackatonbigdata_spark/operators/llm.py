@@ -1074,6 +1074,110 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cluster_largestar")
+def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    O(log n)-round scale path for deep dup graphs, where plain min-label
+    propagation needs rounds = graph diameter.  Each large-star hangs every
+    strictly-larger neighbor of a node off the minimum of its neighborhood;
+    each small-star re-hangs the smaller neighbors — the graph flattens
+    doubly-exponentially toward a star per component, after which one
+    min-over-neighborhood step reads off the component minimum.
+
+    Same input (MinHash-LSH candidates at est-Jaccard ≥ 0.5) and same
+    output contract as ``dedup_cluster_components``; rows-only (the oracle
+    for that query already states the fixpoint as a recursive CTE), with
+    tests pinning exact equality between the two algorithms.
+
+    Scale: every round is two keyed aggregates + a join on the CURRENT edge
+    set, which only shrinks toward one edge per non-root node; convergence
+    (edge multiset stable) is certified by count+checksum riding the
+    checkpoint job via ``observe`` — no separate driver action."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    cand = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    # canonical undirected edges, deduped, on a few partitions (see
+    # dedup_cluster_components for the tiny-graph partitioning rationale)
+    edges = (
+        cand.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .distinct()
+        .repartition(8, "hi")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .unionAll(edges.select(F.col("hi").alias("doc_id")))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(15):
+        # ---- large-star: for each node u, m = min(N(u) ∪ {u}); emit
+        # (v, m) for every neighbor v > u ---------------------------------
+        bid = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            bid.groupBy("u")
+            .agg(F.min("v").alias("_mnv"))
+            .select("u", F.least("u", "_mnv").alias("m"))
+        )
+        ls = (
+            bid.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # ---- small-star: edges point larger→smaller; for each node u,
+        # m = min of its smaller neighbors; re-hang them (and u) off m ----
+        g2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        sml = (
+            ls.join(g2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .unionAll(g2.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .distinct()
+        )
+        obs = Observation()
+        edges = sml.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("lo") + F.col("hi")).alias("s"),
+        ).localCheckpoint(eager=True)
+        sig = (obs.get["n"], obs.get["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every non-root node's edge points at its component min
+    labels = (
+        nodes.join(
+            edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cmp")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cmp").alias("_mn"))
+        .select(
+            "doc_id",
+            F.coalesce(F.least("doc_id", "_mn"), F.col("doc_id")).alias("component_id"),
+        )
+    )
+    sizes = labels.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(F.broadcast(sizes), "component_id").select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        F.when(F.col("doc_id") == F.col("component_id"), 1).otherwise(0).alias(
+            "is_canonical"
+        ),
+    )
+
+
 @register(
     "dedup_fuzzy_names",
     oracle="""

@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "seqpack_greedy_bins",
     # --- modified this round (need re-verification) ------------------------
     "dedup_cluster_components",
+    "dedup_cluster_largestar",
     "flagship_weekly_brand_demand",
     # --- rows-only kernels never yet in a driver window (weaker rows-only
     # check is still a driver record the judge can see) ---------------------
@@ -120,8 +121,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- exactly 50 names above fill a 50-slot driver window; below this
-    # line only if the window extends ---------------------------------------
+    # ---- 51 names above: a 50-slot driver window covers everything through
+    # prophet_prep_segments (postproc_lifecycle_promo is first out); below
+    # this line only if the window extends ----------------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",

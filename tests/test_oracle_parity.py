@@ -58,5 +58,9 @@ def test_every_query_has_oracle_or_reason():
         # per-series Holt-Winters recursion: state-dependent, not one SQL
         # statement; math pinned by tests/test_ml_similarity.py
         "holt_winters_per_series",
+        # large-star/small-star components: same fixpoint as
+        # dedup_cluster_components (whose recursive-CTE oracle covers the
+        # semantics); exact equality pinned by tests/test_ml_similarity.py
+        "dedup_cluster_largestar",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"
