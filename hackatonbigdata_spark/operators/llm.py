@@ -1463,3 +1463,112 @@ def seqpack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.withColumn(
         "bin_id", F.floor(F.col("start_offset") / F.lit(4096.0)).cast("long")
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM w, unnest(range(1, len(w)-1)) AS u(i)
+      WHERE len(w) >= 3),
+s AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+      FROM g GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_distinct,
+       round(1.0 - n_distinct * 1.0 / n_shingles, 4) AS repetition_ratio,
+       CASE WHEN 1.0 - n_distinct * 1.0 / n_shingles > 0.2 THEN 1 ELSE 0 END
+         AS is_repetitive
+FROM s
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter: the fraction of word-3-grams that
+    are duplicates of an earlier 3-gram in the same document — the
+    Gopher-style quality rule that catches boilerplate, keyword stuffing,
+    and generation loops before they reach a training mix.  Exact integer
+    count ratio, so cross-engine determinism is free.
+
+    Scale: one explode + one keyed agg on (doc_id); no cross-document
+    state, embarrassingly parallel."""
+    t = Catalog(spark, sf_dir)
+    g = _doc_shingles(t, distinct=False)
+    s = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.col("n_shingles")
+    return s.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        r4(rep).alias("repetition_ratio"),
+        F.when(rep > 0.2, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+t AS (SELECT doc_id, word FROM w WHERE word <> ''),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, word),
+cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf FROM t GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+q AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(-log2(cf.cf * 1.0 / n.total) * 10000 + 0.5) AS BIGINT) AS nlq
+  FROM tf JOIN cf ON tf.word = cf.word CROSS JOIN n
+), d AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(nl_sum / (n_tokens * 10000.0), 4) AS avg_neg_log2p
+FROM d
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: average per-token
+    negative log2 probability under the corpus's own word distribution — the
+    cheap perplexity proxy pipelines use to rank documents for quality/
+    domain filtering before an expensive neural scorer sees them.
+
+    Cross-engine determinism: each word's −log2 p is quantized to an
+    INTEGER 1e4 scale first, so the per-document aggregate is an exact
+    BIGINT sum — immune to float summation order across partitions and
+    engines.  Scale: two keyed aggregates (doc-term, corpus-term) + a join
+    keyed on the term; the corpus term table is Zipf-compact and the join
+    shuffles on the term key, never all-pairs."""
+    t = Catalog(spark, sf_dir)
+    words = _doc_words(t).select(
+        "doc_id", F.explode("w").alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    cf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    n = words.agg(F.count(F.lit(1)).alias("total"))
+    q = (
+        tf.join(cf, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    d = q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        r4(F.col("nl_sum") / (F.col("n_tokens") * 10000.0)).alias("avg_neg_log2p"),
+    )

@@ -87,6 +87,8 @@ _PRIORITY: list[str] = [
     "contamination_ngram_overlap",
     "embedding_quantize_int8",
     "seqpack_greedy_bins",
+    "text_repetition_ratio",
+    "text_unigram_logprob",
     # --- modified this round (need re-verification) ------------------------
     "dedup_cluster_components",
     "dedup_cluster_largestar",
@@ -121,9 +123,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 51 names above: a 50-slot driver window covers everything through
-    # prophet_prep_segments (postproc_lifecycle_promo is first out); below
-    # this line only if the window extends ----------------------------------
+    # ---- 53 names above: a 50-slot driver window covers everything through
+    # feature_matrix_daily_store (the last three refresh entries fall out);
+    # below this line only if the window extends ----------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",
