@@ -1572,3 +1572,102 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         r4(F.col("nl_sum") / (F.col("n_tokens") * 10000.0)).alias("avg_neg_log2p"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH k AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})
+), q AS (
+  SELECT d.doc_id, length(d.text) AS n_chars,
+         CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(d.text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents d JOIN k ON d.doc_id = k.doc_id
+), f AS (
+  SELECT doc_id, n_tokens,
+         least(n_words / 100.0, 1.0) * 0.6 + least(n_chars / 500.0, 1.0) * 0.4
+           AS score
+  FROM q
+), s AS (
+  SELECT doc_id, n_tokens,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+             THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+              AS BIGINT) AS shard
+  FROM f WHERE score >= 0.5
+), p AS (
+  SELECT doc_id, split, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM s
+)
+SELECT doc_id, split, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 4096.0) AS BIGINT) AS bin_id
+FROM p
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation flow as ONE composed plan: exact
+    dedup (keep the min doc_id per normalized-text digest) → quality filter
+    (the ``text_quality_score`` formula at the medium bar) → deterministic
+    hash split (``sample_stratified_split`` buckets) → per-(split, shard)
+    sequence packing (``seqpack_greedy_bins`` windows).  The point is
+    composition: the stages fuse into one job — dedup's aggregate, the
+    rowwise scoring/splitting, and the packing window share scans and
+    pipeline inside Catalyst instead of materializing between steps.
+
+    Scale: one digest-keyed aggregate + semi join (dedup), rowwise math,
+    and per-shard ordered windows — no global sort, no cross-document state
+    beyond the two keyed shuffles."""
+    t = Catalog(spark, sf_dir)
+    keep = (
+        t.documents.select("doc_id", F.md5(_norm_text()).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = t.documents.join(keep, "doc_id").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(_norm_text(), " ")).cast("long").alias("n_words"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    score = (
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.6
+        + F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.4
+    )
+    bucket = _h(F.col("doc_id").cast("string")) % 100
+    s = (
+        q.filter(score >= 0.5)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            (_h(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        )
+    )
+    w = (
+        W.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = s.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return packed.withColumn(
+        "bin_id", F.floor(F.col("start_offset") / F.lit(4096.0)).cast("long")
+    ).select("doc_id", "split", "shard", "n_tokens", "start_offset", "bin_id")

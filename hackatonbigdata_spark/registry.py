@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "seqpack_greedy_bins",
     "text_repetition_ratio",
     "text_unigram_logprob",
+    "corpus_curation_pipeline",
     # --- modified this round (need re-verification) ------------------------
     "dedup_cluster_components",
     "dedup_cluster_largestar",
@@ -123,9 +124,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 53 names above: a 50-slot driver window covers everything through
-    # feature_matrix_daily_store (the last three refresh entries fall out);
-    # below this line only if the window extends ----------------------------
+    # ---- 54 names above: a 50-slot driver window covers everything through
+    # cv_hierarchical_folds (the last four refresh entries fall out); below
+    # this line only if the window extends ----------------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",

@@ -78,6 +78,9 @@ def test_no_unpartitioned_windows_in_scale_paths(spark):
         "similarity_pca_cosine",
         "calibration_isotonic",
         "io_upsert_roundtrip",
+        "corpus_curation_pipeline",
+        "text_unigram_logprob",
+        "text_repetition_ratio",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
 
@@ -91,6 +94,9 @@ def test_new_pipeline_ops_stay_jvm_side(spark):
         "contamination_ngram_overlap",
         "embedding_quantize_int8",
         "seqpack_greedy_bins",
+        "corpus_curation_pipeline",
+        "text_unigram_logprob",
+        "text_repetition_ratio",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 
