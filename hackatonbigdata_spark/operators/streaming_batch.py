@@ -589,3 +589,72 @@ def join_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seconds_since_view"),
     )
+
+
+@register(
+    "stream_interval_join_views",
+    oracle="""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds,
+       round(p.value, 4) AS purchase_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time INTERVAL JOIN: every (view, purchase) pair for the same
+    user where the purchase lands within 30 minutes after the view — the
+    multi-touch attribution join (the as-of query keeps only the last
+    touch; this one scores every touch in the window).
+
+    This is the batch-checkable form of Spark's stream-stream join: the
+    live twin (``streaming/jobs.py:interval_join_stream``) runs the same
+    condition over two watermarked streams, where the time bounds are what
+    let the state store evict rows — a stream-stream join WITHOUT an
+    interval condition would buffer both sides forever.
+
+    Scale: one shuffle keyed on user_id for both sides; within a user the
+    pair work is bounded by events-per-user × window width.  The join
+    condition's time bounds prune before any pair materializes."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("interval 30 minutes")
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("lag_seconds"),
+        r4("value").alias("purchase_value"),
+    )

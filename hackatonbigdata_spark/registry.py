@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "event_cohort_retention",
     "event_funnel_conversion",
     "join_asof_view_attribution",
+    "stream_interval_join_views",
     # --- new this round (io round-trips oracled; the ML-model queries are
     # rows-only by design — centroids/PCA basis/isotonic boundaries are
     # model internals, pinned by recall/monotonicity tests instead) ---------
@@ -124,9 +125,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 54 names above: a 50-slot driver window covers everything through
-    # cv_hierarchical_folds (the last four refresh entries fall out); below
-    # this line only if the window extends ----------------------------------
+    # ---- 55 names above: a 50-slot driver window covers everything through
+    # postproc_outlier_dampening (the last five refresh entries fall out);
+    # below this line only if the window extends ----------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",

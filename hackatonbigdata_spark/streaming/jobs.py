@@ -203,6 +203,54 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
     )
 
 
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: views joined to same-user purchases
+    arriving within 30 minutes after them — the live twin of the oracled
+    batch query ``stream_interval_join_views``.  Both sides carry a
+    watermark and the join condition bounds purchase time relative to view
+    time; those bounds are what let Spark evict buffered rows from the
+    state store (an unbounded stream-stream join buffers both sides
+    forever).  State held: ~watermark + interval width per side, keyed by
+    user_id."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts"
+            " AND purchase_ts <= view_ts + interval 30 minutes"
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("lag_seconds"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 def upsert_serving_table_stream(
     spark: SparkSession, sf_dir: str, target_path: str
 ) -> None:

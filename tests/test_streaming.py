@@ -215,3 +215,21 @@ def test_upsert_serving_table_stream_converges_to_batch(spark, events_batch, tmp
         _sorted_pdf(batch, keys),
         rtol=1e-9,
     )
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream, events_batch):
+    """Stream-stream interval join (append mode): the emitted (view,
+    purchase) pairs must equal the batch interval join over the same files
+    — inner joins emit exactly the pairs whose both sides arrived within
+    the watermark, which under availableNow over a bounded source is all
+    of them."""
+    jobs.run_to_memory(
+        jobs.interval_join_stream(events_stream), "t_ivjoin", "append"
+    )
+    got = spark.table("t_ivjoin")
+    batch = jobs.interval_join_stream(events_batch)
+    keys = ["view_id", "purchase_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(batch, keys), rtol=1e-9
+    )
+    assert got.count() > 0, "corpus should contain view->purchase pairs"
