@@ -51,6 +51,21 @@ HEADLINE = [
     "event_funnel_conversion",        # ordered funnel over events
     "unpivot_store_metrics",          # melt/stack unpivot
     "agg_approx_sketches",            # HLL++/KLL approximate sketches
+    # round-4 operators:
+    "dedup_cluster_largestar",        # O(log n) star-rounds components
+    "similarity_ivf_kmeans",          # MLlib KMeans learned IVF buckets
+    "calibration_isotonic",           # distributed PAVA calibration
+    "holt_winters_per_series",        # per-series pandas HW fit
+    "contamination_ngram_overlap",    # benchmark-contamination screen
+    "sample_stratified_split",        # deterministic hash split
+    "embedding_quantize_int8",        # int8 quantization + error audit
+    "seqpack_greedy_bins",            # per-shard sequence packing
+    "text_unigram_logprob",           # corpus unigram-LM scoring
+    "text_repetition_ratio",          # within-doc repetition filter
+    "corpus_curation_pipeline",       # composed dedup→filter→split→pack
+    "io_compact_roundtrip",           # small-files compaction sink
+    "io_upsert_roundtrip",            # keyed MERGE-upsert sink
+    "stream_interval_join_views",     # event-time interval join
 ]
 
 
