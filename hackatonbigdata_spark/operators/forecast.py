@@ -2164,29 +2164,41 @@ def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     on training data because the identity map is itself monotone, so the
     isotonic L2 optimum can only improve on it.
 
-    Scale: MLlib's isotonic is parallel PAVA (per-partition pools, driver
-    merge of the boundary arrays — O(#distinct features) driver state, not
-    O(rows)); the transform broadcasts the boundary table and is a narrow
-    map.  The decile summary reuses the broadcast-quantile-edge pattern
-    (no global window)."""
+    Scale: the fit runs on the WEIGHTED DISTINCT-FEATURE aggregate, not the
+    raw rows — isotonic regression's optimum on (x, weight=n, y=mean)
+    groups is identical to the optimum on the underlying points (PAVA pools
+    by feature value anyway), and the engine's forecast is 4dp-quantized,
+    so 599k rows collapse to ~700 fit points at sf0.1 regardless of fact
+    size growing 1000×.  MLlib's parallel PAVA then merges a ~700-boundary
+    array on the driver, the calibration map broadcasts back onto the full
+    frame as a tiny equi-join, and the decile summary reuses the
+    broadcast-quantile-edge pattern (no global window)."""
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.regression import IsotonicRegression
 
     t = Catalog(spark, sf_dir)
-    f = (
-        _with_forecast(t)
-        .filter(F.col("forecast").isNotNull())
-        .select(
-            "actual",
-            "forecast",
-            array_to_vector(F.array(F.col("forecast"))).alias("features"),
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull()).select(
+        "actual", "forecast"
+    )
+    pts = (
+        f.groupBy("forecast")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("w"),
+            F.avg("actual").alias("label"),
         )
+        .withColumn("features", array_to_vector(F.array(F.col("forecast"))))
     )
     iso = IsotonicRegression(
-        featuresCol="features", labelCol="actual", predictionCol="calibrated"
+        featuresCol="features",
+        labelCol="label",
+        weightCol="w",
+        predictionCol="calibrated",
     )
-    model = iso.fit(f)
-    cal = model.transform(f).select("actual", "forecast", "calibrated")
+    model = iso.fit(pts)
+    cal_map = model.transform(pts).select("forecast", "calibrated")
+    cal = f.join(F.broadcast(cal_map), "forecast").select(
+        "actual", "forecast", "calibrated"
+    )
     edges = cal.agg(
         *[
             r4(F.percentile("forecast", F.lit(i / 10.0))).alias(f"q{i}")
