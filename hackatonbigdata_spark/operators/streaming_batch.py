@@ -584,7 +584,13 @@ def join_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         F.when(
             F.col("view_ts").isNotNull(),
-            (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")),
+            # truncate-then-diff on the ntz columns: same boundary-crossing
+            # semantics as DuckDB's date_diff('second', ...) and, unlike
+            # unix_timestamp, independent of the session timezone
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+                " date_trunc('SECOND', ts))"
+            ),
         )
         .cast("long")
         .alias("seconds_since_view"),
@@ -653,8 +659,10 @@ def stream_interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_ts",
         "purchase_ts",
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        # truncate-then-diff: DuckDB date_diff semantics, session-tz-free
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
         ).cast("long").alias("lag_seconds"),
         r4("value").alias("purchase_value"),
     )

@@ -244,8 +244,10 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
         "user_id",
         "view_ts",
         "purchase_ts",
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        # same truncate-then-diff expression as the oracled batch twin
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
         ).cast("long").alias("lag_seconds"),
         F.round("value", 4).alias("purchase_value"),
     )
