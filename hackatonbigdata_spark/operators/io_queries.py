@@ -105,3 +105,45 @@ def io_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         r4(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+@register(
+    "io_csv_roundtrip",
+    oracle="""
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip (the reference's primary interchange
+    format, /root/reference/src/data/loaders.py:159-239 ingests `;` CSV):
+    write ``nation`` through the `;`-separated UTF-8 writer, read it back
+    with an EXPLICIT schema (schema inference at 100 TB means a second full
+    pass over the data — never infer in production), and aggregate the
+    read-back; matching the oracle's aggregate over the original table
+    proves the text encode/decode preserved every row and value.
+
+    Scale: CSV is the interchange boundary, parquet the working format —
+    this round-trip is the ingest step's contract check."""
+    t = Catalog(spark, sf_dir)
+    path = _scratch(sf_dir, "csv_roundtrip")
+    (
+        t.nation.write.mode("overwrite")
+        .option("sep", ";")
+        .option("header", "true")
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+    back = (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long, n_comment string")
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     # model internals, pinned by recall/monotonicity tests instead) ---------
     "io_compact_roundtrip",
     "io_upsert_roundtrip",
+    "io_csv_roundtrip",
     "similarity_ivf_kmeans",
     "similarity_pca_cosine",
     "calibration_isotonic",
@@ -125,9 +126,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 55 names above: a 50-slot driver window covers everything through
-    # postproc_outlier_dampening (the last five refresh entries fall out);
-    # below this line only if the window extends ----------------------------
+    # ---- 56 names above: a 50-slot driver window covers everything through
+    # corr_matrix_top_parts (the last six refresh entries fall out); below
+    # this line only if the window extends ----------------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",
