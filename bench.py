@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_curation_pipeline",       # composed dedup→filter→split→pack
     "io_compact_roundtrip",           # small-files compaction sink
     "io_upsert_roundtrip",            # keyed MERGE-upsert sink
+    "io_csv_roundtrip",               # CSV interchange round-trip
     "stream_interval_join_views",     # event-time interval join
 ]
 

@@ -365,10 +365,15 @@ FROM lineitem GROUP BY 1, 2
 def monthly_store_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly volume per store — trend input
     (/root/reference/src/features/aggregation_features_engine.py:209-213;
-    pandas to_period('M') → date_trunc)."""
+    pandas to_period('M') → month truncation).
+
+    ``F.trunc`` (DATE out), not ``F.date_trunc`` (TIMESTAMP out): the
+    timestamp variant renders month boundaries in the SESSION timezone, so
+    a non-UTC driver session would shift every month key; the date variant
+    is timezone-free and matches DuckDB's date-in/date-out behavior."""
     t = Catalog(spark, sf_dir)
     return t.lineitem.groupBy(
-        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
+        "l_suppkey", F.trunc("l_shipdate", "month").alias("month")
     ).agg(
         r4(F.sum("l_quantity")).alias("sum_qty"),
         r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),

@@ -1423,8 +1423,8 @@ p AS (
 )
 SELECT l_suppkey, p.l_partkey, l_orderkey, l_linenumber, forecast,
        life_stage,
-       coalesce(promo_mult, 1.0) AS promo_mult,
-       round(forecast * coalesce(promo_mult, 1.0) * life_mult, 4)
+       CAST(coalesce(promo_mult, 1.0) AS DOUBLE) AS promo_mult,
+       round(forecast * CAST(coalesce(promo_mult, 1.0) AS DOUBLE) * life_mult, 4)
          AS forecast_adjusted
 FROM p
 LEFT JOIN promo ON month(l_shipdate) = promo.month_no
@@ -2381,4 +2381,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_hi.alias("f_hi"),
         m_hi.alias("m_hi"),
         seg.alias("rfm_segment"),
+    )
+
+
+@register("calibration_platt")
+def calibration_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling, distributed: a one-feature logistic regression maps
+    the raw forecast to a calibrated P(demand event) — the sigmoid-fit
+    calibrator from the reference suite
+    (/root/reference/src/models/model_calibration.py:200-320), with the
+    event defined as actual demand above the store median (the same label
+    the hurdle model uses).  Rows-only: the fitted (slope, intercept) are
+    optimizer outputs; tests pin sigmoid monotonicity, [0,1] range, and
+    log-loss no worse than the base-rate predictor.
+
+    Scale: MLlib LBFGS over one feature; scoring extracts the two scalars
+    and applies the sigmoid as column math (no model object in any task
+    closure — see zero_inflated_hurdle_mllib for why), so calibration adds
+    zero Python and zero extra shuffles to the scored frame."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    labeled = f.withColumn(
+        "med", F.expr("percentile(actual, 0.5)").over(W.partitionBy("l_suppkey"))
+    ).withColumn("is_event", (F.col("actual") > F.col("med")).cast("double"))
+    vec = VectorAssembler(inputCols=["forecast"], outputCol="x").transform(labeled)
+    model = LogisticRegression(
+        featuresCol="x", labelCol="is_event", maxIter=25, regParam=0.01
+    ).fit(vec)
+    slope = float(model.coefficients[0])
+    intercept = float(model.intercept)
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(slope) * F.col("forecast") + F.lit(intercept)))
+    )
+    scored = labeled.select(
+        "l_suppkey",
+        "forecast",
+        "is_event",
+        F.round(p, 4).alias("p_event_calibrated"),
+    )
+    return scored.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.avg("is_event")).alias("event_rate"),
+        r4(F.avg("p_event_calibrated")).alias("mean_calibrated_p"),
+        r4(F.min("p_event_calibrated")).alias("min_p"),
+        r4(F.max("p_event_calibrated")).alias("max_p"),
     )

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "similarity_ivf_kmeans",
     "similarity_pca_cosine",
     "calibration_isotonic",
+    "calibration_platt",
     "holt_winters_per_series",
     "sample_stratified_split",
     "contamination_ngram_overlap",
@@ -126,9 +127,9 @@ _PRIORITY: list[str] = [
     "calibration_interval_coverage",
     "prophet_prep_segments",
     "postproc_lifecycle_promo",
-    # ---- 56 names above: a 50-slot driver window covers everything through
-    # corr_matrix_top_parts (the last six refresh entries fall out); below
-    # this line only if the window extends ----------------------------------
+    # ---- 57 names above: a 50-slot driver window covers everything through
+    # meta_features_ensemble (the last seven refresh entries fall out);
+    # below this line only if the window extends ----------------------------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",

@@ -90,6 +90,23 @@ def test_calibration_isotonic_monotone_and_no_worse(spark):
     assert sum(r.sse_calibrated for r in rows) <= sum(r.sse_raw for r in rows) + 1e-6
 
 
+def test_calibration_platt_sane(spark):
+    rows = QUERIES["calibration_platt"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # probabilities stay in [0, 1]
+        assert 0.0 <= r.min_p <= r.max_p <= 1.0
+        # the calibrated mean tracks the event rate within a loose band —
+        # Platt is a global fit, so per-store agreement is approximate
+        assert abs(r.mean_calibrated_p - r.event_rate) < 0.5
+    # global calibration: overall mean probability ≈ overall event rate
+    # (logistic MLE with intercept matches the base rate on train data)
+    n = sum(r.n_rows for r in rows)
+    rate = sum(r.event_rate * r.n_rows for r in rows) / n
+    mean_p = sum(r.mean_calibrated_p * r.n_rows for r in rows) / n
+    assert abs(mean_p - rate) < 0.02
+
+
 def test_holt_winters_fit_math():
     # constant series: level = c, trend = 0, forecast = c
     level, trend, fc = holt_winters_fit([5.0] * 42)

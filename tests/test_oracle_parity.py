@@ -50,11 +50,13 @@ def test_every_query_has_oracle_or_reason():
         # HLL++/KLL sketch outputs are implementation-specific; error bounds
         # pinned by tests/test_scale.py
         "agg_approx_sketches",
-        # MLlib KMeans centroids / PCA basis / isotonic boundaries are model
-        # internals; recall + monotonicity pinned by tests/test_ml_similarity.py
+        # MLlib KMeans centroids / PCA basis / isotonic boundaries / Platt
+        # coefficients are model internals; recall + monotonicity pinned by
+        # tests/test_ml_similarity.py
         "similarity_ivf_kmeans",
         "similarity_pca_cosine",
         "calibration_isotonic",
+        "calibration_platt",
         # per-series Holt-Winters recursion: state-dependent, not one SQL
         # statement; math pinned by tests/test_ml_similarity.py
         "holt_winters_per_series",
