@@ -356,7 +356,7 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "monthly_store_volume",
     oracle="""
-SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem GROUP BY 1, 2

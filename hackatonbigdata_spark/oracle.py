@@ -39,6 +39,11 @@ def _canon_cell(v: object) -> str:
     if isinstance(v, (pd.Timestamp,)):
         if pd.isna(v):
             return "NULL"
+        # pandas widens DATE columns to midnight Timestamps (DuckDB .df()
+        # does; Spark toPandas keeps datetime.date) — canonicalize naive
+        # midnight timestamps as dates so the two paths agree
+        if v.tz is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
