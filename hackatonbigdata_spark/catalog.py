@@ -59,8 +59,10 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._hbd_pkg_shipped = True
 
 
-# Footer-type cache: one pyarrow metadata read per events path per process.
-_EVENTS_TS_NANOS: dict[str, bool] = {}
+# Footer-type cache keyed on (probe file, mtime): one pyarrow metadata read
+# per events path per process, invalidated if the driver regenerates the
+# data in-process with a different physical type.
+_EVENTS_TS_NANOS: dict[tuple[str, float], bool] = {}
 
 
 def events_ts_is_nanos(path: str) -> bool:
@@ -70,18 +72,27 @@ def events_ts_is_nanos(path: str) -> bool:
     parquet footer (driver-side, milliseconds) instead of being hard-coded,
     because the two generations of test data disagree on the physical type.
     """
-    if path not in _EVENTS_TS_NANOS:
+    import glob  # noqa: PLC0415 — driver-side only
+
+    probe = path
+    if os.path.isdir(probe):
+        parts = sorted(
+            f
+            for f in glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"no .parquet part files found under events path {probe!r}"
+            )
+        probe = parts[0]
+    key = (probe, os.path.getmtime(probe))
+    if key not in _EVENTS_TS_NANOS:
         import pyarrow.parquet as pq  # noqa: PLC0415 — driver-side only
 
-        probe = path
-        if os.path.isdir(probe):
-            parts = sorted(
-                f for f in os.listdir(probe) if f.endswith(".parquet")
-            )
-            probe = os.path.join(probe, parts[0])
         ts_type = str(pq.read_schema(probe).field("ts").type)
-        _EVENTS_TS_NANOS[path] = ts_type.startswith("timestamp[ns")
-    return _EVENTS_TS_NANOS[path]
+        _EVENTS_TS_NANOS[key] = ts_type.startswith("timestamp[ns")
+    return _EVENTS_TS_NANOS[key]
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1092,8 +1092,14 @@ def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every round is two keyed aggregates + a join on the CURRENT edge
     set, which only shrinks toward one edge per non-root node; convergence
-    (edge multiset stable) is certified by count+checksum riding the
-    checkpoint job via ``observe`` — no separate driver action."""
+    (edge multiset stable) is detected by count+checksum riding the
+    checkpoint job via ``observe`` — no separate driver action.  Because a
+    checksum can collide (and the loop caps at 15 rounds), the final labels
+    are CERTIFIED post-loop: every ORIGINAL edge must join two
+    identically-labeled endpoints.  Star rounds only ever add edges within
+    a component, so over-merge is impossible by construction; the
+    certification catches the one remaining failure mode (a split
+    component) and raises instead of returning wrong labels."""
     from pyspark.sql import Observation  # noqa: PLC0415
 
     cand = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
@@ -1108,6 +1114,7 @@ def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "hi")
         .localCheckpoint(eager=True)
     )
+    edges0 = edges  # original edge set, kept for the fixpoint certification
     nodes = (
         edges.select(F.col("lo").alias("doc_id"))
         .unionAll(edges.select(F.col("hi").alias("doc_id")))
@@ -1167,6 +1174,28 @@ def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.least("doc_id", "_mn"), F.col("doc_id")).alias("component_id"),
         )
     )
+    labels = labels.localCheckpoint(eager=True)
+    # Fixpoint certification: a split component would leave some original
+    # edge with differently-labeled endpoints.  One join over the (small)
+    # dup-graph edge set — cheap, and it turns a silent wrong answer from a
+    # checksum collision / round-cap exit into a loud failure.
+    split_edges = (
+        edges0.join(
+            labels.select(F.col("doc_id").alias("lo"), F.col("component_id").alias("_ca")),
+            "lo",
+        )
+        .join(
+            labels.select(F.col("doc_id").alias("hi"), F.col("component_id").alias("_cb")),
+            "hi",
+        )
+        .filter(F.col("_ca") != F.col("_cb"))
+        .count()
+    )
+    if split_edges:
+        raise RuntimeError(
+            f"large-star/small-star did not reach a fixpoint: {split_edges} "
+            "edges still cross component labels after 15 rounds"
+        )
     sizes = labels.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(F.broadcast(sizes), "component_id").select(
         "doc_id",
@@ -1357,7 +1386,10 @@ WITH e AS (
          CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS mx
   FROM embeddings
 ), s AS (
-  SELECT vec_id, emb, mn, mx, (mx - mn) / 255.0 AS scale FROM e
+  -- greatest(.., 1e-12) guards the degenerate constant-vector case: scale 0
+  -- would turn the error columns into NaN/Inf; with the epsilon the codes
+  -- round to 0 and reconstruction error is exactly 0
+  SELECT vec_id, emb, mn, mx, greatest((mx - mn) / 255.0, 1e-12) AS scale FROM e
 ), err AS (
   SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx, round(scale, 4) AS scale,
          list_transform(emb, x -> abs(x - (mn + round((x - mn) / scale) * scale)))
@@ -1390,7 +1422,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("emb").alias("mn"),
         F.array_max("emb").alias("mx"),
     )
-    s = e.withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    # greatest(.., 1e-12): a constant vector has mx = mn, and a 0 scale
+    # would divide to NaN/Inf in the error audit; the epsilon makes the
+    # codes 0 and the reconstruction error exactly 0 (oracle mirrors this)
+    s = e.withColumn(
+        "scale",
+        F.greatest((F.col("mx") - F.col("mn")) / F.lit(255.0), F.lit(1e-12)),
+    )
     errs = F.expr(
         "transform(emb, x -> abs(x - (mn + round((x - mn) / scale) * scale)))"
     )

@@ -27,7 +27,7 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v: object) -> str:
+def _canon_cell(v: object, collapse_midnight: bool = False) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -40,13 +40,17 @@ def _canon_cell(v: object) -> str:
         if pd.isna(v):
             return "NULL"
         # pandas widens DATE columns to midnight Timestamps (DuckDB .df()
-        # does; Spark toPandas keeps datetime.date) — canonicalize naive
-        # midnight timestamps as dates so the two paths agree
-        if v.tz is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+        # does; Spark toPandas keeps datetime.date) — collapse to date only
+        # when the WHOLE column is midnight-valued (decided per column by
+        # canonical_rows), so a genuine timestamp column with a stray
+        # 00:00:00 value still hashes differently from a date column
+        if collapse_midnight and v.tz is None and (
+            v.hour, v.minute, v.second, v.microsecond
+        ) == (0, 0, 0, 0):
             return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+        return "[" + ",".join(_canon_cell(x, collapse_midnight) for x in v) + "]"
     if v is pd.NaT:
         return "NULL"
     try:
@@ -57,9 +61,28 @@ def _canon_cell(v: object) -> str:
     return str(v)
 
 
+def _column_all_midnight(series: pd.Series) -> bool:
+    """True when every non-null tz-naive Timestamp in the column sits at
+    exactly midnight — the dtype-level signal that the column is a DATE
+    widened by pandas, not a genuine TIMESTAMP."""
+    saw_ts = False
+    for v in series:
+        if isinstance(v, pd.Timestamp) and not pd.isna(v):
+            if v.tz is not None or (v.hour, v.minute, v.second, v.microsecond) != (
+                0, 0, 0, 0,
+            ):
+                return False
+            saw_ts = True
+    return saw_ts
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
-    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    collapse = [_column_all_midnight(df[c]) for c in cols]
+    out = [
+        tuple(_canon_cell(v, cm) for v, cm in zip(row, collapse))
+        for row in df[cols].itertuples(index=False)
+    ]
     return sorted(out)
 
 

@@ -164,8 +164,15 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame, key_cols: list[s
     staging = target_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
     rows_after = spark.read.parquet(staging).count()
-    shutil.rmtree(target_path)
+    # Crash-safe swap: rename the live table aside BEFORE promoting staging,
+    # so an interruption at any point leaves either the old or the new copy
+    # on disk (target__old is the recovery artifact) — never neither.
+    old = target_path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(target_path, old)
     os.rename(staging, target_path)
+    shutil.rmtree(old)
     return {
         "rows_before": rows_before,
         "rows_updated": rows_updated,
