@@ -1684,10 +1684,54 @@ def store_coldstart_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stacking_predictions_join",
-    oracle="""
-WITH bounds AS (
+# Shared out-of-fold base-prediction construction: first-half train /
+# second-half holdout, three deterministic base "models" (per-series train
+# mean, per-series train Q75, per-store train mean) joined to holdout
+# actuals per (store, part) series.  Used by stacking_predictions_join,
+# stacking_ridge_weights, and ensemble_dynamic_weights so all three ensemble
+# queries see the IDENTICAL design matrix in both engines.
+
+
+def _oof_join(t: Catalog) -> DataFrame:
+    """Spark twin of ``_OOF_SQL``: the OOF design matrix
+    (l_suppkey, l_partkey, pred_mean, pred_q75, pred_store, tr_n, actual)."""
+    li = t.lineitem
+    bounds = li.agg(F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1"))
+    split = bounds.select(
+        F.date_add(
+            F.col("d0").cast("date"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        )
+        .cast("timestamp_ntz")
+        .alias("mid")
+    )
+    lis = li.crossJoin(F.broadcast(split))
+    train = lis.filter(F.col("l_shipdate") < F.col("mid"))
+    valid = lis.filter(F.col("l_shipdate") >= F.col("mid"))
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    base_sp = train.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("tr_sum"),
+        F.count(F.lit(1)).alias("tr_n"),
+        r4(F.percentile("l_quantity", F.lit(0.75))).alias("pred_q75"),
+    )
+    base_store = train.groupBy("l_suppkey").agg(
+        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("pred_store")
+    )
+    preds = base_sp.join(F.broadcast(base_store), "l_suppkey").select(
+        "l_suppkey",
+        "l_partkey",
+        q4(F.col("tr_sum") / F.col("tr_n")).alias("pred_mean"),
+        "pred_q75",
+        "pred_store",
+        "tr_n",
+    )
+    act = valid.groupBy("l_suppkey", "l_partkey").agg(
+        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("actual")
+    )
+    return preds.join(act, ["l_suppkey", "l_partkey"])
+
+
+_OOF_SQL = """bounds AS (
   SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM lineitem
 ), split AS (
   SELECT d0 + INTERVAL 1 DAY * CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS mid
@@ -1717,7 +1761,13 @@ WITH bounds AS (
 ), j AS (
   SELECT p.*, a.actual FROM preds p JOIN act a
   ON p.l_suppkey = a.l_suppkey AND p.l_partkey = a.l_partkey
-), err AS (
+)"""
+
+
+@register(
+    "stacking_predictions_join",
+    oracle=f"""
+WITH {_OOF_SQL}, err AS (
   SELECT sum(CAST(floor(abs(actual - pred_mean) * 10000 + 0.5) AS BIGINT)) * 1.0
            / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) AS w_mean,
          sum(CAST(floor(abs(actual - pred_q75) * 10000 + 0.5) AS BIGINT)) * 1.0
@@ -1757,41 +1807,7 @@ def stacking_predictions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weights are identical doubles in both engines.  Scale: two keyed
     aggregates + one keyed join + one scalar broadcast — map-side combine
     everywhere, no global window."""
-    t = Catalog(spark, sf_dir)
-    li = t.lineitem
-    bounds = li.agg(F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1"))
-    split = bounds.select(
-        F.date_add(
-            F.col("d0").cast("date"),
-            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
-        )
-        .cast("timestamp_ntz")
-        .alias("mid")
-    )
-    lis = li.crossJoin(F.broadcast(split))
-    train = lis.filter(F.col("l_shipdate") < F.col("mid"))
-    valid = lis.filter(F.col("l_shipdate") >= F.col("mid"))
-    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
-    base_sp = train.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_quantity").alias("tr_sum"),
-        F.count(F.lit(1)).alias("tr_n"),
-        r4(F.percentile("l_quantity", F.lit(0.75))).alias("pred_q75"),
-    )
-    base_store = train.groupBy("l_suppkey").agg(
-        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("pred_store")
-    )
-    preds = base_sp.join(F.broadcast(base_store), "l_suppkey").select(
-        "l_suppkey",
-        "l_partkey",
-        q4(F.col("tr_sum") / F.col("tr_n")).alias("pred_mean"),
-        "pred_q75",
-        "pred_store",
-        "tr_n",
-    )
-    act = valid.groupBy("l_suppkey", "l_partkey").agg(
-        q4(F.sum("l_quantity") / F.count(F.lit(1))).alias("actual")
-    )
-    j = preds.join(act, ["l_suppkey", "l_partkey"])
+    j = _oof_join(Catalog(spark, sf_dir))
     lq = lambda c: F.floor(F.abs(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
     err = j.agg(
         (F.sum(lq(F.col("actual") - F.col("pred_mean"))) * 1.0 / F.sum(lq(F.col("actual")))).alias("w_mean"),

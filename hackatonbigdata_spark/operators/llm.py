@@ -958,9 +958,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_components",
-    oracle=f"""
+# Shared fixpoint oracle for BOTH component algorithms: min-label propagation
+# and large-star/small-star provably compute the same component minima over
+# the same candidate-edge set, so one recursive CTE verifies either.
+_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_DUCK_SHINGLES},
 {_duck_sig()},
 cand AS (
@@ -987,8 +988,10 @@ SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
 FROM comp c
 JOIN (SELECT component_id, count(*) AS n_docs FROM comp GROUP BY component_id) s
   ON c.component_id = s.component_id
-""",
-)
+"""
+
+
+@register("dedup_cluster_components", oracle=_COMPONENTS_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the MinHash-LSH dup
     graph (candidate pairs with estimated Jaccard ≥ 0.5), canonical doc =
@@ -1074,7 +1077,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_largestar")
+@register("dedup_cluster_largestar", oracle=_COMPONENTS_ORACLE)
 def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
@@ -1086,9 +1089,10 @@ def dedup_cluster_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-over-neighborhood step reads off the component minimum.
 
     Same input (MinHash-LSH candidates at est-Jaccard ≥ 0.5) and same
-    output contract as ``dedup_cluster_components``; rows-only (the oracle
-    for that query already states the fixpoint as a recursive CTE), with
-    tests pinning exact equality between the two algorithms.
+    output contract as ``dedup_cluster_components``, and verified against
+    the SAME recursive-CTE oracle (both algorithms compute the component
+    minimum of the identical edge set, so one fixpoint statement checks
+    either); tests additionally pin exact equality between the two.
 
     Scale: every round is two keyed aggregates + a join on the CURRENT edge
     set, which only shrinks toward one edge per non-root node; convergence

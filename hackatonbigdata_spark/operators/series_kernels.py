@@ -162,6 +162,97 @@ def rolling_autocorr_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ar2_yule_walker_fit(y: list[float]) -> tuple[float, float, float, float] | None:
+    """Closed-form AR(2) fit via the Yule-Walker equations over one series:
+    returns (phi1, phi2, sigma2, forecast_1d) or None when the series is too
+    short or has zero variance.
+
+    Biased autocovariances r_k = (1/n) Σ (y_t - μ)(y_{t+k} - μ); solving
+    | r0 r1 | |φ1|   |r1|
+    | r1 r0 | |φ2| = |r2|   →  φ1 = r1(r0 - r2)/(r0² - r1²),
+                               φ2 = (r0·r2 - r1²)/(r0² - r1²);
+    innovation variance σ² = r0 - φ1·r1 - φ2·r2, one-step forecast
+    ŷ_{n+1} = μ + φ1(y_n - μ) + φ2(y_{n-1} - μ).  Biased (1/n) covariances
+    keep the autocovariance matrix positive-definite, so the solution exists
+    whenever the series is non-constant."""
+    n = len(y)
+    if n < 5:
+        return None
+    mu = sum(y) / n
+    d = [v - mu for v in y]
+    r0 = sum(v * v for v in d) / n
+    if r0 <= 0.0:
+        return None
+    r1 = sum(d[i] * d[i + 1] for i in range(n - 1)) / n
+    r2 = sum(d[i] * d[i + 2] for i in range(n - 2)) / n
+    den = r0 * r0 - r1 * r1
+    if den <= 0.0:
+        return None
+    phi1 = r1 * (r0 - r2) / den
+    phi2 = (r0 * r2 - r1 * r1) / den
+    sigma2 = r0 - phi1 * r1 - phi2 * r2
+    fc = mu + phi1 * (y[-1] - mu) + phi2 * (y[-2] - mu)
+    return phi1, phi2, sigma2, fc
+
+
+@register("ar2_yule_walker_per_series")
+def ar2_yule_walker_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) per-series fit by the closed-form Yule-Walker equations — the
+    autoregressive member of the reference's per-series family
+    (/root/reference/src/models/arima_temporal.py: per-series ARIMA fits;
+    statsmodels is absent in this container, so the AR(p) core is solved in
+    closed form instead of via MLE).  Emits φ1, φ2, the innovation variance,
+    a 1-step-ahead forecast, and the lag-1 autocorrelation implied by the
+    fit, per store daily series.
+
+    Scale: identical shape to the other per-series kernels — one grouped-map
+    shuffle keyed by series, O(series length) per call, no global state.
+    Rows-only by design (a two-pass demeaned covariance recursion isn't one
+    SQL statement); tests/test_series_kernels.py pins white-noise recovery
+    (φ≈0), exact recovery on a synthetic AR(2), and stationarity of the
+    fitted pair."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
+        key = int(pdf["l_suppkey"].iloc[0])
+        fit = ar2_yule_walker_fit([float(v) for v in pdf["qty"]])
+        if fit is None:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": [key],
+                    "phi1": [None],
+                    "phi2": [None],
+                    "sigma2": [None],
+                    "forecast_1d": [None],
+                    "n_days": [len(pdf)],
+                }
+            )
+        phi1, phi2, sigma2, fc = fit
+        return pd.DataFrame(
+            {
+                "l_suppkey": [key],
+                "phi1": [round(phi1, 4)],
+                "phi2": [round(phi2, 4)],
+                "sigma2": [round(sigma2, 4)],
+                "forecast_1d": [round(fc, 4)],
+                "n_days": [len(pdf)],
+            }
+        )
+
+    t = Catalog(spark, sf_dir)
+    return (
+        _daily(t)
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            kernel,
+            schema=(
+                "l_suppkey long, phi1 double, phi2 double, sigma2 double,"
+                " forecast_1d double, n_days long"
+            ),
+        )
+    )
+
+
 def holt_winters_fit(
     y: list[float],
     m: int = 7,

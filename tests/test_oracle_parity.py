@@ -60,9 +60,8 @@ def test_every_query_has_oracle_or_reason():
         # per-series Holt-Winters recursion: state-dependent, not one SQL
         # statement; math pinned by tests/test_ml_similarity.py
         "holt_winters_per_series",
-        # large-star/small-star components: same fixpoint as
-        # dedup_cluster_components (whose recursive-CTE oracle covers the
-        # semantics); exact equality pinned by tests/test_ml_similarity.py
-        "dedup_cluster_largestar",
+        # per-series AR(2) Yule-Walker recursion: closed-form per-series fit
+        # in applyInPandas; math pinned by tests/test_series_kernels.py
+        "ar2_yule_walker_per_series",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

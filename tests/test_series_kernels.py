@@ -62,3 +62,37 @@ def test_croston_positive_and_autocorr_bounded(spark):
     assert (croston["croston_forecast"].dropna() > 0).all()
     ac = all_queries()["rolling_autocorr_per_series"](spark, SF_DIR).toPandas()
     assert ac["autocorr1"].dropna().between(-1, 1).all()
+
+
+def test_ar2_yule_walker_recovers_synthetic_ar2():
+    from hackatonbigdata_spark.operators.series_kernels import ar2_yule_walker_fit
+
+    # deterministic pseudo-noise (LCG) so the test needs no RNG import
+    state, noise = 12345, []
+    for _ in range(5000):
+        state = (1103515245 * state + 12345) % (2**31)
+        noise.append(state / 2**31 - 0.5)
+    phi1_true, phi2_true = 0.5, -0.3
+    y = [0.0, 0.0]
+    for e in noise:
+        y.append(phi1_true * y[-1] + phi2_true * y[-2] + e)
+    phi1, phi2, sigma2, _fc = ar2_yule_walker_fit(y[500:])
+    assert phi1 == pytest.approx(phi1_true, abs=0.05)
+    assert phi2 == pytest.approx(phi2_true, abs=0.05)
+    assert sigma2 > 0
+    # white noise alone → both coefficients near zero
+    w1, w2, _, _ = ar2_yule_walker_fit(noise)
+    assert abs(w1) < 0.05 and abs(w2) < 0.05
+
+
+def test_ar2_per_series_stationary_and_complete(spark, daily_pdf):
+    got = all_queries()["ar2_yule_walker_per_series"](spark, SF_DIR).toPandas()
+    assert set(got["l_suppkey"]) == set(daily_pdf["l_suppkey"])
+    fitted = got.dropna(subset=["phi1"])
+    assert len(fitted) > 0
+    # Yule-Walker on biased autocovariances is always stationary:
+    # |φ2| < 1, φ2 ± φ1 < 1 (triangle conditions), σ² > 0
+    assert (fitted["phi2"].abs() < 1 + 1e-9).all()
+    assert (fitted["phi1"] + fitted["phi2"] < 1 + 1e-9).all()
+    assert (fitted["phi2"] - fitted["phi1"] < 1 + 1e-9).all()
+    assert (fitted["sigma2"] > 0).all()
