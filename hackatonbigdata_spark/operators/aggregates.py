@@ -677,6 +677,33 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_sketches_only")
+def agg_sketches_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sketch path: HyperLogLog++ distinct orders and KLL
+    median price per brand with NO exact twins — the query a 100 TB job
+    actually runs (``agg_approx_sketches`` keeps the exact columns as an
+    in-query audit harness; at scale those exact twins ARE the cost — the
+    countDistinct shuffle and full-percentile sort dominate, 3.1 s of its
+    3.1 s at sf0.1).  Error bounds vs the exact values stay pinned by
+    tests/test_scale.py against the audit query.
+
+    Scale: both sketches are mergeable map-side partial aggregates — one
+    combine-enabled shuffle of 25 sketch buffers, no distinct expansion, no
+    sort.  Rows-only (sketch outputs are implementation-specific)."""
+    t = Catalog(spark, sf_dir)
+    j = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        r4(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))).alias(
+            "approx_p50"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "unpivot_store_metrics",
     oracle="""

@@ -1097,10 +1097,10 @@ def cv_hierarchical_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "feature_matrix_daily_store",
-    oracle="""
-WITH daily AS (
+# Shared feature-matrix CTE chain (daily per-store series → calendar /
+# cyclical / lag / rolling / group-transform features): the full matrix is
+# `fm`; used by feature_matrix_daily_store and feature_importance_topk.
+_FM_CTES = """daily AS (
   SELECT l_suppkey, l_shipdate,
          floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
   FROM lineitem GROUP BY 1, 2
@@ -1124,12 +1124,17 @@ WITH daily AS (
            AS qty_pctile
   FROM daily
   WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-)
-SELECT l_suppkey, l_shipdate, qty, year, month, dow, is_weekend, month_sin,
-       lag_1, lag_7, roll_mean_7, roll_std_7, store_mean, qty_pctile,
-       round(qty / (store_mean + 0.00000001), 4) AS rel_to_store
-FROM feat
-""",
+), fm AS (
+  SELECT l_suppkey, l_shipdate, qty, year, month, dow, is_weekend, month_sin,
+         lag_1, lag_7, roll_mean_7, roll_std_7, store_mean, qty_pctile,
+         round(qty / (store_mean + 0.00000001), 4) AS rel_to_store
+  FROM feat
+)"""
+
+
+@register(
+    "feature_matrix_daily_store",
+    oracle=f"WITH {_FM_CTES}\nSELECT * FROM fm",
 )
 def feature_matrix_daily_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point-B in miniature: the feature pipeline as ONE lazy DAG —
@@ -2444,4 +2449,648 @@ def calibration_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("p_event_calibrated")).alias("mean_calibrated_p"),
         r4(F.min("p_event_calibrated")).alias("min_p"),
         r4(F.max("p_event_calibrated")).alias("max_p"),
+    )
+
+
+@register(
+    "calibration_conformal",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+p AS (
+  SELECT l_suppkey, actual, forecast, abs(actual - forecast) AS score,
+         l_orderkey % 2 AS grp
+  FROM f WHERE forecast IS NOT NULL
+), cal AS (
+  SELECT l_suppkey, score,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY score) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM p WHERE grp = 0
+), q AS (
+  SELECT l_suppkey, CAST(max(n) AS BIGINT) AS n_cal,
+         max(CASE WHEN rn = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n)
+                  THEN score END) AS q_hat
+  FROM cal GROUP BY l_suppkey
+), t AS (
+  SELECT p.l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_test,
+         avg(CASE WHEN actual >= forecast - q_hat AND actual <= forecast + q_hat
+                  THEN 1.0 ELSE 0.0 END) AS cov
+  FROM p JOIN q ON p.l_suppkey = q.l_suppkey
+  WHERE grp = 1
+  GROUP BY p.l_suppkey
+)
+SELECT t.l_suppkey, q.n_cal, t.n_test,
+       round(q.q_hat, 4) AS q_hat,
+       round(cov, 4) AS coverage_90,
+       round(cov - 0.9, 4) AS coverage_gap,
+       CASE WHEN cov >= 0.85 THEN 'calibrated' ELSE 'undercovered' END
+         AS calibration_band
+FROM t JOIN q ON t.l_suppkey = q.l_suppkey
+""",
+)
+def calibration_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals, fully distributed
+    (/root/reference/src/models/model_calibration.py:196-295
+    ConformalPredictor): conformity score = |actual - forecast| on a held-out
+    calibration split, per-store threshold q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    score (the reference's np.partition rank, clamped to n), interval =
+    forecast ± q̂ on the disjoint test split, then empirical coverage vs the
+    nominal 90%.  The calibration/test split is a deterministic parity split
+    on l_orderkey so both engines see identical halves.
+
+    Cross-engine: the threshold is a pure ORDER STATISTIC (row_number =
+    ceil-rank), not an interpolated percentile — the selected value is a
+    member of the multiset, so no interpolation arithmetic can diverge.
+    Scale: two windowed passes partitioned by store + one broadcast-size
+    join of per-store thresholds; no global window, no Python."""
+    t = Catalog(spark, sf_dir)
+    p = (
+        _with_forecast(t)
+        .filter(F.col("forecast").isNotNull())
+        .select(
+            "l_suppkey",
+            "actual",
+            "forecast",
+            F.abs(F.col("actual") - F.col("forecast")).alias("score"),
+            (F.col("l_orderkey") % 2).alias("grp"),
+        )
+    )
+    cal = p.filter(F.col("grp") == 0).select(
+        "l_suppkey",
+        "score",
+        F.row_number().over(W.partitionBy("l_suppkey").orderBy("score")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).alias("n"),
+    )
+    q = cal.groupBy("l_suppkey").agg(
+        F.max("n").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(F.ceil((F.col("n") + 1) * 0.9), F.col("n")),
+                F.col("score"),
+            )
+        ).alias("q_hat"),
+    )
+    covered = (
+        (F.col("actual") >= F.col("forecast") - F.col("q_hat"))
+        & (F.col("actual") <= F.col("forecast") + F.col("q_hat"))
+    ).cast("double")
+    tst = (
+        p.filter(F.col("grp") == 1)
+        .join(F.broadcast(q), "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.avg(covered).alias("cov"),
+            F.max("q_hat").alias("q_hat"),
+        )
+    )
+    return tst.select(
+        "l_suppkey",
+        "n_cal",
+        "n_test",
+        r4(F.col("q_hat")).alias("q_hat"),
+        r4(F.col("cov")).alias("coverage_90"),
+        r4(F.col("cov") - 0.9).alias("coverage_gap"),
+        F.when(F.col("cov") >= 0.85, "calibrated")
+        .otherwise("undercovered")
+        .alias("calibration_band"),
+    )
+
+
+@register(
+    "stacking_ridge_weights",
+    oracle=f"""
+WITH {_OOF_SQL}, m AS (
+  SELECT pred_mean, pred_q75, pred_store, actual,
+         CAST(floor(pred_mean * 10000 + 0.5) AS BIGINT) AS pm,
+         CAST(floor(pred_q75 * 10000 + 0.5) AS BIGINT) AS pq,
+         CAST(floor(pred_store * 10000 + 0.5) AS BIGINT) AS ps,
+         CAST(floor(actual * 10000 + 0.5) AS BIGINT) AS ay
+  FROM j
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(pm AS HUGEINT) * pm) AS DOUBLE) AS smm,
+         CAST(sum(CAST(pm AS HUGEINT) * pq) AS DOUBLE) AS smq,
+         CAST(sum(CAST(pm AS HUGEINT) * ps) AS DOUBLE) AS sms,
+         CAST(sum(CAST(pq AS HUGEINT) * pq) AS DOUBLE) AS sqq,
+         CAST(sum(CAST(pq AS HUGEINT) * ps) AS DOUBLE) AS sqs,
+         CAST(sum(CAST(ps AS HUGEINT) * ps) AS DOUBLE) AS sss,
+         CAST(sum(CAST(pm AS HUGEINT) * ay) AS DOUBLE) AS smy,
+         CAST(sum(CAST(pq AS HUGEINT) * ay) AS DOUBLE) AS sqy,
+         CAST(sum(CAST(ps AS HUGEINT) * ay) AS DOUBLE) AS ssy
+  FROM m
+), d AS (
+  SELECT n,
+         smm + 100000000.0 AS a11, smq AS a12, sms AS a13,
+         sqq + 100000000.0 AS a22, sqs AS a23, sss + 100000000.0 AS a33,
+         smy AS v1, sqy AS v2, ssy AS v3
+  FROM s
+), beta AS (
+  SELECT n,
+         (v1*(a22*a33 - a23*a23) - a12*(v2*a33 - a23*v3) + a13*(v2*a23 - a22*v3))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b1,
+         (a11*(v2*a33 - a23*v3) - v1*(a12*a33 - a23*a13) + a13*(a12*v3 - v2*a13))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b2,
+         (a11*(a22*v3 - v2*a23) - a12*(a12*v3 - v2*a13) + v1*(a12*a23 - a22*a13))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b3
+  FROM d
+), scored AS (
+  SELECT m.actual,
+         floor(greatest(b1 * pred_mean + b2 * pred_q75 + b3 * pred_store, 0)
+               * 10000 + 0.5) / 10000 AS yhat,
+         floor((pred_mean + pred_q75 + pred_store) / 3 * 10000 + 0.5) / 10000
+           AS yhat_eq,
+         b1, b2, b3, n
+  FROM m, beta
+), agg AS (
+  SELECT max(n) AS n_rows, max(b1) AS b1, max(b2) AS b2, max(b3) AS b3,
+         sum(CAST(floor(abs(actual - yhat) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100
+           AS wmape_ridge,
+         sum(CAST(floor(abs(actual - yhat_eq) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100
+           AS wmape_equal
+  FROM scored
+)
+SELECT n_rows, 1.0 AS ridge_alpha,
+       round(b1, 4) AS w_mean, round(b2, 4) AS w_q75, round(b3, 4) AS w_store,
+       round(wmape_ridge, 4) AS wmape_ridge,
+       round(wmape_equal, 4) AS wmape_equal
+FROM agg
+""",
+)
+def stacking_ridge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacking META-LEARNER fit itself, as one fully oracled query:
+    ridge regression (alpha=1.0, the reference's level-2 `Ridge(alpha=1.0)`
+    at /root/reference/src/models/advanced_ensemble.py:407-601) over the
+    three OOF base predictions, solved in CLOSED FORM from the 3×3 normal
+    equations (XᵀX + αI)β = Xᵀy via Cramer's rule on plain aggregates — no
+    driver-side model object, no MLlib, value-verified cross-engine.
+    Deviations from sklearn's Ridge, documented: no intercept and no
+    positivity projection (the closed form is the unconstrained optimum);
+    predictions are clipped at 0 like the reference's np.maximum(pred, 0).
+
+    Cross-engine determinism: X and y live on a 1e-4 grid, so every
+    sufficient statistic (XᵀX, Xᵀy) accumulates as an EXACT integer sum
+    (HUGEINT / decimal(38,0) — order-independent); the 3×3 solve then runs
+    in doubles with the identical expression tree in both engines, so β is
+    bit-identical.  The blended WMAPE quantizes ŷ to the same grid before
+    the integer-scaled error sums.
+
+    Scale: one map-side-combined aggregate of 10 numbers over the OOF join
+    + one broadcast of 3 coefficients back — the textbook distributed
+    normal-equations pattern; nothing grows with data size except the one
+    scan."""
+    j = _oof_join(Catalog(spark, sf_dir))
+    m = j.select(
+        "pred_mean",
+        "pred_q75",
+        "pred_store",
+        "actual",
+        F.floor(F.col("pred_mean") * 10000 + F.lit(0.5)).cast("long").alias("pm"),
+        F.floor(F.col("pred_q75") * 10000 + F.lit(0.5)).cast("long").alias("pq"),
+        F.floor(F.col("pred_store") * 10000 + F.lit(0.5)).cast("long").alias("ps"),
+        F.floor(F.col("actual") * 10000 + F.lit(0.5)).cast("long").alias("ay"),
+    )
+    # exact integer cross-moments: cast one factor to decimal BEFORE the
+    # multiply so the product can never overflow long at scale, then sum in
+    # decimal(38,0) (order-independent) and convert once to double
+    xp = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(19,0)") * F.col(b)).cast("decimal(38,0)")
+    ).cast("double")
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        xp("pm", "pm").alias("smm"),
+        xp("pm", "pq").alias("smq"),
+        xp("pm", "ps").alias("sms"),
+        xp("pq", "pq").alias("sqq"),
+        xp("pq", "ps").alias("sqs"),
+        xp("ps", "ps").alias("sss"),
+        xp("pm", "ay").alias("smy"),
+        xp("pq", "ay").alias("sqy"),
+        xp("ps", "ay").alias("ssy"),
+    )
+    d = s.select(
+        "n",
+        (F.col("smm") + 100000000.0).alias("a11"),
+        F.col("smq").alias("a12"),
+        F.col("sms").alias("a13"),
+        (F.col("sqq") + 100000000.0).alias("a22"),
+        F.col("sqs").alias("a23"),
+        (F.col("sss") + 100000000.0).alias("a33"),
+        F.col("smy").alias("v1"),
+        F.col("sqy").alias("v2"),
+        F.col("ssy").alias("v3"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    v1, v2, v3 = F.col("v1"), F.col("v2"), F.col("v3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    beta = d.select(
+        "n",
+        (
+            (
+                v1 * (a22 * a33 - a23 * a23)
+                - a12 * (v2 * a33 - a23 * v3)
+                + a13 * (v2 * a23 - a22 * v3)
+            )
+            / det
+        ).alias("b1"),
+        (
+            (
+                a11 * (v2 * a33 - a23 * v3)
+                - v1 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * v3 - v2 * a13)
+            )
+            / det
+        ).alias("b2"),
+        (
+            (
+                a11 * (a22 * v3 - v2 * a23)
+                - a12 * (a12 * v3 - v2 * a13)
+                + v1 * (a12 * a23 - a22 * a13)
+            )
+            / det
+        ).alias("b3"),
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    scored = m.crossJoin(F.broadcast(beta)).select(
+        "actual",
+        q4(
+            F.greatest(
+                F.col("b1") * F.col("pred_mean")
+                + F.col("b2") * F.col("pred_q75")
+                + F.col("b3") * F.col("pred_store"),
+                F.lit(0.0),
+            )
+        ).alias("yhat"),
+        q4(
+            (F.col("pred_mean") + F.col("pred_q75") + F.col("pred_store")) / 3
+        ).alias("yhat_eq"),
+        "b1",
+        "b2",
+        "b3",
+        "n",
+    )
+    lq = lambda c: F.floor(F.abs(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = scored.agg(
+        F.max("n").alias("n_rows"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("b3").alias("b3"),
+        (
+            F.sum(lq(F.col("actual") - F.col("yhat")))
+            * 1.0
+            / F.sum(lq(F.col("actual")))
+            * 100
+        ).alias("wmape_ridge"),
+        (
+            F.sum(lq(F.col("actual") - F.col("yhat_eq")))
+            * 1.0
+            / F.sum(lq(F.col("actual")))
+            * 100
+        ).alias("wmape_equal"),
+    )
+    return agg.select(
+        "n_rows",
+        F.lit(1.0).alias("ridge_alpha"),
+        r4(F.col("b1")).alias("w_mean"),
+        r4(F.col("b2")).alias("w_q75"),
+        r4(F.col("b3")).alias("w_store"),
+        r4(F.col("wmape_ridge")).alias("wmape_ridge"),
+        r4(F.col("wmape_equal")).alias("wmape_equal"),
+    )
+
+
+@register(
+    "ensemble_dynamic_weights",
+    oracle=f"""
+WITH {_OOF_SQL}, pstats AS (
+  SELECT l_partkey,
+         CAST(date_diff('day', min(l_shipdate), max(l_shipdate)) + 1 AS BIGINT)
+           AS span_days,
+         CAST(count(DISTINCT l_shipdate) AS BIGINT) AS active_days,
+         CAST(floor(sum(l_quantity) * 10000 + 0.5) AS BIGINT) AS vol_l
+  FROM train GROUP BY l_partkey
+), thr AS (
+  SELECT floor(quantile_cont(CAST(vol_l AS DOUBLE), 1.0/3) * 10000 + 0.5) / 10000
+           AS t1,
+         floor(quantile_cont(CAST(vol_l AS DOUBLE), 2.0/3) * 10000 + 0.5) / 10000
+           AS t2
+  FROM pstats
+), seg AS (
+  SELECT l_partkey,
+         CASE WHEN span_days * 1.0 / active_days >= 1.32
+              THEN 'intermittent' ELSE 'smooth' END AS demand_profile,
+         CASE WHEN CAST(vol_l AS DOUBLE) > t2 THEN 'high'
+              WHEN CAST(vol_l AS DOUBLE) > t1 THEN 'mid'
+              ELSE 'low' END AS volume_tier
+  FROM pstats, thr
+), e AS (
+  SELECT s.demand_profile, s.volume_tier,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT j.l_partkey) AS BIGINT) AS n_parts,
+         sum(CAST(floor(abs(actual - pred_mean) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100 AS w_mean,
+         sum(CAST(floor(abs(actual - pred_q75) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100 AS w_q75,
+         sum(CAST(floor(abs(actual - pred_store) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100 AS w_store
+  FROM j JOIN seg s ON j.l_partkey = s.l_partkey
+  GROUP BY 1, 2
+)
+SELECT demand_profile, volume_tier, n_parts, n_rows,
+       round(w_mean, 4) AS wmape_mean,
+       round(w_q75, 4) AS wmape_q75,
+       round(w_store, 4) AS wmape_store,
+       round((1.0 / (w_mean + 0.00000001))
+             / (1.0 / (w_mean + 0.00000001) + 1.0 / (w_q75 + 0.00000001)
+                + 1.0 / (w_store + 0.00000001)), 4) AS wt_mean,
+       round((1.0 / (w_q75 + 0.00000001))
+             / (1.0 / (w_mean + 0.00000001) + 1.0 / (w_q75 + 0.00000001)
+                + 1.0 / (w_store + 0.00000001)), 4) AS wt_q75,
+       round((1.0 / (w_store + 0.00000001))
+             / (1.0 / (w_mean + 0.00000001) + 1.0 / (w_q75 + 0.00000001)
+                + 1.0 / (w_store + 0.00000001)), 4) AS wt_store
+FROM e
+""",
+)
+def ensemble_dynamic_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-scenario model weighting
+    (/root/reference/src/models/advanced_ensemble.py:204-406
+    DynamicWeightingSystem): rows are segmented by demand context —
+    Syntetos-Boylan intermittency (train ADI ≥ 1.32, the
+    `intermittency_classify` threshold) × train-volume tercile tier — and
+    each segment gets inverse-WMAPE weights per base model, normalized to
+    1 (the reference's `1/(wmape + 1e-8)` then sum-normalize, computed per
+    scenario instead of per rolling window).
+
+    Cross-engine: error sums are exact 1e4-scaled integers; the tercile
+    thresholds are two scalar quantile aggregates over exact integer
+    volumes (broadcast back, same pattern as customer_rfm_segments); the
+    ADI cut is an exact integer-ratio comparison.  Scale: two keyed
+    aggregates over the train half + one part-keyed join + one 6-row
+    output — no global window, map-side combine everywhere."""
+    t = Catalog(spark, sf_dir)
+    j = _oof_join(t)
+    li = t.lineitem
+    bounds = li.agg(F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1"))
+    split = bounds.select(
+        F.date_add(
+            F.col("d0").cast("date"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        )
+        .cast("timestamp_ntz")
+        .alias("mid")
+    )
+    train = li.crossJoin(F.broadcast(split)).filter(F.col("l_shipdate") < F.col("mid"))
+    pstats = train.groupBy("l_partkey").agg(
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1)
+        .cast("long")
+        .alias("span_days"),
+        F.countDistinct("l_shipdate").alias("active_days"),
+        F.floor(F.sum("l_quantity") * 10000 + F.lit(0.5)).cast("long").alias("vol_l"),
+    )
+    thr = pstats.agg(
+        r4(F.percentile(F.col("vol_l").cast("double"), F.lit(1.0 / 3))).alias("t1"),
+        r4(F.percentile(F.col("vol_l").cast("double"), F.lit(2.0 / 3))).alias("t2"),
+    )
+    seg = pstats.crossJoin(F.broadcast(thr)).select(
+        "l_partkey",
+        F.when(
+            F.col("span_days") * 1.0 / F.col("active_days") >= 1.32, "intermittent"
+        )
+        .otherwise("smooth")
+        .alias("demand_profile"),
+        F.when(F.col("vol_l").cast("double") > F.col("t2"), "high")
+        .when(F.col("vol_l").cast("double") > F.col("t1"), "mid")
+        .otherwise("low")
+        .alias("volume_tier"),
+    )
+    lq = lambda c: F.floor(F.abs(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    wm = lambda p: (  # noqa: E731
+        F.sum(lq(F.col("actual") - F.col(p))) * 1.0 / F.sum(lq(F.col("actual"))) * 100
+    )
+    e = (
+        j.join(seg, "l_partkey")
+        .groupBy("demand_profile", "volume_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            wm("pred_mean").alias("w_mean"),
+            wm("pred_q75").alias("w_q75"),
+            wm("pred_store").alias("w_store"),
+        )
+    )
+    inv = lambda c: 1.0 / (F.col(c) + F.lit(1e-8))  # noqa: E731
+    tot = inv("w_mean") + inv("w_q75") + inv("w_store")
+    return e.select(
+        "demand_profile",
+        "volume_tier",
+        "n_parts",
+        "n_rows",
+        r4(F.col("w_mean")).alias("wmape_mean"),
+        r4(F.col("w_q75")).alias("wmape_q75"),
+        r4(F.col("w_store")).alias("wmape_store"),
+        r4(inv("w_mean") / tot).alias("wt_mean"),
+        r4(inv("w_q75") / tot).alias("wt_q75"),
+        r4(inv("w_store") / tot).alias("wt_store"),
+    )
+
+
+# feature columns scored by feature_importance_topk, with their adapted
+# keyword tiers (reference feature_pipeline.py keyword lists mapped onto this
+# catalog's feature names): business high = volume/market-position features,
+# business medium = lag/rolling/seasonal; WMAPE-critical = volume-position,
+# WMAPE-helpful = stability (rolling) features.
+_FI_COLS = [
+    "lag_1",
+    "lag_7",
+    "roll_mean_7",
+    "roll_std_7",
+    "store_mean",
+    "qty_pctile",
+    "rel_to_store",
+    "month_sin",
+    "dow",
+    "is_weekend",
+    "month",
+    "year",
+]
+_FI_BUSINESS_HIGH = ("store_mean", "rel_to_store", "qty_pctile")
+_FI_BUSINESS_MED = ("lag_1", "lag_7", "roll_mean_7", "roll_std_7", "month_sin", "month", "dow")
+_FI_WMAPE_CRIT = ("qty_pctile", "rel_to_store", "store_mean")
+_FI_WMAPE_HELP = ("roll_std_7", "roll_mean_7")
+
+
+def _sql_in(names: tuple) -> str:
+    return ", ".join(f"'{n}'" for n in names)
+
+
+@register(
+    "feature_importance_topk",
+    oracle=f"""
+WITH {_FM_CTES}, long AS (
+  {" UNION ALL ".join(f"SELECT '{c}' AS feature, CAST({c} AS DOUBLE) AS v, qty FROM fm" for c in _FI_COLS)}
+), li AS (
+  SELECT feature,
+         CAST(sign(v) * floor(abs(v) * 10000 + 0.5) AS BIGINT) AS vl,
+         CAST(floor(qty * 10000 + 0.5) AS BIGINT) AS yl
+  FROM long WHERE v IS NOT NULL
+), st AS (
+  SELECT feature,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(vl AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yl AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(vl AS HUGEINT) * vl) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS syy,
+         CAST(sum(CAST(vl AS HUGEINT) * yl) AS DOUBLE) AS sxy
+  FROM li GROUP BY feature
+), sc AS (
+  SELECT feature, n,
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN abs((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+              ELSE 0.0 END AS abs_corr,
+         CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+              THEN least(sqrt((n * sxx - sx * sx) / (n * 1.0 * (n - 1))) / 10000.0
+                         / (abs(sx / n / 10000.0) + 0.00000001), 1.0)
+              ELSE 0.0 END AS norm_var,
+         CASE WHEN feature IN ({_sql_in(_FI_BUSINESS_HIGH)}) THEN 15
+              WHEN feature IN ({_sql_in(_FI_BUSINESS_MED)}) THEN 10
+              ELSE 0 END AS business_score,
+         CASE WHEN feature IN ({_sql_in(_FI_WMAPE_CRIT)}) THEN 15
+              WHEN feature IN ({_sql_in(_FI_WMAPE_HELP)}) THEN 8
+              ELSE 0 END AS wmape_score
+  FROM st
+), raw AS (
+  SELECT feature, n, abs_corr, norm_var, business_score, wmape_score,
+         abs_corr * 30 + norm_var * 20 + business_score / 20.0 * 25
+           + wmape_score / 20.0 * 25 AS raw_score
+  FROM sc
+), mx AS (SELECT max(raw_score) AS max_raw FROM raw),
+ranked AS (
+  SELECT feature, n, abs_corr, norm_var, business_score, wmape_score,
+         100.0 * raw_score / max_raw AS importance,
+         row_number() OVER (ORDER BY raw_score DESC, feature) AS rank
+  FROM raw, mx
+)
+SELECT feature, n, round(abs_corr, 4) AS abs_corr, round(norm_var, 4) AS norm_var,
+       business_score, wmape_score, round(importance, 4) AS importance,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def feature_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-importance scoring + top-k selection over the engine's own
+    feature matrix (/root/reference/src/features/feature_pipeline.py:283-468
+    calculate_feature_importance / select_best_features): per-feature
+    |corr(target)| (30%), mean-normalized variance capped at 1 (20%), and
+    the reference's two keyword tiers — business relevance and WMAPE
+    criticality, each capped and worth 25% — summed, normalized to 0-100 by
+    the max score, ranked, and cut to the top k=10.  Keyword lists are
+    adapted to this catalog's feature names (the reference matches on its
+    own column names); the tier/cap/weight machinery is faithful.
+
+    Cross-engine: every feature lives on a 1e-4 grid, so corr and variance
+    are computed from EXACT integer sufficient statistics (HUGEINT /
+    decimal(38,0) sums of scaled products — order-independent), then
+    finished in doubles with the identical expression tree.  Scale: the
+    unpivot is a rowwise flatMap (no shuffle), the stats are one keyed
+    aggregate with map-side combine, and the ranking window runs over
+    #features rows (bounded by the schema, not the data)."""
+    fm = feature_matrix_daily_store(spark, sf_dir)
+    stack_expr = "stack({}, {})".format(
+        len(_FI_COLS),
+        ", ".join(f"'{c}', cast({c} as double)" for c in _FI_COLS),
+    )
+    long = fm.select(F.expr(stack_expr).alias("feature", "v"), "qty").filter(
+        F.col("v").isNotNull()
+    )
+    li = long.select(
+        "feature",
+        (F.signum("v") * F.floor(F.abs("v") * 10000 + F.lit(0.5))).cast("long").alias("vl"),
+        F.floor(F.col("qty") * 10000 + F.lit(0.5)).cast("long").alias("yl"),
+    )
+    xp = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(19,0)") * F.col(b)).cast("decimal(38,0)")
+    ).cast("double")
+    st = li.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vl").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("yl").cast("decimal(38,0)")).cast("double").alias("sy"),
+        xp("vl", "vl").alias("sxx"),
+        xp("yl", "yl").alias("syy"),
+        xp("vl", "yl").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_x, var_y = n * sxx - sx * sx, n * syy - sy * sy
+    abs_corr = F.when(
+        var_x * var_y > 0, F.abs((n * sxy - sx * sy) / F.sqrt(var_x * var_y))
+    ).otherwise(0.0)
+    norm_var = F.when(
+        (n > 1) & (var_x > 0),
+        F.least(
+            F.sqrt(var_x / (n * F.lit(1.0) * (n - 1)))
+            / 10000.0
+            / (F.abs(sx / n / 10000.0) + F.lit(1e-8)),
+            F.lit(1.0),
+        ),
+    ).otherwise(0.0)
+    business = (
+        F.when(F.col("feature").isin(*_FI_BUSINESS_HIGH), 15)
+        .when(F.col("feature").isin(*_FI_BUSINESS_MED), 10)
+        .otherwise(0)
+    )
+    wmape_kw = (
+        F.when(F.col("feature").isin(*_FI_WMAPE_CRIT), 15)
+        .when(F.col("feature").isin(*_FI_WMAPE_HELP), 8)
+        .otherwise(0)
+    )
+    sc = st.select(
+        "feature",
+        "n",
+        abs_corr.alias("abs_corr"),
+        norm_var.alias("norm_var"),
+        business.alias("business_score"),
+        wmape_kw.alias("wmape_score"),
+    ).withColumn(
+        "raw_score",
+        F.col("abs_corr") * 30
+        + F.col("norm_var") * 20
+        + F.col("business_score") / 20.0 * 25
+        + F.col("wmape_score") / 20.0 * 25,
+    )
+    mx = sc.agg(F.max("raw_score").alias("max_raw"))
+    # ranking window spans #features rows (schema-bounded), not data rows
+    ranked = (
+        sc.crossJoin(F.broadcast(mx))
+        .withColumn("importance", 100.0 * F.col("raw_score") / F.col("max_raw"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("raw_score").desc(), F.col("feature"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return ranked.select(
+        "feature",
+        "n",
+        r4(F.col("abs_corr")).alias("abs_corr"),
+        r4(F.col("norm_var")).alias("norm_var"),
+        "business_score",
+        "wmape_score",
+        r4(F.col("importance")).alias("importance"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -60,85 +60,77 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # --- round 4: the events family first — all 11 broke on the r3 ts-dtype
-    # bug (6 errored in CORRECTNESS_r03, 5 stale-green from r2); the
-    # dtype-aware catalog.read_events fix needs driver confirmation ---------
-    "stream_tumbling_hourly",
-    "stream_threshold_alerts",
-    "stream_json_props_extract",
-    "stream_sliding_1h_30m",
-    "stream_alert_rate_limit",
-    "stream_late_data_policy",
-    "stream_session_windows",
-    "stream_dedup_within_watermark",
-    "event_cohort_retention",
-    "event_funnel_conversion",
-    "join_asof_view_attribution",
-    "stream_interval_join_views",
-    # --- new this round (io round-trips oracled; the ML-model queries are
-    # rows-only by design — centroids/PCA basis/isotonic boundaries are
-    # model internals, pinned by recall/monotonicity tests instead) ---------
-    "io_compact_roundtrip",
-    "io_upsert_roundtrip",
-    "io_csv_roundtrip",
-    "similarity_ivf_kmeans",
-    "similarity_pca_cosine",
-    "calibration_isotonic",
-    "calibration_platt",
-    "holt_winters_per_series",
-    "sample_stratified_split",
-    "contamination_ngram_overlap",
-    "embedding_quantize_int8",
-    "seqpack_greedy_bins",
-    "text_repetition_ratio",
-    "text_unigram_logprob",
-    "corpus_curation_pipeline",
-    # --- modified this round (need re-verification) ------------------------
-    "dedup_cluster_components",
-    "dedup_cluster_largestar",
-    "flagship_weekly_brand_demand",
-    # --- rows-only kernels never yet in a driver window (weaker rows-only
-    # check is still a driver record the judge can see) ---------------------
-    "agg_approx_sketches",
-    "multimodal_decode_stub",
-    "similarity_brp_lsh_mllib",
-    "zero_inflated_hurdle_mllib",
-    "ewm_pandas_per_series",
-    "croston_per_series",
-    "sequential_clamp_per_series",
-    "rolling_autocorr_per_series",
-    "dedup_minhash_mllib",
-    # --- refresh: oracled queries whose only evidence is round 1 -----------
-    "customer_proxy_daily",
-    "agg_salted_skew",
-    "metric_wmape_by_store",
-    "intermittency_classify",
-    "postproc_business_rules",
-    "postproc_seasonal_nudge",
-    "kpi_quality_bands",
-    "error_decomposition_brand",
-    "cv_blocked_folds",
-    "kpi_directional_accuracy",
-    "meta_features_ensemble",
+    # --- round 5: new or newly-oracled queries first -----------------------
+    "calibration_conformal",
+    "stacking_ridge_weights",
+    "ensemble_dynamic_weights",
+    "feature_importance_topk",
+    "dedup_cluster_largestar",  # graduated rows-only -> oracled this round
+    "agg_sketches_only",  # new rows-only production sketch path
+    "ar2_yule_walker_per_series",  # new rows-only kernel
+    # --- oracle SQL edited since the query's last driver check -------------
+    "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
+    "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)
+    "monthly_store_volume",  # month-trunc oracle edit (r4 cffe292)
+    "postproc_lifecycle_promo",  # promo oracle edit (r4 cffe292)
+    "embedding_quantize_int8",  # zero-range guard edit (r4 f39baf5)
+    # --- stalest driver evidence: last checked in round 1 ------------------
     "corr_matrix_top_parts",
     "postproc_outlier_dampening",
     "cv_hierarchical_folds",
-    "feature_matrix_daily_store",
     "calibration_interval_coverage",
     "prophet_prep_segments",
-    "postproc_lifecycle_promo",
-    # ---- 57 names above: a 50-slot driver window covers everything through
-    # meta_features_ensemble (the last seven refresh entries fall out);
-    # below this line only if the window extends ----------------------------
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_ivf_bucketed",
+    # --- last checked in round 2 (oldest evidence after the r1 set) --------
     "metric_suite_global",
     "metric_abc_tiers",
     "heuristic_blend_forecast",
     "store_coldstart_fallback",
-    "stacking_predictions_join",
     "residual_diagnostics_store",
     "calibration_curve_bins",
     "metric_wmape_weighted",
     "customer_rfm_segments",
+    "unpivot_store_metrics",
+    "text_tfidf_topterms",
+    "dedup_fuzzy_names",
+    "text_scrub_numbers",
+    "scan_project_filter",
+    "sample_scan",
+    "filter_quantile_band",
+    "filter_date_range_valid",
+    "dedup_keep_first",
+    "join_multiway_enrich",
+    "join_anti_orphans",
+    "join_semi_active_customers",
+    "share_window_vs_join_back",
+    "union_slices",
+    "topk_orders_by_value",
+    "cooccurrence_pairs",
+    "join_integrity_check",
+    "data_quality_profile",
+    "join_range_price_band",
+    "binning_quantile_ntile",
+    # ---- 50 names above fill a 50-slot driver window exactly; the r2-
+    # checked window family below only if the window extends (they are all
+    # re-verified at sf0.001 by tests/test_oracle_parity.py every session) --
+    "window_lag_family",
+    "window_rolling_stats",
+    "window_rolling_median_skew",
+    "window_rolling_slope",
+    "window_rank_volume",
+    "window_interarrival",
+    "window_zero_streaks",
+    "window_seasonal_dow",
+    "window_centered_smoothing",
+    "window_growth_cap",
+    "holt_level_trend",
+    "window_rolling_multiscale",
+    "window_expanding_stats",
 ]
 
 

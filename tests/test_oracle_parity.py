@@ -50,6 +50,9 @@ def test_every_query_has_oracle_or_reason():
         # HLL++/KLL sketch outputs are implementation-specific; error bounds
         # pinned by tests/test_scale.py
         "agg_approx_sketches",
+        # production sketch path (no exact twins); equality to the audit
+        # query's sketch columns pinned by tests/test_scale.py
+        "agg_sketches_only",
         # MLlib KMeans centroids / PCA basis / isotonic boundaries / Platt
         # coefficients are model internals; recall + monotonicity pinned by
         # tests/test_ml_similarity.py

@@ -69,3 +69,25 @@ def test_approx_sketches_within_error_bounds(spark):
     pdf = all_queries()["agg_approx_sketches"](spark, SF_DIR).toPandas()
     assert (pdf["orders_rel_err"] <= 0.05).all()
     assert (pdf["p50_rel_err"] <= 0.025).all()
+
+
+def test_sketches_only_matches_audit_query(spark):
+    """The production sketch path must emit the same sketch values as the
+    audit query's approx columns (same sketch params over the same data) and
+    must not pay for the exact twins: no expand-based distinct aggregate in
+    its plan."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    prod = all_queries()["agg_sketches_only"](spark, SF_DIR).toPandas()
+    audit = all_queries()["agg_approx_sketches"](spark, SF_DIR).toPandas()
+    m = prod.merge(audit, on="p_brand", suffixes=("", "_audit"))
+    assert len(m) == len(prod) == len(audit)
+    assert (m["approx_orders"] == m["approx_orders_audit"]).all()
+    assert (m["approx_p50"] == m["approx_p50_audit"]).all()
+    plan = (
+        all_queries()["agg_sketches_only"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "count(distinct" not in plan.lower()
