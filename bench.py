@@ -67,6 +67,22 @@ HEADLINE = [
     "io_upsert_roundtrip",            # keyed MERGE-upsert sink
     "io_csv_roundtrip",               # CSV interchange round-trip
     "stream_interval_join_views",     # event-time interval join
+    # never-benched families added round 5 (round-4 advice #9):
+    "window_zero_streaks",            # gaps-and-islands streaks
+    "window_seasonal_dow",            # per-key seasonal profile window
+    "event_cohort_retention",         # cohort retention matrix
+    "cube_flag_status",               # CUBE lattice aggregation
+    # round-5 operators:
+    "agg_sketches_only",              # production sketch path (no exact twins)
+    "calibration_conformal",          # split-conformal intervals
+    "calibration_temperature",        # grid-NLL temperature scaling
+    "calibration_quantile_band",      # pinball-loss quantile band
+    "stacking_ridge_weights",         # closed-form ridge meta-learner
+    "ensemble_dynamic_weights",       # per-scenario inverse-WMAPE weights
+    "feature_importance_topk",        # feature scoring + selection
+    "ar2_yule_walker_per_series",     # per-series AR(2) kernel
+    "corpus_mixture_weights",         # domain-sampling mixture weights
+    "dedup_report_by_source",         # per-source dedup QA report
 ]
 
 

@@ -2809,6 +2809,9 @@ WITH {_OOF_SQL}, pstats AS (
   GROUP BY 1, 2
 )
 SELECT demand_profile, volume_tier, n_parts, n_rows,
+       CASE WHEN w_mean <= w_q75 AND w_mean <= w_store THEN 'mean'
+            WHEN w_q75 <= w_store THEN 'q75'
+            ELSE 'store' END AS best_model,
        round(w_mean, 4) AS wmape_mean,
        round(w_q75, 4) AS wmape_q75,
        round(w_store, 4) AS wmape_store,
@@ -2898,6 +2901,16 @@ def ensemble_dynamic_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume_tier",
         "n_parts",
         "n_rows",
+        # the model ROUTER (advanced_ensemble.py:204-406's router classifier
+        # reduced to its dataflow): per scenario, route to the lowest-WMAPE
+        # model, ties broken by the fixed mean < q75 < store order
+        F.when(
+            (F.col("w_mean") <= F.col("w_q75")) & (F.col("w_mean") <= F.col("w_store")),
+            "mean",
+        )
+        .when(F.col("w_q75") <= F.col("w_store"), "q75")
+        .otherwise("store")
+        .alias("best_model"),
         r4(F.col("w_mean")).alias("wmape_mean"),
         r4(F.col("w_q75")).alias("wmape_q75"),
         r4(F.col("w_store")).alias("wmape_store"),
@@ -3093,4 +3106,378 @@ def feature_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wmape_score",
         r4(F.col("importance")).alias("importance"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# Temperature grid for calibration_temperature: 40 log-spaced points over the
+# reference's minimize_scalar bounds (0.1, 10) plus the T=1 identity baseline.
+# Literals are rounded to 6dp so both engines parse the identical doubles.
+_TEMP_GRID = sorted({round(0.1 * (100.0 ** (i / 39.0)), 6) for i in range(40)} | {1.0})
+
+
+@register(
+    "calibration_temperature",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v0 AS (
+  SELECT actual, forecast,
+         CAST(floor(forecast * 10000 + 0.5) AS BIGINT) AS fl
+  FROM f WHERE forecast IS NOT NULL
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(fl AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(fl AS HUGEINT) * fl) AS DOUBLE) AS s2,
+         floor(quantile_cont(actual, 0.5) * 10000 + 0.5) / 10000 AS a_med
+  FROM v0
+), v AS (
+  SELECT (forecast - s1 / n / 10000.0)
+           / (sqrt((n * s2 - s1 * s1) / (n * 1.0 * (n - 1))) / 10000.0) AS z,
+         CASE WHEN actual > a_med THEN 1 ELSE 0 END AS y,
+         n
+  FROM v0, st
+), grid AS (
+  SELECT unnest([{", ".join(repr(t) for t in _TEMP_GRID)}]) AS t
+), nll AS (
+  SELECT t, max(n) AS n,
+         sum(CAST(floor(
+           (CASE WHEN y = 1
+                 THEN -ln(least(greatest(1.0 / (1.0 + exp(-(z / t))), 0.0000001),
+                                0.9999999))
+                 ELSE -ln(1.0 - least(greatest(1.0 / (1.0 + exp(-(z / t))),
+                                               0.0000001), 0.9999999))
+            END) * 10000 + 0.5) AS BIGINT)) AS nll_l
+  FROM v, grid GROUP BY t
+), best AS (
+  SELECT min(nll_l) AS min_l FROM nll
+), pick AS (
+  SELECT min(t) AS t_best FROM nll, best WHERE nll_l = min_l
+)
+SELECT CAST(n.n AS BIGINT) AS n_rows,
+       round(p.t_best, 4) AS temperature,
+       round(n.nll_l * 1.0 / n.n / 10000.0, 4) AS nll_best,
+       round(n1.nll_l * 1.0 / n1.n / 10000.0, 4) AS nll_t1,
+       round((n1.nll_l - n.nll_l) * 1.0 / n1.nll_l, 4) AS nll_gain
+FROM pick p
+JOIN nll n ON n.t = p.t_best
+JOIN nll n1 ON n1.t = 1.0
+""",
+)
+def calibration_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature scaling, fully oracled
+    (/root/reference/src/models/model_calibration.py:133-192
+    TemperatureScaling): logits are the standardized forecast, labels are
+    actual-above-global-median demand events, and the temperature minimizes
+    the clipped sigmoid NLL — the reference's bounded scalar optimization
+    over (0.1, 10) discretized to a fixed 41-point log grid so the argmin
+    is an EXACT integer comparison instead of an optimizer internal.
+
+    Cross-engine determinism: standardization uses exact integer moments of
+    the 1e-4-grid forecast; each row's NLL contribution is quantized to the
+    1e-4 grid before the (order-independent) integer sum, so per-grid-point
+    NLL totals are identical integers in both engines and ties break to the
+    smaller temperature.  Scale: one narrow 41× row expansion (broadcast
+    grid) into one 41-group aggregate with map-side combine; the argmin is
+    over 41 rows."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    v0 = f.select(
+        "actual",
+        "forecast",
+        F.floor(F.col("forecast") * 10000 + F.lit(0.5)).cast("long").alias("fl"),
+    )
+    st = v0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fl").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("fl").cast("decimal(19,0)") * F.col("fl")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s2"),
+        r4(F.percentile("actual", F.lit(0.5))).alias("a_med"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("forecast") - s1 / n / 10000.0) / (
+        F.sqrt((n * s2 - s1 * s1) / (n * F.lit(1.0) * (n - 1))) / 10000.0
+    )
+    v = v0.crossJoin(F.broadcast(st)).select(
+        z.alias("z"),
+        F.when(F.col("actual") > F.col("a_med"), 1).otherwise(0).alias("y"),
+        "n",
+    )
+    g = v.select(
+        "z",
+        "y",
+        "n",
+        F.explode(F.array(*[F.lit(float(x)) for x in _TEMP_GRID])).alias("t"),
+    )
+    p = F.least(
+        F.greatest(1.0 / (1.0 + F.exp(-(F.col("z") / F.col("t")))), F.lit(0.0000001)),
+        F.lit(0.9999999),
+    )
+    loss = F.when(F.col("y") == 1, -F.log(p)).otherwise(-F.log(1.0 - p))
+    nll = g.groupBy("t").agg(
+        F.max("n").alias("n"),
+        F.sum(F.floor(loss * 10000 + F.lit(0.5)).cast("long")).alias("nll_l"),
+    )
+    best = nll.agg(F.min("nll_l").alias("min_l"))
+    pick = (
+        nll.crossJoin(F.broadcast(best))
+        .filter(F.col("nll_l") == F.col("min_l"))
+        .agg(F.min("t").alias("t_best"))
+    )
+    n1 = nll.filter(F.col("t") == 1.0).select(
+        F.col("nll_l").alias("nll1_l"), F.col("n").alias("n1")
+    )
+    return (
+        pick.crossJoin(F.broadcast(nll))
+        .filter(F.col("t") == F.col("t_best"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            r4(F.col("t_best")).alias("temperature"),
+            r4(F.col("nll_l") * 1.0 / F.col("n") / 10000.0).alias("nll_best"),
+            r4(F.col("nll1_l") * 1.0 / F.col("n1") / 10000.0).alias("nll_t1"),
+            r4((F.col("nll1_l") - F.col("nll_l")) * 1.0 / F.col("nll1_l")).alias(
+                "nll_gain"
+            ),
+        )
+    )
+
+
+# Scale-factor grid for calibration_quantile_band: 0.0..3.0 in 0.1 steps —
+# exact 1dp literals, identical doubles in both engines.  Wide enough that
+# neither fitted quantile scale sits on a grid boundary on this data.
+_QBAND_GRID = [round(0.1 * i, 2) for i in range(31)]
+
+
+@register(
+    "calibration_quantile_band",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v AS (
+  SELECT actual, forecast FROM f WHERE forecast IS NOT NULL
+), grid AS (
+  SELECT unnest([{", ".join(repr(c) for c in _QBAND_GRID)}]) AS c
+), pin AS (
+  SELECT c,
+         sum(CAST(floor(
+           (CASE WHEN actual >= c * forecast
+                 THEN 0.1 * (actual - c * forecast)
+                 ELSE 0.9 * (c * forecast - actual) END) * 10000 + 0.5
+         ) AS BIGINT)) AS lo_l,
+         sum(CAST(floor(
+           (CASE WHEN actual >= c * forecast
+                 THEN 0.9 * (actual - c * forecast)
+                 ELSE 0.1 * (c * forecast - actual) END) * 10000 + 0.5
+         ) AS BIGINT)) AS hi_l
+  FROM v, grid GROUP BY c
+), c_lo AS (
+  SELECT min(c) AS c10 FROM pin
+  WHERE lo_l = (SELECT min(lo_l) FROM pin)
+), c_hi AS (
+  SELECT min(c) AS c90 FROM pin
+  WHERE hi_l = (SELECT min(hi_l) FROM pin)
+), cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         avg(CASE WHEN actual >= c10 * forecast AND actual <= c90 * forecast
+                  THEN 1.0 ELSE 0.0 END) AS coverage
+  FROM v, c_lo, c_hi
+)
+SELECT n_rows,
+       round(c10, 4) AS scale_q10,
+       round(c90, 4) AS scale_q90,
+       round(coverage, 4) AS coverage_80,
+       CASE WHEN coverage >= 0.75 THEN 'calibrated' ELSE 'undercovered' END
+         AS calibration_band
+FROM cov, c_lo, c_hi
+""",
+)
+def calibration_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-regression prediction band, discretized
+    (/root/reference/src/models/model_calibration.py:296-420
+    QuantileRegressor: per-quantile models for P10/P90 bounds): a
+    one-parameter multiplicative model ŷ_q = c·forecast per quantile, fit by
+    minimizing the pinball (quantile) loss over a fixed 31-point scale grid
+    — the same loss the reference's quantile regressors optimize, with the
+    argmin reduced to an exact integer comparison.  Emits the fitted P10/P90
+    scale factors and the band's empirical coverage.
+
+    Cross-engine: per-row pinball losses are quantized to the 1e-4 grid
+    before order-independent integer sums; ties break to the smaller scale.
+    Scale: one narrow 31× expansion (broadcast grid) into a 31-group
+    map-side-combined aggregate + one final scan for coverage."""
+    t = Catalog(spark, sf_dir)
+    v = (
+        _with_forecast(t)
+        .filter(F.col("forecast").isNotNull())
+        .select("actual", "forecast")
+    )
+    g = v.select(
+        "actual",
+        "forecast",
+        F.explode(F.array(*[F.lit(float(c)) for c in _QBAND_GRID])).alias("c"),
+    )
+    pred = F.col("c") * F.col("forecast")
+    under = F.col("actual") >= pred
+
+    def pinball(q: float):
+        return F.sum(
+            F.floor(
+                F.when(under, F.lit(q) * (F.col("actual") - pred))
+                .otherwise(F.lit(1.0 - q) * (pred - F.col("actual")))
+                * 10000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+
+    pin = g.groupBy("c").agg(
+        pinball(0.1).alias("lo_l"), pinball(0.9).alias("hi_l")
+    )
+    c_lo = (
+        pin.crossJoin(F.broadcast(pin.agg(F.min("lo_l").alias("m"))))
+        .filter(F.col("lo_l") == F.col("m"))
+        .agg(F.min("c").alias("c10"))
+    )
+    c_hi = (
+        pin.crossJoin(F.broadcast(pin.agg(F.min("hi_l").alias("m"))))
+        .filter(F.col("hi_l") == F.col("m"))
+        .agg(F.min("c").alias("c90"))
+    )
+    covered = (
+        (F.col("actual") >= F.col("c10") * F.col("forecast"))
+        & (F.col("actual") <= F.col("c90") * F.col("forecast"))
+    ).cast("double")
+    cov = (
+        v.crossJoin(F.broadcast(c_lo))
+        .crossJoin(F.broadcast(c_hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(covered).alias("coverage"),
+            F.max("c10").alias("c10"),
+            F.max("c90").alias("c90"),
+        )
+    )
+    return cov.select(
+        "n_rows",
+        r4(F.col("c10")).alias("scale_q10"),
+        r4(F.col("c90")).alias("scale_q90"),
+        r4(F.col("coverage")).alias("coverage_80"),
+        F.when(F.col("coverage") >= 0.75, "calibrated")
+        .otherwise("undercovered")
+        .alias("calibration_band"),
+    )
+
+
+@register(
+    "calibration_subsample_uncertainty",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v AS (
+  SELECT actual, forecast,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                                  || CAST(l_linenumber AS VARCHAR)), 1, 8))
+              AS BIGINT) % 20 AS rep
+  FROM f WHERE forecast IS NOT NULL
+), per AS (
+  SELECT rep,
+         CAST(count(*) AS BIGINT) AS n_rep,
+         floor((sum(CAST(floor(abs(actual - forecast) * 10000 + 0.5) AS BIGINT)) * 1.0
+                / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100)
+               * 10000 + 0.5) AS wl
+  FROM v GROUP BY rep
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(wl AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(wl AS HUGEINT) * wl) AS DOUBLE) AS s2,
+         CAST(min(n_rep) AS BIGINT) AS min_rep_rows
+  FROM per
+), full_w AS (
+  SELECT sum(CAST(floor(abs(actual - forecast) * 10000 + 0.5) AS BIGINT)) * 1.0
+           / sum(CAST(floor(abs(actual) * 10000 + 0.5) AS BIGINT)) * 100 AS w
+  FROM v
+)
+SELECT k AS n_replicates, min_rep_rows,
+       round(full_w.w, 4) AS wmape_full,
+       round(s1 / k / 10000.0, 4) AS wmape_mean,
+       round(sqrt((k * s2 - s1 * s1) / (k * 1.0 * (k - 1))) / 10000.0, 4)
+         AS wmape_std,
+       round(s1 / k / 10000.0
+             - 1.96 * sqrt((k * s2 - s1 * s1) / (k * 1.0 * (k - 1))) / 10000.0, 4)
+         AS ci_lo,
+       round(s1 / k / 10000.0
+             + 1.96 * sqrt((k * s2 - s1 * s1) / (k * 1.0 * (k - 1))) / 10000.0, 4)
+         AS ci_hi
+FROM s, full_w
+""",
+)
+def calibration_subsample_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based metric uncertainty
+    (/root/reference/src/models/model_calibration.py:421-498
+    bootstrap-style uncertainty estimation): the WMAPE's sampling spread
+    estimated from K=20 disjoint hash-assigned subsamples — per-replicate
+    WMAPE, replicate mean/std, and a normal-approximation 95% CI around the
+    full-sample metric.  Documented deviation: the reference resamples WITH
+    replacement; row-level bootstrap weights are not reproducible across
+    engines, so this uses the deterministic md5 row hash (the engine's
+    shared split primitive, cf. sample_stratified_split) for disjoint
+    subsamples — the same estimator family (subsampling a.k.a. delete-d
+    jackknife), fully value-verified instead of seed-dependent.
+
+    Cross-engine: replicate WMAPEs are ratios of exact integer sums,
+    quantized to the 1e-4 grid before the exact integer moment sums that
+    feed mean/std.  Scale: one narrow map (hash) + two keyed aggregates —
+    K is fixed, nothing grows with data."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    rep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    v = f.select("actual", "forecast", rep.alias("rep"))
+    lq = lambda c: F.floor(F.abs(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    wm = (
+        F.sum(lq(F.col("actual") - F.col("forecast")))
+        * 1.0
+        / F.sum(lq(F.col("actual")))
+        * 100
+    )
+    per = v.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("n_rep"),
+        F.floor(wm * 10000 + F.lit(0.5)).alias("wl"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("wl").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("wl").cast("decimal(19,0)") * F.col("wl")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s2"),
+        F.min("n_rep").alias("min_rep_rows"),
+    )
+    full_w = v.agg(wm.alias("w"))
+    k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
+    std = F.sqrt((k * s2 - s1 * s1) / (k * F.lit(1.0) * (k - 1))) / 10000.0
+    return s.crossJoin(F.broadcast(full_w)).select(
+        F.col("k").alias("n_replicates"),
+        "min_rep_rows",
+        r4(F.col("w")).alias("wmape_full"),
+        r4(s1 / k / 10000.0).alias("wmape_mean"),
+        r4(std).alias("wmape_std"),
+        r4(s1 / k / 10000.0 - 1.96 * std).alias("ci_lo"),
+        r4(s1 / k / 10000.0 + 1.96 * std).alias("ci_hi"),
     )

@@ -1713,3 +1713,154 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.withColumn(
         "bin_id", F.floor(F.col("start_offset") / F.lit(4096.0)).cast("long")
     ).select("doc_id", "split", "shard", "n_tokens", "start_offset", "bin_id")
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok FROM documents
+), per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tok_l
+  FROM tok GROUP BY source
+), tot AS (SELECT CAST(sum(tok_l) AS BIGINT) AS t FROM per),
+sm AS (
+  SELECT source, n_docs, tok_l,
+         CAST(floor(sqrt(tok_l * 1.0 / t) * 100000000 + 0.5) AS BIGINT) AS sq_l
+  FROM per, tot
+), smt AS (SELECT CAST(sum(sq_l) AS BIGINT) AS st FROM sm)
+SELECT source, n_docs, tok_l AS n_tokens,
+       round(tok_l * 1.0 / t, 4) AS token_share,
+       round(sq_l * 1.0 / st, 4) AS sample_weight,
+       round((sq_l * 1.0 / st) / (tok_l * 1.0 / t), 4) AS effective_epochs
+FROM sm, tot, smt
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture (domain-sampling) weights per corpus source: token
+    shares smoothed by the α=0.5 power rule — sample_weight ∝ share^α,
+    normalized — the standard temperature-smoothed mixture used when
+    composing multi-source LM training data (upsampling small domains,
+    downsampling dominant ones); ``effective_epochs`` = weight/share is how
+    many passes each source effectively gets at a fixed token budget.
+    Beyond-reference LLM-pipeline operator (SURVEY §2 extension family,
+    same spirit as ``sample_stratified_split``).
+
+    Cross-engine: token counts are exact integer sums; sqrt is IEEE
+    correctly-rounded so share^0.5 is the identical double in both engines,
+    and each smoothed weight is quantized to a 1e-8 integer grid BEFORE the
+    normalizing sum, keeping the normalization exact-integer arithmetic.
+    Scale: one narrow tokenize map + one keyed aggregate over sources
+    (bounded dimension) + two broadcast scalars."""
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "source", F.size(F.split(_norm_text(), " ")).cast("long").alias("n_tok")
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok_l")
+    )
+    tot = per.agg(F.sum("tok_l").alias("t"))
+    sm = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_l",
+        "t",
+        F.floor(F.sqrt(F.col("tok_l") * 1.0 / F.col("t")) * 100000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq_l"),
+    )
+    smt = sm.agg(F.sum("sq_l").alias("st"))
+    return sm.crossJoin(F.broadcast(smt)).select(
+        "source",
+        "n_docs",
+        F.col("tok_l").alias("n_tokens"),
+        r4(F.col("tok_l") * 1.0 / F.col("t")).alias("token_share"),
+        r4(F.col("sq_l") * 1.0 / F.col("st")).alias("sample_weight"),
+        r4(
+            (F.col("sq_l") * 1.0 / F.col("st")) / (F.col("tok_l") * 1.0 / F.col("t"))
+        ).alias("effective_epochs"),
+    )
+
+
+@register(
+    "dedup_report_by_source",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+{_duck_sig()},
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         ({" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END" for s in range(_N_MINHASH))}) / {_N_MINHASH}.0 AS est_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}
+),
+nd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT da AS doc_id FROM cand WHERE est_j >= 0.5
+    UNION ALL
+    SELECT db AS doc_id FROM cand WHERE est_j >= 0.5
+  )
+),
+ex AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS digest,
+         min(doc_id) OVER (PARTITION BY md5({_DUCK_NORM})) AS keep_id
+  FROM documents
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT e.digest) AS BIGINT) AS n_unique_exact,
+       CAST(sum(CASE WHEN e.doc_id <> e.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dropped,
+       round(sum(CASE WHEN e.doc_id <> e.keep_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS exact_dup_rate,
+       CAST(count(nd.doc_id) AS BIGINT) AS n_near_dup_docs,
+       round(count(nd.doc_id) * 1.0 / count(*), 4) AS near_dup_rate
+FROM documents d
+JOIN ex e ON d.doc_id = e.doc_id
+LEFT JOIN nd ON d.doc_id = nd.doc_id
+GROUP BY d.source
+""",
+)
+def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup QA report a curation pipeline ships per ingest source:
+    document counts, exact-duplicate survivors and drop rate (min-doc_id
+    keep-first over the normalized-text digest), and the share of docs
+    touched by a near-dup candidate (MinHash-LSH pairs at est-Jaccard ≥
+    0.5) — the per-source contamination summary that decides which feeds
+    need upstream fixing.  Composes ``dedup_exact_docs`` and
+    ``dedup_minhash_lsh`` into one grouped report.
+
+    Scale: digest window is keyed by digest (hash-shuffle), the near-dup
+    side reuses the banded-LSH candidate join (never all-pairs), and the
+    final rollup is one aggregate over the bounded source dimension."""
+    t = Catalog(spark, sf_dir)
+    nd = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    ex = t.documents.select(
+        "doc_id", "source", F.md5(_norm_text()).alias("digest")
+    ).withColumn("keep_id", F.min("doc_id").over(W.partitionBy("digest")))
+    return (
+        ex.join(F.broadcast(nd), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique_exact"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dropped"),
+            r4(
+                F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("exact_dup_rate"),
+            F.count("is_near_dup").alias("n_near_dup_docs"),
+            r4(F.count("is_near_dup") * 1.0 / F.count(F.lit(1))).alias(
+                "near_dup_rate"
+            ),
+        )
+    )

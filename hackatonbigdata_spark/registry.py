@@ -62,6 +62,11 @@ def _load_all() -> None:
 _PRIORITY: list[str] = [
     # --- round 5: new or newly-oracled queries first -----------------------
     "calibration_conformal",
+    "calibration_temperature",
+    "calibration_quantile_band",
+    "calibration_subsample_uncertainty",
+    "corpus_mixture_weights",
+    "dedup_report_by_source",
     "stacking_ridge_weights",
     "ensemble_dynamic_weights",
     "feature_importance_topk",

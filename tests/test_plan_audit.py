@@ -104,3 +104,37 @@ def test_new_pipeline_ops_stay_jvm_side(spark):
 def test_contamination_broadcasts_benchmark_side(spark):
     s = plan_stats(QUERIES["contamination_ngram_overlap"](spark, SF_DIR))
     assert s.broadcasts >= 1, "the 2% benchmark shingle set should broadcast"
+
+
+def test_round5_ops_stay_jvm_side_and_keyed(spark):
+    """Round-5 operators: no Python UDF, and no unpartitioned window over
+    fact-scale input.  feature_importance_topk's ranking window is exempt
+    from the window check by design — it runs over ≤ #features rows (the
+    schema, not the data); its aggregate stage must still be keyed."""
+    from hackatonbigdata_spark.plans.audit import unpartitioned_windows
+
+    for name in [
+        "calibration_conformal",
+        "calibration_temperature",
+        "calibration_quantile_band",
+        "calibration_subsample_uncertainty",
+        "stacking_ridge_weights",
+        "ensemble_dynamic_weights",
+        "feature_importance_topk",
+        "corpus_mixture_weights",
+        "dedup_report_by_source",
+        "agg_sketches_only",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+    for name in [
+        "calibration_conformal",
+        "calibration_temperature",
+        "calibration_quantile_band",
+        "calibration_subsample_uncertainty",
+        "stacking_ridge_weights",
+        "ensemble_dynamic_weights",
+        "corpus_mixture_weights",
+        "dedup_report_by_source",
+        "agg_sketches_only",
+    ]:
+        assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
