@@ -1844,8 +1844,11 @@ def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = t.documents.select(
         "doc_id", "source", F.md5(_norm_text()).alias("digest")
     ).withColumn("keep_id", F.min("doc_id").over(W.partitionBy("digest")))
+    # nd is bounded by the number of near-dup-touched docs — small on clean
+    # corpora but potentially large on crawl data, so no forced broadcast:
+    # AQE picks broadcast vs shuffle from the actual candidate count
     return (
-        ex.join(F.broadcast(nd), "doc_id", "left")
+        ex.join(nd, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
