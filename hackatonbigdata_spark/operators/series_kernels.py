@@ -7,17 +7,24 @@ as grouped-map pandas kernels: each (store) / (store, product) series is one
 small group, Arrow-batched to Python, processed vectorized, returned.
 
 Scale: key cardinality is millions of small series — the grouped-map
-shuffle partitions by key and each kernel call is O(series length).  These
-queries are registered WITHOUT oracle SQL (the driver records rows-only
-checks); unit tests in tests/test_series_kernels.py pin the math against
-pure pandas.
+shuffle partitions by key and each kernel call is O(series length).
+
+Correctness tiers: kernels whose math is a SEQUENTIAL fold of plain IEEE
+doubles (Croston's constant-α SES, the AR(2) Yule-Walker closed form) are
+fully oracled — their DuckDB oracle replays the identical fold over the
+identical date-sorted list, so Python, JVM, and DuckDB produce the same
+bits.  Kernels that lean on pandas-internal accumulation schemes
+(`ewm(adjust=True)`, `.autocorr`, Holt-Winters seasonal state) stay
+rows-only by design with property tests in tests/test_series_kernels.py.
 """
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hackatonbigdata_spark.catalog import Catalog
@@ -29,6 +36,32 @@ def _daily(t: Catalog) -> DataFrame:
     return t.lineitem.groupBy("l_suppkey", "l_shipdate").agg(
         r4(F.sum("l_quantity")).alias("qty")
     )
+
+
+def py_r4(x: float) -> float:
+    """Python twin of functions.core.r4 (half-away-from-zero at 4dp): the
+    kernels must round exactly like the SQL engines so a kernel query can
+    share its SQL twin's DuckDB oracle.  Python's round() is ties-to-even
+    and diverges on dyadic halves (round(0.03125, 4) = 0.0312 vs 0.0313)."""
+    s = -1.0 if x < 0 else 1.0
+    return s * (math.floor(abs(x) * 10000.0 + 0.5) / 10000.0)
+
+
+_DUCK_DAILY = """daily AS (
+  SELECT l_suppkey, l_shipdate, floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+# sequential sum with an explicit 0.0 seed: bit-identical to Python's
+# sum() ((0 + x0) + x1 ...) and to Spark's F.aggregate(init=0.0), and safe
+# on empty lists (reduce of [0.0] alone is 0.0)
+def _duck_fsum(lst: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {lst}), (a, x) -> a + x)"
+
+
+def _fsum(xs: Column) -> Column:
+    """Sequential left fold sum seeded at 0.0 — Spark twin of _duck_fsum."""
+    return F.aggregate(xs, F.lit(0.0), lambda a, x: a + x)
 
 
 @register("ewm_pandas_per_series")
@@ -60,13 +93,53 @@ def ewm_pandas_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("croston_per_series")
+# Croston closed form: the constant-α SES recurrences z_t = αs_t + (1-α)z_{t-1}
+# and p_t = αi_t + (1-α)p_{t-1} are sequential folds over the event-size and
+# event-interval subsequences of the date-sorted daily series.  DuckDB's
+# no-init list_reduce seeds the accumulator with the first element — exactly
+# the kernel's z = sizes[0] / p = intervals[0] initialization — and folds the
+# rest left-to-right, so all three runtimes produce the same doubles.
+_CROSTON_SQL = f"""
+WITH {_DUCK_DAILY}, seq AS (
+  SELECT l_suppkey, list(qty ORDER BY l_shipdate) AS qs,
+         quantile_cont(qty, 0.5) AS thr
+  FROM daily GROUP BY l_suppkey
+), ev AS (
+  SELECT l_suppkey, qs,
+         list_filter(range(1, len(qs) + 1), i -> qs[i] > thr) AS idx
+  FROM seq
+), se AS (
+  SELECT l_suppkey, len(idx) AS m,
+         list_transform(idx, i -> qs[i]) AS sizes,
+         list_transform(range(1, len(idx)), j -> CAST(idx[j + 1] - idx[j] AS DOUBLE)) AS ivs
+  FROM ev
+), fit AS (
+  SELECT l_suppkey, m,
+         list_reduce(CASE WHEN m >= 2 THEN sizes ELSE [1.0] END,
+                     (a, x) -> 0.1 * x + 0.9 * a) AS z,
+         list_reduce(CASE WHEN m >= 2 THEN ivs ELSE [1.0] END,
+                     (a, x) -> 0.1 * x + 0.9 * a) AS p
+  FROM se
+)
+SELECT l_suppkey,
+       CASE WHEN m >= 2 THEN round(z / p, 4) END AS croston_forecast,
+       CAST(m AS BIGINT) AS n_events
+FROM fit
+"""
+
+
+@register("croston_per_series", oracle=_CROSTON_SQL)
 def croston_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston's method (SES alpha=0.1 on nonzero sizes and inter-arrival
     intervals) per store series
     (/root/reference/src/models/intermittent_demand.py:44-175).
     Demand event := day with qty above the series median (so intervals are
-    non-trivial on this dense dataset)."""
+    non-trivial on this dense dataset).
+
+    Fully oracled (graduated from rows-only in r5): the SES recurrence is a
+    sequential IEEE fold over the date-sorted series, so this Arrow kernel,
+    the pure-SQL twin ``croston_ses_sql``, and the DuckDB oracle all emit
+    identical bits; tests/test_series_kernels.py pins kernel ≡ twin."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
@@ -88,7 +161,7 @@ def croston_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "l_suppkey": [key],
-                "croston_forecast": [round(z / p, 4)],
+                "croston_forecast": [py_r4(z / p)],
                 "n_events": [len(events)],
             }
         )
@@ -100,6 +173,62 @@ def croston_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             kernel, schema="l_suppkey long, croston_forecast double, n_events long"
         )
+    )
+
+
+@register("croston_ses_sql", oracle=_CROSTON_SQL)
+def croston_ses_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method as a PURE-SQL fold — no Python anywhere: the same
+    closed-form SES recurrences as ``croston_per_series``, run as JVM
+    higher-order ``aggregate`` folds over each store's date-sorted daily
+    array (the ``ewm_daily_store`` pattern).
+
+    Scale: one shuffle to the series grain, whole-stage-codegen'd folds,
+    state bounded by series length — this is the production path; the Arrow
+    kernel above is the readable spec and the two are bit-identical."""
+    t = Catalog(spark, sf_dir)
+    seq = _daily(t).groupBy("l_suppkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_shipdate", "qty"))).alias("arr"),
+        F.percentile("qty", F.lit(0.5)).alias("thr"),
+    )
+    qs = F.col("arr").getField("qty")
+    # 1-based positions of demand events (days above the series median):
+    # the threshold can only ever EQUAL a data point when it IS that sorted
+    # element in every engine, so `>` membership is ulp-stable cross-engine.
+    stepped = seq.select(
+        "l_suppkey",
+        F.filter(
+            F.sequence(F.lit(1), F.size(qs)),
+            lambda i: F.element_at(qs, i) > F.col("thr"),
+        ).alias("idx"),
+        qs.alias("qs"),
+    )
+    m = F.size("idx")
+    sizes = F.transform(F.col("idx"), lambda i: F.element_at(F.col("qs"), i))
+    n1 = F.greatest(m - 1, F.lit(0))
+    ivs = F.zip_with(
+        F.slice(F.col("idx"), 2, n1),
+        F.slice(F.col("idx"), 1, n1),
+        lambda a, b: (a - b).cast("double"),
+    )
+    se = stepped.select(
+        "l_suppkey", m.alias("m"), sizes.alias("sizes"), ivs.alias("ivs")
+    )
+    ses = lambda lst: F.aggregate(  # noqa: E731
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1).cast("double"),
+        lambda a, x: F.lit(0.1) * x + F.lit(0.9) * a,
+    )
+    fit = se.select(
+        "l_suppkey",
+        "m",
+        ses(F.col("sizes")).alias("z"),
+        ses(F.col("ivs")).alias("p"),
+    )
+    return fit.select(
+        "l_suppkey",
+        F.when(F.col("m") >= 2, r4(F.col("z") / F.col("p"))).alias("croston_forecast"),
+        F.col("m").cast("long").alias("n_events"),
     )
 
 
@@ -195,7 +324,45 @@ def ar2_yule_walker_fit(y: list[float]) -> tuple[float, float, float, float] | N
     return phi1, phi2, sigma2, fc
 
 
-@register("ar2_yule_walker_per_series")
+# AR(2) Yule-Walker closed form as SQL: μ and the autocovariances r0/r1/r2
+# are sequential 0-seeded sums over the date-sorted list (bit-identical to
+# the kernel's Python sum()), and the φ/σ²/forecast arithmetic is the same
+# double expression tree in all three runtimes.
+_AR2_SQL = f"""
+WITH {_DUCK_DAILY}, seq AS (
+  SELECT l_suppkey, list(qty ORDER BY l_shipdate) AS qs FROM daily GROUP BY l_suppkey
+), b AS (
+  SELECT l_suppkey, qs, len(qs) AS n,
+         {_duck_fsum('qs')} / len(qs) AS mu
+  FROM seq
+), r AS (
+  SELECT l_suppkey, qs, n, mu,
+         {_duck_fsum('list_transform(qs, x -> (x - mu) * (x - mu))')} / n AS r0,
+         {_duck_fsum('list_transform(range(1, n), i -> (qs[i] - mu) * (qs[i + 1] - mu))')} / n AS r1,
+         {_duck_fsum('list_transform(range(1, n - 1), i -> (qs[i] - mu) * (qs[i + 2] - mu))')} / n AS r2
+  FROM b
+), d AS (
+  SELECT l_suppkey, qs, n, mu, r0, r1, r2, r0 * r0 - r1 * r1 AS den
+  FROM r
+), p AS (
+  SELECT l_suppkey, n, mu, r0, r1, r2, den,
+         r1 * (r0 - r2) / den AS phi1,
+         (r0 * r2 - r1 * r1) / den AS phi2,
+         qs[n] AS y1, qs[n - 1] AS y2,
+         n >= 5 AND r0 > 0 AND den > 0 AS ok
+  FROM d
+)
+SELECT l_suppkey,
+       CASE WHEN ok THEN round(phi1, 4) END AS phi1,
+       CASE WHEN ok THEN round(phi2, 4) END AS phi2,
+       CASE WHEN ok THEN round(r0 - phi1 * r1 - phi2 * r2, 4) END AS sigma2,
+       CASE WHEN ok THEN round(mu + phi1 * (y1 - mu) + phi2 * (y2 - mu), 4) END AS forecast_1d,
+       CAST(n AS BIGINT) AS n_days
+FROM p
+"""
+
+
+@register("ar2_yule_walker_per_series", oracle=_AR2_SQL)
 def ar2_yule_walker_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2) per-series fit by the closed-form Yule-Walker equations — the
     autoregressive member of the reference's per-series family
@@ -207,10 +374,12 @@ def ar2_yule_walker_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to the other per-series kernels — one grouped-map
     shuffle keyed by series, O(series length) per call, no global state.
-    Rows-only by design (a two-pass demeaned covariance recursion isn't one
-    SQL statement); tests/test_series_kernels.py pins white-noise recovery
-    (φ≈0), exact recovery on a synthetic AR(2), and stationarity of the
-    fitted pair."""
+    Fully oracled (graduated from rows-only in r5): every sum in the fit is
+    a sequential 0-seeded IEEE fold over the date-sorted series, replayed
+    exactly by the DuckDB oracle and the pure-SQL twin
+    ``ar2_yule_walker_sql``; tests/test_series_kernels.py additionally pins
+    white-noise recovery (φ≈0), exact recovery on a synthetic AR(2),
+    stationarity of the fitted pair, and kernel ≡ twin."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("l_shipdate").reset_index(drop=True)
@@ -231,10 +400,10 @@ def ar2_yule_walker_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "l_suppkey": [key],
-                "phi1": [round(phi1, 4)],
-                "phi2": [round(phi2, 4)],
-                "sigma2": [round(sigma2, 4)],
-                "forecast_1d": [round(fc, 4)],
+                "phi1": [py_r4(phi1)],
+                "phi2": [py_r4(phi2)],
+                "sigma2": [py_r4(sigma2)],
+                "forecast_1d": [py_r4(fc)],
                 "n_days": [len(pdf)],
             }
         )
@@ -250,6 +419,69 @@ def ar2_yule_walker_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " forecast_1d double, n_days long"
             ),
         )
+    )
+
+
+@register("ar2_yule_walker_sql", oracle=_AR2_SQL)
+def ar2_yule_walker_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker closed form as a PURE-SQL query — the Arrow kernel's
+    math (autocovariances → φ → σ² → 1-step forecast) re-expressed as JVM
+    higher-order folds over each store's date-sorted daily array.
+
+    Scale: one shuffle to the series grain, codegen'd folds, no Python —
+    the production path; ``ar2_yule_walker_per_series`` is the readable
+    kernel spec and the two are bit-identical (test-pinned)."""
+    t = Catalog(spark, sf_dir)
+    seq = _daily(t).groupBy("l_suppkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_shipdate", "qty"))).alias("arr")
+    )
+    qs0 = F.col("arr").getField("qty")
+    b = seq.select(
+        "l_suppkey",
+        qs0.alias("qs"),
+        F.size(qs0).alias("n"),
+        (_fsum(qs0) / F.size(qs0)).alias("mu"),
+    )
+    qs, n, mu = F.col("qs"), F.col("n"), F.col("mu")
+    lagprod = lambda k: F.zip_with(  # noqa: E731
+        F.slice(qs, 1, F.greatest(n - k, F.lit(0))),
+        F.slice(qs, 1 + k, F.greatest(n - k, F.lit(0))),
+        lambda a, c: (a - mu) * (c - mu),
+    )
+    r = b.select(
+        "l_suppkey",
+        "qs",
+        "n",
+        "mu",
+        (_fsum(F.transform(qs, lambda x: (x - mu) * (x - mu))) / n).alias("r0"),
+        (_fsum(lagprod(1)) / n).alias("r1"),
+        (_fsum(lagprod(2)) / n).alias("r2"),
+    )
+    r0, r1, r2 = F.col("r0"), F.col("r1"), F.col("r2")
+    d = r.select(
+        "l_suppkey", "qs", "n", "mu", "r0", "r1", "r2",
+        (r0 * r0 - r1 * r1).alias("den"),
+    )
+    den = F.col("den")
+    p = d.select(
+        "l_suppkey", "n", "mu", "r0", "r1", "r2", "den",
+        (r1 * (r0 - r2) / den).alias("phi1"),
+        ((r0 * r2 - r1 * r1) / den).alias("phi2"),
+        F.element_at(qs, -1).alias("y1"),
+        F.element_at(qs, -2).alias("y2"),
+        ((n >= 5) & (r0 > 0) & (den > 0)).alias("ok"),
+    )
+    phi1, phi2 = F.col("phi1"), F.col("phi2")
+    ok = F.col("ok")
+    return p.select(
+        "l_suppkey",
+        F.when(ok, r4(phi1)).alias("phi1"),
+        F.when(ok, r4(phi2)).alias("phi2"),
+        F.when(ok, r4(r0 - phi1 * r1 - phi2 * r2)).alias("sigma2"),
+        F.when(
+            ok, r4(mu + phi1 * (F.col("y1") - mu) + phi2 * (F.col("y2") - mu))
+        ).alias("forecast_1d"),
+        F.col("n").cast("long").alias("n_days"),
     )
 
 

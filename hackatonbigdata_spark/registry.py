@@ -72,7 +72,10 @@ _PRIORITY: list[str] = [
     "feature_importance_topk",
     "dedup_cluster_largestar",  # graduated rows-only -> oracled this round
     "agg_sketches_only",  # new rows-only production sketch path
-    "ar2_yule_walker_per_series",  # new rows-only kernel
+    "ar2_yule_walker_per_series",  # new kernel, graduated to oracled (r5)
+    "ar2_yule_walker_sql",  # new pure-SQL twin (r5)
+    "croston_per_series",  # graduated rows-only -> oracled (r5)
+    "croston_ses_sql",  # new pure-SQL twin (r5)
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -31,10 +31,12 @@ def test_every_query_has_oracle_or_reason():
     # rows-only queries are allowed but must be intentional; keep the list
     # explicit so a forgotten oracle fails loudly.
     allowed_rows_only = {
-        # per-series pandas kernels: order-dependent/recursive semantics not
-        # expressible in one SQL statement; pinned by tests/test_series_kernels.py
+        # per-series pandas kernels leaning on pandas-internal accumulation
+        # (ewm adjust=True, .autocorr) or per-step rounding: not replayable
+        # as one SQL fold; pinned by tests/test_series_kernels.py.  (Croston
+        # and AR(2) graduated to fully oracled in r5 — their math is a
+        # sequential IEEE fold both engines replay bit-exactly.)
         "ewm_pandas_per_series",
-        "croston_per_series",
         "sequential_clamp_per_series",
         "rolling_autocorr_per_series",
         # MLlib LSH scale paths: model-internal hash seeds aren't
@@ -63,8 +65,5 @@ def test_every_query_has_oracle_or_reason():
         # per-series Holt-Winters recursion: state-dependent, not one SQL
         # statement; math pinned by tests/test_ml_similarity.py
         "holt_winters_per_series",
-        # per-series AR(2) Yule-Walker recursion: closed-form per-series fit
-        # in applyInPandas; math pinned by tests/test_series_kernels.py
-        "ar2_yule_walker_per_series",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

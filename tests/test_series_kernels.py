@@ -96,3 +96,21 @@ def test_ar2_per_series_stationary_and_complete(spark, daily_pdf):
     assert (fitted["phi1"] + fitted["phi2"] < 1 + 1e-9).all()
     assert (fitted["phi2"] - fitted["phi1"] < 1 + 1e-9).all()
     assert (fitted["sigma2"] > 0).all()
+
+
+@pytest.mark.parametrize(
+    "kernel_name,twin_name",
+    [
+        ("ar2_yule_walker_per_series", "ar2_yule_walker_sql"),
+        ("croston_per_series", "croston_ses_sql"),
+    ],
+)
+def test_kernel_equals_sql_twin_bitwise(spark, kernel_name, twin_name):
+    """The graduated kernels share their SQL twin's DuckDB oracle, which is
+    only sound if kernel and twin are BIT-identical (same sequential fold,
+    same rounding).  Compare with == (no approx)."""
+    q = all_queries()
+    k = q[kernel_name](spark, SF_DIR).toPandas().sort_values("l_suppkey").reset_index(drop=True)
+    t = q[twin_name](spark, SF_DIR).toPandas().sort_values("l_suppkey").reset_index(drop=True)
+    assert list(k.columns) == list(t.columns)
+    pd.testing.assert_frame_equal(k, t, check_exact=True)
