@@ -54,3 +54,11 @@ def wmape_expr(actual: Column, forecast: Column) -> Column:
     one shuffle of two doubles per partition at any scale.
     """
     return F.sum(F.abs(actual - forecast)) / F.sum(F.abs(actual)) * 100.0
+
+
+def h32(col: Column) -> Column:
+    """Shared 32-bit hash: first 8 hex chars of md5 as a bigint — the one
+    hash function Spark and DuckDB compute identically (DuckDB side:
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)``).  The basis for
+    every cross-engine-deterministic split/sample/bucket in the engine."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -741,3 +741,85 @@ def unpivot_store_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "diag_skew_heavy_hitters",
+    oracle="""
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         round(avg(cnt), 4) AS mean_cnt,
+         round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+         round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+  FROM counts
+), top AS (
+  SELECT l_partkey, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT) AS hh_rank
+  FROM counts
+)
+SELECT t.hh_rank, t.l_partkey, t.cnt,
+       round(t.cnt * 1.0 / s.total_rows, 4) AS share_of_rows,
+       round(t.cnt / s.mean_cnt, 4) AS x_mean,
+       s.n_keys, s.total_rows, s.max_cnt, s.mean_cnt, s.p50_cnt, s.p99_cnt,
+       round(s.max_cnt / s.mean_cnt, 4) AS skew_ratio,
+       round(s.p99_cnt / s.p50_cnt, 4) AS p99_over_p50
+FROM top t, stats s
+WHERE t.hh_rank <= 5
+""",
+)
+def diag_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts on the fact table's
+    join key, the distribution summary (mean/p50/p99/max), the top-5 heavy
+    hitters with their share, and the skew ratios that decide whether a
+    shuffle needs salting or AQE skew-join handling — the measurement step
+    behind the engine's documented salting demo (``agg_salted_skew_demo``)
+    and the reference's pre-merge cardinality checks
+    (/root/reference/src/utils/memory_optimizer.py: chunked-merge guards).
+
+    Scale: the per-key count is one map-side-combined aggregate; the summary
+    reduces that to ONE row (broadcast back for the ratio columns), and the
+    top-5 is orderBy+limit — TakeOrdered's per-partition top-k + k-row
+    merge, NEVER a global window over the key dimension (billions of parts
+    at 100 TB); the rank window below runs over the already-limited 5 rows.
+    At 100 TB swap the exact percentiles for percentile_approx."""
+    t = Catalog(spark, sf_dir)
+    counts = t.lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        r4(F.avg("cnt")).alias("mean_cnt"),
+        r4(F.percentile("cnt", F.lit(0.5))).alias("p50_cnt"),
+        r4(F.percentile("cnt", F.lit(0.99))).alias("p99_cnt"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(5)
+        .withColumn(
+            "hh_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "l_partkey"))
+            .cast("long"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "hh_rank",
+        "l_partkey",
+        "cnt",
+        r4(F.col("cnt") * 1.0 / F.col("total_rows")).alias("share_of_rows"),
+        r4(F.col("cnt") / F.col("mean_cnt")).alias("x_mean"),
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "mean_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        r4(F.col("max_cnt") / F.col("mean_cnt")).alias("skew_ratio"),
+        r4(F.col("p99_cnt") / F.col("p50_cnt")).alias("p99_over_p50"),
+    )

@@ -1867,3 +1867,134 @@ def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+WITH {_DUCK_EMB},
+p AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ex AS (SELECT vec_id, neighbor_id,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+       FROM p),
+exact3 AS (SELECT vec_id, neighbor_id FROM ex WHERE rank <= 3),
+c AS (SELECT vec_id AS centroid_id, emb, nrm FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+buckets AS (SELECT vec_id, centroid_id AS bucket_id FROM assign0 WHERE rn = 1),
+ip AS (
+  SELECT ba.vec_id, bb.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket_id = bb.bucket_id AND ba.vec_id <> bb.vec_id
+  JOIN e a ON a.vec_id = ba.vec_id
+  JOIN e b ON b.vec_id = bb.vec_id),
+ir AS (SELECT vec_id, neighbor_id,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+       FROM ip),
+ivf3 AS (SELECT vec_id, neighbor_id FROM ir WHERE rank <= 3),
+n_ex AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact3 GROUP BY vec_id),
+hits AS (
+  SELECT x.vec_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact3 x LEFT JOIN ivf3 i
+    ON x.vec_id = i.vec_id AND x.neighbor_id = i.neighbor_id
+  GROUP BY x.vec_id)
+SELECT n.vec_id, n.n_exact, h.n_hits,
+       round(h.n_hits * 1.0 / n.n_exact, 4) AS recall_at_3
+FROM n_ex n JOIN hits h ON n.vec_id = h.vec_id
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class oracled query: per-vector
+    recall@3 of the IVF-bucketed index against the exact brute-force
+    neighbors — the measurement that decides whether an approximate index
+    is good enough to replace the exact scan at 100 TB.  Composes the two
+    registered similarity queries and joins their top-3 sets.
+
+    (The rows-only MLlib variants pin recall >= 0.8 in
+    tests/test_ml_similarity.py; this query makes the deterministic IVF's
+    recall itself value-verified cross-engine.)
+
+    Scale: the exact side is the documented sampled-oracle path (run on a
+    query sample at scale); the join of the two top-k sets is keyed on
+    (vec_id, neighbor_id) — tiny at any scale since both sides are k rows
+    per query vector."""
+    ex = (
+        similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id")
+    )
+    iv = similarity_ivf_bucketed(spark, sf_dir).select("vec_id", "neighbor_id")
+    n_ex = ex.groupBy("vec_id").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits = (
+        ex.join(iv, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        n_ex.join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            r4(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0) / F.col("n_exact")
+            ).alias("recall_at_3"),
+        )
+    )
+
+
+@register(
+    "text_dupgram_fraction",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+j AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sh s JOIN freq f ON s.shingle = f.shingle GROUP BY s.doc_id)
+SELECT doc_id, n_shingles, n_dup,
+       round(n_dup * 1.0 / n_shingles, 4) AS dup_fraction,
+       n_dup * 1.0 / n_shingles <= 0.5 AS keep
+FROM j
+""",
+)
+def text_dupgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram-fraction quality filter (the Gopher/MassiveText
+    'fraction of duplicate n-grams' rule): for each document, the share of
+    its distinct word-3-gram shingles that also occur in at least one other
+    document, plus the keep/drop decision at the 0.5 threshold — catches
+    boilerplate- and template-heavy documents that exact and MinHash dedup
+    both miss because no single pair is near-identical.
+
+    Scale: shingle document-frequencies are one map-side-combined keyed
+    aggregate, and the join back is keyed on the shingle — never a doc×doc
+    comparison; the same shape as the TF-IDF query."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") * F.lit(1.0) / F.col("n_shingles")
+    return j.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        r4(frac).alias("dup_fraction"),
+        (frac <= 0.5).alias("keep"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from hackatonbigdata_spark.catalog import Catalog
-from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.functions.core import h32, r4
 from hackatonbigdata_spark.registry import register
 
 
@@ -633,4 +633,70 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(buckets, "bucket")
         .filter((F.col("_raw_price") >= F.col("lo")) & (F.col("_raw_price") <= F.col("hi")))
         .select("p_partkey", "band_brand", r4("_raw_price").alias("price"), "lo", "hi")
+    )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+WITH h AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+  FROM lineitem
+), r AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         CAST(row_number() OVER (PARTITION BY l_suppkey
+                                 ORDER BY hk, l_orderkey, l_linenumber) AS BIGINT)
+           AS sample_rank,
+         CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS group_n
+  FROM h
+)
+SELECT l_suppkey, sample_rank, l_orderkey, l_linenumber,
+       round(l_quantity, 4) AS quantity, group_n
+FROM r WHERE sample_rank <= 3
+""",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample (k=3 rows per store): rank
+    each row inside its group by the shared cross-engine hash of its primary
+    key and keep the k smallest — a 'reservoir sample' that is stable across
+    reruns, engines, and partitionings, unlike ``rand()``-based sampling.
+    The per-group debugging/profiling sample every large pipeline needs
+    (the reference samples per-segment for its validation previews,
+    /root/reference/src/validation/integrity_checks.py: per-group head()).
+
+    Scale: one keyed window per group (no global ordering); at extreme
+    group sizes swap the full row_number for a per-partition bounded top-k
+    (aggregate min_by(k)) — the hash-rank semantics are identical."""
+    t = Catalog(spark, sf_dir)
+    hk = h32(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = W.partitionBy("l_suppkey").orderBy("hk", "l_orderkey", "l_linenumber")
+    return (
+        t.lineitem.select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", hk.alias("hk")
+        )
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).cast("long").alias("group_n"),
+        )
+        .filter(F.col("sample_rank") <= 3)
+        .select(
+            "l_suppkey",
+            "sample_rank",
+            "l_orderkey",
+            "l_linenumber",
+            r4("l_quantity").alias("quantity"),
+            "group_n",
+        )
     )

@@ -76,6 +76,11 @@ _PRIORITY: list[str] = [
     "ar2_yule_walker_sql",  # new pure-SQL twin (r5)
     "croston_per_series",  # graduated rows-only -> oracled (r5)
     "croston_ses_sql",  # new pure-SQL twin (r5)
+    "cdc_scd2_user_state",  # new r5: CDC -> SCD2 history build
+    "diag_skew_heavy_hitters",  # new r5: shuffle-skew diagnostic
+    "sample_reservoir_per_group",  # new r5: deterministic per-group sample
+    "ann_recall_at_k",  # new r5: oracled IVF recall evaluation
+    "text_dupgram_fraction",  # new r5: duplicate-ngram quality filter
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)
