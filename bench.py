@@ -83,6 +83,14 @@ HEADLINE = [
     "ar2_yule_walker_per_series",     # per-series AR(2) kernel
     "corpus_mixture_weights",         # domain-sampling mixture weights
     "dedup_report_by_source",         # per-source dedup QA report
+    "ar2_yule_walker_sql",            # pure-SQL AR(2) fold (vs kernel above)
+    "cdc_scd2_user_state",            # CDC -> SCD2 history build
+    "diag_skew_heavy_hitters",        # shuffle-skew diagnostic
+    "sample_reservoir_per_group",     # deterministic per-group sampling
+    "ann_recall_at_k",                # IVF recall@3 vs exact neighbors
+    "text_dupgram_fraction",          # duplicate-ngram quality filter
+    "dedup_incremental_vs_snapshot",  # incremental exact dedup vs snapshot
+    "corpus_resample_ncopies",        # deterministic mixture resampling
 ]
 
 

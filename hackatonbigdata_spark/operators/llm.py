@@ -37,7 +37,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from hackatonbigdata_spark.catalog import Catalog
-from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.functions.core import h32, r4
 from hackatonbigdata_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1997,4 +1997,138 @@ def text_dupgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         r4(frac).alias("dup_fraction"),
         (frac <= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "dedup_incremental_vs_snapshot",
+    oracle=f"""
+WITH n AS (SELECT doc_id, md5({_DUCK_NORM}) AS digest FROM documents),
+snap AS (SELECT DISTINCT digest FROM n WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, digest FROM n WHERE doc_id % 2 = 1),
+b2 AS (
+  SELECT b.doc_id, b.digest,
+         s.digest IS NOT NULL AS in_snap,
+         min(b.doc_id) OVER (PARTITION BY b.digest) AS first_id
+  FROM batch b LEFT JOIN snap s ON b.digest = s.digest
+)
+SELECT doc_id, digest,
+       CASE WHEN in_snap THEN 'dup_of_snapshot'
+            WHEN doc_id > first_id THEN 'dup_in_batch'
+            ELSE 'novel' END AS status
+FROM b2
+""",
+)
+def dedup_incremental_vs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the production shape at 100 TB, where new
+    batches arrive against an already-deduped corpus snapshot and re-hashing
+    the whole corpus per batch is not an option.  Snapshot := the digest set
+    of even doc_ids, batch := odd doc_ids; every batch document is
+    classified 'dup_of_snapshot' (digest already ingested), 'dup_in_batch'
+    (keep-first within the batch), or 'novel'.  Extends ``dedup_exact_docs``
+    (/root/reference/src/data/clean_data.py:109-130 drop_duplicates) to the
+    incremental/streaming regime.
+
+    Scale: ONE equi-join of the batch against the snapshot digest table
+    (digest-keyed — at 100 TB the snapshot side is a compact digest-only
+    table, bucketable on digest so the join is shuffle-free) plus one keyed
+    window inside the batch; nothing rescans snapshot text."""
+    t = Catalog(spark, sf_dir)
+    n = t.documents.select("doc_id", F.md5(_norm_text()).alias("digest"))
+    snap = n.filter(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    batch = n.filter(F.col("doc_id") % 2 == 1)
+    b2 = batch.join(
+        snap.withColumn("in_snap", F.lit(True)), "digest", "left"
+    ).select(
+        "doc_id",
+        "digest",
+        F.coalesce(F.col("in_snap"), F.lit(False)).alias("in_snap"),
+        F.min("doc_id").over(W.partitionBy("digest")).alias("first_id"),
+    )
+    return b2.select(
+        "doc_id",
+        "digest",
+        F.when(F.col("in_snap"), "dup_of_snapshot")
+        .when(F.col("doc_id") > F.col("first_id"), "dup_in_batch")
+        .otherwise("novel")
+        .alias("status"),
+    )
+
+
+@register(
+    "corpus_resample_ncopies",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok FROM documents
+), per AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_l FROM tok GROUP BY source
+), tot AS (SELECT CAST(sum(tok_l) AS BIGINT) AS t FROM per),
+sm AS (
+  SELECT source, tok_l,
+         CAST(floor(sqrt(tok_l * 1.0 / t) * 100000000 + 0.5) AS BIGINT) AS sq_l
+  FROM per, tot
+), smt AS (SELECT CAST(sum(sq_l) AS BIGINT) AS st FROM sm),
+eff AS (
+  SELECT source, (sq_l * 1.0 / st) / (tok_l * 1.0 / t) AS e
+  FROM sm, tot, smt
+), d AS (
+  SELECT tok.doc_id, tok.source, eff.e,
+         (CAST(('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000) / 10000.0 AS u
+  FROM tok JOIN eff ON tok.source = eff.source
+)
+SELECT doc_id, source, round(e, 4) AS effective_epochs,
+       CAST(floor(e) AS BIGINT)
+         + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS n_copies
+FROM d
+""",
+)
+def corpus_resample_ncopies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the training-mixture weights: deterministic per-document copy
+    counts realizing ``corpus_mixture_weights``'s α=0.5 smoothed mixture —
+    a source with effective_epochs 2.3 gets ⌊2.3⌋ copies of every document
+    plus one more for the deterministic 30% hash slice; a downweighted
+    source keeps each document with probability e.  The stochastic-rounding
+    step every mixture-weighted corpus build needs, made rerun- and
+    engine-stable by the shared h32 hash instead of rand().
+
+    Cross-engine: e is the identical double in both engines (integer-grid
+    sufficient statistics, same expression tree — see
+    ``corpus_mixture_weights``), u lives on a 1e-4 grid, and the u < frac
+    comparison is therefore deterministic.
+
+    Scale: two tiny keyed aggregates (source dimension) broadcast back onto
+    one narrow map over the corpus; the downstream materialization is
+    ``explode(sequence(1, n_copies))`` — no shuffle at all."""
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", "source", F.size(F.split(_norm_text(), " ")).cast("long").alias("n_tok")
+    )
+    per = tok.groupBy("source").agg(F.sum("n_tok").alias("tok_l"))
+    tot = per.agg(F.sum("tok_l").alias("t"))
+    sm = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok_l",
+        "t",
+        F.floor(F.sqrt(F.col("tok_l") * 1.0 / F.col("t")) * 100000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq_l"),
+    )
+    smt = sm.agg(F.sum("sq_l").alias("st"))
+    eff = sm.crossJoin(F.broadcast(smt)).select(
+        "source",
+        ((F.col("sq_l") * 1.0 / F.col("st")) / (F.col("tok_l") * 1.0 / F.col("t"))).alias("e"),
+    )
+    u = (h32(F.col("doc_id").cast("string")) % 10000) / F.lit(10000.0)
+    d = tok.join(F.broadcast(eff), "source").select(
+        "doc_id", "source", "e", u.alias("u")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        r4(F.col("e")).alias("effective_epochs"),
+        (
+            F.floor(F.col("e")).cast("long")
+            + F.when(F.col("u") < F.col("e") - F.floor(F.col("e")), 1).otherwise(0)
+        ).cast("long").alias("n_copies"),
     )

@@ -81,6 +81,8 @@ _PRIORITY: list[str] = [
     "sample_reservoir_per_group",  # new r5: deterministic per-group sample
     "ann_recall_at_k",  # new r5: oracled IVF recall evaluation
     "text_dupgram_fraction",  # new r5: duplicate-ngram quality filter
+    "dedup_incremental_vs_snapshot",  # new r5: incremental exact dedup
+    "corpus_resample_ncopies",  # new r5: mixture-weight resampling
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -75,3 +75,35 @@ def test_decode_stub_batch_shape(spark):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resample_ncopies_realizes_mixture(spark):
+    """corpus_resample_ncopies must realize corpus_mixture_weights: for each
+    source, the realized token mass (n_copies-weighted) over the planned mass
+    (effective_epochs * source tokens) should be close to 1 — the hash slice
+    is deterministic stochastic rounding, so the gap is bounded by the
+    per-source doc granularity, and total copies are never negative."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    q = all_queries()
+    got = q["corpus_resample_ncopies"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (got["n_copies"] >= 0).all()
+    for _, grp in got.groupby("source"):
+        eff = grp["effective_epochs"].iloc[0]
+        realized = grp["n_copies"].mean()
+        # mean copies per doc ~ effective_epochs within doc-granularity noise
+        assert abs(realized - eff) <= 0.5, (eff, realized)
+
+
+def test_incremental_dedup_statuses_partition_batch(spark):
+    """Every odd-doc_id document gets exactly one status, snapshot digests
+    are never re-emitted, and keep-first holds inside the batch."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    q = all_queries()
+    got = q["dedup_incremental_vs_snapshot"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (got["doc_id"] % 2 == 1).all()
+    assert set(got["status"]) <= {"novel", "dup_of_snapshot", "dup_in_batch"}
+    novel = got[got["status"] == "novel"]
+    # novel digests are unique within the batch output
+    assert novel["digest"].is_unique

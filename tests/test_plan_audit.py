@@ -131,6 +131,8 @@ def test_round5_ops_stay_jvm_side_and_keyed(spark):
         "text_dupgram_fraction",
         "ar2_yule_walker_sql",
         "croston_ses_sql",
+        "dedup_incremental_vs_snapshot",
+        "corpus_resample_ncopies",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     # diag_skew_heavy_hitters is exempt from the window check by design: its
@@ -152,5 +154,7 @@ def test_round5_ops_stay_jvm_side_and_keyed(spark):
         "text_dupgram_fraction",
         "ar2_yule_walker_sql",
         "croston_ses_sql",
+        "dedup_incremental_vs_snapshot",
+        "corpus_resample_ncopies",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
