@@ -147,3 +147,48 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+@register(
+    "io_partitioned_prune",
+    oracle="""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem WHERE CAST(year(l_shipdate) AS INTEGER) = 1997
+GROUP BY 1
+""",
+)
+def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned read-back: write ``lineitem``
+    partitioned by ship year, then answer a one-year query from the
+    partitioned copy — matching the oracle's aggregate over the ORIGINAL
+    table proves the layout round-trip is lossless, and the read plan
+    prunes to the single ``ship_year=1997`` directory (asserted in
+    tests/test_plan_audit.py: PartitionFilters carries the predicate, so
+    files from other years are never opened).
+
+    This is the data-layout half of the reference's year-sliced export
+    convention (/root/reference/src/data/load_data.py: per-period output
+    files), done the warehouse way: partition columns become directories,
+    and partition pruning turns a 100 TB scan into a 1-year scan with zero
+    row-level filtering I/O.
+
+    Scale: partitionBy(year) yields O(years × shuffle partitions) files —
+    coarse enough to stay small-file-safe; production layouts add a second
+    bucketing dimension before this becomes the bottleneck."""
+    t = Catalog(spark, sf_dir)
+    dst = _scratch(sf_dir, "part_by_year")
+    (
+        t.lineitem.withColumn("ship_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst).filter(F.col("ship_year") == 1997)
+    return back.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+    )

@@ -2132,3 +2132,88 @@ def corpus_resample_ncopies(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("u") < F.col("e") - F.floor(F.col("e")), 1).otherwise(0)
         ).cast("long").alias("n_copies"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+b AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM w, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+       FROM b GROUP BY doc_id, bigram),
+cf AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM b GROUP BY bigram),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+q AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(-log2(cf.cf * 1.0 / n.total) * 10000 + 0.5) AS BIGINT) AS nlq
+  FROM tf JOIN cf ON tf.bigram = cf.bigram CROSS JOIN n
+), d AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(nl_sum / (n_bigrams * 10000.0), 4) AS avg_neg_log2p2
+FROM d
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document: the second-order
+    companion to ``text_unigram_logprob`` — average per-bigram negative
+    log2 probability under the corpus's own adjacent-pair distribution.
+    The unigram/bigram score GAP is the fluency signal quality pipelines
+    actually rank on (templated spam scores fluent under unigrams but its
+    bigrams are either rote-repeated or never-seen).
+
+    Same exactness contract as the unigram query: each bigram's −log2 p is
+    quantized to an integer 1e4 scale, per-document aggregation is a pure
+    BIGINT sum — partition-order-free in both engines.
+
+    Scale: bigram extraction is an array transform (no shuffle); then two
+    keyed aggregates and one join on the bigram key.  The bigram vocabulary
+    is larger than the unigram one but still Zipf-compact relative to the
+    corpus; the join never materializes anything all-pairs."""
+    t = Catalog(spark, sf_dir)
+    bigrams = (
+        _doc_words(t)
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    tf = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    cf = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cf"))
+    n = bigrams.agg(F.count(F.lit(1)).alias("total"))
+    q = (
+        tf.join(cf, "bigram")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    d = q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        r4(F.col("nl_sum") / (F.col("n_bigrams") * 10000.0)).alias("avg_neg_log2p2"),
+    )

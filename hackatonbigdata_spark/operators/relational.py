@@ -700,3 +700,68 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_n",
         )
     )
+
+
+@register(
+    "anomaly_mad_flags",
+    oracle="""
+WITH med AS (
+  SELECT l_suppkey, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY 1
+), dev AS (
+  SELECT l.l_suppkey, m.med, abs(l.l_quantity - m.med) AS adev
+  FROM lineitem l JOIN med m ON l.l_suppkey = m.l_suppkey
+), mad AS (
+  SELECT l_suppkey, round(quantile_cont(adev, 0.5), 4) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.l_suppkey,
+       round(max(d.med), 4) AS med_qty,
+       max(m.mad) AS mad_qty,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS outlier_rate
+FROM dev d JOIN mad m ON d.l_suppkey = m.l_suppkey
+GROUP BY 1
+""",
+)
+def anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection via median absolute deviation:
+    flag quantities beyond 3 robust sigmas (3 × 1.4826 × MAD) of the group
+    median — the outlier detector the reference applies before model fits
+    (/root/reference/src/data/clean_data.py: IQR/sigma-clip pass), in its
+    robust form: unlike mean/std, median/MAD don't move when the outliers
+    themselves get bigger.
+
+    Two grouped exact medians (values, then absolute deviations) with a
+    join back between them — both shuffles key on the group, reusing one
+    partitioning.  Determinism: MAD is 4dp-quantized before the threshold
+    compare in both engines; the 4.4478 factor keeps the threshold off the
+    half-integer lattice the quantity deviations live on, so the strict
+    inequality can't straddle.
+
+    Scale: exact grouped percentiles sort within groups — fine while group
+    cardinality × group size fits executor memory per task; at 100 TB the
+    same query swaps ``percentile`` for ``percentile_approx`` (KLL sketch,
+    mergeable, one pass) with the threshold semantics unchanged."""
+    t = Catalog(spark, sf_dir)
+    med = t.lineitem.groupBy("l_suppkey").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    dev = t.lineitem.join(med, "l_suppkey").select(
+        "l_suppkey", "med", F.abs(F.col("l_quantity") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("l_suppkey").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
+    )
+    flagged = dev.join(mad, "l_suppkey")
+    is_out = F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+    return flagged.groupBy("l_suppkey").agg(
+        r4(F.max("med")).alias("med_qty"),
+        F.max("mad").alias("mad_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        r4(F.sum(is_out) * F.lit(1.0) / F.count(F.lit(1))).alias("outlier_rate"),
+    )

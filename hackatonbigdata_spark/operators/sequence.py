@@ -1,0 +1,321 @@
+"""M8 — sequence & graph analytics: Markov transitions, interval algebra,
+fixed-iteration PageRank (SURVEY.md §2 beyond-reference extensions).
+
+The reference's behavioral-feature engine walks per-user event sequences in
+Python loops (/root/reference/src/features/behavioral_features_engine.py:
+380-520) and its co-occurrence analysis stops at pair counts.  This module
+re-expresses the sequence/graph family as distributed DataFrame queries:
+
+- ``seq_event_transitions`` — first-order Markov transition matrix over the
+  per-user event stream (lag window + keyed agg, no Python loop);
+- ``interval_merge_coverage`` — union of overlapping [order, ship]
+  fulfilment intervals per supplier (cumulative-max gaps-and-islands), the
+  general form of sessionization where interval lengths vary per row;
+- ``graph_pagerank_parts`` — PageRank on the basket co-occurrence graph in
+  exact integer (picoprob) arithmetic so a fixed iteration count is
+  bit-reproducible across engines and partitionings.
+
+Scale notes per query in the docstrings; the shared principle is that every
+shuffle is keyed (user, supplier, graph node) — nothing global, nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hackatonbigdata_spark.catalog import Catalog
+from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.registry import register
+
+
+@register(
+    "seq_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type), 4)
+         AS p_next
+FROM pairs
+""",
+)
+def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | previous event type), estimated from every adjacent
+    pair in each user's time-ordered sequence.  Replaces the reference's
+    per-user Python sequence walk
+    (/root/reference/src/features/behavioral_features_engine.py:380-430)
+    with one lag window + one keyed aggregate.
+
+    Determinism: the lag ordering tie-breaks on ``event_id``; counts are
+    integers and the row-normalized probability divides identical BIGINTs,
+    so both engines produce bit-identical doubles.
+
+    Scale: the window partitions by user (bounded per-user state); the
+    transition aggregate keys on (prev, next) — a tiny |types|² result.  No
+    driver-side state; at 100 TB this is one user-keyed shuffle."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wp = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        r4(F.col("n_trans") * F.lit(1.0) / F.sum("n_trans").over(wp)).alias("p_next"),
+    )
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey, o_orderdate AS s, l_shipdate AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+), seq AS (
+  SELECT l_suppkey, s, e,
+         max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+), flag AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+           AS new_island
+  FROM seq
+), isl AS (
+  SELECT l_suppkey, s, e,
+         sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flag
+), merged AS (
+  SELECT l_suppkey, island_id,
+         min(s) AS cov_start, max(e) AS cov_end,
+         CAST(count(*) AS BIGINT) AS n_intervals
+  FROM isl GROUP BY 1, 2
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(date_diff('day', cov_start, cov_end) + 1) AS BIGINT)
+         AS covered_days,
+       CAST(max(date_diff('day', cov_start, cov_end) + 1) AS BIGINT)
+         AS max_island_days,
+       CAST(max(n_intervals) AS BIGINT) AS max_island_intervals
+FROM merged GROUP BY 1
+""",
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals per key: merge each supplier's
+    [orderdate, shipdate] fulfilment spans into disjoint coverage islands and report
+    islands / covered days / widest island.  This is the variable-length
+    generalization of session windows (``stream_session_windows`` merges
+    fixed-gap points; here every row carries its own interval) — the
+    pattern behind delivery-coverage, machine-uptime, and promo-overlap
+    analyses the reference handles with sorted Python sweeps
+    (/root/reference/src/features/temporal_features.py:140-210).
+
+    Algorithm: cumulative-max-of-end over start-ordered intervals; a row
+    opens a new island iff its start exceeds every prior end.  Determinism:
+    island membership depends only on (s, prev running max e) — ties in
+    (s, e) cannot flip the flag because a tied row's start never exceeds
+    its twin's end.
+
+    Scale: both windows partition by supplier — per-key sequential state,
+    embarrassingly parallel across keys.  No global sort; at 100 TB the
+    shuffle is one hash partition on the key, and skewed keys can be
+    range-split by month first (merge is associative across a cut only at
+    island boundaries, handled by a standard two-pass stitch)."""
+    t = Catalog(spark, sf_dir)
+    iv = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.col("o_orderdate").alias("s"),
+            F.col("l_shipdate").alias("e"),
+        )
+    )
+    wseq = (
+        W.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = iv.withColumn("prev_max_e", F.max("e").over(wseq))
+    flag = seq.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    wisl = (
+        W.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = flag.withColumn("island_id", F.sum("new_island").over(wisl))
+    merged = isl.groupBy("l_suppkey", "island_id").agg(
+        F.min("s").alias("cov_start"),
+        F.max("e").alias("cov_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    span_days = F.datediff(F.col("cov_end"), F.col("cov_start")) + F.lit(1)
+    return merged.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(span_days).alias("covered_days"),
+        F.max(span_days).alias("max_island_days"),
+        F.max("n_intervals").alias("max_island_intervals"),
+    )
+
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000_000  # picoprob integer units
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in exact integer arithmetic.
+
+    Every probability lives as a BIGINT in 1e-12 units; per-edge
+    contributions use round-half-up integer division ((2p + d) // 2d) and
+    the damping multiply is (85s + 50) // 100 — BIGINT sums are
+    order-independent, so the whole fixpoint is bit-identical across
+    engines and partitionings."""
+    sql = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+pr0 AS (
+  SELECT node, deg,
+         CAST(floor({_PR_SCALE}.0 / nn.n + 0.5) AS BIGINT) AS pr
+  FROM deg CROSS JOIN nn
+)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+pr{i} AS (
+  SELECT d.node, d.deg,
+         CAST(floor({_PR_SCALE * 15 // 100}.0 / nn.n + 0.5) AS BIGINT)
+           + (coalesce(s.contrib, 0) * 85 + 50) // 100 AS pr
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.v AS node,
+           CAST(sum((p.pr * 2 + p.deg) // (p.deg * 2)) AS BIGINT) AS contrib
+    FROM edges e JOIN pr{i - 1} p ON e.u = p.node GROUP BY 1
+  ) s ON d.node = s.node
+)"""
+    sql += f"""
+SELECT node AS part_key, deg AS degree, pr AS pr_pico,
+       CAST(rank() OVER (ORDER BY pr DESC, node) AS BIGINT) AS pr_rank
+FROM pr{_PR_ITERS}
+"""
+    return sql
+
+
+@register("graph_pagerank_parts", oracle=_pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} fixed iterations) on the basket
+    co-occurrence graph: parts are nodes, an undirected edge connects parts
+    co-ordered in ≥ 2 baskets.  Extends the reference's pair-count analysis
+    (/root/reference/src/features/behavioral_features_engine.py:454-485)
+    into a centrality ranking — "which parts anchor the co-purchase graph".
+
+    Exact integer arithmetic: probabilities are BIGINT picoprobs
+    (1e-12 units); per-edge shares use round-half-up integer division and
+    damping is (85·s + 50) // 100.  Integer sums are order-independent, so
+    the result is bit-identical across engines, partition counts, and
+    executor schedules — the property float PageRank never has.
+
+    Scale: each iteration is one shuffle — edges join ranks on the source
+    key, aggregate on the destination key.  Edge and rank tables partition
+    by node hash; degrees ride along to avoid a second join.  At 100 TB
+    lineage grows linearly in iterations, so production would
+    ``localCheckpoint`` every ~5 rounds exactly as ``dedup_cluster_components``
+    does; 5 iterations here keeps the oracle's unrolled CTE chain cheap."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = F.floor(
+        F.lit(float(_PR_SCALE * 15 // 100)) / F.col("n") + F.lit(0.5)
+    ).cast("long")
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node",
+        "deg",
+        F.floor(F.lit(float(_PR_SCALE)) / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(pr * 2 + deg) div (deg * 2)").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    base
+                    + F.expr("(coalesce(contrib, 0) * 85 + 50) div 100").cast("long")
+                ).alias("pr"),
+            )
+        )
+    wr = W.orderBy(F.col("pr").desc(), "node")
+    return pr.select(
+        F.col("node").alias("part_key"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_pico"),
+        F.rank().over(wr).cast("long").alias("pr_rank"),
+    )
+
+
+graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.format(iters=_PR_ITERS)

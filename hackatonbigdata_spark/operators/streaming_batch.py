@@ -755,3 +755,110 @@ def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "snapshot_table_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 11 <> 0
+), new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN floor(o_totalprice * 105 + 0.5) / 100.0
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'RECLASSIFIED'
+              ELSE o_orderpriority END AS prio
+  FROM orders WHERE o_orderkey % 13 <> 0
+), d AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.price <> n.price OR o.prio <> n.prio THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL AND o.price <> n.price
+              THEN 1 ELSE 0 END AS price_chg,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL AND o.prio <> n.prio
+              THEN 1 ELSE 0 END AS prio_chg,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+              THEN CAST(floor(abs(n.price - o.price) * 100 + 0.5) AS BIGINT)
+              ELSE 0 END AS delta_cents
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT diff_status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_chg) AS BIGINT) AS n_price_changed,
+       CAST(sum(prio_chg) AS BIGINT) AS n_prio_changed,
+       round(sum(delta_cents) / 100.0, 4) AS sum_abs_price_delta
+FROM d GROUP BY 1
+""",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer diff of two table versions into
+    added / removed / changed / unchanged classes with column-level change
+    counts and a value-drift total — the audit the reference runs between
+    pipeline reruns by exporting both frames to pandas and comparing
+    row-by-row (/root/reference/src/data/load_data.py:120-135 validation
+    pass).  The two versions are derived deterministically from ``orders``
+    (modular key filters simulate deletes/inserts, a repriced subset and a
+    reclassified subset simulate updates) so the oracle sees identical
+    inputs.
+
+    Exactness: the simulated reprice quantizes to cents with
+    ``floor(x*105 + 0.5)/100`` and the drift total sums integer cents —
+    both order-independent, so the diff is bit-identical across engines.
+
+    Scale: one full-outer hash join on the key plus a 4-group aggregate.
+    At 100 TB both snapshots would be bucketed on the key, turning the join
+    shuffle-free; changed-row *extraction* (not just counts) is the same
+    plan minus the final aggregate."""
+    t = Catalog(spark, sf_dir)
+    old = t.orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    new = t.orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.floor(F.col("o_totalprice") * 105 + F.lit(0.5)) / F.lit(100.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("RECLASSIFIED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    both = F.col("o.k").isNotNull() & F.col("n.k").isNotNull()
+    d = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer").select(
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(
+            (F.col("o.price") != F.col("n.price"))
+            | (F.col("o.prio") != F.col("n.prio")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("diff_status"),
+        F.when(both & (F.col("o.price") != F.col("n.price")), 1)
+        .otherwise(0)
+        .alias("price_chg"),
+        F.when(both & (F.col("o.prio") != F.col("n.prio")), 1)
+        .otherwise(0)
+        .alias("prio_chg"),
+        F.when(
+            both,
+            F.floor(F.abs(F.col("n.price") - F.col("o.price")) * 100 + F.lit(0.5))
+            .cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta_cents"),
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_chg").cast("long").alias("n_price_changed"),
+        F.sum("prio_chg").cast("long").alias("n_prio_changed"),
+        r4(F.sum("delta_cents") / F.lit(100.0)).alias("sum_abs_price_delta"),
+    )

@@ -48,6 +48,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         scalars,
+        sequence,
         series_kernels,
         streaming_batch,
         windows,
@@ -83,6 +84,13 @@ _PRIORITY: list[str] = [
     "text_dupgram_fraction",  # new r5: duplicate-ngram quality filter
     "dedup_incremental_vs_snapshot",  # new r5: incremental exact dedup
     "corpus_resample_ncopies",  # new r5: mixture-weight resampling
+    "seq_event_transitions",  # new r5b: Markov transition matrix
+    "interval_merge_coverage",  # new r5b: overlapping-interval union
+    "graph_pagerank_parts",  # new r5b: integer-exact PageRank
+    "snapshot_table_diff",  # new r5b: full-outer snapshot reconciliation
+    "io_partitioned_prune",  # new r5b: hive-partitioned sink + pruned read
+    "text_bigram_logprob",  # new r5b: second-order LM quality score
+    "anomaly_mad_flags",  # new r5b: robust MAD outlier detection
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)
