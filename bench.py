@@ -91,6 +91,14 @@ HEADLINE = [
     "text_dupgram_fraction",          # duplicate-ngram quality filter
     "dedup_incremental_vs_snapshot",  # incremental exact dedup vs snapshot
     "corpus_resample_ncopies",        # deterministic mixture resampling
+    # round-5b operators:
+    "seq_event_transitions",          # Markov transition matrix
+    "interval_merge_coverage",        # overlapping-interval union per key
+    "graph_pagerank_parts",           # integer-exact fixed-iteration PageRank
+    "snapshot_table_diff",            # full-outer snapshot reconciliation
+    "io_partitioned_prune",           # hive-partitioned sink + pruned read
+    "text_bigram_logprob",            # second-order LM quality score
+    "anomaly_mad_flags",              # robust MAD outlier detection
 ]
 
 

@@ -272,7 +272,17 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_baskets") >= 2)
         .select("u", "v")
     )
-    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge table once, pre-partitioned on the join key:
+    # localCheckpoint stops the lazy plan inlining the co-occurrence
+    # self-join into every iteration (6× the work, linear lineage growth —
+    # same discipline as dedup_cluster_components), and hashing on ``u``
+    # first means the edge side of every iteration's join reuses this one
+    # partitioning — only the (much smaller) rank table moves per round
+    edges = (
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

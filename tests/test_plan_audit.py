@@ -158,3 +158,41 @@ def test_round5_ops_stay_jvm_side_and_keyed(spark):
         "corpus_resample_ncopies",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
+
+
+def test_round5b_ops_stay_jvm_side_and_keyed(spark):
+    """Round-5b operators (sequence/graph/diff/LM/MAD): no Python UDF
+    anywhere; windows keyed except PageRank's final ranking, which runs
+    over the bounded node dimension (parts with ≥2 shared baskets), the
+    same exemption as market_share_brand's global brand rank."""
+    from hackatonbigdata_spark.plans.audit import unpartitioned_windows
+
+    for name in [
+        "seq_event_transitions",
+        "interval_merge_coverage",
+        "graph_pagerank_parts",
+        "snapshot_table_diff",
+        "text_bigram_logprob",
+        "anomaly_mad_flags",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+    for name in [
+        "seq_event_transitions",
+        "interval_merge_coverage",
+        "snapshot_table_diff",
+        "text_bigram_logprob",
+        "anomaly_mad_flags",
+    ]:
+        assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """io_partitioned_prune's read-back must carry the year predicate as a
+    PartitionFilter (directory pruning), not a row-level filter."""
+    df = QUERIES["io_partitioned_prune"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_year" in m.group(1), f"year predicate not pushed: {m}"
