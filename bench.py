@@ -99,6 +99,7 @@ HEADLINE = [
     "io_partitioned_prune",           # hive-partitioned sink + pruned read
     "text_bigram_logprob",            # second-order LM quality score
     "anomaly_mad_flags",              # robust MAD outlier detection
+    "calibration_platt_exact",        # 12-step exact-arithmetic GD logistic
 ]
 
 

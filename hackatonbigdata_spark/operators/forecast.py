@@ -3481,3 +3481,203 @@ def calibration_subsample_uncertainty(spark: SparkSession, sf_dir: str) -> DataF
         r4(s1 / k / 10000.0 - 1.96 * std).alias("ci_lo"),
         r4(s1 / k / 10000.0 + 1.96 * std).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration_platt_exact: fixed-iteration gradient-descent logistic fit in
+# exact cross-engine arithmetic.  The true Platt sigmoid needs exp(), whose
+# last-ulp behaviour libm (DuckDB) and the JVM (Spark) do NOT guarantee to
+# agree on; every other op used here (+ - * / abs floor min max) is
+# IEEE-754 correctly-rounded, so swapping exp for the algebraic sigmoid
+#   s(z) = 0.5 + 0.5 * z / (1 + |z|)
+# makes each per-row gradient bit-identical in both engines, and quantizing
+# per-row gradients to integer nano-units makes the SUM order-independent —
+# the whole 12-step optimizer trajectory is then bit-reproducible across
+# engines, partitionings, and executor schedules.
+
+_PLATT_ITERS = 12
+_PLATT_LR = "4.0"
+
+
+def _platt_exact_oracle() -> str:
+    grads = """
+    SELECT a, b,
+           floor((0.5 + 0.5 * (z / (1 + abs(z))) - y)
+                 * (0.5 / ((1 + abs(z)) * (1 + abs(z)))) * xs
+                 * 1000000000 + 0.5) AS ga,
+           floor((0.5 + 0.5 * (z / (1 + abs(z))) - y)
+                 * (0.5 / ((1 + abs(z)) * (1 + abs(z))))
+                 * 1000000000 + 0.5) AS gb
+    FROM (SELECT p.a, p.b, c.y, c.xs,
+                 (p.a / 1000000000.0) * c.xs + (p.b / 1000000000.0) AS z
+          FROM cal c CROSS JOIN {prev} p)
+"""
+    sql = """
+WITH f0 AS ({fsql}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+lab AS (
+  SELECT f.l_suppkey, f.l_orderkey, f.forecast,
+         CASE WHEN f.actual > m.med THEN 1.0 ELSE 0.0 END AS y
+  FROM f JOIN (SELECT l_suppkey, quantile_cont(actual, 0.5) AS med
+               FROM f GROUP BY 1) m
+    ON f.l_suppkey = m.l_suppkey
+),
+mm AS (SELECT min(forecast) AS mn, max(forecast) AS mx
+       FROM lab WHERE l_orderkey % 2 = 0),
+sc AS (
+  SELECT l.l_orderkey, l.y,
+         CASE WHEN mm.mx > mm.mn THEN (l.forecast - mm.mn) / (mm.mx - mm.mn)
+              ELSE 0.5 END AS xs
+  FROM lab l CROSS JOIN mm
+),
+cal AS (SELECT xs, y FROM sc WHERE l_orderkey % 2 = 0),
+p0 AS (SELECT CAST(1000000000 AS BIGINT) AS a, CAST(-500000000 AS BIGINT) AS b)
+""".replace("{fsql}", _FORECAST_SQL)
+    for i in range(1, _PLATT_ITERS + 1):
+        sql += """, p{i} AS (
+  SELECT CAST(any_value(a) - floor({lr} * sum(ga) / count(*) + 0.5) AS BIGINT) AS a,
+         CAST(any_value(b) - floor({lr} * sum(gb) / count(*) + 0.5) AS BIGINT) AS b
+  FROM ({grads})
+)""".format(i=i, lr=_PLATT_LR, grads=grads.format(prev=f"p{i-1}"))
+    sql += """
+, scored AS (
+  SELECT CAST(greatest(0, least(9, floor(s.xs * 10))) AS INTEGER) AS bin,
+         s.y,
+         floor((0.5 + 0.5 * (z / (1 + abs(z)))) * 100000000 + 0.5) AS p8,
+         s.a, s.b
+  FROM (SELECT sc.xs, sc.y,
+               (p.a / 1000000000.0) * sc.xs + (p.b / 1000000000.0) AS z,
+               p.a, p.b
+        FROM sc CROSS JOIN p{last} p) s
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(y) / count(*), 4) AS event_rate,
+       round(sum(p8) / (count(*) * 100000000.0), 4) AS mean_p,
+       CAST(any_value(a) AS BIGINT) AS slope_nano,
+       CAST(any_value(b) AS BIGINT) AS intercept_nano
+FROM scored GROUP BY bin
+""".replace("{last}", str(_PLATT_ITERS))
+    return sql
+
+
+@register("calibration_platt_exact", oracle=_platt_exact_oracle())
+def calibration_platt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-style probability calibration as a FULLY ORACLED fixed-point:
+    a one-feature logistic fit by {iters} deterministic gradient-descent
+    steps, replacing exp() with the algebraic sigmoid
+    ``s(z) = 0.5 + 0.5·z/(1+|z|)`` (same monotone S-shape and [0,1] range
+    as /root/reference/src/models/model_calibration.py:200-320's sigmoid
+    calibrator, but built solely from correctly-rounded IEEE ops, which
+    exp is not).  Params live as BIGINT nano-units; per-row gradients are
+    quantized to integers before summing, so the entire optimizer
+    trajectory — not just the final report — is bit-identical between
+    Spark and DuckDB and across any partitioning.  This graduates the
+    engine's iterative-optimizer story from rows-only (MLlib
+    ``calibration_platt``) to value-verified.
+
+    Calibration split mirrors ``calibration_conformal`` (even orderkeys
+    fit, everything scores); the label is the same above-store-median
+    event ``calibration_platt`` uses; output is a 10-bin reliability table
+    plus the fitted params echoed as columns.
+
+    Scale: the (xs, y) projection is localCheckpointed once (two doubles a
+    row), then each GD step is one full-pass aggregate — the textbook
+    distributed-GD layout.  {iters} sequential passes are the honest cost
+    of an iterative fit; production fits on the hash-sampled calibration
+    half (already the semantics here) and would sample further for 100 TB,
+    exactly as the reference fits calibrators on held-out subsets."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    med = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med")
+    )
+    lab = f.join(med, "l_suppkey").select(
+        "l_orderkey",
+        "forecast",
+        F.when(F.col("actual") > F.col("med"), 1.0).otherwise(0.0).alias("y"),
+    )
+    mm = lab.filter(F.col("l_orderkey") % 2 == 0).agg(
+        F.min("forecast").alias("mn"), F.max("forecast").alias("mx")
+    )
+    xs = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("forecast") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    ).otherwise(F.lit(0.5))
+    sc = lab.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey", "y", xs.alias("xs")
+    )
+    # the GD input is two doubles a row — coalesce before checkpointing so
+    # the 12 iteration aggregates schedule a handful of tasks each instead
+    # of spraying every round across all shuffle partitions
+    cal = (
+        sc.filter(F.col("l_orderkey") % 2 == 0)
+        .select("xs", "y")
+        .coalesce(8)
+        .localCheckpoint()
+    )
+
+    def z_col(a, b):
+        return (a / F.lit(1e9)) * F.col("xs") + (b / F.lit(1e9))
+
+    params = spark.range(1).select(
+        F.lit(1000000000).cast("long").alias("a"),
+        F.lit(-500000000).cast("long").alias("b"),
+    )
+    lr = float(_PLATT_LR)
+    for _ in range(_PLATT_ITERS):
+        z = z_col(F.col("a"), F.col("b"))
+        az1 = F.lit(1) + F.abs(z)
+        p = F.lit(0.5) + F.lit(0.5) * (z / az1)
+        w = F.lit(0.5) / (az1 * az1)
+        e = p - F.col("y")
+        g = cal.crossJoin(F.broadcast(params)).select(
+            "a",
+            "b",
+            F.floor(e * w * F.col("xs") * F.lit(1000000000) + F.lit(0.5)).alias("ga"),
+            F.floor(e * w * F.lit(1000000000) + F.lit(0.5)).alias("gb"),
+        )
+        params = g.agg(
+            F.first("a").alias("a0"),
+            F.first("b").alias("b0"),
+            F.sum("ga").alias("sga"),
+            F.sum("gb").alias("sgb"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            (
+                F.col("a0")
+                - F.floor(F.lit(lr) * F.col("sga") / F.col("n") + F.lit(0.5))
+            )
+            .cast("long")
+            .alias("a"),
+            (
+                F.col("b0")
+                - F.floor(F.lit(lr) * F.col("sgb") / F.col("n") + F.lit(0.5))
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    zf = z_col(F.col("a"), F.col("b"))
+    azf = F.lit(1) + F.abs(zf)
+    pf = F.lit(0.5) + F.lit(0.5) * (zf / azf)
+    scored = sc.crossJoin(F.broadcast(params)).select(
+        F.greatest(F.lit(0), F.least(F.lit(9), F.floor(F.col("xs") * 10)))
+        .cast("int")
+        .alias("bin"),
+        "y",
+        F.floor(pf * F.lit(100000000) + F.lit(0.5)).alias("p8"),
+        "a",
+        "b",
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("y") / F.count(F.lit(1))).alias("event_rate"),
+        r4(F.sum("p8") / (F.count(F.lit(1)) * F.lit(100000000.0))).alias("mean_p"),
+        F.first("a").cast("long").alias("slope_nano"),
+        F.first("b").cast("long").alias("intercept_nano"),
+    )
+
+
+calibration_platt_exact.__doc__ = calibration_platt_exact.__doc__.replace(
+    "{iters}", str(_PLATT_ITERS)
+)

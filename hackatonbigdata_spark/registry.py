@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "io_partitioned_prune",  # new r5b: hive-partitioned sink + pruned read
     "text_bigram_logprob",  # new r5b: second-order LM quality score
     "anomaly_mad_flags",  # new r5b: robust MAD outlier detection
+    "calibration_platt_exact",  # new r5b: fully-oracled GD logistic fit
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

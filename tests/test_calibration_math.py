@@ -153,3 +153,60 @@ def test_subsample_uncertainty_brackets_full_metric(spark):
     assert got["wmape_std"] > 0
     assert got["ci_lo"] <= got["wmape_full"] <= got["ci_hi"]
     assert abs(got["wmape_mean"] - got["wmape_full"]) <= 3 * got["wmape_std"]
+
+
+def test_platt_exact_gd_matches_numpy_and_calibrates(spark):
+    """Independent math pin for calibration_platt_exact: replay the same
+    12 quantized GD steps in numpy from the engine's own (xs, y) inputs and
+    demand the identical (slope, intercept); then check the fit behaves
+    like a calibrator (positive slope, reliability-table monotonicity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.catalog import Catalog
+    from hackatonbigdata_spark.operators.forecast import (
+        _PLATT_ITERS,
+        _PLATT_LR,
+        _with_forecast,
+    )
+
+    t = Catalog(spark, SF_DIR)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    med = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med")
+    )
+    lab = f.join(med, "l_suppkey").select(
+        "l_orderkey",
+        "forecast",
+        F.when(F.col("actual") > F.col("med"), 1.0).otherwise(0.0).alias("y"),
+    ).toPandas()
+    cal = lab[lab.l_orderkey % 2 == 0]
+    mn, mx = cal.forecast.min(), cal.forecast.max()
+    xs = ((cal.forecast - mn) / (mx - mn)).values
+    y = cal.y.values
+    a, b = 1000000000, -500000000
+    lr = float(_PLATT_LR)
+    for _ in range(_PLATT_ITERS):
+        z = (a / 1e9) * xs + (b / 1e9)
+        az = 1 + np.abs(z)
+        p = 0.5 + 0.5 * (z / az)
+        w = 0.5 / (az * az)
+        e = p - y
+        ga = int(np.floor(e * w * xs * 1e9 + 0.5).sum())
+        gb = int(np.floor(e * w * 1e9 + 0.5).sum())
+        n = len(xs)
+        a -= math.floor(lr * ga / n + 0.5)
+        b -= math.floor(lr * gb / n + 0.5)
+
+    out = (
+        all_queries()["calibration_platt_exact"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("bin")
+    )
+    assert int(out.slope_nano.iloc[0]) == a
+    assert int(out.intercept_nano.iloc[0]) == b
+    # calibrator sanity: increasing in the forecast, probabilities in [0,1]
+    assert a > 0
+    assert out.mean_p.is_monotonic_increasing
+    assert (out.mean_p >= 0).all() and (out.mean_p <= 1).all()

@@ -174,6 +174,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "snapshot_table_diff",
         "text_bigram_logprob",
         "anomaly_mad_flags",
+        "calibration_platt_exact",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
