@@ -100,6 +100,10 @@ HEADLINE = [
     "text_bigram_logprob",            # second-order LM quality score
     "anomaly_mad_flags",              # robust MAD outlier detection
     "calibration_platt_exact",        # 12-step exact-arithmetic GD logistic
+    "io_bucketed_join",               # bucketed co-located fact-fact join
+    "encode_target_oof",              # leakage-safe OOF target encoding
+    "window_rolling_distinct",        # rolling COUNT(DISTINCT) rewrite
+    "time_weighted_avg",              # irregular-interval time-weighted avg
 ]
 
 

@@ -467,3 +467,83 @@ def clip_and_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.when(unit > 2000, F.lit(2000.0)).otherwise(unit)).alias("unit_price_capped"),
         )
     )
+
+
+@register(
+    "encode_target_oof",
+    oracle="""
+WITH base AS (
+  SELECT coalesce(p_brand, 'Unknown') AS brand,
+         l_orderkey % 5 AS fold,
+         l_quantity AS target
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+), bf AS (
+  SELECT brand, fold,
+         CAST(sum(target) AS DOUBLE) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+), btot AS (
+  SELECT brand, sum(s) AS s_all, CAST(sum(n) AS BIGINT) AS n_all
+  FROM bf GROUP BY 1
+), gtot AS (
+  SELECT sum(s) AS gs, CAST(sum(n) AS BIGINT) AS gn FROM bf
+)
+SELECT bf.brand, CAST(bf.fold AS BIGINT) AS fold, bf.n AS n_fold_rows,
+       round((btot.s_all - bf.s) / (btot.n_all - bf.n), 4) AS oof_mean,
+       round(((btot.s_all - bf.s) + 20.0 * ((gtot.gs - bf.s) / (gtot.gn - bf.n)))
+             / ((btot.n_all - bf.n) + 20.0), 4) AS oof_mean_smoothed
+FROM bf JOIN btot ON bf.brand = btot.brand CROSS JOIN gtot
+""",
+)
+def encode_target_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target (mean) encoding — the leakage-safe companion to
+    ``frequency_encoding``/``label_encode_other``: each (brand, fold) cell
+    is encoded with the target mean computed from every OTHER fold, plus an
+    m=20 smoothed variant shrunk toward the fold-excluded global mean (the
+    standard high-cardinality regularization).  The reference encodes
+    categoricals with plain global means inside its feature pipeline
+    (/root/reference/src/data/preprocessors.py:210-248,
+    /root/reference/src/features/feature_pipeline.py:283-360); OOF encoding
+    is what makes that feature legal to train on — the engine's CV
+    splitters (``cv_walkforward_splits``) define the folds the same
+    modular way.
+
+    Exactness: quantities are integer-valued, so fold sums are exact
+    doubles and (all − fold) differences are exact; every division divides
+    identical doubles in both engines.
+
+    Scale: two keyed aggregates (brand×fold, then brand) plus a broadcast
+    scalar — the leave-one-fold-out encode needs NO per-row join because
+    (all − own fold) is computed at the cell grain, then joins back to
+    rows at scoring time on the (brand, fold) key."""
+    t = Catalog(spark, sf_dir)
+    base = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"), "left"
+    ).select(
+        F.coalesce(F.col("p_brand"), F.lit("Unknown")).alias("brand"),
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_quantity").alias("target"),
+    )
+    bf = base.groupBy("brand", "fold").agg(
+        F.sum("target").cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    btot = bf.groupBy("brand").agg(
+        F.sum("s").alias("s_all"), F.sum("n").cast("long").alias("n_all")
+    )
+    gtot = bf.agg(
+        F.sum("s").alias("gs"), F.sum("n").cast("long").alias("gn")
+    )
+    j = bf.join(btot, "brand").crossJoin(F.broadcast(gtot))
+    prior = (F.col("gs") - F.col("s")) / (F.col("gn") - F.col("n"))
+    return j.select(
+        "brand",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").alias("n_fold_rows"),
+        r4((F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n"))).alias(
+            "oof_mean"
+        ),
+        r4(
+            ((F.col("s_all") - F.col("s")) + F.lit(20.0) * prior)
+            / ((F.col("n_all") - F.col("n")) + F.lit(20.0))
+        ).alias("oof_mean_smoothed"),
+    )

@@ -329,3 +329,120 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.format(iters=_PR_ITERS)
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), expanded AS (
+  SELECT event_type, user_id,
+         CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+              AS DATE) AS window_end
+  FROM du
+)
+SELECT event_type, window_end,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT user count per event type — the aggregate
+    Spark's window functions cannot express (no COUNT(DISTINCT) OVER a
+    range frame), rewritten distributed: dedup to (type, user, day) grain,
+    explode each day into the ≤7 window-ends it belongs to, then one
+    distinct-count per (type, window_end).  The reference computes rolling
+    nunique with pandas groupby-nunique passes
+    (/root/reference/src/features/aggregation_features_engine.py:82-142).
+
+    Scale: the explode factor is the window length (7) — bounded and
+    independent of data size; both aggregates key on (type, day)-grain
+    keys.  This beats the collect_set-over-window alternative, whose state
+    per row is the full user set (unbounded memory per window); the same
+    shape handles any "distinct over sliding window" need, with the window
+    length as the only cost knob."""
+    t = Catalog(spark, sf_dir)
+    du = t.events.select(
+        "event_type", "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    exp = du.select(
+        "event_type",
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "window_end"
+        ),
+    )
+    return exp.groupBy("event_type", "window_end").agg(
+        F.countDistinct("user_id").alias("n_users_7d")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(date_diff('second',
+                        date_trunc('second', ts),
+                        date_trunc('second',
+                          lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+              AS BIGINT) AS dt
+  FROM events
+), w AS (
+  SELECT user_id,
+         CAST(floor(value * dt * 10000 + 0.5) AS BIGINT) AS vdt,
+         dt
+  FROM seq WHERE dt IS NOT NULL AND dt > 0
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_seconds,
+       round(sum(vdt) / (sum(dt) * 10000.0), 4) AS twa_value
+FROM w GROUP BY 1
+""",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over an irregular event stream: each
+    value is held until the next event and weighted by its holding
+    duration — the correct mean for irregularly-sampled series (sensor
+    readings, account balances, price ticks), where the arithmetic mean
+    over-weights bursts.  The reference resamples to a daily grid first
+    (/root/reference/src/features/temporal.py) — the TWA form needs no
+    resampling pass.
+
+    Exactness: durations are integer seconds (truncate-then-diff, session
+    timezone-free); each value×duration product is quantized to a BIGINT
+    1e4 scale before summing, so the weighted sum is partition-order-free.
+
+    Scale: one user-keyed window (lead) + one keyed aggregate — the same
+    single-shuffle shape as the inter-arrival query; zero-duration repeats
+    are dropped identically in both engines."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', ts),"
+            " date_trunc('SECOND', lead(ts) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id)))"
+        )
+        .cast("long")
+        .alias("dt"),
+    )
+    wd = seq.filter(F.col("dt").isNotNull() & (F.col("dt") > 0)).select(
+        "user_id",
+        F.floor(F.col("value") * F.col("dt") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("vdt"),
+        "dt",
+    )
+    return wd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").cast("long").alias("span_seconds"),
+        r4(F.sum("vdt") / (F.sum("dt") * F.lit(10000.0))).alias("twa_value"),
+    )

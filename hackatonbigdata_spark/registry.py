@@ -92,6 +92,10 @@ _PRIORITY: list[str] = [
     "text_bigram_logprob",  # new r5b: second-order LM quality score
     "anomaly_mad_flags",  # new r5b: robust MAD outlier detection
     "calibration_platt_exact",  # new r5b: fully-oracled GD logistic fit
+    "io_bucketed_join",  # new r5b: shuffle-free bucketed fact-fact join
+    "encode_target_oof",  # new r5b: leakage-safe OOF target encoding
+    "window_rolling_distinct",  # new r5b: rolling COUNT(DISTINCT) rewrite
+    "time_weighted_avg",  # new r5b: irregular-interval TWA
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

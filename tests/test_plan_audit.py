@@ -175,6 +175,9 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "text_bigram_logprob",
         "anomaly_mad_flags",
         "calibration_platt_exact",
+        "encode_target_oof",
+        "window_rolling_distinct",
+        "time_weighted_avg",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
@@ -183,6 +186,9 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "snapshot_table_diff",
         "text_bigram_logprob",
         "anomaly_mad_flags",
+        "encode_target_oof",
+        "window_rolling_distinct",
+        "time_weighted_avg",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
 
@@ -197,3 +203,14 @@ def test_partitioned_read_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ship_year" in m.group(1), f"year predicate not pushed: {m}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """io_bucketed_join's whole point: after the bucketed write, the
+    fact-fact sort-merge join must plan with ZERO exchanges."""
+    QUERIES["io_bucketed_join"](spark, SF_DIR).collect()  # creates tables
+    tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li = spark.table(f"hb_li_bkt_{tag}")
+    od = spark.table(f"hb_ord_bkt_{tag}")
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    assert plan_stats(j).shuffles == 0
