@@ -104,6 +104,8 @@ HEADLINE = [
     "encode_target_oof",              # leakage-safe OOF target encoding
     "window_rolling_distinct",        # rolling COUNT(DISTINCT) rewrite
     "time_weighted_avg",              # irregular-interval time-weighted avg
+    "join_salted_skew",               # salted shuffle join (skew mitigation)
+    "io_clustered_stats_prune",       # range-clustered write + file skipping
 ]
 
 

@@ -96,6 +96,8 @@ _PRIORITY: list[str] = [
     "encode_target_oof",  # new r5b: leakage-safe OOF target encoding
     "window_rolling_distinct",  # new r5b: rolling COUNT(DISTINCT) rewrite
     "time_weighted_avg",  # new r5b: irregular-interval TWA
+    "join_salted_skew",  # new r5b: salted shuffle join, result-transparent
+    "io_clustered_stats_prune",  # new r5b: range-clustered write + file skipping
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

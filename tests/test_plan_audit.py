@@ -214,3 +214,29 @@ def test_bucketed_join_has_no_exchange(spark):
     od = spark.table(f"hb_ord_bkt_{tag}")
     j = li.join(od, li.l_orderkey == od.o_orderkey)
     assert plan_stats(j).shuffles == 0
+
+
+def test_salted_join_avoids_broadcast(spark):
+    """join_salted_skew must execute the salted SHUFFLE path (zero
+    broadcasts) or the demo proves nothing."""
+    s = plan_stats(QUERIES["join_salted_skew"](spark, SF_DIR))
+    assert s.broadcasts == 0
+    assert not s.has_python_udf
+
+
+def test_clustered_stats_prune_skips_files(spark):
+    """io_clustered_stats_prune: after the range-clustered write, the
+    half-year predicate must skip most of the 16 files."""
+    from hackatonbigdata_spark.operators.io_queries import (
+        _scratch,
+        clustered_file_stats,
+    )
+
+    QUERIES["io_clustered_stats_prune"](spark, SF_DIR).collect()
+    stats = clustered_file_stats(spark, _scratch(SF_DIR, "clustered_by_shipdate"))
+    keep = [
+        f for f, mn, mx in stats
+        if str(mx)[:10] >= "1997-01-01" and str(mn)[:10] < "1997-07-01"
+    ]
+    assert len(stats) >= 8
+    assert len(keep) <= len(stats) // 2, (len(keep), len(stats))
