@@ -106,6 +106,7 @@ HEADLINE = [
     "time_weighted_avg",              # irregular-interval time-weighted avg
     "join_salted_skew",               # salted shuffle join (skew mitigation)
     "io_clustered_stats_prune",       # range-clustered write + file skipping
+    "attribution_multitouch_linear",  # fractional-credit attribution
 ]
 
 

@@ -446,3 +446,89 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt").cast("long").alias("span_seconds"),
         r4(F.sum("vdt") / (F.sum("dt") * F.lit(10000.0))).alias("twa_value"),
     )
+
+
+@register(
+    "attribution_multitouch_linear",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id AS pid, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), tch AS (
+  SELECT user_id, event_type AS touch_type, ts AS tts, event_id AS tid
+  FROM events WHERE event_type IN ('view', 'click')
+), j AS (
+  SELECT p.pid, p.value, tch.touch_type, tch.tid,
+         CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n_touches_of_p
+  FROM tch JOIN p
+    ON tch.user_id = p.user_id
+   AND tch.tts > p.pts - INTERVAL 60 MINUTES
+   AND tch.tts <= p.pts
+), c AS (
+  SELECT touch_type, pid,
+         CAST(floor(value / n_touches_of_p * 10000 + 0.5) AS BIGINT) AS credit_q
+  FROM j
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       round(sum(credit_q) / 10000.0, 4) AS credited_value
+FROM c GROUP BY 1
+""",
+)
+def attribution_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: every view/click in the 60 minutes
+    before a purchase shares the purchase value equally — the fractional-
+    credit generalization of ``join_asof_view_attribution``'s last-touch
+    model (marketing-analytics standard; the reference's behavioral engine
+    only counts touches, /root/reference/src/features/
+    behavioral_features_engine.py:380-430).
+
+    Exactness: each touch's credit (value ÷ touches-per-purchase) is
+    quantized to a BIGINT 1e4 scale before the order-free integer sum.
+
+    Scale: the touch↔purchase match is an equi-join on user_id with a
+    bounded time-range predicate — Spark executes the user-keyed hash join
+    and filters the range inside the matched group (per-user event counts
+    are bounded); the per-purchase touch count is a pid-keyed window.  At
+    extreme per-user volumes the same query buckets both sides by
+    (user, hour) first, exactly like ``stream_interval_join_views``."""
+    t = Catalog(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    tch = t.events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    j = tch.join(
+        p,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("tts") <= F.col("pts")),
+    ).select(
+        "pid",
+        "value",
+        "touch_type",
+        "tid",
+        F.count(F.lit(1)).over(W.partitionBy("pid")).cast("long").alias(
+            "n_touches_of_p"
+        ),
+    )
+    c = j.select(
+        "touch_type",
+        "pid",
+        F.floor(F.col("value") / F.col("n_touches_of_p") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("credit_q"),
+    )
+    return c.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("pid").alias("n_purchases"),
+        r4(F.sum("credit_q") / F.lit(10000.0)).alias("credited_value"),
+    )

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "time_weighted_avg",  # new r5b: irregular-interval TWA
     "join_salted_skew",  # new r5b: salted shuffle join, result-transparent
     "io_clustered_stats_prune",  # new r5b: range-clustered write + file skipping
+    "attribution_multitouch_linear",  # new r5b: fractional-credit attribution
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

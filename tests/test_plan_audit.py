@@ -178,6 +178,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "encode_target_oof",
         "window_rolling_distinct",
         "time_weighted_avg",
+        "attribution_multitouch_linear",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
@@ -189,6 +190,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "encode_target_oof",
         "window_rolling_distinct",
         "time_weighted_avg",
+        "attribution_multitouch_linear",
     ]:
         assert unpartitioned_windows(QUERIES[name](spark, SF_DIR)) == 0, name
 
