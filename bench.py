@@ -107,6 +107,8 @@ HEADLINE = [
     "join_salted_skew",               # salted shuffle join (skew mitigation)
     "io_clustered_stats_prune",       # range-clustered write + file skipping
     "attribution_multitouch_linear",  # fractional-credit attribution
+    "drift_psi_distribution",         # PSI distribution-shift monitor
+    "drift_performance_periods",      # WMAPE degradation monitor
 ]
 
 

@@ -42,6 +42,7 @@ def _load_all() -> None:
     """Import every operator module so decorators run."""
     from hackatonbigdata_spark.operators import (  # noqa: F401
         aggregates,
+        drift,
         forecast,
         io_queries,
         llm,
@@ -99,6 +100,8 @@ _PRIORITY: list[str] = [
     "join_salted_skew",  # new r5b: salted shuffle join, result-transparent
     "io_clustered_stats_prune",  # new r5b: range-clustered write + file skipping
     "attribution_multitouch_linear",  # new r5b: fractional-credit attribution
+    "drift_psi_distribution",  # new r5b: PSI distribution-shift monitor
+    "drift_performance_periods",  # new r5b: WMAPE degradation monitor
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

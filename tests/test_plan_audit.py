@@ -179,6 +179,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "window_rolling_distinct",
         "time_weighted_avg",
         "attribution_multitouch_linear",
+        "drift_psi_distribution",
+        "drift_performance_periods",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
