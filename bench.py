@@ -109,6 +109,7 @@ HEADLINE = [
     "attribution_multitouch_linear",  # fractional-credit attribution
     "drift_psi_distribution",         # PSI distribution-shift monitor
     "drift_performance_periods",      # WMAPE degradation monitor
+    "window_rank_movers",             # month-over-month rank movers
 ]
 
 

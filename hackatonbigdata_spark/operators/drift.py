@@ -40,8 +40,8 @@ def _psi_sql(col: str, label: str) -> str:
     SELECT CAST(sum(q) AS BIGINT) AS s FROM (
       SELECT CAST(floor((cs - rs) * log2(cs / rs) * 1000000 + 0.5) AS BIGINT) AS q
       FROM (
-        SELECT greatest(rcnt * 1.0 / sum(rcnt) OVER (), 0.0001) AS rs,
-               greatest(ccnt * 1.0 / sum(ccnt) OVER (), 0.0001) AS cs
+        SELECT greatest(rcnt * 1.0 / greatest(sum(rcnt) OVER (), 1), 0.0001) AS rs,
+               greatest(ccnt * 1.0 / greatest(sum(ccnt) OVER (), 1), 0.0001) AS cs
         FROM (
           SELECT b,
                  sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS rcnt,
@@ -124,12 +124,16 @@ def drift_psi_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = counts.agg(
             F.sum("rcnt").alias("rtot"), F.sum("ccnt").alias("ctot")
         )
+        # greatest(total, 1) guard: an empty window (cutoff outside the
+        # data's date range) must yield finite shares, not inf/NULL
         shares = counts.crossJoin(F.broadcast(tot)).select(
             F.greatest(
-                F.col("rcnt") * F.lit(1.0) / F.col("rtot"), F.lit(0.0001)
+                F.col("rcnt") * F.lit(1.0) / F.greatest(F.col("rtot"), F.lit(1)),
+                F.lit(0.0001),
             ).alias("rs"),
             F.greatest(
-                F.col("ccnt") * F.lit(1.0) / F.col("ctot"), F.lit(0.0001)
+                F.col("ccnt") * F.lit(1.0) / F.greatest(F.col("ctot"), F.lit(1)),
+                F.lit(0.0001),
             ).alias("cs"),
         )
         psum = shares.select(

@@ -488,7 +488,7 @@ WITH base AS (
   SELECT sum(s) AS gs, CAST(sum(n) AS BIGINT) AS gn FROM bf
 )
 SELECT bf.brand, CAST(bf.fold AS BIGINT) AS fold, bf.n AS n_fold_rows,
-       round((btot.s_all - bf.s) / (btot.n_all - bf.n), 4) AS oof_mean,
+       round((btot.s_all - bf.s) / nullif(btot.n_all - bf.n, 0), 4) AS oof_mean,
        round(((btot.s_all - bf.s) + 20.0 * ((gtot.gs - bf.s) / (gtot.gn - bf.n)))
              / ((btot.n_all - bf.n) + 20.0), 4) AS oof_mean_smoothed
 FROM bf JOIN btot ON bf.brand = btot.brand CROSS JOIN gtot
@@ -539,9 +539,12 @@ def encode_target_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         F.col("fold").cast("long").alias("fold"),
         F.col("n").alias("n_fold_rows"),
-        r4((F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n"))).alias(
-            "oof_mean"
-        ),
+        # nullif guard: a brand present in only one fold has no
+        # out-of-fold rows — emit NULL (not inf/NaN) in BOTH engines
+        r4(
+            (F.col("s_all") - F.col("s"))
+            / F.nullif(F.col("n_all") - F.col("n"), F.lit(0))
+        ).alias("oof_mean"),
         r4(
             ((F.col("s_all") - F.col("s")) + F.lit(20.0) * prior)
             / ((F.col("n_all") - F.col("n")) + F.lit(20.0))

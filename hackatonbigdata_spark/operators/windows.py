@@ -840,3 +840,75 @@ def window_expanding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("_mn").alias("expanding_min"),
         r4("_mx").alias("expanding_max"),
     )
+
+
+@register(
+    "window_rank_movers",
+    oracle="""
+WITH m AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(month(l_shipdate) AS INTEGER) AS mth,
+         coalesce(p_brand, 'Unknown') AS brand,
+         round(sum(l_quantity), 4) AS vol
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), rk AS (
+  SELECT yr, mth, brand, vol,
+         CAST(rank() OVER (PARTITION BY yr, mth
+                           ORDER BY vol DESC, brand) AS BIGINT) AS rnk
+  FROM m
+), d AS (
+  SELECT yr, mth, brand, vol, rnk,
+         lag(rnk) OVER (PARTITION BY brand
+                        ORDER BY yr, mth) AS prev_rnk
+  FROM rk
+)
+SELECT yr, mth, brand, vol, rnk, prev_rnk,
+       prev_rnk - rnk AS rank_delta
+FROM d
+WHERE prev_rnk IS NOT NULL AND abs(prev_rnk - rnk) >= 3
+""",
+)
+def window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month rank movers: rank brands by monthly volume, lag
+    each brand's rank along its own timeline, and report entries that
+    moved ≥ 3 places — the "movers & shakers" report analysts build from
+    the reference's monthly volume tables
+    (/root/reference/src/features/aggregation_features_engine.py:160-230)
+    with spreadsheet diffs.  Composes two DIFFERENT window partitionings
+    (rank within month, lag within brand) over one aggregate.
+
+    Determinism: ranks tie-break on brand; volumes are 4dp-quantized
+    before ranking so both engines order identical doubles.
+
+    Scale: the aggregate shrinks the fact table to |months|×|brands| rows
+    before any window touches it — both windows run on the bounded grain,
+    the textbook pre-aggregate-then-window discipline."""
+    t = Catalog(spark, sf_dir)
+    m = (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"), "left"
+        )
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mth"),
+            F.coalesce(F.col("p_brand"), F.lit("Unknown")).alias("brand"),
+        )
+        .agg(r4(F.sum("l_quantity")).alias("vol"))
+    )
+    wr = W.partitionBy("yr", "mth").orderBy(F.col("vol").desc(), "brand")
+    rk = m.withColumn("rnk", F.rank().over(wr).cast("long"))
+    wl = W.partitionBy("brand").orderBy("yr", "mth")
+    d = rk.withColumn("prev_rnk", F.lag("rnk").over(wl))
+    return d.filter(
+        F.col("prev_rnk").isNotNull()
+        & (F.abs(F.col("prev_rnk") - F.col("rnk")) >= 3)
+    ).select(
+        "yr",
+        "mth",
+        "brand",
+        "vol",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).alias("rank_delta"),
+    )

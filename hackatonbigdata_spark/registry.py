@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "attribution_multitouch_linear",  # new r5b: fractional-credit attribution
     "drift_psi_distribution",  # new r5b: PSI distribution-shift monitor
     "drift_performance_periods",  # new r5b: WMAPE degradation monitor
+    "window_rank_movers",  # new r5b: month-over-month rank movers
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)
@@ -149,9 +150,12 @@ _PRIORITY: list[str] = [
     "data_quality_profile",
     "join_range_price_band",
     "binning_quantile_ntile",
-    # ---- 50 names above fill a 50-slot driver window exactly; the r2-
-    # checked window family below only if the window extends (they are all
-    # re-verified at sf0.001 by tests/test_oracle_parity.py every session) --
+    # ---- the r5b additions grew the lead block past 50: a 50-slot driver
+    # window now covers all 40 never-driver-checked r5/r5b names, the 5
+    # edited-oracle names, and the first ~5 r1-stale names.  Everything
+    # below the cut is re-verified at sf0.001 by tests/test_oracle_parity.py
+    # every session (and the whole registry by the driver-sim sweep), so
+    # prioritizing never-checked over stale is the right trade. ------------
     "window_lag_family",
     "window_rolling_stats",
     "window_rolling_median_skew",

@@ -181,6 +181,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "attribution_multitouch_linear",
         "drift_psi_distribution",
         "drift_performance_periods",
+        "window_rank_movers",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
