@@ -110,6 +110,7 @@ HEADLINE = [
     "drift_psi_distribution",         # PSI distribution-shift monitor
     "drift_performance_periods",      # WMAPE degradation monitor
     "window_rank_movers",             # month-over-month rank movers
+    "grouping_sets_custom",           # arbitrary GROUPING SETS lattice
 ]
 
 

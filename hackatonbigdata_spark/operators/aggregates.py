@@ -823,3 +823,62 @@ def diag_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("max_cnt") / F.col("mean_cnt")).alias("skew_ratio"),
         r4(F.col("p99_cnt") / F.col("p50_cnt")).alias("p99_over_p50"),
     )
+
+
+@register(
+    "grouping_sets_custom",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(CAST(CAST(year(l_shipdate) AS INTEGER) AS VARCHAR), 'ALL') AS yr,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 4 + grouping(year(l_shipdate)) * 2
+            + grouping(l_linestatus) AS INTEGER) AS gid,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
+                        (l_returnflag, l_linestatus),
+                        (year(l_shipdate)),
+                        ())
+""",
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    exactly the four grains an analyst needs ((flag, year), (flag, status),
+    (year), grand total) in ONE shuffle, instead of the CUBE's 2^n
+    superset or the reference's one-groupby-per-grain loop
+    (/root/reference/src/features/aggregation_features_engine.py:415-472).
+    Completes the §2.4 lattice family next to ``rollup_type_brand`` /
+    ``cube_flag_status``.
+
+    Scale: Spark expands grouping sets map-side (each input row feeds its
+    member grains) and aggregates once — at 100 TB picking 4 grains
+    instead of a cube's 8 halves the shuffle volume."""
+    t = Catalog(spark, sf_dir)
+    df = t.lineitem.select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("_yr"),
+        "l_linestatus",
+        "l_quantity",
+    )
+    df.createOrReplaceTempView("_gs_lineitem")
+    out = spark.sql(
+        """
+        SELECT l_returnflag, _yr, l_linestatus,
+               CAST(grouping(l_returnflag) * 4 + grouping(_yr) * 2
+                    + grouping(l_linestatus) AS INT) AS gid,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, _yr), (l_returnflag, l_linestatus),
+                                (_yr), ())
+        """
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("_yr").cast("string"), F.lit("ALL")).alias("yr"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "gid",
+        "sum_qty",
+        "n_rows",
+    )
