@@ -111,6 +111,8 @@ HEADLINE = [
     "drift_performance_periods",      # WMAPE degradation monitor
     "window_rank_movers",             # month-over-month rank movers
     "grouping_sets_custom",           # arbitrary GROUPING SETS lattice
+    "eval_confusion_by_store",        # exact confusion matrix + P/R/F1
+    "eval_decile_lift",               # decile lift & gains table
 ]
 
 

@@ -3681,3 +3681,183 @@ def calibration_platt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 calibration_platt_exact.__doc__ = calibration_platt_exact.__doc__.replace(
     "{iters}", str(_PLATT_ITERS)
 )
+
+
+@register(
+    "eval_confusion_by_store",
+    oracle=f"""
+WITH f0 AS ({_FORECAST_SQL}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+m AS (
+  SELECT l_suppkey,
+         quantile_cont(actual, 0.5) AS med_a,
+         quantile_cont(forecast, 0.5) AS med_f
+  FROM f GROUP BY 1
+), lab AS (
+  SELECT f.l_suppkey,
+         CASE WHEN f.actual > m.med_a THEN 1 ELSE 0 END AS y,
+         CASE WHEN f.forecast > m.med_f THEN 1 ELSE 0 END AS yhat
+  FROM f JOIN m ON f.l_suppkey = m.l_suppkey
+)
+SELECT l_suppkey,
+       CAST(sum(y * yhat) AS BIGINT) AS tp,
+       CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+       CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+       CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn,
+       round(sum(y * yhat) * 1.0 / nullif(sum(yhat), 0), 4) AS precision_,
+       round(sum(y * yhat) * 1.0 / nullif(sum(y), 0), 4) AS recall_,
+       round(2.0 * sum(y * yhat) / nullif(sum(y) + sum(yhat), 0), 4) AS f1
+FROM lab GROUP BY 1
+""",
+)
+def eval_confusion_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store confusion matrix + precision/recall/F1 for the demand-event
+    classifier (event := above-median actual, prediction := above-median
+    forecast) — the thresholded-classifier report the reference derives in
+    sklearn on collected arrays (/root/reference/src/evaluation/
+    error_analysis.py:89-300 classification summaries).  All four cells are
+    integer sums; every ratio divides identical integers, so the table is
+    exact in both engines (F1 written as 2·TP/(P+PP), the integer-ratio
+    form of the harmonic mean).
+
+    Scale: one grouped-median pass + one keyed aggregate, both on the
+    store key."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    m = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med_a"),
+        F.percentile("forecast", F.lit(0.5)).alias("med_f"),
+    )
+    lab = f.join(m, "l_suppkey").select(
+        "l_suppkey",
+        F.when(F.col("actual") > F.col("med_a"), 1).otherwise(0).alias("y"),
+        F.when(F.col("forecast") > F.col("med_f"), 1).otherwise(0).alias("yhat"),
+    )
+    y, yh = F.col("y"), F.col("yhat")
+    tp = F.sum(y * yh)
+    return lab.groupBy("l_suppkey").agg(
+        tp.cast("long").alias("tp"),
+        F.sum((1 - y) * yh).cast("long").alias("fp"),
+        F.sum(y * (1 - yh)).cast("long").alias("fn"),
+        F.sum((1 - y) * (1 - yh)).cast("long").alias("tn"),
+        r4(tp * F.lit(1.0) / F.nullif(F.sum(yh), F.lit(0))).alias("precision_"),
+        r4(tp * F.lit(1.0) / F.nullif(F.sum(y), F.lit(0))).alias("recall_"),
+        r4(
+            F.lit(2.0) * tp / F.nullif(F.sum(y) + F.sum(yh), F.lit(0))
+        ).alias("f1"),
+    )
+
+
+@register(
+    "eval_decile_lift",
+    oracle=f"""
+WITH f0 AS ({_FORECAST_SQL}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+m AS (
+  SELECT l_suppkey, quantile_cont(actual, 0.5) AS med_a
+  FROM f GROUP BY 1
+), lab AS (
+  SELECT f.forecast,
+         CASE WHEN f.actual > m.med_a THEN 1 ELSE 0 END AS y
+  FROM f JOIN m ON f.l_suppkey = m.l_suppkey
+), e AS (
+  SELECT floor(quantile_cont(forecast, 0.1) * 10000 + 0.5) / 10000 AS q1,
+         floor(quantile_cont(forecast, 0.2) * 10000 + 0.5) / 10000 AS q2,
+         floor(quantile_cont(forecast, 0.3) * 10000 + 0.5) / 10000 AS q3,
+         floor(quantile_cont(forecast, 0.4) * 10000 + 0.5) / 10000 AS q4,
+         floor(quantile_cont(forecast, 0.5) * 10000 + 0.5) / 10000 AS q5,
+         floor(quantile_cont(forecast, 0.6) * 10000 + 0.5) / 10000 AS q6,
+         floor(quantile_cont(forecast, 0.7) * 10000 + 0.5) / 10000 AS q7,
+         floor(quantile_cont(forecast, 0.8) * 10000 + 0.5) / 10000 AS q8,
+         floor(quantile_cont(forecast, 0.9) * 10000 + 0.5) / 10000 AS q9
+  FROM lab
+), binned AS (
+  SELECT y,
+         1 + (CASE WHEN forecast > q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q5 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q6 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q7 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q8 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q9 THEN 1 ELSE 0 END) AS decile
+  FROM lab CROSS JOIN e
+), d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS n_events
+  FROM binned GROUP BY 1
+), g AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows,
+         CAST(sum(n_events) AS BIGINT) AS tot_events
+  FROM d
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_rows, n_events,
+       round(n_events * 1.0 / n_rows, 4) AS event_rate,
+       round((n_events * 1.0 / n_rows) / (g.tot_events * 1.0 / g.tot_rows), 4)
+         AS lift,
+       round(sum(n_events) OVER (ORDER BY decile DESC
+                                 ROWS UNBOUNDED PRECEDING)
+             * 1.0 / g.tot_events, 4) AS cum_capture
+FROM d CROSS JOIN g
+""",
+)
+def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table for the demand-event score: bin rows by
+    forecast deciles (value bins at broadcast quantile edges — never a
+    global ntile window), then per decile the event rate, lift vs the base
+    rate, and top-down cumulative event capture — the gains chart the
+    reference plots from sklearn arrays during error analysis
+    (/root/reference/src/evaluation/error_analysis.py:300-460).
+
+    Exactness: all rates/lifts are ratios of BIGINT counts.  The one
+    unpartitioned window (cumulative capture) runs over exactly 10 decile
+    rows — the documented bounded-domain exemption
+    (``diag_skew_heavy_hitters`` precedent), not a fact-scale sort.
+
+    Scale: two passes (edges, bin-aggregate) + arithmetic on a 10-row
+    frame; ``percentile_approx`` is the 100 TB edge substitution."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    m = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med_a")
+    )
+    lab = f.join(m, "l_suppkey").select(
+        "forecast",
+        F.when(F.col("actual") > F.col("med_a"), 1).otherwise(0).alias("y"),
+    )
+    e = lab.agg(
+        *[
+            r4(F.percentile("forecast", F.lit(q / 10.0))).alias(f"q{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + F.when(F.col("forecast") > F.col(f"q{q}"), 1).otherwise(0)
+    binned = lab.crossJoin(F.broadcast(e)).select("y", decile.alias("decile"))
+    d = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("y").cast("long").alias("n_events"),
+    )
+    g = d.agg(
+        F.sum("n_rows").cast("long").alias("tot_rows"),
+        F.sum("n_events").cast("long").alias("tot_events"),
+    )
+    wcum = W.orderBy(F.col("decile").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_rows",
+            "n_events",
+            r4(F.col("n_events") * F.lit(1.0) / F.col("n_rows")).alias("event_rate"),
+            r4(
+                (F.col("n_events") * F.lit(1.0) / F.col("n_rows"))
+                / (F.col("tot_events") * F.lit(1.0) / F.col("tot_rows"))
+            ).alias("lift"),
+            r4(
+                F.sum("n_events").over(wcum) * F.lit(1.0) / F.col("tot_events")
+            ).alias("cum_capture"),
+        )
+    )

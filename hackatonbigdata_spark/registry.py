@@ -104,6 +104,8 @@ _PRIORITY: list[str] = [
     "drift_performance_periods",  # new r5b: WMAPE degradation monitor
     "window_rank_movers",  # new r5b: month-over-month rank movers
     "grouping_sets_custom",  # new r5b: arbitrary GROUPING SETS lattice
+    "eval_confusion_by_store",  # new r5b: exact confusion matrix + P/R/F1
+    "eval_decile_lift",  # new r5b: decile lift & gains table
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -339,3 +339,48 @@ def rate_limit_stream(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "win"])
         .select("event_id", "user_id", "ts")
     )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Per-user Markov transition extraction as a custom stateful operator:
+    state carries each user's LAST event type across micro-batches, so
+    adjacent-pair extraction stays exactly-once across batch boundaries —
+    the live twin of the batch ``seq_event_transitions`` query (whose
+    oracle value-verifies the shared semantics).  Emits per-batch delta
+    rows (prev, next, count); the consumer aggregates deltas, exactly how
+    a streaming transition matrix is maintained in production (state per
+    user is ONE string — bounded regardless of history length)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = "prev_type string, next_type string, n_trans long"
+    state_schema = "last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        counts: dict = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last is not None:
+                    counts[(last, t)] = counts.get((last, t), 0) + 1
+                last = t
+        state.update((last,))
+        if counts:
+            yield pd.DataFrame(
+                [
+                    {"prev_type": a, "next_type": b, "n_trans": n}
+                    for (a, b), n in counts.items()
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

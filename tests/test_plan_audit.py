@@ -182,6 +182,9 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "drift_psi_distribution",
         "drift_performance_periods",
         "window_rank_movers",
+        "grouping_sets_custom",
+        "eval_confusion_by_store",
+        "eval_decile_lift",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [

@@ -233,3 +233,35 @@ def test_interval_join_stream_matches_batch(spark, events_stream, events_batch):
         _sorted_pdf(got, keys), _sorted_pdf(batch, keys), rtol=1e-9
     )
     assert got.count() > 0, "corpus should contain view->purchase pairs"
+
+
+def test_transition_counts_stream_matches_batch(spark, events_stream, events_batch):
+    """Stateful streaming transition extraction aggregates to exactly the
+    batch seq_event_transitions counts."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.registry import all_queries
+    from hackatonbigdata_spark.streaming.jobs import (
+        run_to_memory,
+        transition_counts_stream,
+    )
+
+    run_to_memory(
+        transition_counts_stream(events_stream), "transit_stream", "append"
+    )
+    got = (
+        spark.table("transit_stream")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n_trans").alias("n_trans"))
+        .toPandas()
+        .set_index(["prev_type", "next_type"])
+        .n_trans.to_dict()
+    )
+    want = (
+        all_queries()["seq_event_transitions"](spark, SF_DIR)
+        .select("prev_type", "next_type", "n_trans")
+        .toPandas()
+        .set_index(["prev_type", "next_type"])
+        .n_trans.to_dict()
+    )
+    assert got == want
