@@ -113,6 +113,9 @@ HEADLINE = [
     "grouping_sets_custom",           # arbitrary GROUPING SETS lattice
     "eval_confusion_by_store",        # exact confusion matrix + P/R/F1
     "eval_decile_lift",               # decile lift & gains table
+    "ab_test_welch",                  # exact Welch t experiment readout
+    "corr_spearman_store",            # tie-aware exact Spearman
+    "price_elasticity_brand",         # log-log OLS elasticity
 ]
 
 

@@ -882,3 +882,251 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         "n_rows",
     )
+
+
+@register(
+    "ab_test_welch",
+    oracle="""
+WITH v AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+  FROM events
+), s AS (
+  SELECT event_type, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v4) AS BIGINT) AS s1,
+         CAST(sum(v4 * v4) AS BIGINT) AS s2
+  FROM v GROUP BY 1, 2
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.s1 * 1.0 / (a.n * 10000.0) AS mean_a,
+         b.s1 * 1.0 / (b.n * 10000.0) AS mean_b,
+         (a.s2 - a.s1 * 1.0 * a.s1 / a.n) / (a.n - 1) / 100000000.0 AS var_a,
+         (b.s2 - b.s1 * 1.0 * b.s1 / b.n) / (b.n - 1) / 100000000.0 AS var_b
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 4) AS mean_a,
+       round(mean_b, 4) AS mean_b,
+       round(mean_b - mean_a, 4) AS mean_diff,
+       round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+         AS welch_t,
+       abs((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+         AS significant_95
+FROM w
+""",
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with the Welch t statistic, exact: users are
+    deterministically bucketed into two variants (user_id parity — the
+    hash-bucket assignment every experimentation platform uses), and per
+    event type the mean difference and Welch t are computed from INTEGER
+    sufficient statistics (values quantized to 1e-4 before Σv, Σv² —
+    BIGINT sums, order-free; sqrt is IEEE correctly-rounded, so the final
+    statistic is bit-identical cross-engine).  The reference computes its
+    comparison statistics in scipy on collected arrays
+    (/root/reference/src/evaluation/error_analysis.py:611-750); the
+    decision threshold (|t| > 1.96) matches its 5% two-sided convention.
+
+    Scale: one keyed aggregate to (type, variant) sufficient stats — the
+    whole experiment readout is a handful of rows regardless of traffic;
+    adding covariate adjustment (CUPED) is one more moment column."""
+    t = Catalog(spark, sf_dir)
+    v = t.events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+    )
+    s = v.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("s1"),
+        F.sum(F.col("v4") * F.col("v4")).alias("s2"),
+    )
+    a = s.filter(F.col("variant") == 0).alias("a")
+    b = s.filter(F.col("variant") == 1).alias("b")
+    j = a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+    mean_a = F.col("a.s1") * F.lit(1.0) / (F.col("a.n") * F.lit(10000.0))
+    mean_b = F.col("b.s1") * F.lit(1.0) / (F.col("b.n") * F.lit(10000.0))
+    var_a = (
+        (F.col("a.s2") - F.col("a.s1") * F.lit(1.0) * F.col("a.s1") / F.col("a.n"))
+        / (F.col("a.n") - 1)
+        / F.lit(100000000.0)
+    )
+    var_b = (
+        (F.col("b.s2") - F.col("b.s1") * F.lit(1.0) * F.col("b.s1") / F.col("b.n"))
+        / (F.col("b.n") - 1)
+        / F.lit(100000000.0)
+    )
+    tstat = (mean_b - mean_a) / F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n"))
+    return j.select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        r4(mean_a).alias("mean_a"),
+        r4(mean_b).alias("mean_b"),
+        r4(mean_b - mean_a).alias("mean_diff"),
+        r4(tstat).alias("welch_t"),
+        (F.abs(tstat) > F.lit(1.96)).alias("significant_95"),
+    )
+
+
+@register(
+    "corr_spearman_store",
+    oracle="""
+WITH r AS (
+  SELECT l_suppkey,
+         2 * rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_suppkey, l_quantity) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice)
+           + count(*) OVER (PARTITION BY l_suppkey, l_extendedprice) - 1 AS ry
+  FROM lineitem
+), m AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT l_suppkey, n,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 4)
+         AS spearman_qty_price
+FROM m
+""",
+)
+def corr_spearman_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store Spearman rank correlation (quantity vs line price),
+    tie-aware and EXACT: average ranks are kept integral by doubling
+    (2·min_rank + tie_count − 1), so all five co-moments are BIGINT sums
+    and the statistic is a ratio of integers under two correctly-rounded
+    sqrts — bit-identical cross-engine, no pandas `.corr(method=
+    'spearman')` driver pass (the reference's correlation features are all
+    Pearson-on-raw, /root/reference/src/features/feature_pipeline.py:
+    283-360; Spearman is the robust companion for skewed demand data).
+
+    Scale: the rank windows partition by store (and tie-groups within),
+    then one keyed aggregate.  Integer moments hold to ~10⁶ rows per
+    group (4n³ < 2⁶³); beyond that, switch the moment columns to DOUBLE —
+    the estimator keeps ~15 significant digits either way."""
+    t = Catalog(spark, sf_dir)
+    wq = W.partitionBy("l_suppkey").orderBy("l_quantity")
+    wp = W.partitionBy("l_suppkey").orderBy("l_extendedprice")
+    tq = W.partitionBy("l_suppkey", "l_quantity")
+    tp = W.partitionBy("l_suppkey", "l_extendedprice")
+    r = t.lineitem.select(
+        "l_suppkey",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(tq) - 1)
+        .cast("long")
+        .alias("rx"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(tp) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    m = r.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "l_suppkey",
+        "n",
+        r4(num / F.nullif(den, F.lit(0.0))).alias("spearman_qty_price"),
+    )
+
+
+@register(
+    "price_elasticity_brand",
+    oracle="""
+WITH b AS (
+  SELECT coalesce(p_brand, 'Unknown') AS brand,
+         CAST(floor(log2(l_extendedprice / l_quantity) * 10000 + 0.5) AS BIGINT)
+           AS xq,
+         CAST(floor(log2(l_quantity) * 10000 + 0.5) AS BIGINT) AS yq
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+), m AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx,
+         CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT brand, n,
+       round((n * sxy - sx * sy) * 1.0 / nullif(n * sxx - sx * sx, 0), 4)
+         AS elasticity,
+       round(sx / (n * 10000.0), 4) AS mean_log2_price,
+       round(sy / (n * 10000.0), 4) AS mean_log2_qty
+FROM m
+""",
+)
+def price_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    log(quantity) on log(unit price), the econometric standard behind the
+    reference's price-tier business features
+    (/root/reference/src/features/business_features_engine.py:240-330) —
+    computed distributed and EXACTLY: both logs are quantized to BIGINT
+    1e-4 units first (the ``text_unigram_logprob`` discipline), so the
+    five OLS co-moments are order-free integer sums and the slope is a
+    ratio of integers; the 1e4 scaling cancels between numerator and
+    denominator, leaving the dimensionless elasticity.
+
+    Scale: one broadcast dim join + one keyed aggregate.  Integer moments
+    hold to ~10⁷ rows per brand (xq² ≈ 2×10¹⁰); beyond that switch the
+    moment columns to DOUBLE."""
+    t = Catalog(spark, sf_dir)
+    b = (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"), "left"
+        )
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("Unknown")).alias("brand"),
+            F.floor(
+                F.log2(F.col("l_extendedprice") / F.col("l_quantity"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("xq"),
+            F.floor(F.log2(F.col("l_quantity")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("yq"),
+        )
+    )
+    m = b.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    return m.select(
+        "brand",
+        "n",
+        r4(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1.0)
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+            )
+        ).alias("elasticity"),
+        r4(F.col("sx") / (F.col("n") * F.lit(10000.0))).alias("mean_log2_price"),
+        r4(F.col("sy") / (F.col("n") * F.lit(10000.0))).alias("mean_log2_qty"),
+    )

@@ -106,6 +106,9 @@ _PRIORITY: list[str] = [
     "grouping_sets_custom",  # new r5b: arbitrary GROUPING SETS lattice
     "eval_confusion_by_store",  # new r5b: exact confusion matrix + P/R/F1
     "eval_decile_lift",  # new r5b: decile lift & gains table
+    "ab_test_welch",  # new r5b: exact Welch t experiment readout
+    "corr_spearman_store",  # new r5b: tie-aware exact Spearman
+    "price_elasticity_brand",  # new r5b: log-log OLS elasticity
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

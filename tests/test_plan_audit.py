@@ -185,6 +185,9 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "grouping_sets_custom",
         "eval_confusion_by_store",
         "eval_decile_lift",
+        "ab_test_welch",
+        "corr_spearman_store",
+        "price_elasticity_brand",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
