@@ -116,6 +116,8 @@ HEADLINE = [
     "ab_test_welch",                  # exact Welch t experiment readout
     "corr_spearman_store",            # tie-aware exact Spearman
     "price_elasticity_brand",         # log-log OLS elasticity
+    "ab_test_ks",                     # exact two-sample KS per event type
+    "audit_benford_digits",           # Benford first-digit audit
 ]
 
 

@@ -1130,3 +1130,140 @@ def price_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("sx") / (F.col("n") * F.lit(10000.0))).alias("mean_log2_price"),
         r4(F.col("sy") / (F.col("n") * F.lit(10000.0))).alias("mean_log2_qty"),
     )
+
+
+@register(
+    "ab_test_ks",
+    oracle="""
+WITH v AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+  FROM events
+), c AS (
+  SELECT event_type, v2,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type,
+         sum(c0) OVER w AS f0, sum(c1) OVER w AS f1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY v2 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_a,
+       CAST(max(n1) AS BIGINT) AS n_b,
+       round(max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1)), 4) AS ks_stat,
+       max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1))
+         > 1.3581 * sqrt((max(n0) + max(n1)) * 1.0 / (max(n0) * max(n1)))
+         AS significant_95
+FROM cum GROUP BY 1
+""",
+)
+def ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution comparison per event
+    type: the nonparametric companion to ``ab_test_welch`` — detects
+    variance/shape shifts a mean test misses (the reference's
+    ``distribution_shift`` drift method,
+    /root/reference/src/evaluation/model_diagnostics.py:180-230, is this
+    statistic's histogram cousin).  KS = max |F̂₀ − F̂₁| over the pooled
+    support; the 95% line is the classic c(α)·√((n₀+n₁)/(n₀n₁)) with
+    c(0.05)=1.3581.
+
+    Exactness: values quantize to a 1e-2 grid first, so the support is a
+    bounded per-type set, cumulative counts are exact integer window sums,
+    and every CDF value divides identical BIGINTs.
+
+    Scale: the cumulative window partitions by event TYPE over the
+    quantized support (bounded by the grid, not the row count) — the
+    standard trick that makes exact KS distributed; a finer grid trades
+    support size for resolution."""
+    t = Catalog(spark, sf_dir)
+    v = t.events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v2"),
+    )
+    c = v.groupBy("event_type", "v2").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wcum = (
+        W.partitionBy("event_type").orderBy("v2").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("c0").over(wcum).alias("f0"),
+        F.sum("c1").over(wcum).alias("f1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    d = F.abs(F.col("f0") * F.lit(1.0) / F.col("n0") - F.col("f1") * F.lit(1.0) / F.col("n1"))
+    return cum.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n_a"),
+        F.max("n1").cast("long").alias("n_b"),
+        r4(F.max(d)).alias("ks_stat"),
+        (
+            F.max(d)
+            > F.lit(1.3581)
+            * F.sqrt(
+                (F.max("n0") + F.max("n1")) * F.lit(1.0) / (F.max("n0") * F.max("n1"))
+            )
+        ).alias("significant_95"),
+    )
+
+
+@register(
+    "audit_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), g AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       round(n * 1.0 / g.total, 4) AS observed_share,
+       round(log2(1.0 + 1.0 / digit) / log2(10.0), 4) AS benford_share,
+       round(abs(n * 1.0 / g.total - log2(1.0 + 1.0 / digit) / log2(10.0)), 4)
+         AS abs_dev
+FROM c CROSS JOIN g
+""",
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: observed leading-
+    digit shares vs the log10(1+1/d) expectation — the fraud/data-entry
+    screen auditors run on financial columns, extending the engine's
+    data-quality family (``data_quality_profile``; the reference validates
+    ranges and nulls, /root/reference/src/data/validators.py:211-320, but
+    has no distributional audit).  Digits come from the integer part
+    (values ≥ 1), so extraction is exact; Benford expectation is written
+    as log2 ratios (the engine's proven cross-engine log).
+
+    Scale: one narrow map + a 9-group aggregate."""
+    t = Catalog(spark, sf_dir)
+    d = t.orders.filter(F.col("o_totalprice") >= 1).select(
+        # explicit floor: DuckDB's double->BIGINT cast rounds to nearest
+        # while Spark's truncates — floor first so both engines agree
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    g = c.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.log2(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log2(F.lit(10.0))
+    return c.crossJoin(F.broadcast(g)).select(
+        "digit",
+        "n",
+        r4(F.col("n") * F.lit(1.0) / F.col("total")).alias("observed_share"),
+        r4(benford).alias("benford_share"),
+        r4(F.abs(F.col("n") * F.lit(1.0) / F.col("total") - benford)).alias(
+            "abs_dev"
+        ),
+    )

@@ -188,6 +188,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "ab_test_welch",
         "corr_spearman_store",
         "price_elasticity_brand",
+        "ab_test_ks",
+        "audit_benford_digits",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
