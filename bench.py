@@ -118,6 +118,7 @@ HEADLINE = [
     "price_elasticity_brand",         # log-log OLS elasticity
     "ab_test_ks",                     # exact two-sample KS per event type
     "audit_benford_digits",           # Benford first-digit audit
+    "survival_km_signup_purchase",    # Kaplan-Meier curve (log2 domain)
 ]
 
 

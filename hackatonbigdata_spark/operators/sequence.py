@@ -532,3 +532,130 @@ def attribution_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("pid").alias("n_purchases"),
         r4(F.sum("credit_q") / F.lit(10000.0)).alias("credited_value"),
     )
+
+
+@register(
+    "survival_km_signup_purchase",
+    oracle="""
+WITH su AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), pu AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+  GROUP BY 1
+), mx AS (SELECT max(ts) AS tmax FROM events),
+durs AS (
+  SELECT su.user_id,
+         CASE WHEN pu.t1 IS NULL THEN 0 ELSE 1 END AS converted,
+         CAST(date_diff('day', CAST(su.t0 AS DATE),
+                        CAST(coalesce(pu.t1, mx.tmax) AS DATE)) AS BIGINT)
+           AS dur_days
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+), daily AS (
+  SELECT dur_days AS d,
+         CAST(sum(converted) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_ending
+  FROM durs GROUP BY 1
+), risk AS (
+  SELECT d, n_events,
+         sum(n_ending) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+           AS n_at_risk
+  FROM daily
+), step AS (
+  SELECT d, n_events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         CASE WHEN n_events = 0 THEN 0
+              ELSE CAST(floor(-log2((n_at_risk - n_events) * 1.0 / n_at_risk)
+                              * 1000000 + 0.5) AS BIGINT) END AS nl2q
+  FROM risk WHERE n_at_risk > n_events
+)
+SELECT d AS day, n_events, n_at_risk,
+       round(-sum(nl2q) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             / 1000000.0, 4) AS log2_survival
+FROM step
+""",
+)
+def survival_km_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion: per
+    signup cohort member, days until first purchase (right-censored at the
+    observation horizon), then the product-limit estimator over the day
+    grid — the survival-analysis operator behind retention/time-to-convert
+    questions the reference answers with cohort tables only
+    (``event_cohort_retention``; /root/reference/src/features/
+    behavioral_features_engine.py:430-520 computes flat conversion rates).
+
+    The curve is emitted in the LOG2 domain: each day's −log2(1 − d/n) is
+    quantized to a BIGINT 1e-6 grid and the survival function is a running
+    integer sum — fully exact cross-engine (2^x to leave the log domain is
+    not correctly-rounded IEEE, so the exact-parity contract stops at the
+    log; consumers exponentiate client-side).  Days where everyone at risk
+    converts (S→0) are excluded by the n_at_risk > n_events guard, as in
+    the standard estimator.
+
+    Scale: keyed aggregates down to the DAY grid (bounded by the horizon,
+    not the user count); both running windows are over that bounded grid.
+    At 100 TB the per-user duration extraction is the only fact-scale
+    stage — two keyed min-aggregates and a join."""
+    t = Catalog(spark, sf_dir)
+    su = (
+        t.events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        t.events.alias("e")
+        .join(su.alias("s"), "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    mx = t.events.agg(F.max("ts").alias("tmax"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("t1").isNull(), 0).otherwise(1).alias("converted"),
+            F.datediff(
+                F.to_date(F.coalesce(F.col("t1"), F.col("tmax"))),
+                F.to_date(F.col("t0")),
+            )
+            .cast("long")
+            .alias("dur_days"),
+        )
+    )
+    daily = durs.groupBy(F.col("dur_days").alias("d")).agg(
+        F.sum("converted").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+    )
+    wrisk = W.orderBy(F.col("d").desc()).rowsBetween(W.unboundedPreceding, 0)
+    risk = daily.select(
+        "d",
+        "n_events",
+        F.sum("n_ending").over(wrisk).cast("long").alias("n_at_risk"),
+    )
+    step = risk.filter(F.col("n_at_risk") > F.col("n_events")).select(
+        "d",
+        "n_events",
+        "n_at_risk",
+        F.when(F.col("n_events") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                -F.log2(
+                    (F.col("n_at_risk") - F.col("n_events"))
+                    * F.lit(1.0)
+                    / F.col("n_at_risk")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("nl2q"),
+    )
+    wsurv = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return step.select(
+        F.col("d").alias("day"),
+        "n_events",
+        "n_at_risk",
+        r4(-F.sum("nl2q").over(wsurv) / F.lit(1000000.0)).alias("log2_survival"),
+    )

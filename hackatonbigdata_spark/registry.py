@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "price_elasticity_brand",  # new r5b: log-log OLS elasticity
     "ab_test_ks",  # new r5b: exact two-sample KS per event type
     "audit_benford_digits",  # new r5b: Benford first-digit audit
+    "survival_km_signup_purchase",  # new r5b: Kaplan-Meier in log2 domain
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

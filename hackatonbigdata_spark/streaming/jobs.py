@@ -384,3 +384,57 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
+    """Running time-weighted average per user as a custom stateful
+    operator — the live twin of the batch ``time_weighted_avg`` query.
+    State per user is three numbers (last ts, last value, accumulated
+    Σv·dt in 1e-4 integer units + Σdt), so an arbitrarily long stream
+    holds O(1) state per key; each micro-batch extends the held-value
+    integral across the batch boundary exactly."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "user_id long, n_intervals long, span_seconds long, twa_value double"
+    )
+    state_schema = "last_ts long, last_value double, vdt long, dt long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, last_value, vdt, dt, n = state.get
+        else:
+            last_ts, last_value, vdt, dt, n = None, None, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                ts_s = int(pd.Timestamp(ts).value // 1_000_000_000)
+                if last_ts is not None:
+                    step = ts_s - last_ts
+                    if step > 0:
+                        vdt += int((last_value * step) * 10000 + 0.5)
+                        dt += step
+                        n += 1
+                last_ts, last_value = ts_s, float(val)
+        state.update((last_ts, last_value, vdt, dt, n))
+        if dt > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_intervals": [n],
+                    "span_seconds": [dt],
+                    "twa_value": [round(vdt / (dt * 10000.0), 4)],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -190,6 +190,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "price_elasticity_brand",
         "ab_test_ks",
         "audit_benford_digits",
+        "survival_km_signup_purchase",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [

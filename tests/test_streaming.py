@@ -265,3 +265,31 @@ def test_transition_counts_stream_matches_batch(spark, events_stream, events_bat
         .n_trans.to_dict()
     )
     assert got == want
+
+
+def test_time_weighted_avg_stream_matches_batch(spark, events_stream, events_batch):
+    """The stateful streaming TWA converges to the batch time_weighted_avg
+    values (update mode: keep each user's LAST emitted row)."""
+    from hackatonbigdata_spark.registry import all_queries
+    from hackatonbigdata_spark.streaming.jobs import (
+        run_to_memory,
+        time_weighted_avg_stream,
+    )
+
+    run_to_memory(time_weighted_avg_stream(events_stream), "twa_stream", "update")
+    got = (
+        spark.table("twa_stream")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        all_queries()["time_weighted_avg"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got.n_intervals == want.n_intervals).all()
+    assert (got.span_seconds == want.span_seconds).all()
+    assert (got.twa_value - want.twa_value).abs().max() < 1e-3
