@@ -119,6 +119,8 @@ HEADLINE = [
     "ab_test_ks",                     # exact two-sample KS per event type
     "audit_benford_digits",           # Benford first-digit audit
     "survival_km_signup_purchase",    # Kaplan-Meier curve (log2 domain)
+    "seq_path_trigrams",              # top 3-step journey paths
+    "anomaly_poisson_spikes",         # LOO Poisson rate-spike detection
 ]
 
 

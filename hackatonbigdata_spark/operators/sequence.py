@@ -659,3 +659,149 @@ def survival_km_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         r4(-F.sum("nl2q").over(wsurv) / F.lit(1000000.0)).alias("log2_survival"),
     )
+
+
+@register(
+    "seq_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM seq WHERE t1 IS NOT NULL
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT t1, t2, t3, n_paths,
+         CAST(rank() OVER (ORDER BY n_paths DESC, t1, t2, t3) AS BIGINT)
+           AS path_rank,
+         round(n_paths * 1.0 / sum(n_paths) OVER (), 4) AS path_share
+  FROM p
+)
+SELECT t1, t2, t3, n_paths, path_rank, path_share,
+       t3 = 'purchase' AS ends_in_purchase
+FROM r WHERE path_rank <= 20
+""",
+)
+def seq_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: every 3-step event sequence (double-lag
+    trigrams per user), ranked by frequency with the purchase-ending flag —
+    the path-mining report behind funnel redesign questions, deepening
+    ``seq_event_transitions`` from first-order to second-order structure
+    (reference precedent: per-user sequence walks,
+    /root/reference/src/features/behavioral_features_engine.py:380-430).
+
+    Determinism: the lag window tie-breaks on event_id; counts and shares
+    are integer-ratio exact; the ranking window runs over the bounded
+    |event_types|³ ≤ 125-row path table, not the fact stream.
+
+    Scale: one user-keyed window pass + one keyed aggregate; the trigram
+    alphabet keeps the result tiny at any corpus size."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    p = seq.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n_paths"))
+    wr = W.orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+    r = p.select(
+        "t1",
+        "t2",
+        "t3",
+        "n_paths",
+        F.rank().over(wr).cast("long").alias("path_rank"),
+        r4(F.col("n_paths") * F.lit(1.0) / F.sum("n_paths").over(W.partitionBy())).alias(
+            "path_share"
+        ),
+    )
+    return r.filter(F.col("path_rank") <= 20).select(
+        "t1",
+        "t2",
+        "t3",
+        "n_paths",
+        "path_rank",
+        "path_share",
+        (F.col("t3") == "purchase").alias("ends_in_purchase"),
+    )
+
+
+@register(
+    "anomaly_poisson_spikes",
+    oracle="""
+WITH hc AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), s AS (
+  SELECT event_type, d, hod, c,
+         CAST(sum(c) OVER (PARTITION BY event_type, hod) AS BIGINT) AS s_all,
+         CAST(count(*) OVER (PARTITION BY event_type, hod) AS BIGINT) AS n_days
+  FROM hc
+), z AS (
+  SELECT event_type, d, hod, c,
+         (s_all - c) * 1.0 / (n_days - 1) AS loo_mean
+  FROM s WHERE n_days >= 8
+)
+SELECT event_type, d AS day, hod, c AS n_events,
+       round(loo_mean, 4) AS expected,
+       round((c - loo_mean) / sqrt(loo_mean), 4) AS poisson_z
+FROM z
+WHERE loo_mean > 0 AND (c - loo_mean) / sqrt(loo_mean) > 3
+""",
+)
+def anomaly_poisson_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection: for each (event type, day, hour-of-day)
+    cell, a Poisson z-score against the LEAVE-ONE-OUT mean of the same
+    hour-of-day across all other days — the statistical upgrade of the
+    fixed-threshold ``stream_threshold_alerts`` (reference:
+    /root/reference/src/monitoring/alerts.py:399 windowed rates with
+    static thresholds).  Leave-one-out keeps the spike itself from
+    inflating its own baseline — the classic self-masking failure of
+    naive z-scores.
+
+    Exactness: counts are integers, the LOO mean divides integers
+    ((S − c)/(n − 1)), sqrt is correctly-rounded — the flag comparison is
+    bit-identical cross-engine.
+
+    Scale: one keyed aggregate to the (type, day, hour) grain, then
+    unordered windows keyed by (type, hour-of-day).  State per key is two
+    numbers; the same shape runs incrementally as a foreachBatch over the
+    streamed hourly aggregate."""
+    t = Catalog(spark, sf_dir)
+    hc = t.events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wk = W.partitionBy("event_type", "hod")
+    s = hc.select(
+        "event_type",
+        "d",
+        "hod",
+        "c",
+        F.sum("c").over(wk).cast("long").alias("s_all"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_days"),
+    ).filter(F.col("n_days") >= 8)
+    loo = (F.col("s_all") - F.col("c")) * F.lit(1.0) / (F.col("n_days") - 1)
+    z = (F.col("c") - loo) / F.sqrt(loo)
+    return (
+        s.withColumn("loo_mean", loo)
+        .filter((F.col("loo_mean") > 0) & (z > 3))
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "hod",
+            F.col("c").alias("n_events"),
+            r4(F.col("loo_mean")).alias("expected"),
+            r4((F.col("c") - F.col("loo_mean")) / F.sqrt(F.col("loo_mean"))).alias(
+                "poisson_z"
+            ),
+        )
+    )

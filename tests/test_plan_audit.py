@@ -191,6 +191,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "ab_test_ks",
         "audit_benford_digits",
         "survival_km_signup_purchase",
+        "seq_path_trigrams",
+        "anomaly_poisson_spikes",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
