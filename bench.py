@@ -121,6 +121,8 @@ HEADLINE = [
     "survival_km_signup_purchase",    # Kaplan-Meier curve (log2 domain)
     "seq_path_trigrams",              # top 3-step journey paths
     "anomaly_poisson_spikes",         # LOO Poisson rate-spike detection
+    "text_zipf_slope",                # Zipf-law corpus health fit
+    "quantile_normalize_store",       # grouped quantile normalization
 ]
 
 

@@ -2217,3 +2217,78 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         r4(F.col("nl_sum") / (F.col("n_bigrams") * 10000.0)).alias("avg_neg_log2p2"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+cf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cf
+  FROM w WHERE word <> '' GROUP BY word
+), rk AS (
+  SELECT CAST(floor(log2(CAST(rank() OVER (ORDER BY cf DESC, word) AS DOUBLE))
+                    * 10000 + 0.5) AS BIGINT) AS xq,
+         CAST(floor(log2(CAST(cf AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS yq
+  FROM cf
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy
+  FROM rk
+)
+SELECT n AS vocab_size,
+       round((n * sxy - sx * sy) * 1.0 / nullif(n * sxx - sx * sx, 0), 4)
+         AS zipf_slope,
+       round((sy * 1.0 / n - ((n * sxy - sx * sy) * 1.0
+              / nullif(n * sxx - sx * sx, 0)) * sx / n) / 10000.0, 4)
+         AS log2_intercept
+FROM m
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of log(frequency)
+    on log(rank) — the corpus-health statistic quality pipelines monitor
+    (natural text sits near slope −1; template spam and OCR garbage
+    deviate hard), completing the text-QA family next to the LM-logprob
+    and repetition scores.  Same exact-arithmetic OLS as
+    ``price_elasticity_brand``: both logs quantized to BIGINT 1e-4 units,
+    integer co-moments, slope as a ratio of integers.
+
+    Scale: one term-keyed aggregate builds the vocabulary; the ranking
+    window runs over the VOCABULARY (Zipf-compact by definition — sublinear
+    in corpus size), not the token stream; at extreme vocab sizes the rank
+    can bucket by frequency first (ties share ranks anyway)."""
+    t = Catalog(spark, sf_dir)
+    words = _doc_words(t).select(F.explode("w").alias("word")).filter(
+        F.col("word") != ""
+    )
+    cf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    wr = W.orderBy(F.col("cf").desc(), "word")
+    rk = cf.select(
+        F.floor(F.log2(F.rank().over(wr).cast("double")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log2(F.col("cf").cast("double")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        r4(slope).alias("zipf_slope"),
+        r4(
+            (F.col("sy") * F.lit(1.0) / F.col("n") - slope * F.col("sx") / F.col("n"))
+            / F.lit(10000.0)
+        ).alias("log2_intercept"),
+    )

@@ -550,3 +550,85 @@ def encode_target_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n_all") - F.col("n")) + F.lit(20.0))
         ).alias("oof_mean_smoothed"),
     )
+
+
+_QN_K = 20  # vigintile grid
+
+
+def _qnorm_oracle() -> str:
+    edges = ",\n         ".join(
+        f"floor(quantile_cont(l_quantity, {k / _QN_K}) * 10000 + 0.5) / 10000"
+        f" AS e{k}"
+        for k in range(_QN_K + 1)
+    )
+    case = " ".join(
+        f"WHEN idx = {k} THEN e{k}" for k in range(_QN_K + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT {edges}
+  FROM lineitem
+), r AS (
+  SELECT l_suppkey, l_quantity,
+         percent_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS pr
+  FROM lineitem
+), idxed AS (
+  SELECT l_suppkey, l_quantity,
+         CAST(floor(pr * {_QN_K} + 0.5) AS INTEGER) AS idx
+  FROM r
+), mapped AS (
+  SELECT l_suppkey, l_quantity,
+         CAST(floor((CASE {case} END) * 10000 + 0.5) AS BIGINT) AS nq4
+  FROM idxed CROSS JOIN e
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity) / count(*), 4) AS raw_mean,
+       round(sum(nq4) / (count(*) * 10000.0), 4) AS qnorm_mean
+FROM mapped GROUP BY 1
+"""
+
+
+@register("quantile_normalize_store", oracle=_qnorm_oracle())
+def quantile_normalize_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store quantile normalization onto the global distribution: each
+    row's within-store percent-rank is mapped to the global vigintile with
+    that cumulative probability — the batch-effect remover that puts
+    stores with wildly different volume scales on one comparable axis
+    (the genomics-standard transform, applied to the same cross-store
+    comparability problem the reference solves with per-store min-max
+    scaling, /root/reference/src/models/cold_start_solutions.py:281-360).
+
+    Exactness: percent_rank is a ratio of integers (identical doubles both
+    engines), the grid index is a floor of that, global edges are
+    r4-quantized and broadcast, and mapped values are integer-quantized
+    before the per-store mean — fully order-free.
+
+    Scale: one keyed rank window + one broadcast 21-edge row + one keyed
+    aggregate; the CASE lookup stays whole-stage-codegen (no join against
+    an edges table needed at this grid size)."""
+    t = Catalog(spark, sf_dir)
+    e = t.lineitem.agg(
+        *[
+            r4(F.percentile("l_quantity", F.lit(k / _QN_K))).alias(f"e{k}")
+            for k in range(_QN_K + 1)
+        ]
+    )
+    wr = W.partitionBy("l_suppkey").orderBy("l_quantity")
+    r = t.lineitem.select(
+        "l_suppkey", "l_quantity", F.percent_rank().over(wr).alias("pr")
+    )
+    idx = F.floor(F.col("pr") * _QN_K + F.lit(0.5)).cast("int")
+    mapped_col = F.lit(None).cast("double")
+    for k in range(_QN_K, -1, -1):
+        mapped_col = F.when(idx == k, F.col(f"e{k}")).otherwise(mapped_col)
+    mapped = r.crossJoin(F.broadcast(e)).select(
+        "l_suppkey",
+        "l_quantity",
+        F.floor(mapped_col * 10000 + F.lit(0.5)).cast("long").alias("nq4"),
+    )
+    return mapped.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(F.sum("l_quantity") / F.count(F.lit(1))).alias("raw_mean"),
+        r4(F.sum("nq4") / (F.count(F.lit(1)) * F.lit(10000.0))).alias("qnorm_mean"),
+    )

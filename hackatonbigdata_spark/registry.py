@@ -114,6 +114,8 @@ _PRIORITY: list[str] = [
     "survival_km_signup_purchase",  # new r5b: Kaplan-Meier in log2 domain
     "seq_path_trigrams",  # new r5b: top 3-step journey paths
     "anomaly_poisson_spikes",  # new r5b: LOO Poisson rate-spike detection
+    "text_zipf_slope",  # new r5b: Zipf-law corpus health fit
+    "quantile_normalize_store",  # new r5b: grouped quantile normalization
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

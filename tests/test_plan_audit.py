@@ -193,6 +193,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "survival_km_signup_purchase",
         "seq_path_trigrams",
         "anomaly_poisson_spikes",
+        "text_zipf_slope",
+        "quantile_normalize_store",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
