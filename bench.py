@@ -123,6 +123,7 @@ HEADLINE = [
     "anomaly_poisson_spikes",         # LOO Poisson rate-spike detection
     "text_zipf_slope",                # Zipf-law corpus health fit
     "quantile_normalize_store",       # grouped quantile normalization
+    "io_schema_evolution",            # mergeSchema evolution roundtrip
 ]
 
 

@@ -322,3 +322,71 @@ def io_clustered_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("l_quantity")).alias("sum_qty"),
     )
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+), unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS src
+  FROM v1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src FROM v2
+)
+SELECT src,
+       coalesce(o_orderpriority, '__missing__') AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM unioned GROUP BY 1, 2
+""",
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: write an old-schema slice (two columns)
+    and a new-schema slice (adds ``o_orderpriority``) as separate parquet
+    generations of one dataset, then read the whole dataset back with
+    ``mergeSchema`` — rows from the old generation surface the new column
+    as NULL, exactly the append-only evolution contract every long-lived
+    table needs (the reference's loaders hard-code one schema and re-export
+    everything on change, /root/reference/src/data/loaders.py:43-118).
+
+    The oracle reproduces the merged view relationally; matching proves
+    the evolved read is lossless and the missing-column semantics are
+    NULL, not error or default-fill.
+
+    Scale: mergeSchema costs one footer read per file generation (not per
+    row); production tables handle this via catalog schema tracking, same
+    semantics."""
+    t = Catalog(spark, sf_dir)
+    base = _scratch(sf_dir, "schema_evo")
+    (
+        t.orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=1")
+    )
+    (
+        t.orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{base}/gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.select(
+            F.when(F.col("gen") == 1, "v1").otherwise("v2").alias("src"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("__missing__")).alias(
+                "priority"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("src", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )

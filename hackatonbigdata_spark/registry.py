@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "anomaly_poisson_spikes",  # new r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # new r5b: Zipf-law corpus health fit
     "quantile_normalize_store",  # new r5b: grouped quantile normalization
+    "io_schema_evolution",  # new r5b: mergeSchema evolution roundtrip
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -195,6 +195,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "anomaly_poisson_spikes",
         "text_zipf_slope",
         "quantile_normalize_store",
+        "io_schema_evolution",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
