@@ -124,6 +124,8 @@ HEADLINE = [
     "text_zipf_slope",                # Zipf-law corpus health fit
     "quantile_normalize_store",       # grouped quantile normalization
     "io_schema_evolution",            # mergeSchema evolution roundtrip
+    "ab_test_cuped",                  # CUPED variance-reduced readout
+    "cohort_ltv_curve",               # cohort lifetime-value curve
 ]
 
 

@@ -117,6 +117,8 @@ _PRIORITY: list[str] = [
     "text_zipf_slope",  # new r5b: Zipf-law corpus health fit
     "quantile_normalize_store",  # new r5b: grouped quantile normalization
     "io_schema_evolution",  # new r5b: mergeSchema evolution roundtrip
+    "ab_test_cuped",  # new r5b: CUPED variance-reduced readout
+    "cohort_ltv_curve",  # new r5b: cohort lifetime-value curve
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -196,6 +196,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "text_zipf_slope",
         "quantile_normalize_store",
         "io_schema_evolution",
+        "ab_test_cuped",
+        "cohort_ltv_curve",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
