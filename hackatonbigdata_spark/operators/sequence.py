@@ -811,33 +811,33 @@ def anomaly_poisson_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_ltv_curve",
     oracle="""
 WITH first_seen AS (
-  SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS cohort
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
   FROM events GROUP BY 1
 ), acts AS (
   SELECT f.cohort,
-         CAST(date_diff('month', f.cohort,
-                        CAST(date_trunc('month', e.ts) AS DATE)) AS BIGINT)
-           AS age_months,
+         CAST(date_diff('day', f.cohort,
+                        CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+           AS age_weeks,
          CAST(floor(e.value * 10000 + 0.5) AS BIGINT) AS v4
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
 ), sz AS (
   SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM first_seen
   GROUP BY 1
-), monthly AS (
-  SELECT cohort, age_months, CAST(sum(v4) AS BIGINT) AS mv4
+), weekly AS (
+  SELECT cohort, age_weeks, CAST(sum(v4) AS BIGINT) AS wv4
   FROM acts GROUP BY 1, 2
 )
-SELECT m.cohort, m.age_months, sz.cohort_users,
-       round(m.mv4 / 10000.0, 4) AS month_value,
-       round(sum(m.mv4) OVER (PARTITION BY m.cohort ORDER BY m.age_months
+SELECT w.cohort, w.age_weeks, sz.cohort_users,
+       round(w.wv4 / 10000.0, 4) AS week_value,
+       round(sum(w.wv4) OVER (PARTITION BY w.cohort ORDER BY w.age_weeks
                               ROWS UNBOUNDED PRECEDING)
              / (sz.cohort_users * 10000.0), 4) AS ltv_per_user
-FROM monthly m JOIN sz ON m.cohort = sz.cohort
+FROM weekly w JOIN sz ON w.cohort = sz.cohort
 """,
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curve: per signup-month cohort, the running
-    per-user cumulative value by cohort age — the LTV companion to
+    """Cohort lifetime-value curve: per signup-week cohort, the running
+    per-user cumulative value by cohort age (weeks) — the LTV companion to
     ``event_cohort_retention`` (which counts active users; this
     accumulates value), the curve marketing payback decisions read off
     (reference analog: flat per-cohort conversion aggregates,
@@ -852,35 +852,32 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded grid, partitioned by cohort."""
     t = Catalog(spark, sf_dir)
     first_seen = t.events.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("month", F.min("ts"))).alias("cohort")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
     )
     acts = t.events.join(first_seen, "user_id").select(
         "cohort",
-        (
-            (F.year(F.date_trunc("month", "ts")) - F.year("cohort")) * 12
-            + (F.month(F.date_trunc("month", "ts")) - F.month("cohort"))
+        F.floor(
+            F.datediff(F.to_date(F.date_trunc("week", "ts")), F.col("cohort")) / 7
         )
         .cast("long")
-        .alias("age_months"),
+        .alias("age_weeks"),
         F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
     )
     sz = first_seen.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_users")
     )
-    monthly = acts.groupBy("cohort", "age_months").agg(
-        F.sum("v4").alias("mv4")
-    )
+    weekly = acts.groupBy("cohort", "age_weeks").agg(F.sum("v4").alias("wv4"))
     wcum = (
-        W.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        W.partitionBy("cohort").orderBy("age_weeks").rowsBetween(
             W.unboundedPreceding, 0
         )
     )
-    return monthly.join(sz, "cohort").select(
+    return weekly.join(sz, "cohort").select(
         "cohort",
-        "age_months",
+        "age_weeks",
         "cohort_users",
-        r4(F.col("mv4") / F.lit(10000.0)).alias("month_value"),
+        r4(F.col("wv4") / F.lit(10000.0)).alias("week_value"),
         r4(
-            F.sum("mv4").over(wcum) / (F.col("cohort_users") * F.lit(10000.0))
+            F.sum("wv4").over(wcum) / (F.col("cohort_users") * F.lit(10000.0))
         ).alias("ltv_per_user"),
     )
