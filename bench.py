@@ -126,6 +126,8 @@ HEADLINE = [
     "io_schema_evolution",            # mergeSchema evolution roundtrip
     "ab_test_cuped",                  # CUPED variance-reduced readout
     "cohort_ltv_curve",               # cohort lifetime-value curve
+    "window_cusum_changepoint",       # exact-integer CUSUM break detection
+    "postproc_topdown_reconcile",     # integer top-down allocation
 ]
 
 

@@ -3861,3 +3861,92 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_capture"),
         )
     )
+
+
+@register(
+    "postproc_topdown_reconcile",
+    oracle="""
+WITH hist AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_hist
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), ghist AS (SELECT CAST(sum(s_hist) AS BIGINT) AS g_hist FROM hist),
+cur AS (
+  SELECT l_suppkey,
+         CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(month(l_shipdate) AS INTEGER) AS mth,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_cur
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3
+), gplan AS (
+  SELECT yr, mth,
+         (CAST(sum(s_cur) AS BIGINT) * 105 + 50) // 100 AS plan_total
+  FROM cur GROUP BY 1, 2
+)
+SELECT c.yr, c.mth, c.l_suppkey,
+       c.s_cur AS bottom_up,
+       CAST((g.plan_total * h.s_hist * 2 + gh.g_hist) // (2 * gh.g_hist)
+            AS BIGINT) AS reconciled,
+       CAST((g.plan_total * h.s_hist * 2 + gh.g_hist) // (2 * gh.g_hist)
+            - c.s_cur AS BIGINT) AS delta,
+       round(h.s_hist * 1.0 / gh.g_hist, 4) AS hist_share
+FROM cur c
+JOIN hist h ON c.l_suppkey = h.l_suppkey
+JOIN gplan g ON c.yr = g.yr AND c.mth = g.mth
+CROSS JOIN ghist gh
+""",
+)
+def postproc_topdown_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical top-down reconciliation: allocate each month's global
+    plan (here 105% of observed volume — the planning target) to stores
+    proportionally to their HISTORICAL share, and report the per-store
+    delta against the bottom-up number — the market-share-constrained
+    allocation engine from the reference's business rules
+    (/root/reference/src/models/business_rules.py:353-551: scale
+    predictions to share targets), done as pure integer arithmetic:
+    shares never materialize as floats (the allocation is
+    (plan·s_hist·2 + g_hist) // (2·g_hist), exact round-half-up), so the
+    reconciled hierarchy is bit-identical cross-engine and the per-month
+    coherence residual is bounded by n_stores/2 units by construction.
+
+    Scale: two keyed aggregates (store-history, store-month) + one tiny
+    month-grain plan + broadcast scalars; the same shape handles deeper
+    hierarchies level by level (region→store→product), each level one
+    keyed aggregate + one integer allocation."""
+    t = Catalog(spark, sf_dir)
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    hist = (
+        t.lineitem.filter(F.col("l_shipdate") < cutoff)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("s_hist"))
+    )
+    ghist = hist.agg(F.sum("s_hist").cast("long").alias("g_hist"))
+    cur = (
+        t.lineitem.filter(F.col("l_shipdate") >= cutoff)
+        .groupBy(
+            "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mth"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("s_cur"))
+    )
+    gplan = cur.groupBy("yr", "mth").agg(
+        F.expr("(sum(s_cur) * 105 + 50) div 100").alias("plan_total")
+    )
+    j = (
+        cur.join(hist, "l_suppkey")
+        .join(F.broadcast(gplan), ["yr", "mth"])
+        .crossJoin(F.broadcast(ghist))
+    )
+    alloc = F.expr("(plan_total * s_hist * 2 + g_hist) div (2 * g_hist)").cast(
+        "long"
+    )
+    return j.select(
+        "yr",
+        "mth",
+        "l_suppkey",
+        F.col("s_cur").alias("bottom_up"),
+        alloc.alias("reconciled"),
+        (alloc - F.col("s_cur")).cast("long").alias("delta"),
+        r4(F.col("s_hist") * F.lit(1.0) / F.col("g_hist")).alias("hist_share"),
+    )

@@ -912,3 +912,95 @@ def window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).alias("rank_delta"),
     )
+
+
+@register(
+    "window_cusum_changepoint",
+    oracle="""
+WITH seq AS (
+  SELECT l_suppkey, l_quantity,
+         row_number() OVER w AS k,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS sk,
+         count(*) OVER (PARTITION BY l_suppkey) AS n,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey) AS sn
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), dev AS (
+  SELECT l_suppkey, k, n,
+         abs(sk * n - k * sn) AS dev_scaled
+  FROM seq WHERE k < n
+), best AS (
+  SELECT l_suppkey,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(dev_scaled) AS BIGINT) AS max_dev_scaled,
+         CAST(min(CASE WHEN dev_scaled = max_dev THEN k END) AS BIGINT)
+           AS changepoint_k
+  FROM (SELECT *, max(dev_scaled) OVER (PARTITION BY l_suppkey) AS max_dev
+        FROM dev)
+  GROUP BY 1
+)
+SELECT l_suppkey, n, changepoint_k,
+       round(max_dev_scaled * 1.0 / (n * n), 4) AS cusum_stat
+FROM best
+""",
+)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per store: the index k maximizing
+    |S_k − (k/n)·S_n| over the ordered demand series — where the mean most
+    likely shifted, the classic structural-break screen the reference's
+    lifecycle phase segmentation approximates with fixed thresholds
+    (/root/reference/src/features/lifecycle_features.py).
+
+    Fully exact: quantities are integers, so the deviation is computed in
+    the cleared-denominator form |S_k·n − k·S_n| — pure BIGINT arithmetic;
+    ties in the maximum break deterministically to the earliest k.  The
+    reported statistic rescales by n² only at output.
+
+    Scale: every window partitions by store; state is two running
+    integers.  (Magnitude bound: S_k·n ≤ max_qty·n² — longs hold to
+    n ≈ 10⁷ rows per store with 50-unit quantities.)"""
+    t = Catalog(spark, sf_dir)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wseq = W.partitionBy("l_suppkey").orderBy(*order)
+    wall = W.partitionBy("l_suppkey")
+    seq = t.lineitem.select(
+        "l_suppkey",
+        F.row_number().over(wseq).alias("k"),
+        F.sum(F.col("l_quantity").cast("long"))
+        .over(wseq.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).over(wall).alias("sn"),
+    )
+    dev = seq.filter(F.col("k") < F.col("n")).select(
+        "l_suppkey",
+        "k",
+        "n",
+        F.abs(F.col("sk") * F.col("n") - F.col("k") * F.col("sn")).alias(
+            "dev_scaled"
+        ),
+    )
+    wmax = W.partitionBy("l_suppkey")
+    best = (
+        dev.withColumn("max_dev", F.max("dev_scaled").over(wmax))
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("dev_scaled").cast("long").alias("max_dev_scaled"),
+            F.min(
+                F.when(F.col("dev_scaled") == F.col("max_dev"), F.col("k"))
+            )
+            .cast("long")
+            .alias("changepoint_k"),
+        )
+    )
+    return best.select(
+        "l_suppkey",
+        "n",
+        "changepoint_k",
+        r4(
+            F.col("max_dev_scaled") * F.lit(1.0) / (F.col("n") * F.col("n"))
+        ).alias("cusum_stat"),
+    )

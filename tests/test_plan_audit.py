@@ -198,6 +198,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "io_schema_evolution",
         "ab_test_cuped",
         "cohort_ltv_curve",
+        "window_cusum_changepoint",
+        "postproc_topdown_reconcile",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
