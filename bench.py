@@ -128,6 +128,7 @@ HEADLINE = [
     "cohort_ltv_curve",               # cohort lifetime-value curve
     "window_cusum_changepoint",       # exact-integer CUSUM break detection
     "postproc_topdown_reconcile",     # integer top-down allocation
+    "io_incremental_rollup",          # mergeable incremental view maintenance
 ]
 
 

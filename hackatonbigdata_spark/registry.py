@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "cohort_ltv_curve",  # new r5b: cohort lifetime-value curve
     "window_cusum_changepoint",  # new r5b: exact-integer CUSUM break detection
     "postproc_topdown_reconcile",  # new r5b: integer top-down allocation
+    "io_incremental_rollup",  # new r5b: mergeable incremental view maintenance
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

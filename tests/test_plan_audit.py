@@ -200,6 +200,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "cohort_ltv_curve",
         "window_cusum_changepoint",
         "postproc_topdown_reconcile",
+        "io_incremental_rollup",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
