@@ -129,6 +129,7 @@ HEADLINE = [
     "window_cusum_changepoint",       # exact-integer CUSUM break detection
     "postproc_topdown_reconcile",     # integer top-down allocation
     "io_incremental_rollup",          # mergeable incremental view maintenance
+    "queue_backlog_lindley",          # Lindley backlog in closed form
 ]
 
 

@@ -1004,3 +1004,80 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_dev_scaled") * F.lit(1.0) / (F.col("n") * F.col("n"))
         ).alias("cusum_stat"),
     )
+
+
+@register(
+    "queue_backlog_lindley",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS arrivals
+  FROM orders GROUP BY 1, 2
+), cap AS (
+  SELECT o_orderpriority,
+         (CAST(sum(arrivals) AS BIGINT) * 2 + count(*)) // (2 * count(*))
+           AS capacity
+  FROM daily GROUP BY 1
+), s AS (
+  SELECT dd.o_orderpriority, dd.d, dd.arrivals, c.capacity,
+         sum(dd.arrivals - c.capacity)
+           OVER (PARTITION BY dd.o_orderpriority ORDER BY dd.d
+                 ROWS UNBOUNDED PRECEDING) AS st
+  FROM daily dd JOIN cap c ON dd.o_orderpriority = c.o_orderpriority
+), b AS (
+  SELECT o_orderpriority, d, arrivals, capacity, st,
+         st - least(min(st) OVER (PARTITION BY o_orderpriority ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING), 0) AS backlog
+  FROM s
+)
+SELECT o_orderpriority, d AS day, arrivals, CAST(capacity AS BIGINT) AS capacity,
+       CAST(backlog AS BIGINT) AS backlog,
+       backlog > 2 * capacity AS overloaded
+FROM b
+""",
+)
+def queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog simulation via the Lindley recursion IN CLOSED FORM:
+    the sequential queue q_t = max(0, q_{t-1} + arrivals_t − capacity)
+    — which looks like it needs a per-row loop — equals
+    S_t − min(0, min_{k≤t} S_k) for the running net-flow sum S, so the
+    whole trajectory is two keyed cumulative windows, no recursion, no
+    ``applyInPandas``.  This is the fully-oracled counterpart of the
+    ``sequential_clamp_per_series`` kernel (two-sided clamps have no such
+    closed form; the one-sided floor does), and the capacity-planning
+    readout behind the reference's capacity business rule
+    (/root/reference/src/models/business_rules.py:164-208).
+
+    Exactness: arrivals are counts, capacity is the integer round-half-up
+    mean daily arrival rate ((2ΣA + n) // 2n — queues at criticality), so
+    every backlog value is BIGINT-exact.
+
+    Scale: everything partitions by priority class; state per key is two
+    running integers."""
+    t = Catalog(spark, sf_dir)
+    daily = t.orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("arrivals"))
+    cap = daily.groupBy("o_orderpriority").agg(
+        F.expr("(sum(arrivals) * 2 + count(*)) div (2 * count(*))").alias(
+            "capacity"
+        )
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority").orderBy("d").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    s = daily.join(cap, "o_orderpriority").withColumn(
+        "st", F.sum(F.col("arrivals") - F.col("capacity")).over(wcum)
+    )
+    backlog = F.col("st") - F.least(F.min("st").over(wcum), F.lit(0))
+    return s.select(
+        "o_orderpriority",
+        F.col("d").alias("day"),
+        "arrivals",
+        F.col("capacity").cast("long").alias("capacity"),
+        backlog.cast("long").alias("backlog"),
+        (backlog > 2 * F.col("capacity")).alias("overloaded"),
+    )

@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "window_cusum_changepoint",  # new r5b: exact-integer CUSUM break detection
     "postproc_topdown_reconcile",  # new r5b: integer top-down allocation
     "io_incremental_rollup",  # new r5b: mergeable incremental view maintenance
+    "queue_backlog_lindley",  # new r5b: Lindley backlog in closed form
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

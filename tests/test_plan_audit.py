@@ -201,6 +201,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "window_cusum_changepoint",
         "postproc_topdown_reconcile",
         "io_incremental_rollup",
+        "queue_backlog_lindley",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [

@@ -85,3 +85,18 @@ def test_multitouch_credit_totals_match_purchase_values(spark):
     )
     n_touches = int(pdf.n_touches.sum())
     assert abs(pdf.credited_value.sum() - attributed) < 1e-4 * n_touches + 1e-6
+
+
+def test_lindley_closed_form_matches_naive_recursion(spark):
+    """The prefix-min closed form must replay the sequential
+    q_t = max(0, q_{t-1} + a_t - c) recursion exactly."""
+    pdf = (
+        QUERIES["queue_backlog_lindley"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["o_orderpriority", "day"])
+    )
+    for prio, g in pdf.groupby("o_orderpriority"):
+        q = 0
+        for _, row in g.iterrows():
+            q = max(0, q + int(row.arrivals) - int(row.capacity))
+            assert q == int(row.backlog), (prio, row.day, q, row.backlog)
