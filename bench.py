@@ -130,6 +130,8 @@ HEADLINE = [
     "postproc_topdown_reconcile",     # integer top-down allocation
     "io_incremental_rollup",          # mergeable incremental view maintenance
     "queue_backlog_lindley",          # Lindley backlog in closed form
+    "embedding_centroid_drift",       # vector-modality drift monitor
+    "seasonal_strength_store",        # STL-lite seasonal strength
 ]
 
 

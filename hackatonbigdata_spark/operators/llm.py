@@ -2292,3 +2292,115 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("log2_intercept"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, vec_id % 2 AS grp, embedding::DOUBLE[] AS emb
+  FROM embeddings
+), comp AS (
+  SELECT grp, u.i AS dim,
+         CAST(sum(CAST(floor(emb[u.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s6,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e, unnest(range(1, len(emb) + 1)) AS u(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT a.dim,
+         a.s6 * 1.0 / (a.n * 1000000.0) AS ca,
+         b.s6 * 1.0 / (b.n * 1000000.0) AS cb,
+         a.n AS n_a, b.n AS n_b
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1
+), q AS (
+  SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS dims,
+         CAST(sum(CAST(floor(ca * cb * 1000000000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sab,
+         CAST(sum(CAST(floor(ca * ca * 1000000000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS saa,
+         CAST(sum(CAST(floor(cb * cb * 1000000000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sbb
+  FROM cent
+)
+SELECT n_a, n_b, dims,
+       round(sab / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 4)
+         AS centroid_cosine,
+       round(sab / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 4)
+         < 0.99 AS drift_flag
+FROM q
+""",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: cosine between the centroid vectors
+    of two dataset halves (old vs new snapshot, here the deterministic
+    vec_id parity) — the vector-modality member of the drift family
+    (``drift_psi_distribution`` watches scalars; embedding pipelines watch
+    the centroid and flag re-indexing/re-training when it rotates;
+    reference analog: prediction-drift tracking,
+    /root/reference/src/evaluation/model_diagnostics.py:230-260).
+
+    Exactness: per-dimension component sums quantize to BIGINT 1e-6 units
+    (order-free), centroids are ratios of those integers, and the
+    centroid-level dot/norm sums re-quantize per-dimension products to
+    1e-12 — the whole statistic is bit-identical cross-engine.
+
+    Scale: one (group × dim)-keyed aggregate over the exploded components
+    — dim count is fixed and small, so this is one pass over the vectors
+    with a tiny shuffle; the centroid stage is |dims| rows."""
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    comp = (
+        e.select(
+            "grp", F.posexplode("emb").alias("dim0", "x")
+        )
+        .select(
+            "grp",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("x6"),
+        )
+        .groupBy("grp", "dim")
+        .agg(F.sum("x6").alias("s6"), F.count(F.lit(1)).alias("n"))
+    )
+    a = comp.filter(F.col("grp") == 0).select(
+        "dim",
+        (F.col("s6") * F.lit(1.0) / (F.col("n") * F.lit(1000000.0))).alias("ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = comp.filter(F.col("grp") == 1).select(
+        "dim",
+        (F.col("s6") * F.lit(1.0) / (F.col("n") * F.lit(1000000.0))).alias("cb"),
+        F.col("n").alias("n_b"),
+    )
+    cent = a.join(b, "dim")
+    q = cent.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("dims"),
+        F.sum(
+            F.floor(F.col("ca") * F.col("cb") * F.lit(1000000000000) + F.lit(0.5))
+            .cast("long")
+        ).alias("sab"),
+        F.sum(
+            F.floor(F.col("ca") * F.col("ca") * F.lit(1000000000000) + F.lit(0.5))
+            .cast("long")
+        ).alias("saa"),
+        F.sum(
+            F.floor(F.col("cb") * F.col("cb") * F.lit(1000000000000) + F.lit(0.5))
+            .cast("long")
+        ).alias("sbb"),
+    )
+    cos = F.col("sab") / (
+        F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double"))
+    )
+    return q.select(
+        "n_a",
+        "n_b",
+        "dims",
+        r4(cos).alias("centroid_cosine"),
+        (r4(cos) < F.lit(0.99)).alias("drift_flag"),
+    )

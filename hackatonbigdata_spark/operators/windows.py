@@ -1081,3 +1081,107 @@ def queue_backlog_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
         backlog.cast("long").alias("backlog"),
         (backlog > 2 * F.col("capacity")).alias("overloaded"),
     )
+
+
+@register(
+    "seasonal_strength_store",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), trend AS (
+  SELECT l_suppkey, d, qty,
+         avg(qty) OVER (PARTITION BY l_suppkey ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr,
+         count(*) OVER (PARTITION BY l_suppkey ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+  FROM daily
+), det AS (
+  SELECT l_suppkey, d,
+         CAST(floor((qty - tr) * 10000 + 0.5) AS BIGINT) AS det4,
+         CAST(isodow(d) AS INTEGER) AS dow
+  FROM trend WHERE wn = 7
+), dowm AS (
+  SELECT l_suppkey, dow,
+         CAST(sum(det4) AS BIGINT) AS sd4, CAST(count(*) AS BIGINT) AS nd
+  FROM det GROUP BY 1, 2
+), rem AS (
+  SELECT det.l_suppkey,
+         det.det4 / 10000.0 AS detrended,
+         det.det4 / 10000.0 - dowm.sd4 * 1.0 / (dowm.nd * 10000.0) AS remainder
+  FROM det JOIN dowm ON det.l_suppkey = dowm.l_suppkey AND det.dow = dowm.dow
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(var_samp(detrended), 4) AS var_detrended,
+       round(var_samp(remainder), 4) AS var_remainder,
+       round(greatest(0, 1 - var_samp(remainder) / nullif(var_samp(detrended), 0)),
+             4) AS seasonal_strength
+FROM rem GROUP BY 1
+""",
+)
+def seasonal_strength_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal-strength diagnostic per store (Hyndman's
+    STL-strength measure, simplified to a moving-average decomposition):
+    detrend daily demand with a centered 7-day mean, estimate the
+    day-of-week seasonal component, and report
+    1 − var(remainder)/var(detrended) — how much of the detrended
+    variation the weekly cycle explains.  This is the decision statistic
+    behind the reference's seasonal-adjustment post-processor
+    (/root/reference/src/submissions/post_processor.py:233-349 nudges
+    toward dow means unconditionally; the strength says WHEN that helps).
+
+    Cross-engine: the detrended series is quantized to BIGINT 1e-4 units
+    before the dow-mean sums (order-free), remainders are then identical
+    doubles, and the final variances tolerate engine-order ulp under 4dp
+    rounding (established wmape-family precedent).  Incomplete trend
+    windows (edges) are excluded via the exact count=7 guard.
+
+    Scale: day-grain aggregate, then store-keyed windows and aggregates
+    throughout — one shuffle chain on the store key."""
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    wtr = W.partitionBy("l_suppkey").orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "l_suppkey",
+        "d",
+        "qty",
+        F.avg("qty").over(wtr).alias("tr"),
+        F.count(F.lit(1)).over(wtr).alias("wn"),
+    )
+    from hackatonbigdata_spark.functions.core import iso_dow
+
+    det = trend.filter(F.col("wn") == 7).select(
+        "l_suppkey",
+        F.floor((F.col("qty") - F.col("tr")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("det4"),
+        iso_dow(F.col("d")).alias("dow"),
+    )
+    dowm = det.groupBy("l_suppkey", "dow").agg(
+        F.sum("det4").alias("sd4"), F.count(F.lit(1)).alias("nd")
+    )
+    rem = det.join(dowm, ["l_suppkey", "dow"]).select(
+        "l_suppkey",
+        (F.col("det4") / F.lit(10000.0)).alias("detrended"),
+        (
+            F.col("det4") / F.lit(10000.0)
+            - F.col("sd4") * F.lit(1.0) / (F.col("nd") * F.lit(10000.0))
+        ).alias("remainder"),
+    )
+    return rem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r4(F.var_samp("detrended")).alias("var_detrended"),
+        r4(F.var_samp("remainder")).alias("var_remainder"),
+        r4(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.var_samp("remainder")
+                / F.nullif(F.var_samp("detrended"), F.lit(0.0)),
+            )
+        ).alias("seasonal_strength"),
+    )

@@ -202,6 +202,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "postproc_topdown_reconcile",
         "io_incremental_rollup",
         "queue_backlog_lindley",
+        "embedding_centroid_drift",
+        "seasonal_strength_store",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
