@@ -132,6 +132,7 @@ HEADLINE = [
     "queue_backlog_lindley",          # Lindley backlog in closed form
     "embedding_centroid_drift",       # vector-modality drift monitor
     "seasonal_strength_store",        # STL-lite seasonal strength
+    "concentration_gini_brand",       # exact-rank Gini concentration
 ]
 
 

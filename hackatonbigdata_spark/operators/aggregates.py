@@ -1382,3 +1382,92 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("var_y_adj") / F.nullif(F.col("var_y"), F.lit(0.0))
         ).alias("variance_reduction"),
     )
+
+
+@register(
+    "concentration_gini_brand",
+    oracle="""
+WITH pr AS (
+  SELECT coalesce(p_brand, 'Unknown') AS brand, l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT brand, rev_c,
+         CAST(row_number() OVER (PARTITION BY brand
+                                 ORDER BY rev_c, l_partkey) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY brand) AS BIGINT) AS n
+  FROM pr
+), g AS (
+  SELECT brand,
+         CAST(max(n) AS BIGINT) AS n_parts,
+         CAST(sum(i * rev_c) AS BIGINT) AS swr,
+         CAST(sum(rev_c) AS BIGINT) AS sr
+  FROM rk GROUP BY 1
+)
+SELECT brand, n_parts,
+       round(sr / 100.0, 4) AS total_revenue,
+       round((2.0 * swr) / (n_parts * 1.0 * sr) - (n_parts + 1.0) / n_parts, 4)
+         AS gini
+FROM g WHERE sr > 0
+""",
+)
+def concentration_gini_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per brand: how unequally a brand's
+    revenue spreads across its parts — the inequality companion to the
+    engine's HHI (``agg_hhi_concentration``) and top-5-share measures,
+    directly quantifying the "5.3% of products carry 79.9% of volume"
+    skew the reference's EDA reports
+    (/root/reference/src/features/aggregation_features_engine.py:7-10).
+    Computed with the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over ascending-sorted part revenues.
+
+    Exactness: revenues quantize to integer cents at the row level, so
+    ranks, the Σ(i·xᵢ) co-moment, and totals are all BIGINT — the Gini is
+    a ratio of integers, bit-identical cross-engine (deterministic rank
+    tie-break on part key).
+
+    Scale: the rank window partitions by brand over the PART dimension
+    (bounded), after a fact-scale keyed aggregate to (brand, part) —
+    standard pre-aggregate-then-window."""
+    t = Catalog(spark, sf_dir)
+    pr = (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"), "left"
+        )
+        .groupBy(
+            F.coalesce(F.col("p_brand"), F.lit("Unknown")).alias("brand"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    wrk = W.partitionBy("brand").orderBy("rev_c", "l_partkey")
+    wall = W.partitionBy("brand")
+    rk = pr.select(
+        "brand",
+        "rev_c",
+        F.row_number().over(wrk).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    g = rk.groupBy("brand").agg(
+        F.max("n").cast("long").alias("n_parts"),
+        F.sum(F.col("i") * F.col("rev_c")).alias("swr"),
+        F.sum("rev_c").alias("sr"),
+    )
+    return g.filter(F.col("sr") > 0).select(
+        "brand",
+        "n_parts",
+        r4(F.col("sr") / F.lit(100.0)).alias("total_revenue"),
+        r4(
+            (F.lit(2.0) * F.col("swr")) / (F.col("n_parts") * F.lit(1.0) * F.col("sr"))
+            - (F.col("n_parts") + F.lit(1.0)) / F.col("n_parts")
+        ).alias("gini"),
+    )

@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "queue_backlog_lindley",  # new r5b: Lindley backlog in closed form
     "embedding_centroid_drift",  # new r5b: vector-modality drift monitor
     "seasonal_strength_store",  # new r5b: STL-lite seasonal strength
+    "concentration_gini_brand",  # new r5b: exact-rank Gini concentration
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

@@ -204,6 +204,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "queue_backlog_lindley",
         "embedding_centroid_drift",
         "seasonal_strength_store",
+        "concentration_gini_brand",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
