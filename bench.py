@@ -133,6 +133,8 @@ HEADLINE = [
     "embedding_centroid_drift",       # vector-modality drift monitor
     "seasonal_strength_store",        # STL-lite seasonal strength
     "concentration_gini_brand",       # exact-rank Gini concentration
+    "window_max_drawdown",            # peak-to-trough demand drawdown
+    "orders_ship_sla",                # order-to-ship SLA compliance
 ]
 
 

@@ -1185,3 +1185,152 @@ def seasonal_strength_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1, 2
+), base AS (
+  SELECT l_suppkey, d, rev_c,
+         (CAST(sum(rev_c) OVER (PARTITION BY l_suppkey) AS BIGINT) * 2
+          + count(*) OVER (PARTITION BY l_suppkey))
+         // (2 * count(*) OVER (PARTITION BY l_suppkey)) AS avg_c
+  FROM daily
+), ce AS (
+  SELECT l_suppkey, d,
+         sum(rev_c - avg_c) OVER (PARTITION BY l_suppkey ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING) AS cum_excess
+  FROM base
+), cum AS (
+  SELECT l_suppkey, d, cum_excess,
+         max(cum_excess) OVER (PARTITION BY l_suppkey ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS run_peak
+  FROM ce
+)
+, dd AS (
+  SELECT l_suppkey, d, run_peak - cum_excess AS ddv,
+         max(run_peak - cum_excess) OVER (PARTITION BY l_suppkey) AS max_dd
+  FROM cum
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(max(ddv) / 100.0, 4) AS max_drawdown,
+       CAST(min(CASE WHEN ddv = max_dd THEN d END) AS DATE) AS trough_day
+FROM dd GROUP BY 1
+""",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per store: the deepest peak-to-trough slide of
+    cumulative revenue relative to its own mean run-rate — the
+    demand-collapse severity measure (finance's drawdown applied to
+    demand), complementing ``window_decline_indicator``'s binary flag and
+    ``window_cusum_changepoint``'s break LOCATION with the break DEPTH.
+
+    Exactness: revenue quantizes to integer cents per row; the mean daily
+    run-rate uses round-half-up integer division; cumulative excess and
+    running peak are BIGINT window folds; the trough day tie-breaks to
+    the earliest date.
+
+    Scale: day-grain keyed aggregate then store-keyed running windows —
+    two integers of state per store."""
+    t = Catalog(spark, sf_dir)
+    daily = t.lineitem.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("rev_c")
+    )
+    wall = W.partitionBy("l_suppkey")
+    avg_c = F.expr(
+        "(sum(rev_c) OVER (PARTITION BY l_suppkey) * 2"
+        " + count(*) OVER (PARTITION BY l_suppkey))"
+        " div (2 * count(*) OVER (PARTITION BY l_suppkey))"
+    )
+    base = daily.withColumn("avg_c", avg_c)
+    wcum = W.partitionBy("l_suppkey").orderBy("d").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = base.select(
+        "l_suppkey",
+        "d",
+        F.sum(F.col("rev_c") - F.col("avg_c")).over(wcum).alias("cum_excess"),
+    ).withColumn("run_peak", F.max("cum_excess").over(wcum))
+    dd = F.col("run_peak") - F.col("cum_excess")
+    return (
+        cum.withColumn("dd", dd)
+        .withColumn("max_dd", F.max("dd").over(wall))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            r4(F.max("dd") / F.lit(100.0)).alias("max_drawdown"),
+            F.min(F.when(F.col("dd") == F.col("max_dd"), F.col("d"))).alias(
+                "trough_day"
+            ),
+        )
+    )
+
+
+@register(
+    "orders_ship_sla",
+    oracle="""
+WITH lag_days AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(lag_d), 4) AS avg_lag_days,
+       round(quantile_cont(lag_d, 0.9), 4) AS p90_lag_days,
+       round(sum(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS sla30_rate,
+       round(sum(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS sla60_rate
+FROM lag_days GROUP BY 1
+""",
+)
+def orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA compliance per priority class: lag distribution
+    (mean, p90) and 30/60-day fill rates — the fulfilment KPI table the
+    reference's KPI system thresholds
+    (/root/reference/src/validation/kpi_system.py:43-330) would read for
+    logistics, built on the same interval the coverage-union query merges.
+
+    Exactness: day lags are integers; rates divide integer counts; the
+    mean averages integers (exact sum / count); only the interpolated p90
+    leans on the established grouped-quantile parity.
+
+    Scale: one broadcast-joined scan + one keyed aggregate."""
+    t = Catalog(spark, sf_dir)
+    lag_days = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("lag_d"),
+        )
+    )
+    in30 = F.when(F.col("lag_d") <= 30, 1).otherwise(0)
+    in60 = F.when(F.col("lag_d") <= 60, 1).otherwise(0)
+    return lag_days.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        r4(F.avg("lag_d")).alias("avg_lag_days"),
+        r4(F.percentile("lag_d", F.lit(0.9))).alias("p90_lag_days"),
+        r4(F.sum(in30) * F.lit(1.0) / F.count(F.lit(1))).alias("sla30_rate"),
+        r4(F.sum(in60) * F.lit(1.0) / F.count(F.lit(1))).alias("sla60_rate"),
+    )

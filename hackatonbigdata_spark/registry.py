@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "embedding_centroid_drift",  # new r5b: vector-modality drift monitor
     "seasonal_strength_store",  # new r5b: STL-lite seasonal strength
     "concentration_gini_brand",  # new r5b: exact-rank Gini concentration
+    "window_max_drawdown",  # new r5b: peak-to-trough demand drawdown
+    "orders_ship_sla",  # new r5b: order-to-ship SLA compliance
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

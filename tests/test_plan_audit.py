@@ -205,6 +205,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "embedding_centroid_drift",
         "seasonal_strength_store",
         "concentration_gini_brand",
+        "window_max_drawdown",
+        "orders_ship_sla",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
