@@ -135,6 +135,8 @@ HEADLINE = [
     "concentration_gini_brand",       # exact-rank Gini concentration
     "window_max_drawdown",            # peak-to-trough demand drawdown
     "orders_ship_sla",                # order-to-ship SLA compliance
+    "ab_test_mannwhitney",            # tie-corrected rank test
+    "alert_error_burnrate",           # multi-window burn-rate paging
 ]
 
 

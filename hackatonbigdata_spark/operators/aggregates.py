@@ -1471,3 +1471,108 @@ def concentration_gini_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_parts") + F.lit(1.0)) / F.col("n_parts")
         ).alias("gini"),
     )
+
+
+@register(
+    "ab_test_mannwhitney",
+    oracle="""
+WITH v AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+  FROM events
+), r AS (
+  SELECT event_type, variant,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY v2)
+           + count(*) OVER (PARTITION BY event_type, v2) - 1 AS r2
+  FROM v
+), ties AS (
+  SELECT event_type, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM (SELECT event_type, v2, CAST(count(*) AS BIGINT) AS t
+        FROM v GROUP BY 1, 2)
+  GROUP BY 1
+), s AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN variant = 0 THEN r2 ELSE 0 END) AS BIGINT) AS ra2,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM r GROUP BY 1
+)
+SELECT s.event_type, s.na, s.nb,
+       round((s.ra2 - s.na * (s.na + 1)) / 2.0 - s.na * s.nb / 2.0, 4) AS u_centered,
+       round(((s.ra2 - s.na * (s.na + 1)) / 2.0 - s.na * s.nb / 2.0)
+             / sqrt(s.na * 1.0 * s.nb / 12.0
+                    * ((s.na + s.nb + 1)
+                       - t.tie3 * 1.0 / ((s.na + s.nb) * (s.na + s.nb - 1)))),
+             4) AS mw_z,
+       abs(((s.ra2 - s.na * (s.na + 1)) / 2.0 - s.na * s.nb / 2.0)
+           / sqrt(s.na * 1.0 * s.nb / 12.0
+                  * ((s.na + s.nb + 1)
+                     - t.tie3 * 1.0 / ((s.na + s.nb) * (s.na + s.nb - 1)))))
+         > 1.96 AS significant_95
+FROM s JOIN ties t ON s.event_type = t.event_type
+""",
+)
+def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test per event type — the nonparametric
+    LOCATION test completing the experiment-readout trio (Welch for
+    means, KS for shape, MW-U for stochastic dominance), tie-corrected:
+    σ²_U = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).  Exact arithmetic via
+    the same doubled-integer average ranks as ``corr_spearman_store``
+    (2·min_rank + ties − 1), so the rank sum, the U statistic, and the
+    tie correction are all BIGINT-derived; sqrt is correctly rounded.
+
+    Scale: one pooled rank window keyed by event type over the quantized
+    value grid + two keyed aggregates."""
+    t = Catalog(spark, sf_dir)
+    v = t.events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v2"),
+    )
+    wr = W.partitionBy("event_type").orderBy("v2")
+    wt = W.partitionBy("event_type", "v2")
+    r = v.select(
+        "event_type",
+        "variant",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    ties = (
+        v.groupBy("event_type", "v2")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("ra2"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    j = s.join(ties, "event_type")
+    n = F.col("na") + F.col("nb")
+    u_c = (F.col("ra2") - F.col("na") * (F.col("na") + 1)) / F.lit(2.0) - F.col(
+        "na"
+    ) * F.col("nb") / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("na") * F.lit(1.0) * F.col("nb") / F.lit(12.0)
+        * ((n + 1) - F.col("tie3") * F.lit(1.0) / (n * (n - 1)))
+    )
+    return j.select(
+        "event_type",
+        "na",
+        "nb",
+        r4(u_c).alias("u_centered"),
+        r4(u_c / sigma).alias("mw_z"),
+        (F.abs(u_c / sigma) > F.lit(1.96)).alias("significant_95"),
+    )

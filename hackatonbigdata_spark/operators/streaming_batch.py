@@ -862,3 +862,78 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("prio_chg").cast("long").alias("n_prio_changed"),
         r4(F.sum("delta_cents") / F.lit(100.0)).alias("sum_abs_price_delta"),
     )
+
+
+@register(
+    "alert_error_burnrate",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), win AS (
+  SELECT h, n_all, n_err,
+         CAST(sum(n_all) OVER w6 AS BIGINT) AS all_6h,
+         CAST(sum(n_err) OVER w6 AS BIGINT) AS err_6h
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+), rates AS (
+  SELECT h, n_all, n_err, all_6h, err_6h,
+         n_err * 1.0 / n_all AS rate_1h,
+         err_6h * 1.0 / all_6h AS rate_6h
+  FROM win
+)
+SELECT h AS hour, n_err, n_all,
+       round(rate_1h, 4) AS rate_1h,
+       round(rate_6h, 4) AS rate_6h,
+       round(rate_1h / 0.2, 4) AS burn_1h,
+       rate_1h > 0.28 AND rate_6h > 0.24 AS page_alert
+FROM rates
+WHERE rate_1h > 0.28 AND rate_6h > 0.24
+""",
+)
+def alert_error_burnrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window burn-rate alerting (the SRE error-budget policy): page
+    only when BOTH the fast 1-hour error rate and the slow 6-hour rate
+    breach their thresholds — the fast window catches the spike, the slow
+    window proves it's sustained, and requiring both kills the flappiness
+    of the reference's single-threshold alert
+    (/root/reference/src/monitoring/alerts.py:632-662).  Thresholds are
+    1.4× and 1.2× a 20% budget rate, the classic paging pair.
+
+    Exactness: both rates divide BIGINT counts from the same hourly
+    grid; comparisons sit on identical doubles.
+
+    Scale: the hourly pre-aggregate bounds the window input to the time
+    grid; the 6h frame is a 6-row running sum.  The one unpartitioned
+    window runs over that bounded hour grid — in production it partitions
+    by service key; the live twin rides the tumbling-aggregate stream
+    with a 6-slot state per key."""
+    t = Catalog(spark, sf_dir)
+    hourly = t.events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    win = hourly.select(
+        "h",
+        "n_all",
+        "n_err",
+        F.sum("n_all").over(w6).cast("long").alias("all_6h"),
+        F.sum("n_err").over(w6).cast("long").alias("err_6h"),
+    )
+    rate_1h = F.col("n_err") * F.lit(1.0) / F.col("n_all")
+    rate_6h = F.col("err_6h") * F.lit(1.0) / F.col("all_6h")
+    return win.filter((rate_1h > 0.28) & (rate_6h > 0.24)).select(
+        F.col("h").alias("hour"),
+        "n_err",
+        "n_all",
+        r4(rate_1h).alias("rate_1h"),
+        r4(rate_6h).alias("rate_6h"),
+        r4(rate_1h / F.lit(0.2)).alias("burn_1h"),
+        ((rate_1h > 0.28) & (rate_6h > 0.24)).alias("page_alert"),
+    )

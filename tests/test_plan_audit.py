@@ -207,6 +207,8 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "concentration_gini_brand",
         "window_max_drawdown",
         "orders_ship_sla",
+        "ab_test_mannwhitney",
+        "alert_error_burnrate",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
