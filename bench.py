@@ -137,6 +137,7 @@ HEADLINE = [
     "orders_ship_sla",                # order-to-ship SLA compliance
     "ab_test_mannwhitney",            # tie-corrected rank test
     "alert_error_burnrate",           # multi-window burn-rate paging
+    "sample_weighted_aexpj",          # deterministic weighted sampling
 ]
 
 

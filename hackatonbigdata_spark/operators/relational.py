@@ -817,3 +817,67 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         r4(F.sum("l_quantity")).alias("sum_qty"),
     )
+
+
+@register(
+    "sample_weighted_aexpj",
+    oracle="""
+WITH pri AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(floor(
+           -log2((CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1.0) / 4294967297.0)
+           / p_retailprice * 1000000 + 0.5) AS BIGINT) AS prio_q
+  FROM part WHERE p_retailprice > 0
+), rk AS (
+  SELECT p_brand, p_partkey, p_retailprice, prio_q,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY prio_q, p_partkey) AS BIGINT)
+           AS sample_rank
+  FROM pri
+)
+SELECT p_brand, p_partkey,
+       round(p_retailprice, 4) AS weight,
+       prio_q, sample_rank
+FROM rk WHERE sample_rank <= 5
+""",
+)
+def sample_weighted_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic (A-ExpJ /
+    Efraimidis-Spirakis): each item draws a 'uniform' u from the shared
+    cross-engine hash and is ranked by −log(u)/weight — the k smallest
+    priorities per group are a weighted sample without replacement, with
+    inclusion probability proportional to weight.  The weighted companion
+    to ``sample_reservoir_per_group`` (uniform), with the SAME
+    reproducibility contract: no RNG, the hash IS the randomness, so any
+    engine/run/partitioning draws the identical sample — the property
+    sampled training-data pipelines need for auditability.
+
+    Exactness: u = (h32+1)/(2³²+1) ∈ (0,1) from identical BIGINTs, the
+    priority is quantized to a 1e-6 integer grid before ranking, ties
+    break on the item key.
+
+    Scale: one keyed rank window over the (bounded) part dim per brand;
+    for fact-scale populations the same priority is a one-pass TOP-K per
+    group (no global sort)."""
+    t = Catalog(spark, sf_dir)
+    u = (h32(F.col("p_partkey").cast("string")) + F.lit(1.0)) / F.lit(4294967297.0)
+    pri = t.part.filter(F.col("p_retailprice") > 0).select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.floor(-F.log2(u) / F.col("p_retailprice") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("prio_q"),
+    )
+    wr = W.partitionBy("p_brand").orderBy("prio_q", "p_partkey")
+    rk = pri.withColumn(
+        "sample_rank", F.row_number().over(wr).cast("long")
+    )
+    return rk.filter(F.col("sample_rank") <= 5).select(
+        "p_brand",
+        "p_partkey",
+        r4(F.col("p_retailprice")).alias("weight"),
+        "prio_q",
+        "sample_rank",
+    )

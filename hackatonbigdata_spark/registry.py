@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "orders_ship_sla",  # new r5b: order-to-ship SLA compliance
     "ab_test_mannwhitney",  # new r5b: tie-corrected rank test
     "alert_error_burnrate",  # new r5b: multi-window burn-rate paging
+    "sample_weighted_aexpj",  # new r5b: deterministic weighted sampling
     # --- oracle SQL edited since the query's last driver check -------------
     "stacking_predictions_join",  # refactored onto shared _OOF_SQL (r5)
     "feature_matrix_daily_store",  # refactored onto shared _FM_CTES (r5)

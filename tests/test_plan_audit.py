@@ -209,6 +209,7 @@ def test_round5b_ops_stay_jvm_side_and_keyed(spark):
         "orders_ship_sla",
         "ab_test_mannwhitney",
         "alert_error_burnrate",
+        "sample_weighted_aexpj",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
     for name in [
