@@ -1296,7 +1296,7 @@ u AS (
 ), adj AS (
   SELECT u.variant,
          CAST(count(*) AS BIGINT) AS n_users,
-         sum(u.y4 / 10000.0) / count(*) AS mean_y,
+         CAST(sum(u.y4) AS BIGINT) * 1.0 / (count(*) * 10000.0) AS mean_y,
          sum((u.y4 - th.theta * (u.x4 - th.mean_x)) / 10000.0) / count(*)
            AS mean_y_adj,
          var_samp(u.y4 / 10000.0) AS var_y,
@@ -1366,7 +1366,14 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     yraw = F.col("y4") / F.lit(10000.0)
     adj = u.crossJoin(F.broadcast(th)).groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
-        (F.sum(yraw) / F.count(F.lit(1))).alias("mean_y"),
+        # exact: BIGINT sum(y4) then one division — order-free, unlike a
+        # double sum of y4/1e4 whose accumulation order could flip the 4dp
+        # rounding at a half boundary (ADVICE r5)
+        (
+            F.sum("y4").cast("long")
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.lit(10000.0))
+        ).alias("mean_y"),
         (F.sum(yadj) / F.count(F.lit(1))).alias("mean_y_adj"),
         F.var_samp(yraw).alias("var_y"),
         F.var_samp(yadj).alias("var_y_adj"),

@@ -227,11 +227,13 @@ def drift_performance_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     cutoff = F.lit(_CUTOFF).cast("timestamp")
     f = _with_forecast(t).filter(F.col("forecast").isNotNull())
-    wm = lambda df: F.round(  # noqa: E731 — shared WMAPE shorthand
+    # r4, NOT F.round: the DuckDB oracle's round(x,4) matches r4's
+    # half-away-from-zero on the exact binary value, while Spark's round
+    # does HALF_UP on the shortest decimal repr (functions/core.py:r4).
+    wm = lambda df: r4(  # noqa: E731 — shared WMAPE shorthand
         F.sum(F.abs(F.col("actual") - F.col("forecast")))
         / F.sum(F.abs(F.col("actual")))
-        * 100,
-        4,
+        * 100
     )
     ref = f.filter(F.col("l_shipdate") < cutoff).agg(wm(f).alias("wmape_ref"))
     cur = (

@@ -312,7 +312,13 @@ def io_clustered_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f, mn, mx in stats
         if str(mx)[:10] >= lo and str(mn)[:10] < hi
     ]
-    back = spark.read.parquet(*keep).filter(
+    if not keep:
+        # no file overlaps the window: an empty result with the clustered
+        # schema, not a spark.read.parquet() with zero paths (which raises)
+        back = spark.createDataFrame([], spark.read.parquet(dst).schema)
+    else:
+        back = spark.read.parquet(*keep)
+    back = back.filter(
         (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
     )

@@ -358,9 +358,13 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         counts: dict = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for t in pdf["event_type"]:
+        # accumulate ALL chunks first, then sort once: a group spanning
+        # multiple pandas chunks is not globally time-ordered chunk-by-chunk,
+        # so per-chunk sorting could misorder transitions across boundaries
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for t in full["event_type"]:
                 if last is not None:
                     counts[(last, t)] = counts.get((last, t), 0) + 1
                 last = t
@@ -401,29 +405,40 @@ def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
     state_schema = "last_ts long, last_value double, vdt long, dt long, n long"
 
     def update(key, pdfs, state: GroupState):
+        import math  # noqa: PLC0415 — worker-side import
+
         if state.exists:
             last_ts, last_value, vdt, dt, n = state.get
         else:
             last_ts, last_value, vdt, dt, n = None, None, 0, 0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, val in zip(pdf["ts"], pdf["value"]):
+        # accumulate ALL chunks, then sort once: per-chunk sorting would
+        # misorder intervals for a group spanning multiple pandas chunks
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, val in zip(full["ts"], full["value"]):
                 ts_s = int(pd.Timestamp(ts).value // 1_000_000_000)
                 if last_ts is not None:
                     step = ts_s - last_ts
                     if step > 0:
-                        vdt += int((last_value * step) * 10000 + 0.5)
+                        # math.floor(x+0.5), matching the batch twin's
+                        # floor(value*dt*1e4 + 0.5) for negative products too
+                        # (int() truncates toward zero and would diverge)
+                        vdt += math.floor((last_value * step) * 10000 + 0.5)
                         dt += step
                         n += 1
                 last_ts, last_value = ts_s, float(val)
         state.update((last_ts, last_value, vdt, dt, n))
         if dt > 0:
+            x = vdt / (dt * 10000.0)
+            # r4 convention (half away from zero), not Python's banker's round
+            twa = math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000.0
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_intervals": [n],
                     "span_seconds": [dt],
-                    "twa_value": [round(vdt / (dt * 10000.0), 4)],
+                    "twa_value": [twa],
                 }
             )
 
