@@ -183,19 +183,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out: dict[str, object] = dict(timings)
     out.update(errors)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": out,
-                "sf": sf,
-                "n_errors": len(errors),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": out,
+            "sf": sf,
+            "n_errors": len(errors),
+        }
     )
+    # print BEFORE and AFTER spark.stop(): the driver's tail capture lost
+    # the r5 JSON head to interleaved console output, so the line is emitted
+    # twice (flushed) — whichever survives truncation parses on its own
+    print(line, flush=True)
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

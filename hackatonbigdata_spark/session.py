@@ -36,6 +36,10 @@ def get_spark(app_name: str = "hackatonbigdata_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # no \r progress bars on stdout: they flood line-capture harnesses
+        # (the r5 driver lost bench.py's JSON line to them) and serve nothing
+        # in a headless run
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
