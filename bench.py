@@ -138,6 +138,8 @@ HEADLINE = [
     "ab_test_mannwhitney",            # tie-corrected rank test
     "alert_error_burnrate",           # multi-window burn-rate paging
     "sample_weighted_aexpj",          # deterministic weighted sampling
+    # round-6 operators:
+    "calibration_quantile_fit",       # fitted pinball-GD quantile regressors
 ]
 
 

@@ -3683,6 +3683,211 @@ calibration_platt_exact.__doc__ = calibration_platt_exact.__doc__.replace(
 )
 
 
+# calibration_quantile_fit: fitted pinball-loss quantile regressors in the
+# same exact cross-engine arithmetic as calibration_platt_exact.  The
+# pinball subgradient is SIGN-BASED — per row it is either -tau or (1-tau),
+# optionally times xs — so every per-row gradient is built from comparisons
+# and multiplies only (all correctly-rounded IEEE ops; no exp/log anywhere),
+# then quantized to integer nano-units before summing: the whole optimizer
+# trajectory is bit-identical between Spark and DuckDB.
+_QFIT_ITERS = 12
+_QFIT_LR = "0.5"
+
+
+def _quantile_fit_oracle() -> str:
+    sql = """
+WITH f0 AS ({fsql}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+mm AS (SELECT min(forecast) AS mn, max(forecast) AS mx,
+              min(actual) AS amn, max(actual) AS amx
+       FROM f WHERE l_orderkey % 2 = 0),
+sc AS (
+  SELECT l_orderkey,
+         CASE WHEN mm.mx > mm.mn
+              THEN (forecast - mm.mn) / (mm.mx - mm.mn) ELSE 0.5 END AS xs,
+         CASE WHEN mm.amx > mm.amn
+              THEN (actual - mm.amn) / (mm.amx - mm.amn) ELSE 0.5 END AS ys
+  FROM f CROSS JOIN mm
+),
+cal AS (SELECT xs, ys FROM sc WHERE l_orderkey % 2 = 0),
+p0 AS (SELECT CAST(tq AS BIGINT) AS tq, CAST(0 AS BIGINT) AS a,
+              CAST(tq * 100000000 AS BIGINT) AS b
+       FROM (VALUES (1), (5), (9)) t(tq))
+""".replace("{fsql}", _FORECAST_SQL)
+    for i in range(1, _QFIT_ITERS + 1):
+        sql += """, p{i} AS (
+  SELECT tq,
+         CAST(any_value(a) - floor({lr} * sum(ga) / count(*) + 0.5)
+              AS BIGINT) AS a,
+         CAST(any_value(b) - floor({lr} * sum(gb) / count(*) + 0.5)
+              AS BIGINT) AS b
+  FROM (
+    SELECT g.tq, g.a, g.b,
+           floor(g.gc * g.xs * 1000000000 + 0.5) AS ga,
+           floor(g.gc * 1000000000 + 0.5) AS gb
+    FROM (
+      SELECT p.tq, p.a, p.b, c.xs,
+             CASE WHEN c.ys > (p.a / 1000000000.0) * c.xs
+                             + (p.b / 1000000000.0)
+                  THEN -(p.tq / 10.0) ELSE 1 - p.tq / 10.0 END AS gc
+      FROM cal c CROSS JOIN p{prev} p
+    ) g
+  ) GROUP BY tq
+)""".format(i=i, prev=i - 1, lr=_QFIT_LR)
+    sql += """
+, scored AS (
+  SELECT p.tq, p.a, p.b, s.ys,
+         s.ys - ((p.a / 1000000000.0) * s.xs + (p.b / 1000000000.0)) AS u
+  FROM sc s CROSS JOIN p{last} p
+)
+SELECT CAST(tq AS INTEGER) AS tau_x10,
+       CAST(any_value(a) AS BIGINT) AS slope_nano,
+       CAST(any_value(b) AS BIGINT) AS intercept_nano,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(CASE WHEN u <= 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS coverage,
+       round(sum(floor(greatest((tq / 10.0) * u, (tq / 10.0 - 1) * u)
+                       * 100000000 + 0.5))
+             / (count(*) * 100000000.0), 4) AS mean_pinball
+FROM scored GROUP BY tq
+""".replace("{last}", str(_QFIT_ITERS))
+    return sql
+
+
+@register("calibration_quantile_fit", oracle=_quantile_fit_oracle())
+def calibration_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITTED quantile-regression calibrator: three pinball-loss linear
+    regressors (tau = 0.1, 0.5, 0.9) trained jointly by {iters}
+    deterministic subgradient-descent steps — the engine's counterpart of
+    the reference's per-quantile ``QuantileRegressor``
+    (/root/reference/src/models/model_calibration.py:296-371, sklearn
+    pinball fits at [0.05..0.95]), completing the calibration family next
+    to the static ``calibration_quantile_band``.
+
+    Exactness: the pinball subgradient per row is sign-based (-tau if
+    y > prediction else 1-tau, times xs for the slope), so each gradient
+    uses only comparisons and multiplies — correctly-rounded IEEE ops —
+    and is quantized to BIGINT nano-units before the sum; like
+    ``calibration_platt_exact``, the whole trajectory is bit-identical
+    across engines and partitionings.  All three taus ride ONE gradient
+    pass per step: the 3-row (tau, a, b) param table broadcast-joins the
+    calibration projection and the update groups by tau.
+
+    Output: per tau, the fitted nano-params plus the two diagnostics that
+    matter — empirical coverage (P[y <= q_tau(x)]; near tau when the fit
+    is honest) and mean pinball loss over ALL rows.
+
+    Scale: the (xs, ys) projection is localCheckpointed once (two doubles
+    a row); each step is one keyed aggregate over cal x 3 taus.  {iters}
+    sequential passes are the honest distributed-GD cost; production fits
+    on the calibration half (already the semantics) and would subsample
+    at 100 TB exactly as the reference fits on held-out subsets."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    mm = f.filter(F.col("l_orderkey") % 2 == 0).agg(
+        F.min("forecast").alias("mn"),
+        F.max("forecast").alias("mx"),
+        F.min("actual").alias("amn"),
+        F.max("actual").alias("amx"),
+    )
+    sc = f.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("forecast") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("xs"),
+        F.when(
+            F.col("amx") > F.col("amn"),
+            (F.col("actual") - F.col("amn")) / (F.col("amx") - F.col("amn")),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("ys"),
+    )
+    cal = (
+        sc.filter(F.col("l_orderkey") % 2 == 0)
+        .select("xs", "ys")
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    params = spark.createDataFrame([(1,), (5,), (9,)], "tq long").select(
+        "tq",
+        F.lit(0).cast("long").alias("a"),
+        (F.col("tq") * F.lit(100000000)).cast("long").alias("b"),
+    )
+    lr = float(_QFIT_LR)
+    for _ in range(_QFIT_ITERS):
+        pred = (F.col("a") / F.lit(1e9)) * F.col("xs") + F.col("b") / F.lit(1e9)
+        gc = F.when(
+            F.col("ys") > pred, -(F.col("tq") / F.lit(10.0))
+        ).otherwise(F.lit(1) - F.col("tq") / F.lit(10.0))
+        g = cal.crossJoin(F.broadcast(params)).select(
+            "tq",
+            "a",
+            "b",
+            F.floor(gc * F.col("xs") * F.lit(1000000000) + F.lit(0.5)).alias("ga"),
+            F.floor(gc * F.lit(1000000000) + F.lit(0.5)).alias("gb"),
+        )
+        params = g.groupBy("tq").agg(
+            (
+                F.first("a")
+                - F.floor(
+                    F.lit(lr) * F.sum("ga") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("a"),
+            (
+                F.first("b")
+                - F.floor(
+                    F.lit(lr) * F.sum("gb") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    u = F.col("ys") - (
+        (F.col("a") / F.lit(1e9)) * F.col("xs") + F.col("b") / F.lit(1e9)
+    )
+    tau = F.col("tq") / F.lit(10.0)
+    scored = sc.crossJoin(F.broadcast(params)).select(
+        "tq",
+        "a",
+        "b",
+        u.alias("u"),
+        F.floor(
+            F.greatest(tau * u, (tau - F.lit(1)) * u) * F.lit(100000000)
+            + F.lit(0.5)
+        ).alias("pq"),
+    )
+    return scored.groupBy("tq").agg(
+        F.first("a").cast("long").alias("slope_nano"),
+        F.first("b").cast("long").alias("intercept_nano"),
+        F.count(F.lit(1)).alias("n_rows"),
+        r4(
+            F.sum(F.when(F.col("u") <= 0, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+        r4(F.sum("pq") / (F.count(F.lit(1)) * F.lit(100000000.0))).alias(
+            "mean_pinball"
+        ),
+    ).select(
+        F.col("tq").cast("int").alias("tau_x10"),
+        "slope_nano",
+        "intercept_nano",
+        "n_rows",
+        "coverage",
+        "mean_pinball",
+    )
+
+
+calibration_quantile_fit.__doc__ = calibration_quantile_fit.__doc__.replace(
+    "{iters}", str(_QFIT_ITERS)
+)
+
+
 @register(
     "eval_confusion_by_store",
     oracle=f"""

@@ -69,7 +69,7 @@ _PRIORITY: list[str] = [
     # from anomaly_poisson_spikes down has NO driver evidence yet — those
     # 18 names lead right after the r6 additions, per the r5 verdict.
     # --- round 6: new queries (inserted as implemented) --------------------
-    # (new r6 names go here, newest first)
+    "calibration_quantile_fit",  # r6: fitted pinball-GD quantile regressors
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)
