@@ -140,6 +140,9 @@ HEADLINE = [
     "sample_weighted_aexpj",          # deterministic weighted sampling
     # round-6 operators:
     "calibration_quantile_fit",       # fitted pinball-GD quantile regressors
+    "mm_magic_format_detect",         # magic-byte container-format survey
+    "mm_payload_entropy",             # byte-histogram entropy screen
+    "mm_patch_byte_stats",            # per-patch byte statistics
 ]
 
 

@@ -70,6 +70,9 @@ _PRIORITY: list[str] = [
     # 18 names lead right after the r6 additions, per the r5 verdict.
     # --- round 6: new queries (inserted as implemented) --------------------
     "calibration_quantile_fit",  # r6: fitted pinball-GD quantile regressors
+    "mm_magic_format_detect",  # r6: magic-byte container survey
+    "mm_payload_entropy",  # r6: byte-histogram entropy screen
+    "mm_patch_byte_stats",  # r6: per-patch byte statistics
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)
