@@ -143,6 +143,7 @@ HEADLINE = [
     "mm_magic_format_detect",         # magic-byte container-format survey
     "mm_payload_entropy",             # byte-histogram entropy screen
     "mm_patch_byte_stats",            # per-patch byte statistics
+    "stacking_gbt_meta",              # MLlib GBT nonlinear meta-learner
 ]
 
 

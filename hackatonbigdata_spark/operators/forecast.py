@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from hackatonbigdata_spark.catalog import Catalog
-from hackatonbigdata_spark.functions.core import r4
+from hackatonbigdata_spark.functions.core import r4, wmape_expr
 from hackatonbigdata_spark.registry import register
 
 _ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
@@ -2768,6 +2768,73 @@ def stacking_ridge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("b3")).alias("w_store"),
         r4(F.col("wmape_ridge")).alias("wmape_ridge"),
         r4(F.col("wmape_equal")).alias("wmape_equal"),
+    )
+
+
+@register("stacking_gbt_meta")
+def stacking_gbt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonlinear stacking meta-learner: an MLlib gradient-boosted-trees
+    regressor over the same three OOF base predictions the closed-form
+    ridge uses — the distributed twin of the reference's feature-based
+    level-2 ``LGBMRegressor(objective='regression', n_estimators=100)``
+    (/root/reference/src/models/advanced_ensemble.py:407-660; conditional
+    weighting via feature interactions, the one level-2 capability the
+    linear solvers can't express).  Rows-only: boosted-tree split
+    thresholds aren't SQL-reproducible; tests pin the in-sample WMAPE at
+    no worse than both the closed-form ridge and the equal-weight blend
+    (tests/test_plan_audit... see tests/test_ensemble_gbt.py) and the
+    feature-importance simplex (non-negative, sums to 1).
+
+    Output one row: tree-shape stats, per-base-model importance shares
+    (the "which model does the router lean on" readout, complementing
+    ``ensemble_dynamic_weights``), and the GBT vs equal-blend WMAPEs.
+
+    Scale: MLlib GBT on a 3-column design matrix — each boosting round is
+    a fixed number of distributed passes; scoring is model.transform
+    (JVM-side, no Python).  Like the reference, the meta-learner fits on
+    OOF predictions, so the input table is already the compact
+    (supplier, part) grain, orders of magnitude below fact scale."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    j = _oof_join(Catalog(spark, sf_dir)).select(
+        "pred_mean", "pred_q75", "pred_store", "actual"
+    )
+    # materialize the compact design matrix once: every boosting round
+    # re-reads it, and without this the OOF join re-executes per iteration
+    vec = (
+        VectorAssembler(
+            inputCols=["pred_mean", "pred_q75", "pred_store"], outputCol="x"
+        )
+        .transform(j)
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    model = GBTRegressor(
+        featuresCol="x",
+        labelCol="actual",
+        maxIter=20,
+        maxDepth=3,
+        stepSize=0.2,
+        seed=42,
+    ).fit(vec)
+    fi = model.featureImportances.toArray().tolist()
+    fi = fi + [0.0] * (3 - len(fi))
+    eq = (F.col("pred_mean") + F.col("pred_q75") + F.col("pred_store")) / 3
+    scored = model.transform(vec).select(
+        "actual",
+        F.greatest(F.col("prediction"), F.lit(0.0)).alias("yhat"),
+        eq.alias("yhat_eq"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(model.getNumTrees).cast("int").alias("n_trees"),
+        F.lit(model.totalNumNodes).cast("int").alias("total_nodes"),
+        F.lit(round(fi[0], 4)).alias("fi_mean"),
+        F.lit(round(fi[1], 4)).alias("fi_q75"),
+        F.lit(round(fi[2], 4)).alias("fi_store"),
+        r4(wmape_expr(F.col("actual"), F.col("yhat"))).alias("wmape_gbt"),
+        r4(wmape_expr(F.col("actual"), F.col("yhat_eq"))).alias("wmape_equal"),
     )
 
 

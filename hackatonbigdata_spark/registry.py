@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "mm_magic_format_detect",  # r6: magic-byte container survey
     "mm_payload_entropy",  # r6: byte-histogram entropy screen
     "mm_patch_byte_stats",  # r6: per-patch byte statistics
+    "stacking_gbt_meta",  # r6: MLlib GBT meta-learner (rows-only)
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)

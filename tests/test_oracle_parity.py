@@ -65,5 +65,9 @@ def test_every_query_has_oracle_or_reason():
         # per-series Holt-Winters recursion: state-dependent, not one SQL
         # statement; math pinned by tests/test_ml_similarity.py
         "holt_winters_per_series",
+        # MLlib GBT meta-learner: boosted-tree split thresholds are model
+        # internals; not-worse-than-ridge WMAPE + importance simplex pinned
+        # by tests/test_ensemble_gbt.py
+        "stacking_gbt_meta",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"
