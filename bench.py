@@ -144,6 +144,9 @@ HEADLINE = [
     "mm_payload_entropy",             # byte-histogram entropy screen
     "mm_patch_byte_stats",            # per-patch byte statistics
     "stacking_gbt_meta",              # MLlib GBT nonlinear meta-learner
+    "eval_roc_auc",                   # exact Mann-Whitney ROC AUC per store
+    "eval_brier_decomposition",       # Murphy Brier decomposition
+    "cv_purged_embargo",              # purged K-fold CV with embargo
 ]
 
 

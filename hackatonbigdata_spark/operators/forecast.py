@@ -4222,3 +4222,335 @@ def postproc_topdown_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (alloc - F.col("s_cur")).cast("long").alias("delta"),
         r4(F.col("s_hist") * F.lit(1.0) / F.col("g_hist")).alias("hist_share"),
     )
+
+
+@register(
+    "eval_roc_auc",
+    oracle=f"""
+WITH f0 AS ({_FORECAST_SQL}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+m AS (
+  SELECT l_suppkey, quantile_cont(actual, 0.5) AS med_a
+  FROM f GROUP BY 1
+), lab AS (
+  SELECT f.l_suppkey, f.forecast,
+         CASE WHEN f.actual > m.med_a THEN 1 ELSE 0 END AS y
+  FROM f JOIN m ON f.l_suppkey = m.l_suppkey
+), rk AS (
+  SELECT l_suppkey, y,
+         2 * rank() OVER (PARTITION BY l_suppkey ORDER BY forecast)
+           + count(*) OVER (PARTITION BY l_suppkey, forecast) - 1 AS rank2
+  FROM lab
+), s AS (
+  SELECT l_suppkey,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(y * rank2) AS BIGINT) AS r2_pos
+  FROM rk GROUP BY 1
+)
+SELECT l_suppkey, n_pos, n_neg,
+       round((r2_pos - n_pos * (n_pos + 1)) * 1.0
+             / nullif(2 * n_pos * n_neg, 0), 4) AS auc,
+       round((r2_pos - n_pos * (n_pos + 1)) * 1.0
+             / nullif(n_pos * n_neg, 0) - 1.0, 4) AS gini
+FROM s
+""",
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store ROC AUC for the demand-event classifier, EXACT via the
+    Mann-Whitney rank identity: AUC = (R1 - n1(n1+1)/2) / (n1·n0) with
+    average ranks for ties — the threshold-free companion to
+    ``eval_confusion_by_store`` (the reference computes sklearn
+    ``roc_auc_score`` on collected arrays in its diagnostics,
+    /root/reference/src/evaluation/error_analysis.py:89-300; this is the
+    distributed closed form, no curve sweep needed).  Ties are handled by
+    doubling: rank2 = 2·rank + tiecount - 1 is twice the average rank, an
+    INTEGER, so every sum stays integer and AUC is one exact ratio.
+
+    Scale: one grouped median, one store-keyed rank window, one keyed
+    aggregate — the same single-shuffle chain as every eval query; the
+    tie-count window shares the rank window's partitioning."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    m = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med_a")
+    )
+    lab = f.join(m, "l_suppkey").select(
+        "l_suppkey",
+        "forecast",
+        F.when(F.col("actual") > F.col("med_a"), 1).otherwise(0).alias("y"),
+    )
+    wr = W.partitionBy("l_suppkey").orderBy("forecast")
+    wt = W.partitionBy("l_suppkey", "forecast")
+    rk = lab.select(
+        "l_suppkey",
+        "y",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt)
+            - F.lit(1)
+        ).alias("rank2"),
+    )
+    s = rk.groupBy("l_suppkey").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(F.col("y") * F.col("rank2")).cast("long").alias("r2_pos"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return s.select(
+        "l_suppkey",
+        "n_pos",
+        "n_neg",
+        r4(
+            u2 * F.lit(1.0)
+            / F.nullif(F.lit(2) * F.col("n_pos") * F.col("n_neg"), F.lit(0))
+        ).alias("auc"),
+        r4(
+            u2 * F.lit(1.0) / F.nullif(F.col("n_pos") * F.col("n_neg"), F.lit(0))
+            - F.lit(1.0)
+        ).alias("gini"),
+    )
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle=f"""
+WITH f0 AS ({_FORECAST_SQL}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+m AS (
+  SELECT l_suppkey, quantile_cont(actual, 0.5) AS med_a
+  FROM f GROUP BY 1
+), mm AS (SELECT min(forecast) AS mn, max(forecast) AS mx FROM f),
+lab AS (
+  SELECT CASE WHEN f.actual > m.med_a THEN 1 ELSE 0 END AS y,
+         CAST(floor(CASE WHEN mm.mx > mm.mn
+                         THEN (f.forecast - mm.mn) / (mm.mx - mm.mn)
+                         ELSE 0.5 END * 10000 + 0.5) AS BIGINT) AS p4
+  FROM f JOIN m ON f.l_suppkey = m.l_suppkey CROSS JOIN mm
+), b AS (
+  SELECT least(9, p4 // 1000) AS bin,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(p4) AS BIGINT) AS sp4,
+         CAST(sum((p4 - y * 10000) * (p4 - y * 10000)) AS BIGINT) AS sd2
+  FROM lab GROUP BY 1
+), g AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS syg,
+         CAST(sum(sd2) AS BIGINT) AS sd2g,
+         sum(nk * (sp4 / (nk * 10000.0) - sy * 1.0 / nk)
+                * (sp4 / (nk * 10000.0) - sy * 1.0 / nk)) AS rel_num
+  FROM b
+), g2 AS (
+  SELECT g.n, g.syg, g.sd2g, g.rel_num,
+         (SELECT sum(nk * (sy * 1.0 / nk - g.syg * 1.0 / g.n)
+                        * (sy * 1.0 / nk - g.syg * 1.0 / g.n)) FROM b) AS res_num
+  FROM g
+)
+SELECT n AS n_rows,
+       round(sd2g / (n * 100000000.0), 4) AS brier,
+       round(rel_num / n, 4) AS reliability,
+       round(res_num / n, 4) AS resolution,
+       round((syg * 1.0 / n) * (1.0 - syg * 1.0 / n), 4) AS uncertainty,
+       round(rel_num / n - res_num / n
+             + (syg * 1.0 / n) * (1.0 - syg * 1.0 / n), 4) AS brier_binned
+FROM g2
+""",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (calibration
+    error), resolution (discriminative sharpness), and uncertainty (base
+    rate variance) — over the min-max-scaled forecast as the event score
+    and the above-median demand event as the outcome: the standard
+    "is the probabilistic forecast calibrated AND sharp" readout behind
+    the reference's calibration curve + interval diagnostics
+    (/root/reference/src/models/model_calibration.py 's calibration
+    analysis; binned convention shared with ``calibration_curve_bins``).
+
+    Exactness: the score lives on the 1e-4 grid, so the raw Brier sum is
+    an INTEGER sum of squared grid differences d² (d = p4 - 10000·y);
+    bins derive from p4 (integer //), bin means are exact ratios, and the
+    rel/res sums run over exactly 10 bins — bounded-ulp, r4-safe.
+
+    Scale: one scan into a 10-bin keyed aggregate, then a 10-row fold —
+    shuffle width is the bin count, nothing else."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    m = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med_a")
+    )
+    mm = f.agg(F.min("forecast").alias("mn"), F.max("forecast").alias("mx"))
+    p = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("forecast") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    ).otherwise(F.lit(0.5))
+    lab = (
+        f.join(m, "l_suppkey")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.when(F.col("actual") > F.col("med_a"), 1).otherwise(0).alias("y"),
+            F.floor(p * 10000 + F.lit(0.5)).cast("long").alias("p4"),
+        )
+    )
+    d = F.col("p4") - F.col("y") * 10000
+    b = lab.groupBy(
+        F.least(F.lit(9), F.expr("p4 div 1000")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("p4").cast("long").alias("sp4"),
+        F.sum(d * d).cast("long").alias("sd2"),
+    )
+    # 10-row fold: two passes expressed as one aggregate by pre-joining the
+    # global base rate (broadcast scalar) back onto the bins
+    g = b.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("syg"),
+        F.sum("sd2").cast("long").alias("sd2g"),
+    )
+    bg = b.crossJoin(F.broadcast(g))
+    pk = F.col("sp4") / (F.col("nk") * F.lit(10000.0))
+    yk = F.col("sy") * F.lit(1.0) / F.col("nk")
+    yg = F.col("syg") * F.lit(1.0) / F.col("n")
+    out = bg.groupBy("n", "syg", "sd2g").agg(
+        F.sum(F.col("nk") * (pk - yk) * (pk - yk)).alias("rel_num"),
+        F.sum(F.col("nk") * (yk - yg) * (yk - yg)).alias("res_num"),
+    )
+    ygl = F.col("syg") * F.lit(1.0) / F.col("n")
+    unc = ygl * (F.lit(1.0) - ygl)
+    return out.select(
+        F.col("n").alias("n_rows"),
+        r4(F.col("sd2g") / (F.col("n") * F.lit(100000000.0))).alias("brier"),
+        r4(F.col("rel_num") / F.col("n")).alias("reliability"),
+        r4(F.col("res_num") / F.col("n")).alias("resolution"),
+        r4(unc).alias("uncertainty"),
+        r4(
+            F.col("rel_num") / F.col("n") - F.col("res_num") / F.col("n") + unc
+        ).alias("brier_binned"),
+    )
+
+
+@register(
+    "cv_purged_embargo",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(CAST(l_shipdate AS DATE)) AS DATE) AS d0,
+         CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                        max(CAST(l_shipdate AS DATE))) + 1 AS BIGINT) AS span
+  FROM lineitem
+), r AS (
+  SELECT CAST(date_diff('day', b.d0, CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS day_idx,
+         b.span
+  FROM lineitem CROSS JOIN b
+), fb AS (
+  SELECT k, span,
+         (k * span + 4) // 5 AS f_start,
+         CASE WHEN k = 4 THEN span - 1
+              ELSE ((k + 1) * span + 4) // 5 - 1 END AS f_end
+  FROM (VALUES (CAST(0 AS BIGINT)), (1), (2), (3), (4)) t(k)
+       CROSS JOIN (SELECT span FROM b)
+), cl AS (
+  SELECT fb.k, fb.f_start, fb.f_end,
+         CASE WHEN r.day_idx BETWEEN fb.f_start AND fb.f_end THEN 'test'
+              WHEN r.day_idx >= fb.f_start - 7 AND r.day_idx <= fb.f_end + 7
+                THEN 'purged'
+              ELSE 'train' END AS role
+  FROM r CROSS JOIN fb
+)
+SELECT CAST(k AS INTEGER) AS fold,
+       CAST(f_start AS BIGINT) AS test_start_day,
+       CAST(f_end AS BIGINT) AS test_end_day,
+       CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       round(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS train_share
+FROM cl GROUP BY 1, 2, 3
+""",
+)
+def cv_purged_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold time-series CV with embargo: 5 contiguous date folds;
+    for each fold, rows within 7 days BEFORE the test window (purge — their
+    aggregated features would leak test information backward) or 7 days
+    AFTER it (embargo — autocorrelated labels leak forward) are excluded
+    from training.  The reference's CV module names exactly this
+    ("Gap and purge periods to prevent leakage", 1-week embargo —
+    /root/reference/src/models/time_series_cv.py:8-10,57-73); this is the
+    fold-assignment audit table: per fold, the test bounds and the
+    test/train/purged row budget.
+
+    Exactness: day indices, fold boundaries ((k·span+4)//5 on non-negative
+    ints), and role classification are all integer arithmetic — bit-equal
+    across engines; train_share is one exact ratio.
+
+    Scale: one bounds scan, then a fact x 5-fold broadcast cross join into
+    a 5-row keyed aggregate — the bounded-multiplier pattern (the fold
+    table is 5 rows; nothing else is replicated)."""
+    t = Catalog(spark, sf_dir)
+    b = t.lineitem.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("span"),
+    )
+    r = t.lineitem.select(F.col("l_shipdate").cast("date").alias("d")).crossJoin(
+        F.broadcast(b)
+    ).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_idx"),
+        "span",
+    )
+    folds = spark.createDataFrame([(k,) for k in range(5)], "k long")
+    fb = folds.crossJoin(F.broadcast(b.select("span"))).select(
+        "k",
+        F.expr("(k * span + 4) div 5").alias("f_start"),
+        F.when(F.col("k") == 4, F.col("span") - 1)
+        .otherwise(F.expr("((k + 1) * span + 4) div 5 - 1"))
+        .alias("f_end"),
+    )
+    role = (
+        F.when(
+            F.col("day_idx").between(F.col("f_start"), F.col("f_end")), "test"
+        )
+        .when(
+            (F.col("day_idx") >= F.col("f_start") - 7)
+            & (F.col("day_idx") <= F.col("f_end") + 7),
+            "purged",
+        )
+        .otherwise("train")
+    )
+    cl = r.crossJoin(F.broadcast(fb)).select(
+        "k", "f_start", "f_end", role.alias("role")
+    )
+    return cl.groupBy("k", "f_start", "f_end").agg(
+        F.sum(F.when(F.col("role") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("role") == "purged", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purged"),
+        r4(
+            F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("train_share"),
+    ).select(
+        F.col("k").cast("int").alias("fold"),
+        F.col("f_start").cast("long").alias("test_start_day"),
+        F.col("f_end").cast("long").alias("test_end_day"),
+        "n_test",
+        "n_train",
+        "n_purged",
+        "train_share",
+    )

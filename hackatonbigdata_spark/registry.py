@@ -74,6 +74,9 @@ _PRIORITY: list[str] = [
     "mm_payload_entropy",  # r6: byte-histogram entropy screen
     "mm_patch_byte_stats",  # r6: per-patch byte statistics
     "stacking_gbt_meta",  # r6: MLlib GBT meta-learner (rows-only)
+    "eval_roc_auc",  # r6: exact Mann-Whitney ROC AUC per store
+    "eval_brier_decomposition",  # r6: Murphy Brier decomposition
+    "cv_purged_embargo",  # r6: purged K-fold CV with embargo
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)
