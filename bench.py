@@ -147,6 +147,11 @@ HEADLINE = [
     "eval_roc_auc",                   # exact Mann-Whitney ROC AUC per store
     "eval_brier_decomposition",       # Murphy Brier decomposition
     "cv_purged_embargo",              # purged K-fold CV with embargo
+    "text_pii_scrub",                 # PII detection + redaction
+    "graph_triangle_count",           # triangles + clustering coefficient
+    "basket_association_rules",       # support/confidence/lift rules
+    "dedup_containment_pairs",        # asymmetric containment near-dup
+    "corpus_softdedup_weights",       # duplicate down-weighting report
 ]
 
 

@@ -2427,3 +2427,233 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(cos).alias("centroid_cosine"),
         (r4(cos) < F.lit(0.99)).alias("drift_flag"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH e AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+           AS enriched
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(enriched,
+              '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(enriched,
+              '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(enriched,
+              '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+              '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_hash
+  FROM e
+)
+SELECT doc_id, source, n_emails, n_phones,
+       n_emails + n_phones > 0 AS has_pii, scrubbed_hash
+FROM d
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count and mask email
+    addresses and phone-shaped tokens, emitting the scrubbed content hash —
+    the pass an LLM pipeline runs before anything leaves the quarantine
+    zone (the reference's cleaning stops at numeric sanitation,
+    src/data/clean_data.py:190-256; PII handling is the engine extension
+    next to ``text_scrub_numbers``).  The synthetic corpus carries no PII,
+    so a deterministic contact block is injected for 2/3 of docs (keyed on
+    doc_id, same derivation both engines — module-docstring convention
+    shared with the multimodal header synthesis); the DETECTOR/REDACTOR is
+    the operator under test and sees real addresses.
+
+    Exactness: regex classes here ([a-z0-9._]+@..., [0-9]{3}-[0-9]{4})
+    behave identically in Java regex and RE2; counts are integers and the
+    scrubbed text compares by md5.
+
+    Scale: pure rowwise regex, JVM-side, no shuffle — same shape as
+    text_scrub_numbers."""
+    t = Catalog(spark, sf_dir)
+    enriched = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    e = t.documents.select("doc_id", "source", enriched.alias("enriched"))
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("enriched"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    d = e.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(f"regexp_extract_all(enriched, '{email_re}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(enriched, '{phone_re}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_emails",
+        "n_phones",
+        (F.col("n_emails") + F.col("n_phones") > 0).alias("has_pii"),
+        "scrubbed_hash",
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       round(n_common * 1.0 / sa.sz, 4) AS containment,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / sa.sz >= 0.8
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection: C(A,B) =
+    |S(A) ∩ S(B)| / |S(A)| over word-3-gram shingle sets — the measure
+    that catches a short document EMBEDDED in a longer one (quote farms,
+    boilerplate wrapping, prepended headers), where symmetric Jaccard
+    dilutes below any threshold.  Directed pairs with C >= 0.8; the
+    Jaccard rides along so the report shows which hits Jaccard would have
+    missed.  Same candidate generation as ``dedup_ngram_jaccard`` (shingle
+    equi-join, never a cross join); the production scale path is the same
+    banded-LSH bucketing (a contained doc shares full bands with its
+    container), so this query is the exact spec of that path.
+
+    Exactness: set sizes and intersections are integer counts; both
+    measures are exact ratios."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cont = F.col("n_common") * F.lit(1.0) / F.col("sza")
+    jac = (
+        F.col("n_common")
+        * F.lit(1.0)
+        / (F.col("sza") + F.col("szb") - F.col("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .filter(cont >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sza").cast("long").alias("sz_a"),
+            r4(cont).alias("containment"),
+            r4(jac).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "corpus_softdedup_weights",
+    oracle=f"""
+WITH n AS (SELECT doc_id, source, md5({_DUCK_NORM}) AS text_hash
+           FROM documents),
+c AS (SELECT text_hash, CAST(count(*) AS BIGINT) AS n_copies
+      FROM n GROUP BY 1),
+w AS (
+  SELECT n.doc_id, n.source, c.n_copies,
+         round(1.0 / c.n_copies, 4) AS weight
+  FROM n JOIN c ON n.text_hash = c.text_hash
+), s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicated,
+         round(sum(CAST(floor(10000.0 / n_copies + 0.5) AS BIGINT))
+               / 10000.0, 4) AS effective_docs
+  FROM w GROUP BY 1
+)
+SELECT source, n_docs, n_duplicated, effective_docs,
+       round(effective_docs / n_docs, 4) AS dedup_efficiency
+FROM s
+""",
+)
+def corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: instead of DROPPING duplicates, DOWN-WEIGHT them —
+    every doc in an exact-duplicate cluster of size c gets sampling
+    weight 1/c, so the cluster contributes one effective document while
+    keeping all copies available (the soft-deduplication strategy from
+    recent LLM-pretraining work; the hard-drop twin is
+    ``dedup_exact_docs``).  Per-source report: raw vs effective document
+    count and the dedup-efficiency ratio the mixture planner
+    (``corpus_mixture_weights``) consumes.
+
+    Exactness: cluster sizes are integers; each weight is quantized to
+    the 1e-4 grid as a BIGINT before summing (1/3 is not an exact
+    double), so the effective-docs sum is order-free in both engines.
+
+    Scale: one digest shuffle (same as exact dedup) + one broadcast-back
+    join + one source-keyed aggregate."""
+    t = Catalog(spark, sf_dir)
+    n = t.documents.select(
+        "doc_id", "source", F.md5(_norm_text()).alias("text_hash")
+    )
+    c = n.groupBy("text_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    w = n.join(c, "text_hash").select(
+        "source",
+        "n_copies",
+        r4(F.lit(1.0) / F.col("n_copies")).alias("weight"),
+    )
+    s = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicated"),
+        # quantize each weight to the 1e-4 grid BEFORE summing: 1/3 is not
+        # an exact double, so a raw double sum would be accumulation-order
+        # dependent; the integer sum is order-free
+        r4(
+            F.sum(
+                F.floor(F.lit(10000.0) / F.col("n_copies") + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            / F.lit(10000.0)
+        ).alias("effective_docs"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_duplicated",
+        "effective_docs",
+        r4(F.col("effective_docs") / F.col("n_docs")).alias("dedup_efficiency"),
+    )

@@ -881,3 +881,205 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wv4").over(wcum) / (F.col("cohort_users") * F.lit(10000.0))
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY 1
+)
+SELECT d.node AS part, d.degree,
+       CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(tn.n_tri, 0)
+             / nullif(d.degree * (d.degree - 1), 0), 4) AS clustering_coef
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting + local clustering coefficient on the
+    basket co-occurrence graph — the cohesion companion to
+    ``graph_pagerank_parts`` (same ≥2-basket edge set): parts whose
+    neighborhoods close into triangles are bought in cliques (bundles),
+    high-degree/low-clustering parts are hubs.  Extends the reference's
+    pair-count analysis (/root/reference/src/features/
+    behavioral_features_engine.py:454-485) one hop further.
+
+    Algorithm: compact-forward on the ID-ORDERED edge list — every
+    triangle a<b<c is emitted exactly once by joining (a,b)x(b,c) and
+    closing with (a,c); two equi-joins on the edge table, never an
+    all-pairs pass.  At 100 TB the standard refinement orders edges by
+    degree instead of ID (bounds the join fan-out by arboricity); the
+    ID order here is the oracle-stable spec of the same plan shape.
+
+    Exactness: counts are integers; the clustering coefficient is one
+    exact ratio per node."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # three self-joins below: build the edges once
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(tn, "node", "left").select(
+        F.col("node").alias("part"),
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+        r4(
+            F.lit(2.0)
+            * F.coalesce(F.col("n_tri"), F.lit(0))
+            / F.nullif(F.col("degree") * (F.col("degree") - 1), F.lit(0))
+        ).alias("clustering_coef"),
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       FROM items),
+pc AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+  FROM items GROUP BY 1
+),
+pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+dir AS (
+  SELECT u AS antecedent, v AS consequent, n_ab FROM pr
+  UNION ALL
+  SELECT v, u, n_ab FROM pr
+)
+SELECT d.antecedent, d.consequent, d.n_ab,
+       pa.n_part AS n_antecedent, pc2.n_part AS n_consequent,
+       round(d.n_ab * 1.0 / nb.n_baskets, 4) AS support,
+       round(d.n_ab * 1.0 / pa.n_part, 4) AS confidence,
+       round(d.n_ab * 1.0 * nb.n_baskets / (pa.n_part * pc2.n_part), 4)
+         AS lift
+FROM dir d
+JOIN pc pa ON d.antecedent = pa.l_partkey
+JOIN pc pc2 ON d.consequent = pc2.l_partkey
+CROSS JOIN nb
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    directed part pair with >= 3 co-baskets, support, confidence, and
+    lift — the rule-mining layer on top of ``cooccurrence_pairs`` (which
+    stops at raw counts), matching the reference's co-purchase analysis
+    ambitions (/root/reference/src/features/behavioral_features_engine.py:
+    454-485) with the standard Apriori statistics.
+
+    Exactness: all three measures are single exact ratios of BIGINT
+    counts.  Scale: the pair join is the guarded a<b self-join with a
+    min-support cut (the Apriori pruning step — pairs below support never
+    leave the aggregate); item counts broadcast back onto the surviving
+    pairs; the basket total is one broadcast scalar."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    d = pr.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_ab"
+    ).unionAll(
+        pr.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_ab"
+        )
+    )
+    pa = pc.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_part").alias("n_antecedent"),
+    )
+    pcq = pc.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("n_part").alias("n_consequent"),
+    )
+    out = (
+        d.join(pa, "antecedent")
+        .join(pcq, "consequent")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_antecedent",
+        "n_consequent",
+        r4(F.col("n_ab") * F.lit(1.0) / F.col("n_baskets")).alias("support"),
+        r4(F.col("n_ab") * F.lit(1.0) / F.col("n_antecedent")).alias("confidence"),
+        r4(
+            F.col("n_ab")
+            * F.lit(1.0)
+            * F.col("n_baskets")
+            / (F.col("n_antecedent") * F.col("n_consequent"))
+        ).alias("lift"),
+    )

@@ -77,6 +77,11 @@ _PRIORITY: list[str] = [
     "eval_roc_auc",  # r6: exact Mann-Whitney ROC AUC per store
     "eval_brier_decomposition",  # r6: Murphy Brier decomposition
     "cv_purged_embargo",  # r6: purged K-fold CV with embargo
+    "text_pii_scrub",  # r6: PII detection + redaction
+    "graph_triangle_count",  # r6: triangles + clustering coefficient
+    "basket_association_rules",  # r6: support/confidence/lift rules
+    "dedup_containment_pairs",  # r6: asymmetric containment near-dup
+    "corpus_softdedup_weights",  # r6: duplicate down-weighting report
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)
