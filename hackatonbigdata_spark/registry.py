@@ -63,11 +63,11 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 6 BUDGET (50-slot driver window) ============================
-    # new-r6 block (below) + 18 never-checked r5b + 5 edited-oracle
-    # + 11 r1-stale must all fit in the first 50 names.  CORRECTNESS_r05
-    # confirmed the r5 window stopped at seq_path_trigrams, so everything
-    # from anomaly_poisson_spikes down has NO driver evidence yet — those
-    # 18 names lead right after the r6 additions, per the r5 verdict.
+    # 13 new-r6 + 18 never-checked r5b + 6 edited-oracle + 11 r1-stale = 48
+    # of the 50 slots; the first 2 r2-stale names take the remainder.
+    # CORRECTNESS_r05 confirmed the r5 window stopped at seq_path_trigrams,
+    # so everything from anomaly_poisson_spikes down had NO driver evidence —
+    # those 18 names lead right after the r6 additions, per the r5 verdict.
     # --- round 6: new queries (inserted as implemented) --------------------
     "calibration_quantile_fit",  # r6: fitted pinball-GD quantile regressors
     "mm_magic_format_detect",  # r6: magic-byte container survey

@@ -453,3 +453,97 @@ def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enriched_segment_hourly_stream(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC join twin: the event stream broadcast-joins the
+    customer dimension (user_id + 1 = c_custkey in this testdata) and
+    aggregates hourly value per market segment — the canonical streaming
+    enrichment topology (facts stream, dims are a static snapshot that
+    Spark re-reads per micro-batch; with a broadcast dim the join adds no
+    shuffle to the stream).  Values are quantized to the 1e-4 integer grid
+    inside the aggregate so batch and stream sums agree exactly regardless
+    of micro-batch accumulation order."""
+    dim = customers.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = (
+        events.withWatermark("ts", WATERMARK)
+        .join(F.broadcast(dim), F.col("user_id") + 1 == F.col("cust_id"), "left")
+        .select(
+            "ts",
+            F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+        )
+    )
+    return (
+        joined.groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v4").cast("long").alias("sum_v4"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_v4",
+        )
+    )
+
+
+def running_drawdown_stream(events: DataFrame) -> DataFrame:
+    """Per-user running peak-to-trough drawdown over the cumulative value
+    series as a custom stateful operator — the live twin of the
+    ``window_max_drawdown`` measure, re-based onto the event stream.
+    State per user is three BIGINTs in 1e-4 units (cumulative sum, running
+    peak of that sum, deepest drawdown so far), so the arithmetic is
+    integer-exact across micro-batch boundaries and accumulation orders;
+    chunks are concatenated before sorting (cross-chunk groups stay
+    time-ordered).  Emits the updated extrema per user per batch."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "user_id long, n_events long, final_cum4 long, peak4 long, max_dd4 long"
+    )
+    state_schema = "cum4 long, peak4 long, maxdd4 long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cum4, peak4, maxdd4, n = state.get
+        else:
+            cum4, peak4, maxdd4, n = 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for val in full["value"]:
+                cum4 += math.floor(float(val) * 10000 + 0.5)
+                peak4 = max(peak4, cum4)
+                maxdd4 = max(maxdd4, peak4 - cum4)
+                n += 1
+        state.update((cum4, peak4, maxdd4, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "final_cum4": [cum4],
+                "peak4": [peak4],
+                "max_dd4": [maxdd4],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -293,3 +293,75 @@ def test_time_weighted_avg_stream_matches_batch(spark, events_stream, events_bat
     assert (got.n_intervals == want.n_intervals).all()
     assert (got.span_seconds == want.span_seconds).all()
     assert (got.twa_value - want.twa_value).abs().max() < 1e-3
+
+
+def test_enriched_segment_hourly_stream_matches_batch(
+    spark, events_stream, events_batch
+):
+    """Stream-static broadcast enrichment: the streaming (hour, segment)
+    rollup over the dim-joined stream equals the batch twin exactly —
+    integer-quantized sums make the comparison order-free."""
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    jobs.run_to_memory(
+        jobs.enriched_segment_hourly_stream(events_stream, customers),
+        "t_enrich",
+        "complete",
+    )
+    got = spark.table("t_enrich")
+    batch = jobs.enriched_segment_hourly_stream(events_batch, customers)
+    keys = ["window_start", "segment"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+    # every event lands in a segment (user_id+1 is always a live custkey
+    # in this testdata) — the UNKNOWN fallback must stay unused
+    assert (
+        spark.table("t_enrich").filter(F.col("segment") == "UNKNOWN").count() == 0
+    )
+
+
+def test_running_drawdown_stream_matches_batch_windows(
+    spark, events_stream, events_batch
+):
+    """The stateful running-drawdown kernel converges (update mode, keep
+    last row per user) to the exact batch computation: cumulative
+    1e-4-quantized value sum, its running peak, and the deepest
+    peak-to-trough gap, per user over (ts, event_id) order."""
+    from pyspark.sql import Window as W
+
+    jobs.run_to_memory(
+        jobs.running_drawdown_stream(events_stream), "t_drawdown", "update"
+    )
+    got = (
+        spark.table("t_drawdown")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .set_index("user_id")
+        .sort_index()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum(
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    ).over(w)
+    per_row = events_batch.select(
+        "user_id",
+        cum.alias("cum4"),
+        F.max(cum).over(w).alias("peak4"),
+    ).withColumn("dd4", F.col("peak4") - F.col("cum4"))
+    totals = events_batch.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+            "final_cum4"
+        )
+    )
+    want = (
+        per_row.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("peak4").alias("peak4"),
+            F.max("dd4").alias("max_dd4"),
+        )
+        .join(totals, "user_id")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for col in ["n_events", "final_cum4", "peak4", "max_dd4"]:
+        assert (got[col] == want[col]).all(), col
