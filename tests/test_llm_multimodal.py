@@ -107,3 +107,34 @@ def test_incremental_dedup_statuses_partition_batch(spark):
     novel = got[got["status"] == "novel"]
     # novel digests are unique within the batch output
     assert novel["digest"].is_unique
+
+
+def test_corpus_is_ascii_so_byte_equals_char(spark):
+    """The byte-level multimodal kernels (entropy, patch stats) address the
+    payload by CHARACTER and read byte values via ascii() — valid only
+    while the corpus is pure ASCII.  Assert the invariant the module
+    docstring promises: octet_length(text) == n_chars for every document
+    (a future non-ASCII corpus must switch those kernels to binary
+    addressing)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = docs.filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) != F.col("n_chars")
+    ).count()
+    assert bad == 0
+
+
+def test_magic_format_detect_mixes_formats_within_sources(spark):
+    """The Knuth-hash format assignment must decorrelate from the source
+    (source = src{doc_id % 20} in this testdata): every source should see
+    more than one detected container format."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    got = (
+        all_queries()["mm_magic_format_detect"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .groupby("source")["detected"]
+        .nunique()
+    )
+    assert (got > 1).all()
