@@ -547,3 +547,91 @@ def running_drawdown_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def burnrate_stream(events: DataFrame) -> DataFrame:
+    """Live twin of ``alert_error_burnrate``: multi-window burn-rate paging
+    as ONE stateful operator.  State is the bounded hourly grid itself —
+    three parallel arrays (hour epoch, total, errors) — so each micro-batch
+    folds its events into the grid and re-emits EVERY hour's current
+    alert row (update mode keeps the last, so late data inside the
+    watermark retroactively fixes both the 1-hour rate of its own hour and
+    the 6-hour rate of the five hours after it).  The 6-hour frame uses
+    ROWS semantics over existing hours, exactly like the batch window.
+
+    Keyed by a constant shard here because the batch semantics are global;
+    production keys by service, giving each key its own O(hours) state —
+    the same note the batch docstring carries."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_err long, n_all long,"
+        " rate_1h double, rate_6h double, burn_1h double, page_alert boolean"
+    )
+    state_schema = "hs array<long>, na array<long>, ne array<long>"
+
+    def _r4(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000.0
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, na, ne = state.get
+            grid = {h: [a, e] for h, a, e in zip(hs, na, ne)}
+        else:
+            grid = {}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks)
+            hour = full["ts"].dt.floor("h")
+            for h, is_err in zip(hour, full["event_type"] == "error"):
+                epoch = int(pd.Timestamp(h).value // 1_000_000_000)
+                cell = grid.setdefault(epoch, [0, 0])
+                cell[0] += 1
+                if is_err:
+                    cell[1] += 1
+        hours = sorted(grid)
+        state.update(
+            (
+                hours,
+                [grid[h][0] for h in hours],
+                [grid[h][1] for h in hours],
+            )
+        )
+        rows = []
+        for i, h in enumerate(hours):
+            lo = max(0, i - 5)  # ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+            all6 = sum(grid[hours[j]][0] for j in range(lo, i + 1))
+            err6 = sum(grid[hours[j]][1] for j in range(lo, i + 1))
+            n_all, n_err = grid[h]
+            r1 = n_err / n_all
+            r6 = err6 / all6
+            rows.append(
+                {
+                    "hour": pd.Timestamp(h, unit="s"),
+                    "n_err": n_err,
+                    "n_all": n_all,
+                    "rate_1h": _r4(r1),
+                    "rate_6h": _r4(r6),
+                    "burn_1h": _r4(r1 / 0.2),
+                    "page_alert": bool(r1 > 0.28 and r6 > 0.24),
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        # materialized column, not groupBy(lit): grouping expressions must
+        # resolve against the child's output for stateful pandas ops
+        .withColumn("shard", F.lit(0))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

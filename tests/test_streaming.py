@@ -365,3 +365,28 @@ def test_running_drawdown_stream_matches_batch_windows(
     )
     for col in ["n_events", "final_cum4", "peak4", "max_dd4"]:
         assert (got[col] == want[col]).all(), col
+
+
+def test_burnrate_stream_matches_batch_query(spark, events_stream):
+    """The stateful burn-rate kernel converges (update mode, last row per
+    hour) to the oracled batch alert table: identical paging hours and
+    identical counts/rates."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    jobs.run_to_memory(jobs.burnrate_stream(events_stream), "t_burn", "update")
+    got = (
+        spark.table("t_burn")
+        .toPandas()
+        .drop_duplicates("hour", keep="last")
+    )
+    got = got[got.page_alert].set_index("hour").sort_index()
+    want = (
+        all_queries()["alert_error_burnrate"](spark, SF_DIR)
+        .toPandas()
+        .rename(columns={"hour": "hour"})
+        .set_index("hour")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    for col in ["n_err", "n_all", "rate_1h", "rate_6h", "burn_1h"]:
+        assert (got[col] == want[col]).all(), col
