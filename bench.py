@@ -152,6 +152,7 @@ HEADLINE = [
     "basket_association_rules",       # support/confidence/lift rules
     "dedup_containment_pairs",        # asymmetric containment near-dup
     "corpus_softdedup_weights",       # duplicate down-weighting report
+    "join_asof_interpolate",          # grid-aligned linear interpolation
 ]
 
 

@@ -937,3 +937,150 @@ def alert_error_burnrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(rate_1h / F.lit(0.2)).alias("burn_1h"),
         ((rate_1h > 0.28) & (rate_6h > 0.24)).alias("page_alert"),
     )
+
+
+@register(
+    "join_asof_interpolate",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(date_diff('second',
+                min(date_trunc('second', ts)) OVER (PARTITION BY user_id),
+                date_trunc('second', ts)) AS BIGINT) AS rel,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+  FROM events
+), span AS (
+  SELECT user_id, CAST(max(rel) // 3600 AS BIGINT) AS n_hours
+  FROM ev GROUP BY 1
+), grid AS (
+  SELECT user_id, CAST(u.k * 3600 AS BIGINT) AS rel
+  FROM span, unnest(range(1, n_hours + 1)) AS u(k)
+  WHERE n_hours >= 1
+), pts AS (
+  SELECT user_id, rel, v4 AS ev_v4, rel AS ev_rel, 0 AS is_grid,
+         event_id
+  FROM ev
+  UNION ALL
+  SELECT user_id, rel, NULL, NULL, 1, NULL FROM grid
+), w AS (
+  SELECT user_id, rel, is_grid,
+         last_value(ev_rel IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY rel, is_grid, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+         last_value(ev_v4 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY rel, is_grid, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         first_value(ev_rel IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY rel, is_grid, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1,
+         first_value(ev_v4 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY rel, is_grid, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1
+  FROM pts
+)
+SELECT user_id,
+       CAST(rel // 3600 AS BIGINT) AS grid_hour,
+       CAST(t1 - t0 AS BIGINT) AS gap_seconds,
+       round((v0 + (v1 - v0) * ((rel - t0) * 1.0 / (t1 - t0))) / 10000.0, 4)
+         AS v_interp
+FROM w
+WHERE is_grid = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+""",
+)
+def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of INTERPOLATION join: align each user's irregular event series
+    onto an hourly grid, linearly interpolating between the straddling
+    events — the `aj`-with-interpolation primitive time-series stores
+    (kdb+, TimescaleDB `interpolate()`) ship natively, and the alignment
+    step the reference performs by pandas daily resampling
+    (/root/reference/src/features/temporal.py); plain as-of
+    (``join_asof_view_attribution``) carries the LAST value forward, this
+    reconstructs the value BETWEEN observations.
+
+    Exactness: grid and event times are integer seconds RELATIVE to each
+    user's first event (no epoch, no timezone anywhere); values are 1e-4
+    BIGINTs; the interpolation expression is the identical tree of
+    correctly-rounded IEEE ops in both engines.  Ties inside one second
+    resolve by (is_grid, event_id) — the straddle window is
+    last/first_value IGNORE NULLS over the event↔grid union, so one
+    user-keyed window chain answers every grid point.
+
+    Scale: the union has |events| + span-hours rows per user — the grid is
+    bounded by the TIME SPAN, not the event volume; one shuffle on
+    user_id covers grid generation, both straddle lookups, and the
+    interpolation."""
+    t = Catalog(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    sec = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', first_ts),"
+        " date_trunc('SECOND', ts))"
+    )
+    ev = (
+        t.events.withColumn(
+            "first_ts", F.min(F.date_trunc("SECOND", "ts")).over(wu)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            sec.cast("long").alias("rel"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+        )
+    )
+    span = ev.groupBy("user_id").agg(
+        F.expr("max(rel) div 3600").cast("long").alias("n_hours")
+    )
+    grid = (
+        span.filter(F.col("n_hours") >= 1)
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(1, n_hours)")).alias("k"),
+        )
+        .select("user_id", (F.col("k") * 3600).cast("long").alias("rel"))
+    )
+    pts = ev.select(
+        "user_id",
+        "rel",
+        F.col("v4").alias("ev_v4"),
+        F.col("rel").alias("ev_rel"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+    ).unionAll(
+        grid.select(
+            "user_id",
+            "rel",
+            F.lit(None).cast("long").alias("ev_v4"),
+            F.lit(None).cast("long").alias("ev_rel"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("rel", "is_grid", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("rel", "is_grid", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    w = pts.select(
+        "user_id",
+        "rel",
+        "is_grid",
+        F.last("ev_rel", ignorenulls=True).over(wp).alias("t0"),
+        F.last("ev_v4", ignorenulls=True).over(wp).alias("v0"),
+        F.first("ev_rel", ignorenulls=True).over(wn).alias("t1"),
+        F.first("ev_v4", ignorenulls=True).over(wn).alias("v1"),
+    )
+    frac = (F.col("rel") - F.col("t0")) * F.lit(1.0) / (F.col("t1") - F.col("t0"))
+    return w.filter(
+        (F.col("is_grid") == 1) & F.col("t0").isNotNull() & F.col("t1").isNotNull()
+    ).select(
+        "user_id",
+        F.expr("rel div 3600").cast("long").alias("grid_hour"),
+        (F.col("t1") - F.col("t0")).cast("long").alias("gap_seconds"),
+        r4(
+            (F.col("v0") + (F.col("v1") - F.col("v0")) * frac) / F.lit(10000.0)
+        ).alias("v_interp"),
+    )

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "basket_association_rules",  # r6: support/confidence/lift rules
     "dedup_containment_pairs",  # r6: asymmetric containment near-dup
     "corpus_softdedup_weights",  # r6: duplicate down-weighting report
+    "join_asof_interpolate",  # r6: grid-aligned linear interpolation join
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)
