@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_containment_pairs",        # asymmetric containment near-dup
     "corpus_softdedup_weights",       # duplicate down-weighting report
     "join_asof_interpolate",          # grid-aligned linear interpolation
+    "mm_wav_pcm_stats",               # real PCM-WAV decode (SQL hex domain)
 ]
 
 

@@ -3,9 +3,11 @@
 Image/audio/video are opaque ``binary`` payloads with typed metadata; the
 engine's job is the Spark-side plumbing — schema, partitioning, Arrow batch
 shape, frame addressing — not the codec.  The container has no image/audio
-libraries, so the actual decode is STUBBED behind ``NotImplementedError``
-with a deterministic fake (documented below); everything around it is real
-and tested.
+libraries, so decode of COMPRESSED formats is STUBBED behind
+``NotImplementedError`` with a deterministic fake (documented below);
+uncompressed PCM WAV is decoded FOR REAL twice over — as pure SQL/Catalyst
+hex arithmetic (``mm_wav_pcm_stats``, oracled) and as a ``struct.unpack``
+mapInPandas kernel (``decode_wav_kernel``), pinned equal by tests.
 
 The testdata has no binary table, so the payload is derived
 deterministically from ``documents.text`` (UTF-8 bytes) — byte-exact in both
@@ -390,3 +392,270 @@ def mm_patch_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 mm_patch_byte_stats.__doc__ = mm_patch_byte_stats.__doc__.replace(
     "{patch}", str(_PATCH)
 )
+
+
+# --- real PCM-WAV decode (no codec library needed) --------------------------
+# Uncompressed WAV is a 44-byte RIFF header + raw little-endian PCM — a
+# format a decoder can handle with pure byte arithmetic.  The payload is
+# synthesized deterministically (canonical header + the doc's bytes as PCM
+# data); the DECODER both parses the header fields and computes sample
+# statistics, entirely in SQL/Catalyst expressions on the hex domain.  The
+# same decode also exists as a real struct.unpack mapInPandas kernel
+# (decode_wav_kernel), pinned equal to this oracled query by
+# tests/test_llm_multimodal.py — so the engine's decode boundary is now
+# "real for uncompressed formats; compressed codecs remain the documented
+# stub".
+
+_WAV_RATES = [8000, 12000, 16000, 20000]
+
+
+def _le_hex_sql(expr: str, nbytes: int) -> str:
+    """DuckDB: little-endian hex of an integer expression."""
+    parts = [
+        f"lower(lpad(hex(({expr}) // {256 ** i} % 256), 2, '0'))"
+        for i in range(nbytes)
+    ]
+    return " || ".join(parts)
+
+
+def _le_hex_spark(col, nbytes: int):
+    parts = [
+        F.lower(F.lpad(F.hex((col / F.lit(256**i)).cast("long") % 256), 2, "0"))
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def _hex2int_sql(pos: int, nbytes: int) -> str:
+    """DuckDB: little-endian unsigned int from hex-string positions."""
+    parts = [
+        f"CAST(('0x' || substr(hexp, {pos + 2 * i}, 2)) AS BIGINT) * {256 ** i}"
+        for i in range(nbytes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "mm_wav_pcm_stats",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         {_WAV_RATES[0]} + CAST(doc_id * 2654435761 % 4294967296 % 4 AS BIGINT)
+           * 4000 AS rate,
+         n_chars - (n_chars % 2) AS n_data,
+         substr(text, 1, CAST(n_chars - (n_chars % 2) AS BIGINT)) AS body
+  FROM documents
+), pay AS (
+  SELECT doc_id,
+         '52494646' || {_le_hex_sql('36 + n_data', 4)}
+         || '57415645666d74201000000001000100'
+         || {_le_hex_sql('rate', 4)} || {_le_hex_sql('rate * 2', 4)}
+         || '02001000' || '64617461' || {_le_hex_sql('n_data', 4)}
+         || lower(hex(encode(body))) AS hexp
+  FROM src
+), hdr AS (
+  SELECT doc_id, hexp,
+         substr(hexp, 1, 8) = '52494646'
+           AND substr(hexp, 17, 8) = '57415645' AS is_wav,
+         {_hex2int_sql(45, 2)} AS channels,
+         {_hex2int_sql(49, 4)} AS sample_rate,
+         {_hex2int_sql(69, 2)} AS bits,
+         {_hex2int_sql(81, 4)} AS data_bytes
+  FROM pay
+), smp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hexp, 89 + CAST(u.k AS BIGINT) * 4, 2))
+                AS BIGINT)
+           + 256 * CAST(('0x' || substr(hexp, 91 + CAST(u.k AS BIGINT) * 4, 2))
+                        AS BIGINT) AS u16
+  FROM hdr, unnest(range(0, data_bytes // 2)) AS u(k)
+), sgn AS (
+  SELECT doc_id,
+         CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS s
+  FROM smp
+), stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(min(s) AS BIGINT) AS min_s, CAST(max(s) AS BIGINT) AS max_s,
+         CAST(sum(s * s) AS BIGINT) AS ssq
+  FROM sgn GROUP BY 1
+)
+SELECT h.doc_id, h.is_wav,
+       CAST(h.channels AS INTEGER) AS channels,
+       CAST(h.sample_rate AS BIGINT) AS sample_rate,
+       CAST(h.bits AS INTEGER) AS bits,
+       st.n_samples, st.min_s, st.max_s,
+       round(sqrt(st.ssq * 1.0 / st.n_samples), 4) AS rms,
+       round(st.n_samples * 1.0 / h.sample_rate, 4) AS duration_sec
+FROM hdr h JOIN stats st ON h.doc_id = st.doc_id
+""",
+)
+def mm_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode without any codec library: synthesize a canonical
+    44-byte RIFF/WAVE header + the doc bytes as 16-bit little-endian PCM,
+    then DECODE it — parse channels / sample rate / bit depth / data size
+    from the header bytes and compute per-asset sample statistics (min,
+    max, RMS, duration) from the PCM frames.  Everything runs as Catalyst
+    expressions over the hex domain (hex-pair -> byte -> signed int16):
+    the media-QA query a lake runs on raw uploads before any transcoding
+    tier, and the proof that "decode" is only a library boundary for
+    COMPRESSED formats (the mapInPandas struct.unpack twin,
+    ``decode_wav_kernel``, is pinned equal by tests).
+
+    Exactness: all parsing and sample arithmetic is integer; RMS divides
+    one BIGINT sum of squares and takes an IEEE sqrt (correctly rounded
+    per IEEE-754), so doubles are identical cross-engine.
+
+    Scale: a rowwise header parse plus a bounded position explode
+    (data_bytes/2 samples per asset) into a doc-keyed aggregate — the
+    mm_patch_byte_stats plan shape."""
+    t = Catalog(spark, sf_dir)
+    rate = (
+        F.lit(_WAV_RATES[0])
+        + (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296) % 4) * 4000
+    )
+    n_data = F.col("n_chars") - (F.col("n_chars") % 2)
+    body = F.expr("substr(text, 1, cast(n_chars - (n_chars % 2) as int))")
+    src = t.documents.select(
+        "doc_id",
+        rate.cast("long").alias("rate"),
+        n_data.cast("long").alias("n_data"),
+        body.alias("body"),
+    )
+    hexp = F.concat(
+        F.lit("52494646"),
+        _le_hex_spark(F.lit(36) + F.col("n_data"), 4),
+        F.lit("57415645666d74201000000001000100"),
+        _le_hex_spark(F.col("rate"), 4),
+        _le_hex_spark(F.col("rate") * 2, 4),
+        F.lit("02001000"),
+        F.lit("64617461"),
+        _le_hex_spark(F.col("n_data"), 4),
+        F.lower(F.hex(F.encode(F.col("body"), "UTF-8"))),
+    )
+    pay = src.select("doc_id", hexp.alias("hexp"))
+
+    def hex2int(pos_expr: str, nbytes: int):
+        parts = [
+            F.conv(F.expr(f"substr(hexp, {pos_expr} + {2 * i}, 2)"), 16, 10)
+            .cast("long")
+            * (256**i)
+            for i in range(nbytes)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    hdr = pay.select(
+        "doc_id",
+        "hexp",
+        (
+            (F.expr("substr(hexp, 1, 8)") == "52494646")
+            & (F.expr("substr(hexp, 17, 8)") == "57415645")
+        ).alias("is_wav"),
+        hex2int("45", 2).alias("channels"),
+        hex2int("49", 4).alias("sample_rate"),
+        hex2int("69", 2).alias("bits"),
+        hex2int("81", 4).alias("data_bytes"),
+    )
+    smp = hdr.select(
+        "doc_id",
+        "hexp",
+        F.explode(F.expr("sequence(0, cast(data_bytes div 2 as int) - 1)")).alias(
+            "k"
+        ),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.expr("substr(hexp, 89 + k * 4, 2)"), 16, 10).cast("long")
+            + F.conv(F.expr("substr(hexp, 91 + k * 4, 2)"), 16, 10).cast("long")
+            * 256
+        ).alias("u16"),
+    )
+    sgn = smp.select(
+        "doc_id",
+        F.when(F.col("u16") >= 32768, F.col("u16") - 65536)
+        .otherwise(F.col("u16"))
+        .alias("s"),
+    )
+    stats = sgn.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("s").cast("long").alias("min_s"),
+        F.max("s").cast("long").alias("max_s"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ssq"),
+    )
+    return hdr.join(stats, "doc_id").select(
+        "doc_id",
+        "is_wav",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("bits").cast("int").alias("bits"),
+        "n_samples",
+        "min_s",
+        "max_s",
+        r4(F.sqrt(F.col("ssq") * F.lit(1.0) / F.col("n_samples"))).alias("rms"),
+        r4(F.col("n_samples") * F.lit(1.0) / F.col("sample_rate")).alias(
+            "duration_sec"
+        ),
+    )
+
+
+def decode_wav_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same WAV decode as a REAL Python decoder: struct.unpack over the
+    binary payload in an Arrow-batched ``mapInPandas`` kernel — the shape a
+    production decode tier has, with an actual working parser instead of
+    the codec stub.  tests pin its output equal to the oracled
+    ``mm_wav_pcm_stats`` SQL decode."""
+    import struct  # noqa: PLC0415 — worker-side import
+
+    t = Catalog(spark, sf_dir)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                n_data = len(body) - (len(body) % 2)
+                body = body[:n_data]
+                rate = 8000 + (int(doc_id) * 2654435761 % 2**32 % 4) * 4000
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + n_data)
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", n_data)
+                    + body
+                )
+                # --- the decoder: parse the header, then the PCM frames ---
+                assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+                ch, sr = struct.unpack("<H", payload[22:24])[0], struct.unpack(
+                    "<I", payload[24:28]
+                )[0]
+                bits = struct.unpack("<H", payload[34:36])[0]
+                nd = struct.unpack("<I", payload[40:44])[0]
+                samples = struct.unpack(f"<{nd // 2}h", payload[44 : 44 + nd])
+                ssq = sum(s * s for s in samples)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "is_wav": True,
+                        "channels": ch,
+                        "sample_rate": sr,
+                        "bits": bits,
+                        "n_samples": len(samples),
+                        "min_s": min(samples),
+                        "max_s": max(samples),
+                        "ssq": ssq,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return t.documents.select("doc_id", "text", "n_chars").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, is_wav boolean, channels int, sample_rate long,"
+            " bits int, n_samples long, min_s long, max_s long, ssq long"
+        ),
+    )

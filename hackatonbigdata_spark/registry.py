@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "dedup_containment_pairs",  # r6: asymmetric containment near-dup
     "corpus_softdedup_weights",  # r6: duplicate down-weighting report
     "join_asof_interpolate",  # r6: grid-aligned linear interpolation join
+    "mm_wav_pcm_stats",  # r6: real PCM-WAV decode, oracled in SQL
     # --- r5b queries with NO driver evidence (r5 window cut at 50) ---------
     "anomaly_poisson_spikes",  # r5b: LOO Poisson rate-spike detection
     "text_zipf_slope",  # r5b: Zipf fit (r6: bucketed-rank rewrite)

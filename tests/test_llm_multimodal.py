@@ -138,3 +138,33 @@ def test_magic_format_detect_mixes_formats_within_sources(spark):
         .nunique()
     )
     assert (got > 1).all()
+
+
+def test_wav_kernel_decode_equals_sql_decode(spark):
+    """The REAL Python WAV decoder (struct.unpack over the binary payload,
+    mapInPandas) must agree with the oracled pure-SQL hex-domain decode on
+    every header field and sample statistic — proving the decode boundary
+    is a library limitation only for COMPRESSED formats."""
+    import math
+
+    from hackatonbigdata_spark.operators.multimodal import decode_wav_kernel
+    from hackatonbigdata_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        decode_wav_kernel(spark, sf).toPandas().set_index("doc_id").sort_index()
+    )
+    want = (
+        all_queries()["mm_wav_pcm_stats"](spark, sf)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    for col in ["is_wav", "channels", "sample_rate", "bits", "n_samples",
+                "min_s", "max_s"]:
+        assert (got[col] == want[col]).all(), col
+    # rms from the kernel's integer ssq must reproduce the SQL rms exactly
+    rms = (got["ssq"] / got["n_samples"]).apply(math.sqrt)
+    r4 = rms.apply(lambda x: math.floor(x * 10000 + 0.5) / 10000.0)
+    assert (r4 == want["rms"]).all()
