@@ -635,3 +635,82 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
+    """Custom sessionizer with EVENT-TIME TIMEOUT — the one GroupState
+    capability the other kernels don't exercise: a session closes either
+    when a later event from the same user arrives past the 30-minute gap
+    (in-batch closure) or when the WATERMARK passes last_event + gap with
+    no successor (``state.hasTimedOut`` — the no-data micro-batch fires
+    it), so abandoned sessions still emit without waiting for the user to
+    return.  Mirrors the built-in ``session_window`` semantics
+    (``session_windows_stream``) but from the raw state API, the pattern
+    a production sessionizer with custom close conditions needs.
+
+    State per user: (session_start, last_ts, n, Σv in 1e-4 ints) — O(1);
+    ``state.remove()`` on timeout keeps the store bounded."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    GAP_US = 1800 * 1_000_000  # 30 minutes, matching the built-in twin
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, sum_v4 long"
+    )
+    # epoch MICROSECONDS: session_window boundaries carry full microsecond
+    # precision, so second-truncated state would misalign the starts
+    state_schema = "start long, last long, n long, sv4 long"
+
+    def row(uid, start, last, n, sv4):
+        return {
+            "user_id": uid,
+            "session_start": pd.Timestamp(start, unit="us"),
+            "session_end": pd.Timestamp(last, unit="us"),
+            "n_events": n,
+            "sum_v4": sv4,
+        }
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n, sv4 = state.get
+            state.remove()
+            yield pd.DataFrame([row(uid, start, last, n, sv4)])
+            return
+        start, last, n, sv4 = state.get if state.exists else (None, None, 0, 0)
+        closed = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, val in zip(full["ts"], full["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if start is None:
+                    start, last, n, sv4 = ts_us, ts_us, 0, 0
+                elif ts_us - last >= GAP_US:
+                    # session_window closes at gap >= 30min (end-exclusive)
+                    closed.append(row(uid, start, last, n, sv4))
+                    start, last, n, sv4 = ts_us, ts_us, 0, 0
+                last = ts_us
+                n += 1
+                sv4 += math.floor(float(val) * 10000 + 0.5)
+        state.update((start, last, n, sv4))
+        # fire when the WATERMARK passes last + gap: abandoned sessions
+        # close without a successor event
+        state.setTimeoutTimestamp((last + GAP_US) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -390,3 +390,44 @@ def test_burnrate_stream_matches_batch_query(spark, events_stream):
     assert list(got.index) == list(want.index)
     for col in ["n_err", "n_all", "rate_1h", "rate_6h", "burn_1h"]:
         assert (got[col] == want[col]).all(), col
+
+
+def test_session_gap_kernel_matches_batch_sessions(spark, events_stream, events_batch):
+    """The timeout-driven sessionizer kernel: every emitted session must
+    exactly equal a batch session_window(30 min) session, and all but at
+    most one (possibly watermark-withheld) session per user must emit —
+    in-batch gap closure plus event-time timeouts cover the rest."""
+    jobs.run_to_memory(
+        jobs.session_gap_kernel_stream(events_stream), "t_gap_sessions", "append"
+    )
+    got = spark.table("t_gap_sessions").toPandas()
+    assert len(got)
+    batch = (
+        events_batch.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("sum_v4"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_v4",
+        )
+        .toPandas()
+    )
+    want = batch.set_index(["user_id", "session_start"]).sort_index()
+    n_users = batch["user_id"].nunique()
+    # every emitted session matches the batch session exactly
+    for _, r in got.iterrows():
+        key = (r.user_id, r.session_start)
+        assert key in want.index, key
+        assert r.n_events == want.loc[key, "n_events"], key
+        assert r.sum_v4 == want.loc[key, "sum_v4"], key
+    # and at most one session per user (the final, possibly still-open /
+    # watermark-withheld one) may be missing
+    assert len(got) >= len(batch) - n_users
