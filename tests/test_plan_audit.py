@@ -235,3 +235,28 @@ def test_clustered_stats_prune_skips_files(spark):
     ]
     assert len(stats) >= 8
     assert len(keep) <= len(stats) // 2, (len(keep), len(stats))
+
+
+def test_round6_ops_stay_jvm_side(spark):
+    """Round-6 operators are pure column math / joins / MLlib transforms —
+    no Python UDF in any plan (decode_wav_kernel and the stateful
+    streaming kernels are the only intentional Python, and they live
+    outside the registry)."""
+    for name in [
+        "calibration_quantile_fit",
+        "mm_magic_format_detect",
+        "mm_payload_entropy",
+        "mm_patch_byte_stats",
+        "stacking_gbt_meta",
+        "eval_roc_auc",
+        "eval_brier_decomposition",
+        "cv_purged_embargo",
+        "text_pii_scrub",
+        "graph_triangle_count",
+        "basket_association_rules",
+        "dedup_containment_pairs",
+        "corpus_softdedup_weights",
+        "join_asof_interpolate",
+        "mm_wav_pcm_stats",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
