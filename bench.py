@@ -207,14 +207,33 @@ def main() -> None:
             "queries": out,
             "sf": sf,
             "n_errors": len(errors),
+            "emit": 1,
         }
     )
-    # print BEFORE and AFTER spark.stop(): the driver's tail capture lost
-    # the r5 JSON head to interleaved console output, so the line is emitted
-    # twice (flushed) — whichever survives truncation parses on its own
+    # The driver keeps only a fixed-size TAIL of the output: one full
+    # 125-query JSON line is longer than that window, so its head (the
+    # "value" field and most timings) never survives (r5/r6 lesson).  Emit
+    # the full line first for humans/logs, then a SHORT (<1 KB) summary
+    # line LAST so the tail always ends with standalone-parseable JSON.
+    # Consumers that parse every JSON line should key on "metric" and keep
+    # the last occurrence ("emit" disambiguates full vs summary).
     print(line, flush=True)
     spark.stop()
-    print(line, flush=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "median": round(sorted(timings.values())[len(timings) // 2], 3) if timings else None,
+            "queries": slowest,
+            "emit": 2,
+        }
+    )
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -927,12 +927,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count analysis (/root/reference/src/features/
     behavioral_features_engine.py:454-485) one hop further.
 
-    Algorithm: compact-forward on the ID-ORDERED edge list — every
-    triangle a<b<c is emitted exactly once by joining (a,b)x(b,c) and
-    closing with (a,c); two equi-joins on the edge table, never an
-    all-pairs pass.  At 100 TB the standard refinement orders edges by
-    degree instead of ID (bounds the join fan-out by arboricity); the
-    ID order here is the oracle-stable spec of the same plan shape.
+    Algorithm: DEGREE-ORDERED compact-forward — every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, and every
+    triangle is emitted exactly once by joining oriented (a,b)x(b,c) and
+    closing with oriented (a,c); two equi-joins on the edge table, never
+    an all-pairs pass.  Degree ordering (vs the r6 ID ordering) bounds
+    each node's OUT-degree — and therefore the (a,b)x(b,c) join fan-out —
+    by O(sqrt(m)) / the graph's arboricity instead of by the raw max
+    degree, the refinement that survives power-law hubs at 100 TB.  The
+    triangle SET is orientation-invariant, so the per-node counts (and
+    the ID-ordered oracle) are unchanged.
 
     Exactness: counts are integers; the clustering coefficient is one
     exact ratio per node."""
@@ -949,14 +953,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nb"))
         .filter(F.col("nb") >= 2)
         .select("u", "v")
-        .localCheckpoint()  # three self-joins below: build the edges once
+        .localCheckpoint()  # degree join + three self-joins: build once
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    # deg is node-sized: small enough for AQE to broadcast at this SF, but
+    # NOT hinted — at 1e9-node scale it must stay a shuffle join
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
         e3,
-        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
     ).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
     )
     tn = (
         tri.select(F.col("a").alias("node"))
@@ -964,12 +992,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
-    )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.join(tn, "node", "left").select(
         F.col("node").alias("part"),

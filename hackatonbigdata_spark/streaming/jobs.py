@@ -560,8 +560,16 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
     ROWS semantics over existing hours, exactly like the batch window.
 
     Keyed by a constant shard here because the batch semantics are global;
-    production keys by service, giving each key its own O(hours) state —
-    the same note the batch docstring carries."""
+    production keys by service.  State IS bounded (r7, per ADVICE): each
+    batch evicts grid hours that sit more than 5 ROWS-frame positions
+    before the watermark hour — no surviving or future row's 6-hour frame
+    can reach them (touched hours are >= the watermark hour, and a frame
+    looks back exactly 5 existing rows) — and re-emits only the rows at or
+    after the first touched hour (update mode keeps the last emission per
+    hour, so untouched earlier hours stand on their prior, final row).
+    State and per-batch output are O(watermark delay + 6h frame) hours,
+    not O(job lifetime)."""
+    import bisect  # noqa: PLC0415 — worker-side import
     import math  # noqa: PLC0415 — worker-side import
 
     import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -581,6 +589,7 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
             grid = {h: [a, e] for h, a, e in zip(hs, na, ne)}
         else:
             grid = {}
+        touched = set()
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             full = pd.concat(chunks)
@@ -591,7 +600,17 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
                 cell[0] += 1
                 if is_err:
                     cell[1] += 1
+                touched.add(epoch)
         hours = sorted(grid)
+        # evict hours no row's ROWS-frame can reach anymore: all touched
+        # hours are >= the watermark hour, and a 6-hour frame looks back 5
+        # existing rows, so everything more than 5 positions before the
+        # watermark hour's insertion point is final and frame-invisible
+        wm_hour = state.getCurrentWatermarkMs() // 1000 // 3600 * 3600
+        keep_from = max(0, bisect.bisect_left(hours, wm_hour) - 5)
+        for h in hours[:keep_from]:
+            del grid[h]
+        hours = hours[keep_from:]
         state.update(
             (
                 hours,
@@ -599,8 +618,13 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
                 [grid[h][1] for h in hours],
             )
         )
+        if not touched:
+            return
+        emit_from = bisect.bisect_left(hours, min(touched))
         rows = []
         for i, h in enumerate(hours):
+            if i < emit_from:
+                continue
             lo = max(0, i - 5)  # ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
             all6 = sum(grid[hours[j]][0] for j in range(lo, i + 1))
             err6 = sum(grid[hours[j]][1] for j in range(lo, i + 1))
@@ -696,10 +720,21 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
                 last = ts_us
                 n += 1
                 sv4 += math.floor(float(val) * 10000 + 0.5)
-        state.update((start, last, n, sv4))
-        # fire when the WATERMARK passes last + gap: abandoned sessions
-        # close without a successor event
-        state.setTimeoutTimestamp((last + GAP_US) // 1000)
+        if last is not None:
+            # a key invoked with only empty chunks and no prior state has
+            # nothing to track — calling update/setTimeoutTimestamp with
+            # None state would raise (r7, per ADVICE)
+            state.update((start, last, n, sv4))
+            # fire when the WATERMARK passes last + gap: abandoned sessions
+            # close without a successor event.  Spark rejects a timeout at
+            # or below the current watermark (a late-accepted event on a
+            # long-idle key can put last + gap behind it) — clamp to just
+            # above, which fires the close on the next micro-batch.
+            timeout_ms = (last + GAP_US) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if timeout_ms <= wm_ms:
+                timeout_ms = wm_ms + 1
+            state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(closed)
 

@@ -260,3 +260,23 @@ def test_round6_ops_stay_jvm_side(spark):
         "mm_wav_pcm_stats",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_multimodal_byte_kernels_have_no_byte_explode(spark):
+    """r7: the byte-level kernels build their histograms/stats ROWWISE with
+    higher-order functions — the r6 one-row-per-payload-byte explode
+    (~60 B Tungsten row per byte of CPU work) must stay gone.  The only
+    allowed Generate is mm_patch_byte_stats' one-row-per-PATCH explode,
+    which is exactly the result granularity."""
+    for name, max_generates in [
+        ("mm_payload_entropy", 0),
+        ("mm_wav_pcm_stats", 0),
+        ("mm_patch_byte_stats", 1),
+    ]:
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Generate") <= max_generates, name
