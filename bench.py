@@ -154,6 +154,8 @@ HEADLINE = [
     "corpus_softdedup_weights",       # duplicate down-weighting report
     "join_asof_interpolate",          # grid-aligned linear interpolation
     "mm_wav_pcm_stats",               # real PCM-WAV decode (SQL hex domain)
+    "session_gaps_custom_close",      # r7: custom-close sessionizer twin
+    "dedup_pipeline_report",          # r7: 4-method dedup overlap matrix
 ]
 
 

@@ -2657,3 +2657,125 @@ def corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_docs",
         r4(F.col("effective_docs") / F.col("n_docs")).alias("dedup_efficiency"),
     )
+
+
+@register(
+    "dedup_pipeline_report",
+    oracle=f"""
+WITH n AS (SELECT doc_id, md5({_DUCK_NORM}) AS text_hash FROM documents),
+exact_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM n a JOIN n b ON a.text_hash = b.text_hash AND a.doc_id < b.doc_id
+),
+{_DUCK_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jacc_pairs AS (
+  SELECT doc_a, doc_b
+  FROM cp JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+),
+cont_pairs AS (
+  SELECT doc_a, doc_b
+  FROM cp JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / sa.sz >= 0.8
+     OR n_common * 1.0 / sb.sz >= 0.8
+),
+{_duck_sig()},
+lsh_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}
+),
+tagged AS (
+  SELECT doc_a, doc_b, 'exact' AS m FROM exact_pairs
+  UNION ALL SELECT doc_a, doc_b, 'jaccard' FROM jacc_pairs
+  UNION ALL SELECT doc_a, doc_b, 'lsh' FROM lsh_pairs
+  UNION ALL SELECT doc_a, doc_b, 'containment' FROM cont_pairs
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         max(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) = 1 AS in_exact,
+         max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) = 1 AS in_jaccard,
+         max(CASE WHEN m = 'lsh' THEN 1 ELSE 0 END) = 1 AS in_lsh,
+         max(CASE WHEN m = 'containment' THEN 1 ELSE 0 END) = 1
+           AS in_containment
+  FROM tagged GROUP BY 1, 2
+)
+SELECT in_exact, in_jaccard, in_lsh, in_containment,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(doc_a) AS BIGINT) AS example_doc_a,
+       CAST(min(doc_b) AS BIGINT) AS example_doc_b
+FROM flags GROUP BY 1, 2, 3, 4
+""",
+)
+def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly curation-QA reconciliation: run the four pair-producing
+    dedup detectors over the SAME corpus — exact digest, n-gram Jaccard
+    (>= 0.5), banded MinHash-LSH candidates, asymmetric containment
+    (>= 0.8, either direction) — and fold their undirected pair sets into
+    ONE overlap matrix: one row per observed flag COMBINATION with the
+    pair count, from which every per-method total, pairwise overlap, and
+    uniquely-caught count reads off directly (a pair flagged only
+    ``in_containment`` is an embedded-subset dup Jaccard and LSH both
+    miss; ``in_lsh`` without ``in_jaccard`` is an LSH false candidate).
+    SoftDeDup (``corpus_softdedup_weights``) needs no column of its own:
+    its 1/c down-weighting acts on exactly the ``in_exact`` clusters, so
+    the matrix's exact column already reconciles it.  Every member
+    detector is independently oracled; this query joins their outputs.
+
+    Exactness: the matrix is pure set algebra over integer doc-id pairs —
+    the threshold comparisons happen on exact ratios inside each member's
+    own (already-verified) definition; counts are integers.
+
+    Scale: each member's candidate generation is its own bucketed
+    shuffle-join (digest / shingle / LSH band keys — never all-pairs);
+    the fold is one union + one (doc_a, doc_b)-keyed aggregate + one
+    16-row combination aggregate.  Reusing ``cp`` for both Jaccard and
+    containment (same shingle join) matches the members' semantics
+    because containment's directed a<>b join is symmetric: C(A,B)>=t OR
+    C(B,A)>=t on the a<b pair enumerates the same undirected set."""
+    t = Catalog(spark, sf_dir)
+    n = t.documents.select("doc_id", F.md5(_norm_text()).alias("text_hash"))
+    na, nb = n.alias("na"), n.alias("nb")
+    exact_pairs = na.join(
+        nb,
+        (F.col("na.text_hash") == F.col("nb.text_hash"))
+        & (F.col("na.doc_id") < F.col("nb.doc_id")),
+    ).select(
+        F.col("na.doc_id").alias("doc_a"), F.col("nb.doc_id").alias("doc_b")
+    )
+    jacc_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cont_pairs = (
+        dedup_containment_pairs(spark, sf_dir)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    tagged = (
+        exact_pairs.withColumn("m", F.lit("exact"))
+        .unionAll(jacc_pairs.withColumn("m", F.lit("jaccard")))
+        .unionAll(lsh_pairs.withColumn("m", F.lit("lsh")))
+        .unionAll(cont_pairs.withColumn("m", F.lit("containment")))
+    )
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[
+            (F.max(F.when(F.col("m") == method, 1).otherwise(0)) == 1).alias(
+                f"in_{method}"
+            )
+            for method in ["exact", "jaccard", "lsh", "containment"]
+        ]
+    )
+    return flags.groupBy(
+        "in_exact", "in_jaccard", "in_lsh", "in_containment"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("doc_a").cast("long").alias("example_doc_a"),
+        F.min("doc_b").cast("long").alias("example_doc_b"),
+    )

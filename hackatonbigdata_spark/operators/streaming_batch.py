@@ -137,6 +137,86 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_gaps_custom_close",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                           ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_v4
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def session_gaps_custom_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CUSTOM-CLOSE sessionizer kernel
+    (``streaming/jobs.py`` ``session_gap_kernel_stream``): gaps-and-islands
+    sessions per user with the kernel's exact close rule — a session ends
+    when the next event arrives >= 30 minutes after the last (end-EXCLUSIVE,
+    i.e. a gap of exactly 30:00.000000 closes), ``session_end`` is the LAST
+    EVENT's timestamp (not last + gap), and the session value is the
+    kernel's 1e-4-quantized integer sum.  Registering the batch semantics
+    separately gives the kernel's close rule its own oracle evidence; the
+    built-in ``session_window`` twin (``stream_session_windows``) covers
+    only the gap-> semantics with end = last + gap.
+
+    Exactness: the gap test runs on ``timestampdiff(MICROSECOND, ...)``
+    over the ntz columns — session-timezone-independent, microsecond-exact
+    — and the value sum is quantize-then-sum BIGINT, order-free.
+
+    Scale: one window + one aggregate, both partitioned by ``user_id`` —
+    the standard sessionization shuffle; no unpartitioned window."""
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    seq = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap_us.isNull() | (gap_us >= 1800000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    islands = seq.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return islands.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_v4"),
+    ).drop("session_id")
+
+
+@register(
     "stream_threshold_alerts",
     oracle="""
 WITH rates AS (

@@ -431,3 +431,31 @@ def test_session_gap_kernel_matches_batch_sessions(spark, events_stream, events_
     # and at most one session per user (the final, possibly still-open /
     # watermark-withheld one) may be missing
     assert len(got) >= len(batch) - n_users
+
+
+def test_session_gap_kernel_matches_custom_close_batch_twin(spark, events_stream):
+    """The kernel's EXACT close rule (gap >= 30 min, session_end = last
+    event ts) now has an oracled batch twin, ``session_gaps_custom_close``;
+    every streamed session must equal its batch-twin row on every column —
+    a stronger pin than the built-in session_window comparison, which only
+    agrees because no gap in this data lands on exactly 30:00."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    jobs.run_to_memory(
+        jobs.session_gap_kernel_stream(events_stream), "t_gap_twin", "append"
+    )
+    got = spark.table("t_gap_twin").toPandas()
+    assert len(got)
+    want = (
+        all_queries()["session_gaps_custom_close"](spark, SF_DIR)
+        .toPandas()
+        .set_index(["user_id", "session_start"])
+        .sort_index()
+    )
+    for _, r in got.iterrows():
+        key = (r.user_id, r.session_start)
+        assert key in want.index, key
+        for col in ["session_end", "n_events", "sum_v4"]:
+            assert r[col] == want.loc[key, col], (key, col)
+    n_users = want.reset_index()["user_id"].nunique()
+    assert len(got) >= len(want) - n_users
