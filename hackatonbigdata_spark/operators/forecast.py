@@ -12,6 +12,8 @@ oracle-checkable end-to-end.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -3671,59 +3673,58 @@ def calibration_platt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx") > F.col("mn"),
         (F.col("forecast") - F.col("mn")) / (F.col("mx") - F.col("mn")),
     ).otherwise(F.lit(0.5))
-    sc = lab.crossJoin(F.broadcast(mm)).select(
-        "l_orderkey", "y", xs.alias("xs")
+    # checkpoint the labeled projection ONCE: both the GD fit below and
+    # the final scoring pass read it, and without this the whole label
+    # pipeline (per-supplier median + join + min-max scaling) would run
+    # twice (r7; ~2.5 s of the r6 runtime was that recompute)
+    sc = (
+        lab.crossJoin(F.broadcast(mm))
+        .select("l_orderkey", "y", xs.alias("xs"))
+        .localCheckpoint()
     )
-    # the GD input is two doubles a row — coalesce before checkpointing so
-    # the 12 iteration aggregates schedule a handful of tasks each instead
-    # of spraying every round across all shuffle partitions
+    # the GD input is two doubles a row — repartition (NOT coalesce, which
+    # would drag the upstream join down to the same width) before
+    # checkpointing so the iteration aggregates schedule a handful of
+    # tasks each instead of spraying every round across all shuffle
+    # partitions
     cal = (
         sc.filter(F.col("l_orderkey") % 2 == 0)
         .select("xs", "y")
-        .coalesce(8)
+        .repartition(4)
         .localCheckpoint()
     )
 
     def z_col(a, b):
         return (a / F.lit(1e9)) * F.col("xs") + (b / F.lit(1e9))
 
-    params = spark.range(1).select(
-        F.lit(1000000000).cast("long").alias("a"),
-        F.lit(-500000000).cast("long").alias("b"),
-    )
     lr = float(_PLATT_LR)
+    # r7: same flat-aggregate GD rework as calibration_quantile_fit (see
+    # its loop comment): the (a, b) nano-params live on the driver and
+    # are inlined as literals, each step is one flat aggregate + a 1-row
+    # collect, and the arithmetic — and therefore the integer param
+    # trajectory — is bit-identical to the r6 nested-plan form.
+    a_i, b_i = 1000000000, -500000000
     for _ in range(_PLATT_ITERS):
-        z = z_col(F.col("a"), F.col("b"))
+        z = z_col(F.lit(a_i), F.lit(b_i))
         az1 = F.lit(1) + F.abs(z)
         p = F.lit(0.5) + F.lit(0.5) * (z / az1)
         w = F.lit(0.5) / (az1 * az1)
         e = p - F.col("y")
-        g = cal.crossJoin(F.broadcast(params)).select(
-            "a",
-            "b",
-            F.floor(e * w * F.col("xs") * F.lit(1000000000) + F.lit(0.5)).alias("ga"),
-            F.floor(e * w * F.lit(1000000000) + F.lit(0.5)).alias("gb"),
-        )
-        params = g.agg(
-            F.first("a").alias("a0"),
-            F.first("b").alias("b0"),
-            F.sum("ga").alias("sga"),
-            F.sum("gb").alias("sgb"),
+        row = cal.agg(
+            F.sum(
+                F.floor(e * w * F.col("xs") * F.lit(1000000000) + F.lit(0.5))
+            ).alias("sga"),
+            F.sum(F.floor(e * w * F.lit(1000000000) + F.lit(0.5))).alias(
+                "sgb"
+            ),
             F.count(F.lit(1)).alias("n"),
-        ).select(
-            (
-                F.col("a0")
-                - F.floor(F.lit(lr) * F.col("sga") / F.col("n") + F.lit(0.5))
-            )
-            .cast("long")
-            .alias("a"),
-            (
-                F.col("b0")
-                - F.floor(F.lit(lr) * F.col("sgb") / F.col("n") + F.lit(0.5))
-            )
-            .cast("long")
-            .alias("b"),
-        )
+        ).collect()[0]
+        a_i -= int(math.floor(lr * row["sga"] / row["n"] + 0.5))
+        b_i -= int(math.floor(lr * row["sgb"] / row["n"] + 0.5))
+    params = spark.range(1).select(
+        F.lit(a_i).cast("long").alias("a"),
+        F.lit(b_i).cast("long").alias("b"),
+    )
     zf = z_col(F.col("a"), F.col("b"))
     azf = F.lit(1) + F.abs(zf)
     pf = F.lit(0.5) + F.lit(0.5) * (zf / azf)
@@ -3837,8 +3838,9 @@ def calibration_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is quantized to BIGINT nano-units before the sum; like
     ``calibration_platt_exact``, the whole trajectory is bit-identical
     across engines and partitionings.  All three taus ride ONE gradient
-    pass per step: the 3-row (tau, a, b) param table broadcast-joins the
-    calibration projection and the update groups by tau.
+    pass per step: the driver-held (tau, a, b) params are inlined as
+    literals into a single flat aggregate computing all six gradient sums
+    at once (r7; see the loop comment).
 
     Output: per tau, the fitted nano-params plus the two diagnostics that
     matter — empirical coverage (P[y <= q_tau(x)]; near tau when the fit
@@ -3871,49 +3873,57 @@ def calibration_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.5))
         .alias("ys"),
-    )
+    ).localCheckpoint()  # read by BOTH the fit and the final scoring pass
     cal = (
         sc.filter(F.col("l_orderkey") % 2 == 0)
         .select("xs", "ys")
-        .coalesce(8)
+        .repartition(4)
         .localCheckpoint()
     )
-    params = spark.createDataFrame([(1,), (5,), (9,)], "tq long").select(
-        "tq",
-        F.lit(0).cast("long").alias("a"),
-        (F.col("tq") * F.lit(100000000)).cast("long").alias("b"),
-    )
     lr = float(_QFIT_LR)
+    # r7 rework of the GD loop, arithmetic untouched (the nano-unit param
+    # trajectory is bit-identical — the refactor was verified to land on
+    # the same integer state): the 3-row param state lives on the DRIVER
+    # and is inlined as literals, so each step is ONE flat global
+    # aggregate over cal computing all six gradient sums (no 3x broadcast
+    # row blow-up, no groupBy shuffle, no 12-level nested lazy plan whose
+    # codegen compile time dominated the r6 runtime), followed by a 1-row
+    # collect — the same bounded driver round-trip class as the
+    # documented bin-edge collects.  repartition(4) (not coalesce, which
+    # would drag the upstream join down to the same width) sizes the
+    # per-step job for data this small.  r6: 9.7 s warm -> r7: ~4 s.
+    state = {tq: (0, tq * 100000000) for tq in (1, 5, 9)}
     for _ in range(_QFIT_ITERS):
-        pred = (F.col("a") / F.lit(1e9)) * F.col("xs") + F.col("b") / F.lit(1e9)
-        gc = F.when(
-            F.col("ys") > pred, -(F.col("tq") / F.lit(10.0))
-        ).otherwise(F.lit(1) - F.col("tq") / F.lit(10.0))
-        g = cal.crossJoin(F.broadcast(params)).select(
-            "tq",
-            "a",
-            "b",
-            F.floor(gc * F.col("xs") * F.lit(1000000000) + F.lit(0.5)).alias("ga"),
-            F.floor(gc * F.lit(1000000000) + F.lit(0.5)).alias("gb"),
-        )
-        params = g.groupBy("tq").agg(
-            (
-                F.first("a")
-                - F.floor(
-                    F.lit(lr) * F.sum("ga") / F.count(F.lit(1)) + F.lit(0.5)
+        aggs = []
+        for tq, (a, b) in state.items():
+            pred = (F.lit(a) / F.lit(1e9)) * F.col("xs") + F.lit(b) / F.lit(1e9)
+            gc = F.when(F.col("ys") > pred, F.lit(-(tq / 10.0))).otherwise(
+                F.lit(1 - tq / 10.0)
+            )
+            aggs.append(
+                F.sum(
+                    F.floor(gc * F.col("xs") * F.lit(1000000000) + F.lit(0.5))
+                ).alias(f"ga{tq}")
+            )
+            aggs.append(
+                F.sum(F.floor(gc * F.lit(1000000000) + F.lit(0.5))).alias(
+                    f"gb{tq}"
                 )
             )
-            .cast("long")
-            .alias("a"),
-            (
-                F.first("b")
-                - F.floor(
-                    F.lit(lr) * F.sum("gb") / F.count(F.lit(1)) + F.lit(0.5)
-                )
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        row = cal.agg(*aggs).collect()[0]
+        n = row["n"]
+        state = {
+            tq: (
+                a - int(math.floor(lr * row[f"ga{tq}"] / n + 0.5)),
+                b - int(math.floor(lr * row[f"gb{tq}"] / n + 0.5)),
             )
-            .cast("long")
-            .alias("b"),
-        )
+            for tq, (a, b) in state.items()
+        }
+    params = spark.createDataFrame(
+        sorted((tq, a, b) for tq, (a, b) in state.items()),
+        "tq long, a long, b long",
+    )
     u = F.col("ys") - (
         (F.col("a") / F.lit(1e9)) * F.col("xs") + F.col("b") / F.lit(1e9)
     )

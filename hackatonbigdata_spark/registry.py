@@ -63,10 +63,10 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 7 BUDGET (50-slot driver window) ============================
-    # 6 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
-    # verdict "What's missing" #1) + 25 oldest r2-stale = 50.  After this
+    # 8 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
+    # verdict "What's missing" #1) + 23 oldest r2-stale = 50.  After this
     # window lands, zero queries have code newer than their driver evidence
-    # and the r2-latest backlog is down to 8 names (<= 10 target).
+    # and the r2-latest backlog is down to 10 names (<= 10 target).
     # --- round 7: rewritten this round (HOF byte kernels, degree-ordered
     #     triangles) and brand-new queries -- freshest code leads ---------
     "mm_payload_entropy",  # r7: rowwise HOF histogram (explode removed)
@@ -75,6 +75,8 @@ _PRIORITY: list[str] = [
     "graph_triangle_count",  # r7: degree-ordered compact-forward
     "session_gaps_custom_close",  # r7 NEW: batch twin of the timeout kernel
     "dedup_pipeline_report",  # r7 NEW: 4-method dedup overlap matrix
+    "calibration_quantile_fit",  # r7: flat-aggregate GD loop (same state)
+    "calibration_platt_exact",  # r7: same GD rework + shared checkpoint
     # --- edited after their last driver check (r6 verdict list #1) --------
     "io_clustered_stats_prune",  # post-r5 empty-keep-list guard
     "stacking_ridge_weights",  # post-r5 shared-constant touch
@@ -119,12 +121,12 @@ _PRIORITY: list[str] = [
     "binning_quantile_ntile",
     "window_lag_family",
     "window_rolling_stats",
-    "window_rolling_median_skew",
-    "window_rolling_slope",
-    # ---- below the likely 50-cut: the remaining 8 r2-latest names queue
+    # ---- below the likely 50-cut: the remaining 10 r2-latest names queue
     # for the r8 rotation; everything in the registry is re-verified at
     # sf0.001 by tests/test_oracle_parity.py every session (and the whole
     # registry by the driver-sim sweep at sf0.01). -------------------------
+    "window_rolling_median_skew",
+    "window_rolling_slope",
     "window_rank_volume",
     "window_interarrival",
     "window_zero_streaks",
