@@ -749,3 +749,104 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_stage_kernel_stream(events: DataFrame) -> DataFrame:
+    """Live twin of ``event_funnel_conversion``'s greedy earliest-advance
+    funnel (signup -> view -> click -> purchase; a stage's time is the
+    earliest event of its type at-or-after the previous stage's time) as a
+    per-user stateful kernel WITH OUT-OF-ORDER REPAIR: greedy stage times
+    are not prefix-monotone — a late-but-within-watermark view can LOWER
+    t2 and thereby re-open better clicks for t3 — so the state keeps
+    per-stage candidate time buffers and re-runs the greedy advance each
+    micro-batch, then re-emits the user's row (update mode keeps the
+    last).
+
+    State stays bounded: any buffered time below min(t1, watermark) can
+    never be chosen again — every stage time is >= t1, and t1 itself can
+    only be lowered by an event still above the watermark — so those
+    entries are pruned each invocation.  In steady state a user's buffers
+    hold only the watermark horizon, not their history.
+
+    Output per user: the four stage times (null while unreached) and
+    stage_reached; the batch twin's per-stage user counts are exactly the
+    non-null counts over the final rows (pinned by
+    tests/test_streaming.py)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    STAGES = ["signup", "view", "click", "purchase"]
+
+    out_schema = (
+        "user_id long, stage_reached int, t1 timestamp, t2 timestamp,"
+        " t3 timestamp, t4 timestamp"
+    )
+    state_schema = (
+        "b1 array<long>, b2 array<long>, b3 array<long>, b4 array<long>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        bufs = [list(b) for b in state.get] if state.exists else [[], [], [], []]
+        got_new = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                try:
+                    i = STAGES.index(et)
+                except ValueError:
+                    continue
+                bufs[i].append(int(pd.Timestamp(ts).value // 1_000))
+                got_new = True
+        if not got_new:
+            return
+        # greedy earliest-advance over the buffered candidates
+        ts_out = []
+        prev = None
+        for i in range(4):
+            cands = (
+                [t for t in bufs[i] if t >= prev] if prev is not None else bufs[i]
+            )
+            if i == 0:
+                cur = min(bufs[0]) if bufs[0] else None
+            else:
+                cur = min(cands) if cands and prev is not None else None
+            ts_out.append(cur)
+            prev = cur if cur is not None else prev
+            if cur is None and i > 0:
+                ts_out.extend([None] * (3 - i))
+                break
+        ts_out = (ts_out + [None] * 4)[:4]
+        # prune: nothing below min(t1, watermark) can ever be chosen again
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        floor_us = min(ts_out[0], wm_us) if ts_out[0] is not None else wm_us
+        bufs = [[t for t in b if t >= floor_us] for b in bufs]
+        state.update(tuple(bufs))
+        reached = sum(1 for t in ts_out if t is not None)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "stage_reached": reached,
+                    **{
+                        f"t{i + 1}": (
+                            pd.Timestamp(t, unit="us") if t is not None else None
+                        )
+                        for i, t in enumerate(ts_out)
+                    },
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -123,6 +123,13 @@ def test_corpus_is_ascii_so_byte_equals_char(spark):
         F.octet_length(F.encode(F.col("text"), "UTF-8")) != F.col("n_chars")
     ).count()
     assert bad == 0
+    # the WAV kernel streams PCM frames via ascii() over the data chunk
+    # (r7) and all three byte kernels guard n >= 1 before computed-length
+    # sequences; record the data's actual floor so a future regeneration
+    # with empty docs flips this loudly instead of silently exercising
+    # the (tested-by-guard, but unoracled-by-data) empty branch
+    min_len = docs.agg(F.min("n_chars")).first()[0]
+    assert min_len >= 1, min_len
 
 
 def test_magic_format_detect_mixes_formats_within_sources(spark):

@@ -459,3 +459,35 @@ def test_session_gap_kernel_matches_custom_close_batch_twin(spark, events_stream
             assert r[col] == want.loc[key, col], (key, col)
     n_users = want.reset_index()["user_id"].nunique()
     assert len(got) >= len(want) - n_users
+
+
+def test_funnel_kernel_matches_batch_funnel_counts(spark, events_stream):
+    """The stateful funnel kernel (greedy earliest-advance with
+    out-of-order repair) must converge to the oracled batch funnel: the
+    per-stage user counts from the final per-user rows equal
+    event_funnel_conversion's n_users column, and every completed funnel
+    is time-ordered."""
+    from hackatonbigdata_spark.registry import all_queries
+
+    jobs.run_to_memory(
+        jobs.funnel_stage_kernel_stream(events_stream), "t_funnel", "update"
+    )
+    got = (
+        spark.table("t_funnel")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+    )
+    want = {
+        r.stage: r.n_users
+        for r in all_queries()["event_funnel_conversion"](spark, SF_DIR).collect()
+    }
+    assert got["t1"].notna().sum() == want["signup"]
+    assert got["t2"].notna().sum() == want["view"]
+    assert got["t3"].notna().sum() == want["click"]
+    assert got["t4"].notna().sum() == want["purchase"]
+    done = got[got.stage_reached == 4]
+    assert (
+        (done["t1"] <= done["t2"])
+        & (done["t2"] <= done["t3"])
+        & (done["t3"] <= done["t4"])
+    ).all()
