@@ -662,18 +662,30 @@ def burnrate_stream(events: DataFrame) -> DataFrame:
 
 
 def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
-    """Custom sessionizer with EVENT-TIME TIMEOUT — the one GroupState
-    capability the other kernels don't exercise: a session closes either
-    when a later event from the same user arrives past the 30-minute gap
-    (in-batch closure) or when the WATERMARK passes last_event + gap with
-    no successor (``state.hasTimedOut`` — the no-data micro-batch fires
-    it), so abandoned sessions still emit without waiting for the user to
-    return.  Mirrors the built-in ``session_window`` semantics
-    (``session_windows_stream``) but from the raw state API, the pattern
-    a production sessionizer with custom close conditions needs.
+    """Custom sessionizer with EVENT-TIME TIMEOUT and full OUT-OF-ORDER
+    correctness: sessions are emitted only once they are WATERMARK-FINAL —
+    the same discipline the built-in ``session_window`` uses — because a
+    late-but-within-watermark event can extend a session, split it
+    differently, or MERGE two apparent sessions into one, and append-mode
+    output cannot retract an early emission (the r6 version emitted on
+    in-batch gap closure and silently assumed in-order arrival across
+    micro-batches; the multi-batch out-of-order test now pins this).
 
-    State per user: (session_start, last_ts, n, Σv in 1e-4 ints) — O(1);
-    ``state.remove()`` on timeout keeps the store bounded."""
+    Per user the state is the bounded buffer of (ts, quantized value)
+    events still inside the merge horizon.  Each invocation folds the
+    sorted buffer into sessions with the custom close rule (a gap of
+    EXACTLY 30:00 closes — end-exclusive, the ``session_gaps_custom_close``
+    batch-twin semantics), emits every session whose last event + gap <=
+    watermark (no future event can reach it: any acceptable event has
+    ts >= watermark >= last + gap, which starts a new session), and keeps
+    only the remaining events — O(watermark delay + gap) per key, evicted
+    by ``state.remove()``.  The event-time timeout (clamped above the
+    watermark, which Spark rejects otherwise) fires the final no-data
+    micro-batch close for abandoned sessions via ``state.hasTimedOut``.
+
+    Session timestamps carry epoch MICROSECONDS through state:
+    ``session_window`` boundaries are microsecond-precise, so
+    second-truncated state would misalign the starts."""
     import math  # noqa: PLC0415 — worker-side import
 
     import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -684,11 +696,28 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
         "user_id long, session_start timestamp, session_end timestamp,"
         " n_events long, sum_v4 long"
     )
-    # epoch MICROSECONDS: session_window boundaries carry full microsecond
-    # precision, so second-truncated state would misalign the starts
-    state_schema = "start long, last long, n long, sv4 long"
+    state_schema = "ts array<long>, v4 array<long>"
 
-    def row(uid, start, last, n, sv4):
+    def fold(buf):
+        """Sorted (ts, v4) events -> sessions [(start, last, n, sv4)]."""
+        sessions = []
+        start = last = None
+        n = sv4 = 0
+        for ts_us, v4 in buf:
+            if start is None:
+                start, last, n, sv4 = ts_us, ts_us, 0, 0
+            elif ts_us - last >= GAP_US:
+                sessions.append((start, last, n, sv4))
+                start, last, n, sv4 = ts_us, ts_us, 0, 0
+            last = ts_us
+            n += 1
+            sv4 += v4
+        if start is not None:
+            sessions.append((start, last, n, sv4))
+        return sessions
+
+    def row(uid, s):
+        start, last, n, sv4 = s
         return {
             "user_id": uid,
             "session_start": pd.Timestamp(start, unit="us"),
@@ -699,44 +728,58 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         uid = key[0]
+        buf = (
+            sorted(zip(*state.get)) if state.exists else []
+        )  # [(ts_us, v4)]
         if state.hasTimedOut:
-            start, last, n, sv4 = state.get
-            state.remove()
-            yield pd.DataFrame([row(uid, start, last, n, sv4)])
-            return
-        start, last, n, sv4 = state.get if state.exists else (None, None, 0, 0)
-        closed = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            full = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for ts, val in zip(full["ts"], full["value"]):
-                ts_us = int(pd.Timestamp(ts).value // 1_000)
-                if start is None:
-                    start, last, n, sv4 = ts_us, ts_us, 0, 0
-                elif ts_us - last >= GAP_US:
-                    # session_window closes at gap >= 30min (end-exclusive)
-                    closed.append(row(uid, start, last, n, sv4))
-                    start, last, n, sv4 = ts_us, ts_us, 0, 0
-                last = ts_us
-                n += 1
-                sv4 += math.floor(float(val) * 10000 + 0.5)
-        if last is not None:
+            # the timeout sits past last + gap, so the watermark normally
+            # finalizes the whole buffer — but a CLAMPED timeout (set to
+            # watermark + 1) can fire early, so fall through to the same
+            # final/keep split as a data batch instead of assuming
+            pdfs = []
+        for pdf in pdfs:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                buf.append(
+                    (
+                        int(pd.Timestamp(ts).value // 1_000),
+                        math.floor(float(val) * 10000 + 0.5),
+                    )
+                )
+        if not buf:
             # a key invoked with only empty chunks and no prior state has
-            # nothing to track — calling update/setTimeoutTimestamp with
-            # None state would raise (r7, per ADVICE)
-            state.update((start, last, n, sv4))
-            # fire when the WATERMARK passes last + gap: abandoned sessions
-            # close without a successor event.  Spark rejects a timeout at
-            # or below the current watermark (a late-accepted event on a
-            # long-idle key can put last + gap behind it) — clamp to just
-            # above, which fires the close on the next micro-batch.
-            timeout_ms = (last + GAP_US) // 1000
+            # nothing to track (r7, per ADVICE)
+            return
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final, kept, keep_from = [], [], 0
+        pos = 0
+        for s in fold(buf):
+            if s[1] + GAP_US <= wm_us:
+                final.append(s)
+                keep_from = pos + s[2]
+            else:
+                kept.append(s)
+            pos += s[2]
+        buf = buf[keep_from:]
+        if buf:
+            state.update(([t for t, _ in buf], [v for _, v in buf]))
+            # fire when the watermark passes the FIRST pending session's
+            # close (last + gap) — not the key's newest event: a key that
+            # stays active near stream end must still emit its earlier,
+            # already-final sessions, so each firing emits the final
+            # prefix and re-arms for the next boundary.  Spark rejects a
+            # timeout at or below the current watermark, so clamp just
+            # above (the kept head is always > watermark, or it would
+            # have been final).
+            timeout_ms = (kept[0][1] + GAP_US) // 1000
             wm_ms = state.getCurrentWatermarkMs()
             if timeout_ms <= wm_ms:
                 timeout_ms = wm_ms + 1
             state.setTimeoutTimestamp(timeout_ms)
-        if closed:
-            yield pd.DataFrame(closed)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield pd.DataFrame([row(uid, s) for s in final])
 
     return (
         events.withWatermark("ts", WATERMARK)

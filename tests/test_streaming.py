@@ -491,3 +491,132 @@ def test_funnel_kernel_matches_batch_funnel_counts(spark, events_stream):
         & (done["t2"] <= done["t3"])
         & (done["t3"] <= done["t4"])
     ).all()
+
+
+def test_funnel_kernel_repairs_out_of_order_across_batches(spark, tmp_path):
+    """The single-file testdata stream collapses to one micro-batch, so this
+    test synthesizes a 4-file stream (maxFilesPerTrigger=1 → 4 batches)
+    with deliberate IN-WATERMARK late arrivals: u1's view lands a batch
+    AFTER a later click, so the kernel must lower t2 retroactively and
+    re-open the buffered click for t3 — the repair path a single batch
+    never exercises.  u2 checks the ordering constraint: a view BEFORE the
+    (late-arriving) signup must never count as stage 2."""
+    import time
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def m(minutes):
+        return base + pd.Timedelta(minutes=minutes)
+
+    batches = [
+        # b1: u1 signup + click (view missing); u2 premature view
+        [(1, m(0), 1, "signup"), (2, m(8), 1, "click"), (3, m(1), 2, "view")],
+        # b2: u1's view arrives LATE (ts before the already-seen click,
+        # inside the 10-min watermark) + the eventual purchase
+        [(4, m(5), 1, "view"), (5, m(20), 1, "purchase")],
+        # b3: u2 signs up (after their old view)
+        [(6, m(30), 2, "signup")],
+        # b4: u2 completes in order
+        [(7, m(32), 2, "view"), (8, m(33), 2, "click"), (9, m(35), 2, "purchase")],
+    ]
+    src = str(tmp_path / "funnel_src")
+    for rows in batches:
+        pdf = spark.createDataFrame(
+            [(eid, ts.to_pydatetime(), uid, et, 1.0) for eid, ts, uid, et in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.funnel_stage_kernel_stream(stream), "t_funnel_ooo", "update"
+    )
+    got = (
+        spark.table("t_funnel_ooo")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .set_index("user_id")
+    )
+    # u1: repair must assemble signup@0 -> view@5 -> click@8 -> purchase@20
+    assert got.loc[1, "stage_reached"] == 4
+    assert got.loc[1, "t1"] == m(0)
+    assert got.loc[1, "t2"] == m(5)
+    assert got.loc[1, "t3"] == m(8)
+    assert got.loc[1, "t4"] == m(20)
+    # u2: the premature view@1 must NOT count; funnel restarts at signup@30
+    assert got.loc[2, "stage_reached"] == 4
+    assert got.loc[2, "t1"] == m(30)
+    assert got.loc[2, "t2"] == m(32)
+    assert got.loc[2, "t3"] == m(33)
+    assert got.loc[2, "t4"] == m(35)
+    # the interim (pre-repair) u1 row from batch 1 must show the stall:
+    # stage 1 only, no view yet — proving the repair actually happened
+    # across batches rather than everything arriving in one batch
+    first_u1 = spark.table("t_funnel_ooo").toPandas().query("user_id == 1").iloc[0]
+    assert first_u1["stage_reached"] == 1
+
+
+def test_session_kernel_merges_late_event_across_batches(spark, tmp_path):
+    """Watermark-final discipline: two apparent sessions (00:00 and 00:32,
+    gap 32 min) must MERGE into one when a late-but-within-watermark event
+    at 00:25 arrives a batch later — and nothing may be emitted before the
+    watermark finalizes the merged session (append mode cannot retract).
+    The r6 in-batch-closure kernel would have emitted the split sessions
+    early and could never repair them."""
+    import time
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def m(minutes):
+        return base + pd.Timedelta(minutes=minutes)
+
+    batches = [
+        [(1, m(0), 1, "view", 1.0), (2, m(32), 1, "view", 2.0)],
+        [(3, m(25), 1, "view", 4.0)],  # late: wm after b1 = 00:22
+        [(4, m(120), 1, "view", 8.0)],  # advances wm to 00:22 -> 01:50...
+        [(5, m(180), 1, "view", 16.0)],  # ...finalizing the merged session
+    ]
+    src = str(tmp_path / "sess_src")
+    for rows in batches:
+        spark.createDataFrame(
+            [(eid, ts.to_pydatetime(), uid, et, v) for eid, ts, uid, et, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.session_gap_kernel_stream(stream), "t_sess_merge", "append"
+    )
+    got = spark.table("t_sess_merge").toPandas().sort_values("session_start")
+    # the merged session is final, and the 02:00 singleton closes once the
+    # final watermark (02:50) passes its boundary (02:30) via the re-armed
+    # timeout; the 03:00 singleton (close 03:30) stays withheld
+    assert len(got) == 2, got
+    r = got.iloc[0]
+    assert r.session_start == m(0)
+    assert r.session_end == m(32)
+    assert r.n_events == 3
+    assert r.sum_v4 == 70000  # (1.0 + 2.0 + 4.0) * 1e4
+    r2 = got.iloc[1]
+    assert r2.session_start == m(120)
+    assert r2.session_end == m(120)
+    assert r2.n_events == 1
+    assert r2.sum_v4 == 80000
