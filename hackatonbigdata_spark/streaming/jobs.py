@@ -342,38 +342,76 @@ def rate_limit_stream(events: DataFrame) -> DataFrame:
 
 
 def transition_counts_stream(events: DataFrame) -> DataFrame:
-    """Per-user Markov transition extraction as a custom stateful operator:
-    state carries each user's LAST event type across micro-batches, so
-    adjacent-pair extraction stays exactly-once across batch boundaries —
-    the live twin of the batch ``seq_event_transitions`` query (whose
-    oracle value-verifies the shared semantics).  Emits per-batch delta
+    """Per-user Markov transition extraction as a custom stateful operator
+    — the live twin of the batch ``seq_event_transitions`` query (whose
+    oracle value-verifies the shared semantics).  Emits per-batch DELTA
     rows (prev, next, count); the consumer aggregates deltas, exactly how
-    a streaming transition matrix is maintained in production (state per
-    user is ONE string — bounded regardless of history length)."""
+    a streaming transition matrix is maintained in production.
+
+    Adjacency is ORDER-dependent, so (r7) the deltas are RETRACTABLE
+    (Flink-style): state = the last FINALIZED event type plus a bounded
+    buffer of in-horizon events; each invocation re-sorts the buffer,
+    recomputes the tail's transition counts, and emits the difference
+    against what the tail contributed last time — negative ``n_trans``
+    retracts a pair that a late-but-within-watermark event just split.
+    The running delta sum therefore equals the true in-order transition
+    counts after every batch, while events older than the watermark
+    compact into a single string of state."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     out_schema = "prev_type string, next_type string, n_trans long"
-    state_schema = "last_type string"
+    state_schema = (
+        "last_type string, bts array<long>, beid array<long>,"
+        " betype array<string>"
+    )
+
+    def tail_counts(last, buf):
+        counts: dict = {}
+        for _, _, t in buf:
+            if last is not None:
+                counts[(last, t)] = counts.get((last, t), 0) + 1
+            last = t
+        return counts
 
     def update(key, pdfs, state: GroupState):
-        last = state.get[0] if state.exists else None
-        counts: dict = {}
-        # accumulate ALL chunks first, then sort once: a group spanning
-        # multiple pandas chunks is not globally time-ordered chunk-by-chunk,
-        # so per-chunk sorting could misorder transitions across boundaries
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            full = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for t in full["event_type"]:
-                if last is not None:
-                    counts[(last, t)] = counts.get((last, t), 0) + 1
-                last = t
-        state.update((last,))
-        if counts:
+        if state.exists:
+            last_final, bts, beid, betype = state.get
+            buf = sorted(zip(bts, beid, betype))
+        else:
+            last_final, buf = None, []
+        before = tail_counts(last_final, buf)
+        for pdf in pdfs:
+            for ts, eid, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                buf.append((int(pd.Timestamp(ts).value // 1_000), int(eid), t))
+        buf.sort()
+        after = tail_counts(last_final, buf)
+        # finalize the prefix no future event can split (ts < watermark):
+        # those transitions are already inside ``after`` — finalization
+        # only compacts state, it emits nothing extra
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        k = 0
+        while k < len(buf) and buf[k][0] < wm_us:
+            last_final = buf[k][2]
+            k += 1
+        buf = buf[k:]
+        state.update(
+            (
+                last_final,
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [y for _, _, y in buf],
+            )
+        )
+        delta = {
+            k2: after.get(k2, 0) - before.get(k2, 0)
+            for k2 in set(after) | set(before)
+            if after.get(k2, 0) != before.get(k2, 0)
+        }
+        if delta:
             yield pd.DataFrame(
                 [
-                    {"prev_type": a, "next_type": b, "n_trans": n}
-                    for (a, b), n in counts.items()
+                    {"prev_type": a, "next_type": b, "n_trans": c}
+                    for (a, b), c in delta.items()
                 ]
             )
 
@@ -393,51 +431,87 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
 def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
     """Running time-weighted average per user as a custom stateful
     operator — the live twin of the batch ``time_weighted_avg`` query.
-    State per user is three numbers (last ts, last value, accumulated
-    Σv·dt in 1e-4 integer units + Σdt), so an arbitrarily long stream
-    holds O(1) state per key; each micro-batch extends the held-value
-    integral across the batch boundary exactly."""
+
+    The held-value integral is ORDER-dependent, so (r7) state = the
+    FINALIZED accumulator (last finalized point + Σv·dt in 1e-4 integer
+    units + Σdt over events with ts < watermark) plus a bounded buffer of
+    in-horizon events; each invocation re-sorts the buffer, recomputes
+    the integral tail from the finalized point, and emits the up-to-date
+    running TWA (update mode overwrites), so a late-but-within-watermark
+    event re-times its neighboring intervals correctly instead of being
+    integrated where it arrived."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     out_schema = (
         "user_id long, n_intervals long, span_seconds long, twa_value double"
     )
-    state_schema = "last_ts long, last_value double, vdt long, dt long, n long"
+    state_schema = (
+        "last_ts long, last_value double, vdt long, dt long, n long,"
+        " bts array<long>, beid array<long>, bval array<double>"
+    )
 
     def update(key, pdfs, state: GroupState):
         import math  # noqa: PLC0415 — worker-side import
 
         if state.exists:
-            last_ts, last_value, vdt, dt, n = state.get
+            last_ts, last_value, vdt, dt, n, bts, beid, bval = state.get
+            buf = sorted(zip(bts, beid, bval))
         else:
-            last_ts, last_value, vdt, dt, n = None, None, 0, 0, 0
-        # accumulate ALL chunks, then sort once: per-chunk sorting would
-        # misorder intervals for a group spanning multiple pandas chunks
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            full = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for ts, val in zip(full["ts"], full["value"]):
-                ts_s = int(pd.Timestamp(ts).value // 1_000_000_000)
-                if last_ts is not None:
-                    step = ts_s - last_ts
-                    if step > 0:
-                        # math.floor(x+0.5), matching the batch twin's
-                        # floor(value*dt*1e4 + 0.5) for negative products too
-                        # (int() truncates toward zero and would diverge)
-                        vdt += math.floor((last_value * step) * 10000 + 0.5)
-                        dt += step
-                        n += 1
-                last_ts, last_value = ts_s, float(val)
-        state.update((last_ts, last_value, vdt, dt, n))
-        if dt > 0:
-            x = vdt / (dt * 10000.0)
+            last_ts, last_value, vdt, dt, n, buf = None, None, 0, 0, 0, []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                buf.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid), float(val))
+                )
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        def integrate(lt, lv, sv, sd, sn, ts_us, val):
+            ts_s = ts_us // 1_000_000
+            if lt is not None:
+                step = ts_s - lt
+                if step > 0:
+                    # math.floor(x+0.5), matching the batch twin's
+                    # floor(value*dt*1e4 + 0.5) for negative products too
+                    sv += math.floor((lv * step) * 10000 + 0.5)
+                    sd += step
+                    sn += 1
+            return ts_s, val, sv, sd, sn
+
+        # finalize the prefix no future event can re-time (ts < watermark)
+        k = 0
+        while k < len(buf) and buf[k][0] < wm_us:
+            ts_us, _, val = buf[k]
+            last_ts, last_value, vdt, dt, n = integrate(
+                last_ts, last_value, vdt, dt, n, ts_us, val
+            )
+            k += 1
+        buf = buf[k:]
+        state.update(
+            (
+                last_ts,
+                last_value,
+                vdt,
+                dt,
+                n,
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [v for _, _, v in buf],
+            )
+        )
+        # recompute the in-horizon tail from the finalized point
+        lt, lv, sv, sd, sn = last_ts, last_value, vdt, dt, n
+        for ts_us, _, val in buf:
+            lt, lv, sv, sd, sn = integrate(lt, lv, sv, sd, sn, ts_us, val)
+        if sd > 0:
+            x = sv / (sd * 10000.0)
             # r4 convention (half away from zero), not Python's banker's round
             twa = math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000.0
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "n_intervals": [n],
-                    "span_seconds": [dt],
+                    "n_intervals": [sn],
+                    "span_seconds": [sd],
                     "twa_value": [twa],
                 }
             )
@@ -498,11 +572,16 @@ def running_drawdown_stream(events: DataFrame) -> DataFrame:
     """Per-user running peak-to-trough drawdown over the cumulative value
     series as a custom stateful operator — the live twin of the
     ``window_max_drawdown`` measure, re-based onto the event stream.
-    State per user is three BIGINTs in 1e-4 units (cumulative sum, running
-    peak of that sum, deepest drawdown so far), so the arithmetic is
-    integer-exact across micro-batch boundaries and accumulation orders;
-    chunks are concatenated before sorting (cross-chunk groups stay
-    time-ordered).  Emits the updated extrema per user per batch."""
+
+    The cumulative path is ORDER-dependent, so (r7) the state splits into
+    a FINALIZED accumulator (cum/peak/maxdd over events whose ts has
+    passed the watermark — no earlier event can still arrive) plus a
+    bounded buffer of in-horizon events; each invocation re-sorts the
+    buffer, recomputes the path tail from the finalized point, and emits
+    the up-to-date extrema (update mode overwrites), so a
+    late-but-within-watermark event re-orders the path correctly instead
+    of being appended where it arrived.  All arithmetic is integer 1e-4
+    units — exact across batch boundaries and accumulation orders."""
     import math  # noqa: PLC0415 — worker-side import
 
     import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -510,29 +589,62 @@ def running_drawdown_stream(events: DataFrame) -> DataFrame:
     out_schema = (
         "user_id long, n_events long, final_cum4 long, peak4 long, max_dd4 long"
     )
-    state_schema = "cum4 long, peak4 long, maxdd4 long, n long"
+    state_schema = (
+        "cum4 long, peak4 long, maxdd4 long, n long,"
+        " bts array<long>, beid array<long>, bv4 array<long>"
+    )
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            cum4, peak4, maxdd4, n = state.get
+            cum4, peak4, maxdd4, n, bts, beid, bv4 = state.get
+            buf = sorted(zip(bts, beid, bv4))
         else:
-            cum4, peak4, maxdd4, n = 0, 0, 0, 0
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            full = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for val in full["value"]:
-                cum4 += math.floor(float(val) * 10000 + 0.5)
-                peak4 = max(peak4, cum4)
-                maxdd4 = max(maxdd4, peak4 - cum4)
-                n += 1
-        state.update((cum4, peak4, maxdd4, n))
+            cum4, peak4, maxdd4, n, buf = 0, 0, 0, 0, []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                buf.append(
+                    (
+                        int(pd.Timestamp(ts).value // 1_000),
+                        int(eid),
+                        math.floor(float(val) * 10000 + 0.5),
+                    )
+                )
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # finalize the prefix no future event can reorder (ts < watermark)
+        k = 0
+        while k < len(buf) and buf[k][0] < wm_us:
+            cum4 += buf[k][2]
+            peak4 = max(peak4, cum4)
+            maxdd4 = max(maxdd4, peak4 - cum4)
+            n += 1
+            k += 1
+        buf = buf[k:]
+        state.update(
+            (
+                cum4,
+                peak4,
+                maxdd4,
+                n,
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [v for _, _, v in buf],
+            )
+        )
+        # recompute the in-horizon tail from the finalized point
+        tc, tp, tm, tn = cum4, peak4, maxdd4, n
+        for _, _, v4 in buf:
+            tc += v4
+            tp = max(tp, tc)
+            tm = max(tm, tp - tc)
+            tn += 1
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_events": [n],
-                "final_cum4": [cum4],
-                "peak4": [peak4],
-                "max_dd4": [maxdd4],
+                "n_events": [tn],
+                "final_cum4": [tc],
+                "peak4": [tp],
+                "max_dd4": [tm],
             }
         )
 

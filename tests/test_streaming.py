@@ -620,3 +620,107 @@ def test_session_kernel_merges_late_event_across_batches(spark, tmp_path):
     assert r2.session_end == m(120)
     assert r2.n_events == 1
     assert r2.sum_v4 == 80000
+
+
+def _ooo_stream(spark, tmp_path, name, batches):
+    """Write each batch to its own parquet file (distinct mtimes) and
+    return a maxFilesPerTrigger=1 readStream over the directory — one
+    micro-batch per listed batch, in order."""
+    import time
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    src = str(tmp_path / name)
+    for rows in batches:
+        spark.createDataFrame(
+            [(eid, ts.to_pydatetime(), uid, et, v) for eid, ts, uid, et, v in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+
+def test_twa_kernel_retimes_late_event_across_batches(spark, tmp_path):
+    """A late-but-within-watermark event must be integrated at its EVENT
+    time: 10 held for 12 min then 20 for 8 min (twa 14.0), not 10 held the
+    whole 20 minutes with the late point skipped."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    m = lambda mm: base + pd.Timedelta(minutes=mm)  # noqa: E731
+    stream = _ooo_stream(
+        spark,
+        tmp_path,
+        "twa_src",
+        [
+            [(1, m(0), 1, "view", 10.0), (2, m(20), 1, "view", 30.0)],
+            [(3, m(12), 1, "view", 20.0)],  # wm after b1 = 00:10
+        ],
+    )
+    jobs.run_to_memory(jobs.time_weighted_avg_stream(stream), "t_twa_ooo", "update")
+    got = (
+        spark.table("t_twa_ooo")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .set_index("user_id")
+    )
+    assert got.loc[1, "n_intervals"] == 2
+    assert got.loc[1, "span_seconds"] == 1200
+    assert got.loc[1, "twa_value"] == (10 * 720 + 20 * 480) / 1200.0
+
+
+def test_drawdown_kernel_reorders_path_across_batches(spark, tmp_path):
+    """The cumulative path must follow EVENT order: +10, +6(late), -8 peaks
+    at 16; the arrival-order path (+10, -8, +6) would peak at 10."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    m = lambda mm: base + pd.Timedelta(minutes=mm)  # noqa: E731
+    stream = _ooo_stream(
+        spark,
+        tmp_path,
+        "dd_src",
+        [
+            [(1, m(0), 1, "view", 10.0), (2, m(20), 1, "view", -8.0)],
+            [(3, m(12), 1, "view", 6.0)],  # wm after b1 = 00:10
+        ],
+    )
+    jobs.run_to_memory(
+        jobs.running_drawdown_stream(stream), "t_dd_ooo", "update"
+    )
+    got = (
+        spark.table("t_dd_ooo")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .set_index("user_id")
+    )
+    assert got.loc[1, "final_cum4"] == 80000
+    assert got.loc[1, "peak4"] == 160000
+    assert got.loc[1, "max_dd4"] == 80000
+
+
+def test_transition_kernel_retracts_split_pair_across_batches(spark, tmp_path):
+    """Retractable deltas: signup->click is emitted in batch 1, then the
+    late view splits it — batch 2 must emit signup->click -1 plus
+    signup->view +1 and view->click +1, so the delta SUM equals the true
+    in-order transitions."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    m = lambda mm: base + pd.Timedelta(minutes=mm)  # noqa: E731
+    stream = _ooo_stream(
+        spark,
+        tmp_path,
+        "tr_src",
+        [
+            [(1, m(0), 1, "signup", 1.0), (2, m(20), 1, "click", 1.0)],
+            [(3, m(12), 1, "view", 1.0)],  # wm after b1 = 00:10
+        ],
+    )
+    jobs.run_to_memory(
+        jobs.transition_counts_stream(stream), "t_tr_ooo", "append"
+    )
+    raw = spark.table("t_tr_ooo").toPandas()
+    # the repair really was a retraction, not a lucky single batch
+    assert (raw["n_trans"] < 0).any()
+    agg = raw.groupby(["prev_type", "next_type"])["n_trans"].sum()
+    agg = agg[agg != 0].to_dict()
+    assert agg == {("signup", "view"): 1, ("view", "click"): 1}
