@@ -9,11 +9,23 @@ pattern per-series forecast state would use in production).
 
 tests/test_streaming.py runs each with ``trigger(availableNow=True)`` into a
 memory sink and pins the result against the batch twin — the engine's
-batch/stream consistency guarantee.
+batch/stream consistency guarantee — plus multi-file (one file = one
+micro-batch) streams that inject within-watermark LATE events to pin the
+out-of-order paths.
+
+Out-of-order discipline (r7): every ORDER-dependent custom kernel
+(sessionizer, funnel, Markov transitions, running TWA, running drawdown)
+keeps a bounded buffer of in-horizon events and treats only data behind
+the watermark as final — compacted into an O(1) accumulator — because a
+late-but-within-watermark event can re-order, re-split, or merge what a
+naive kernel would have already folded (or, in append mode, already
+emitted).  Append-mode deltas are made retractable (negative counts)
+where the consumer aggregates them.
 
 Scale: state is keyed by (window, low-cardinality dim) or user_id; the
-10-minute watermark bounds state size, so a long-running job's store stays
-O(active keys), not O(history).
+10-minute watermark bounds both the compacted state and every in-horizon
+buffer, so a long-running job's store stays O(active keys x horizon), not
+O(history).
 """
 
 from __future__ import annotations
