@@ -96,7 +96,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frame = F.expr(f"substring(text, cast(frame_idx * {FRAME_BYTES} + 1 as int), {FRAME_BYTES})")
     return (
-        m.select(
+        # n_frames >= 1 guard: Spark sequence(0, -1) DESCENDS on an empty
+        # payload where the oracle's range() is empty (corpus min length
+        # is also pinned by test, but the query must not depend on it)
+        m.filter(F.col("n_frames") >= 1)
+        .select(
             "doc_id",
             "text",
             F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),

@@ -63,10 +63,12 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 7 BUDGET (50-slot driver window) ============================
-    # 8 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
-    # verdict "What's missing" #1) + 23 oldest r2-stale = 50.  After this
+    # 9 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
+    # verdict "What's missing" #1) + 22 oldest r2-stale = 50.  After this
     # window lands, zero queries have code newer than their driver evidence
-    # and the r2-latest backlog is down to 10 names (<= 10 target).
+    # and the r2-latest backlog is down to 11 names (one over the <= 10
+    # target -- the trade taken for the frame-sample guard fix; r8 burns
+    # them all with 39 slots to spare).
     # --- round 7: rewritten this round (HOF byte kernels, degree-ordered
     #     triangles) and brand-new queries -- freshest code leads ---------
     "mm_payload_entropy",  # r7: rowwise HOF histogram (explode removed)
@@ -77,6 +79,7 @@ _PRIORITY: list[str] = [
     "dedup_pipeline_report",  # r7 NEW: 4-method dedup overlap matrix
     "calibration_quantile_fit",  # r7: flat-aggregate GD loop (same state)
     "calibration_platt_exact",  # r7: same GD rework + shared checkpoint
+    "multimodal_frame_sample",  # r7: n_frames >= 1 empty-payload guard
     # --- edited after their last driver check (r6 verdict list #1) --------
     "io_clustered_stats_prune",  # post-r5 empty-keep-list guard
     "stacking_ridge_weights",  # post-r5 shared-constant touch
@@ -120,11 +123,11 @@ _PRIORITY: list[str] = [
     "data_quality_profile",
     "binning_quantile_ntile",
     "window_lag_family",
-    "window_rolling_stats",
-    # ---- below the likely 50-cut: the remaining 10 r2-latest names queue
+    # ---- below the likely 50-cut: the remaining 11 r2-latest names queue
     # for the r8 rotation; everything in the registry is re-verified at
     # sf0.001 by tests/test_oracle_parity.py every session (and the whole
     # registry by the driver-sim sweep at sf0.01). -------------------------
+    "window_rolling_stats",
     "window_rolling_median_skew",
     "window_rolling_slope",
     "window_rank_volume",
