@@ -2731,13 +2731,16 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold comparisons happen on exact ratios inside each member's
     own (already-verified) definition; counts are integers.
 
-    Scale: each member's candidate generation is its own bucketed
-    shuffle-join (digest / shingle / LSH band keys — never all-pairs);
-    the fold is one union + one (doc_a, doc_b)-keyed aggregate + one
-    16-row combination aggregate.  Reusing ``cp`` for both Jaccard and
-    containment (same shingle join) matches the members' semantics
-    because containment's directed a<>b join is symmetric: C(A,B)>=t OR
-    C(B,A)>=t on the a<b pair enumerates the same undirected set."""
+    Scale: candidate generation is bucketed shuffle-joins only (digest /
+    shingle / LSH band keys — never all-pairs), and the expensive shingle
+    self-join runs ONCE, shared by the Jaccard and containment branches —
+    exactly the oracle's single ``cp`` CTE (containment's directed a<>b
+    join is symmetric, so C(A,B)>=t OR C(B,A)>=t on the a<b pair
+    enumerates the same undirected set the member emits).  The r7
+    semantics test pins each branch's marginal equal to the member
+    query's own output, so the sharing provably preserves the members'
+    definitions.  The fold is one union + one (doc_a, doc_b)-keyed
+    aggregate + one 16-row combination aggregate."""
     t = Catalog(spark, sf_dir)
     n = t.documents.select("doc_id", F.md5(_norm_text()).alias("text_hash"))
     na, nb = n.alias("na"), n.alias("nb")
@@ -2748,16 +2751,37 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("na.doc_id").alias("doc_a"), F.col("nb.doc_id").alias("doc_b")
     )
-    jacc_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    cont_pairs = (
-        dedup_containment_pairs(spark, sf_dir)
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+    sh = _doc_shingles(t)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    cp = (
+        sa.join(sb, "shingle")
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+            ),
+            "doc_a",
         )
-        .distinct()
+        .join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+            ),
+            "doc_b",
+        )
+        .localCheckpoint()  # two branches below read it
     )
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("sza") + F.col("szb") - F.col("n_common")
+    )
+    jacc_pairs = cp.filter(jac >= 0.5).select("doc_a", "doc_b")
+    cont_pairs = cp.filter(
+        (F.col("n_common") * F.lit(1.0) / F.col("sza") >= 0.8)
+        | (F.col("n_common") * F.lit(1.0) / F.col("szb") >= 0.8)
+    ).select("doc_a", "doc_b")
+    lsh_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     tagged = (
         exact_pairs.withColumn("m", F.lit("exact"))
         .unionAll(jacc_pairs.withColumn("m", F.lit("jaccard")))
