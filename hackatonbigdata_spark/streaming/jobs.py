@@ -40,6 +40,131 @@ from hackatonbigdata_spark.catalog import events_ts_is_nanos
 WATERMARK = "10 minutes"
 
 
+# --- pure kernel state machines ---------------------------------------------
+# The order-dependent stateful kernels below delegate their whole state
+# transition to these module-level PURE functions: (previous state, new
+# events, watermark) -> (next state, emissions).  The Spark ``update``
+# closures are thin GroupState adapters, so the intricate logic —
+# finalization, out-of-order repair, retraction telescoping — is testable
+# at full fidelity without a JVM (tests/test_kernel_state_machines.py
+# drives them with hypothesis over random arrival orders and batch splits).
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 minutes, matching the built-in twin
+
+
+def fold_sessions(buf, gap_us=SESSION_GAP_US):
+    """Sorted (ts_us, v4) events -> sessions [(start, last, n, sv4)] under
+    the custom close rule (a gap of EXACTLY ``gap_us`` closes)."""
+    sessions = []
+    start = last = None
+    n = sv4 = 0
+    for ts_us, v4 in buf:
+        if start is None:
+            start, last, n, sv4 = ts_us, ts_us, 0, 0
+        elif ts_us - last >= gap_us:
+            sessions.append((start, last, n, sv4))
+            start, last, n, sv4 = ts_us, ts_us, 0, 0
+        last = ts_us
+        n += 1
+        sv4 += v4
+    if start is not None:
+        sessions.append((start, last, n, sv4))
+    return sessions
+
+
+def session_step(buf, new_events, wm_us, gap_us=SESSION_GAP_US):
+    """One sessionizer transition: merge + sort the in-horizon buffer,
+    emit every WATERMARK-FINAL session (last + gap <= wm: no acceptable
+    future event can extend, split, or merge it), keep the rest.
+
+    Returns (kept_buf, final_sessions, next_timeout_us_or_None) where the
+    timeout is the FIRST pending session's close — firing per boundary so
+    a key active near stream end still emits its final prefix."""
+    buf = sorted(buf + list(new_events))
+    final, kept, keep_from, pos = [], [], 0, 0
+    for s in fold_sessions(buf, gap_us):
+        if s[1] + gap_us <= wm_us:
+            final.append(s)
+            keep_from = pos + s[2]
+        else:
+            kept.append(s)
+        pos += s[2]
+    buf = buf[keep_from:]
+    timeout_us = (kept[0][1] + gap_us) if kept else None
+    return buf, final, timeout_us
+
+
+def transition_tail_counts(last, types):
+    """Adjacent-pair counts of ``types`` walked from ``last`` (None for a
+    fresh key)."""
+    counts = {}
+    for t in types:
+        if last is not None:
+            counts[(last, t)] = counts.get((last, t), 0) + 1
+        last = t
+    return counts
+
+
+def transition_step(last_final, buf, new_events, wm_us):
+    """One Markov-transition transition: returns (new_last_final, kept_buf,
+    delta) where ``delta`` is the RETRACTABLE correction — after minus
+    before over the in-horizon tail — whose running sum always equals the
+    true in-order transition counts.  Events behind the watermark compact
+    into ``last_final``."""
+    buf = sorted(buf)
+    before = transition_tail_counts(last_final, [t for _, _, t in buf])
+    buf = sorted(buf + list(new_events))
+    after = transition_tail_counts(last_final, [t for _, _, t in buf])
+    k = 0
+    while k < len(buf) and buf[k][0] < wm_us:
+        last_final = buf[k][2]
+        k += 1
+    buf = buf[k:]
+    delta = {
+        key: after.get(key, 0) - before.get(key, 0)
+        for key in set(after) | set(before)
+        if after.get(key, 0) != before.get(key, 0)
+    }
+    return last_final, buf, delta
+
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel_stage_times(bufs):
+    """Greedy earliest-advance over per-stage candidate time lists:
+    [t1, t2, t3, t4] with None from the first unreached stage."""
+    ts_out = []
+    prev = None
+    for i in range(4):
+        cands = [t for t in bufs[i] if t >= prev] if prev is not None else bufs[i]
+        if i == 0:
+            cur = min(bufs[0]) if bufs[0] else None
+        else:
+            cur = min(cands) if cands and prev is not None else None
+        ts_out.append(cur)
+        prev = cur if cur is not None else prev
+        if cur is None and i > 0:
+            ts_out.extend([None] * (3 - i))
+            break
+    return (ts_out + [None] * 4)[:4]
+
+
+def funnel_step(bufs, new_events, wm_us):
+    """One funnel transition: append (ts_us, stage_idx) events, recompute
+    the greedy stage times, prune every buffered time below
+    min(t1, watermark) — provably never choosable again — and return
+    (pruned_bufs, stage_times)."""
+    bufs = [list(b) for b in bufs]
+    for ts_us, i in new_events:
+        bufs[i].append(ts_us)
+    ts_out = funnel_stage_times(bufs)
+    floor_us = min(ts_out[0], wm_us) if ts_out[0] is not None else wm_us
+    bufs = [[t for t in b if t >= floor_us] for b in bufs]
+    return bufs, ts_out
+
+
+
 def _ts_to_ltz(df: DataFrame, nanos: bool) -> DataFrame:
     """Normalize ``ts`` to TIMESTAMP (ltz) for watermarking — session tz is
     pinned UTC so the values equal the batch catalog's timestamp_ntz column.
@@ -377,35 +502,21 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
         " betype array<string>"
     )
 
-    def tail_counts(last, buf):
-        counts: dict = {}
-        for _, _, t in buf:
-            if last is not None:
-                counts[(last, t)] = counts.get((last, t), 0) + 1
-            last = t
-        return counts
-
     def update(key, pdfs, state: GroupState):
         if state.exists:
             last_final, bts, beid, betype = state.get
-            buf = sorted(zip(bts, beid, betype))
+            buf = list(zip(bts, beid, betype))
         else:
             last_final, buf = None, []
-        before = tail_counts(last_final, buf)
+        new_events = []
         for pdf in pdfs:
             for ts, eid, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
-                buf.append((int(pd.Timestamp(ts).value // 1_000), int(eid), t))
-        buf.sort()
-        after = tail_counts(last_final, buf)
-        # finalize the prefix no future event can split (ts < watermark):
-        # those transitions are already inside ``after`` — finalization
-        # only compacts state, it emits nothing extra
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        k = 0
-        while k < len(buf) and buf[k][0] < wm_us:
-            last_final = buf[k][2]
-            k += 1
-        buf = buf[k:]
+                new_events.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid), t)
+                )
+        last_final, buf, delta = transition_step(
+            last_final, buf, new_events, state.getCurrentWatermarkMs() * 1000
+        )
         state.update(
             (
                 last_final,
@@ -414,11 +525,6 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
                 [y for _, _, y in buf],
             )
         )
-        delta = {
-            k2: after.get(k2, 0) - before.get(k2, 0)
-            for k2 in set(after) | set(before)
-            if after.get(k2, 0) != before.get(k2, 0)
-        }
         if delta:
             yield pd.DataFrame(
                 [
@@ -814,31 +920,11 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
 
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    GAP_US = 1800 * 1_000_000  # 30 minutes, matching the built-in twin
-
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp,"
         " n_events long, sum_v4 long"
     )
     state_schema = "ts array<long>, v4 array<long>"
-
-    def fold(buf):
-        """Sorted (ts, v4) events -> sessions [(start, last, n, sv4)]."""
-        sessions = []
-        start = last = None
-        n = sv4 = 0
-        for ts_us, v4 in buf:
-            if start is None:
-                start, last, n, sv4 = ts_us, ts_us, 0, 0
-            elif ts_us - last >= GAP_US:
-                sessions.append((start, last, n, sv4))
-                start, last, n, sv4 = ts_us, ts_us, 0, 0
-            last = ts_us
-            n += 1
-            sv4 += v4
-        if start is not None:
-            sessions.append((start, last, n, sv4))
-        return sessions
 
     def row(uid, s):
         start, last, n, sv4 = s
@@ -852,51 +938,29 @@ def session_gap_kernel_stream(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         uid = key[0]
-        buf = (
-            sorted(zip(*state.get)) if state.exists else []
-        )  # [(ts_us, v4)]
-        if state.hasTimedOut:
-            # the timeout sits past last + gap, so the watermark normally
-            # finalizes the whole buffer — but a CLAMPED timeout (set to
-            # watermark + 1) can fire early, so fall through to the same
-            # final/keep split as a data batch instead of assuming
-            pdfs = []
-        for pdf in pdfs:
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                buf.append(
-                    (
-                        int(pd.Timestamp(ts).value // 1_000),
-                        math.floor(float(val) * 10000 + 0.5),
+        buf = list(zip(*state.get)) if state.exists else []
+        new_events = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, val in zip(pdf["ts"], pdf["value"]):
+                    new_events.append(
+                        (
+                            int(pd.Timestamp(ts).value // 1_000),
+                            math.floor(float(val) * 10000 + 0.5),
+                        )
                     )
-                )
-        if not buf:
+        if not buf and not new_events:
             # a key invoked with only empty chunks and no prior state has
             # nothing to track (r7, per ADVICE)
             return
-        buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        final, kept, keep_from = [], [], 0
-        pos = 0
-        for s in fold(buf):
-            if s[1] + GAP_US <= wm_us:
-                final.append(s)
-                keep_from = pos + s[2]
-            else:
-                kept.append(s)
-            pos += s[2]
-        buf = buf[keep_from:]
+        wm_ms = state.getCurrentWatermarkMs()
+        buf, final, timeout_us = session_step(buf, new_events, wm_ms * 1000)
         if buf:
             state.update(([t for t, _ in buf], [v for _, v in buf]))
-            # fire when the watermark passes the FIRST pending session's
-            # close (last + gap) — not the key's newest event: a key that
-            # stays active near stream end must still emit its earlier,
-            # already-final sessions, so each firing emits the final
-            # prefix and re-arms for the next boundary.  Spark rejects a
-            # timeout at or below the current watermark, so clamp just
-            # above (the kept head is always > watermark, or it would
-            # have been final).
-            timeout_ms = (kept[0][1] + GAP_US) // 1000
-            wm_ms = state.getCurrentWatermarkMs()
+            # Spark rejects a timeout at or below the current watermark —
+            # clamp just above (defensive: the kept head is always > wm,
+            # or it would have been final)
+            timeout_ms = timeout_us // 1000
             if timeout_ms <= wm_ms:
                 timeout_ms = wm_ms + 1
             state.setTimeoutTimestamp(timeout_ms)
@@ -941,8 +1005,6 @@ def funnel_stage_kernel_stream(events: DataFrame) -> DataFrame:
     tests/test_streaming.py)."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    STAGES = ["signup", "view", "click", "purchase"]
-
     out_schema = (
         "user_id long, stage_reached int, t1 timestamp, t2 timestamp,"
         " t3 timestamp, t4 timestamp"
@@ -954,40 +1016,21 @@ def funnel_stage_kernel_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         uid = key[0]
         bufs = [list(b) for b in state.get] if state.exists else [[], [], [], []]
-        got_new = False
+        new_events = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
                 try:
-                    i = STAGES.index(et)
+                    i = FUNNEL_STAGES.index(et)
                 except ValueError:
                     continue
-                bufs[i].append(int(pd.Timestamp(ts).value // 1_000))
-                got_new = True
-        if not got_new:
+                new_events.append((int(pd.Timestamp(ts).value // 1_000), i))
+        if not new_events:
             return
-        # greedy earliest-advance over the buffered candidates
-        ts_out = []
-        prev = None
-        for i in range(4):
-            cands = (
-                [t for t in bufs[i] if t >= prev] if prev is not None else bufs[i]
-            )
-            if i == 0:
-                cur = min(bufs[0]) if bufs[0] else None
-            else:
-                cur = min(cands) if cands and prev is not None else None
-            ts_out.append(cur)
-            prev = cur if cur is not None else prev
-            if cur is None and i > 0:
-                ts_out.extend([None] * (3 - i))
-                break
-        ts_out = (ts_out + [None] * 4)[:4]
-        # prune: nothing below min(t1, watermark) can ever be chosen again
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        floor_us = min(ts_out[0], wm_us) if ts_out[0] is not None else wm_us
-        bufs = [[t for t in b if t >= floor_us] for b in bufs]
+        bufs, ts_out = funnel_step(
+            bufs, new_events, state.getCurrentWatermarkMs() * 1000
+        )
         state.update(tuple(bufs))
         reached = sum(1 for t in ts_out if t is not None)
         yield pd.DataFrame(

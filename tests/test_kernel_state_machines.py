@@ -1,0 +1,179 @@
+"""Hypothesis property tests for the streaming kernels' PURE state machines.
+
+The Spark streaming tests pin a handful of concrete multi-batch scenarios;
+these tests drive the same transition functions (``session_step``,
+``transition_step``, ``funnel_step`` — the whole kernel logic, extracted to
+module level) through hundreds of RANDOM arrival orders, batch splits, and
+watermark schedules, checking each against a brute-force recomputation over
+the surviving events.  No JVM involved, so the search is wide and fast.
+
+Watermark model (mirrors Spark): the watermark before batch k is
+max(event time arrived in batches < k) - DELAY; an event arriving with
+ts < watermark is dropped before the kernel sees it; after the last batch
+the engine keeps firing event-time timeouts while one is due.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hackatonbigdata_spark.streaming.jobs import (
+    fold_sessions,
+    funnel_stage_times,
+    funnel_step,
+    session_step,
+    transition_step,
+    transition_tail_counts,
+)
+
+DELAY = 15
+GAP = 10
+
+# an "arrival tape": list of (ts, payload) in arrival order, plus batch cuts
+events_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=80), st.integers(-5, 5)),
+    min_size=0,
+    max_size=30,
+)
+cuts_strategy = st.lists(st.integers(0, 29), max_size=4)
+
+
+def batches_of(tape, cuts):
+    cuts = sorted({c for c in cuts if c < len(tape)})
+    out, prev = [], 0
+    for c in cuts:
+        out.append(tape[prev:c])
+        prev = c
+    out.append(tape[prev:])
+    return out
+
+
+def drive(tape, cuts, step):
+    """Run ``step(accepted_events, wm)`` per batch under the watermark
+    model; returns (list of per-batch results, survivors, final_wm)."""
+    results, survivors = [], []
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = (max_seen - DELAY) if max_seen is not None else 0
+        wm = max(wm, 0)
+        accepted = [e for e in batch if e[0] >= wm]
+        survivors.extend(accepted)
+        results.append(step(accepted, wm))
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+    final_wm = max(0, (max_seen - DELAY)) if max_seen is not None else 0
+    return results, survivors, final_wm
+
+
+@settings(max_examples=300, deadline=None)
+@given(events_strategy, cuts_strategy)
+def test_session_machine_emits_exactly_the_watermark_final_sessions(tape, cuts):
+    """Across any arrival order and batch split, the emitted sessions must
+    be EXACTLY the brute-force sessions of the surviving events whose
+    close has passed the final watermark — no duplicates, no early or
+    phantom emissions — with the boundary-timeout loop draining the rest."""
+    tape = [(ts, v) for ts, v in tape]
+    state = {"buf": [], "emitted": [], "timeout": None}
+
+    def step(accepted, wm):
+        buf, final, timeout = session_step(
+            state["buf"], accepted, wm, gap_us=GAP
+        )
+        state["buf"], state["timeout"] = buf, timeout
+        state["emitted"].extend(final)
+
+    _, survivors, final_wm = drive(tape, cuts, step)
+    # event-time timeout loop: keep firing while a pending boundary is due
+    while state["timeout"] is not None and state["timeout"] <= final_wm:
+        buf, final, timeout = session_step(state["buf"], [], final_wm, gap_us=GAP)
+        state["buf"], state["timeout"] = buf, timeout
+        state["emitted"].extend(final)
+        if not final:
+            break  # no progress (clamped-timeout analogue) — stop
+    brute = fold_sessions(sorted(survivors), gap_us=GAP)
+    want = [s for s in brute if s[1] + GAP <= final_wm]
+    assert sorted(state["emitted"]) == sorted(want)
+    # and the withheld tail is exactly the rest of the brute sessions
+    assert sorted(state["emitted"] + fold_sessions(sorted(state["buf"]), gap_us=GAP)) == sorted(brute)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    cuts_strategy,
+)
+def test_transition_machine_delta_sum_equals_true_counts_after_every_batch(
+    tape, cuts
+):
+    """The retractable-delta telescoping invariant: after EVERY batch, the
+    cumulative delta sum equals the true in-event-time-order adjacent-pair
+    counts of the events survived so far."""
+    tape = [(ts, i, t) for i, (ts, t) in enumerate(tape)]  # unique eids
+    state = {"last": None, "buf": [], "sum": {}}
+    survivors = []
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = max(0, (max_seen - DELAY)) if max_seen is not None else 0
+        accepted = [e for e in batch if e[0] >= wm]
+        survivors.extend(accepted)
+        last, buf, delta = transition_step(
+            state["last"], state["buf"], accepted, wm
+        )
+        state["last"], state["buf"] = last, buf
+        for k, v in delta.items():
+            state["sum"][k] = state["sum"].get(k, 0) + v
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+        true = transition_tail_counts(
+            None, [t for _, _, t in sorted(survivors)]
+        )
+        got = {k: v for k, v in state["sum"].items() if v != 0}
+        assert got == true
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80), st.integers(0, 3)
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    cuts_strategy,
+)
+def test_funnel_machine_pruning_never_changes_the_stage_times(tape, cuts):
+    """After every batch, the kernel's stage times (computed over PRUNED
+    buffers) must equal the greedy times over ALL surviving events — the
+    min(t1, watermark) prune is provably lossless — and the reached
+    stages are time-ordered."""
+    state = {"bufs": [[], [], [], []]}
+    full = [[], [], [], []]
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = max(0, (max_seen - DELAY)) if max_seen is not None else 0
+        accepted = [e for e in batch if e[0] >= wm]
+        for ts, i in accepted:
+            full[i].append(ts)
+        bufs, ts_out = funnel_step(state["bufs"], accepted, wm)
+        state["bufs"] = bufs
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+        assert ts_out == funnel_stage_times(full)
+        reached = [t for t in ts_out if t is not None]
+        assert reached == sorted(reached)
+        # None never reappears after the first unreached stage
+        seen_none = False
+        for t in ts_out:
+            if t is None:
+                seen_none = True
+            else:
+                assert not seen_none
