@@ -128,6 +128,67 @@ def transition_step(last_final, buf, new_events, wm_us):
     return last_final, buf, delta
 
 
+def drawdown_fold(acc, events):
+    """Fold (cum4, peak4, maxdd4, n) over v4 values in the given order."""
+    cum4, peak4, maxdd4, n = acc
+    for v4 in events:
+        cum4 += v4
+        peak4 = max(peak4, cum4)
+        maxdd4 = max(maxdd4, peak4 - cum4)
+        n += 1
+    return cum4, peak4, maxdd4, n
+
+
+def drawdown_step(acc, buf, new_events, wm_us):
+    """One drawdown transition: finalize the sorted prefix behind the
+    watermark into the accumulator, keep the in-horizon tail, and return
+    (acc, kept_buf, emitted) where ``emitted`` is the accumulator extended
+    by the recomputed tail — always the true event-ordered path over
+    everything seen."""
+    buf = sorted(buf + list(new_events))
+    k = 0
+    while k < len(buf) and buf[k][0] < wm_us:
+        k += 1
+    acc = drawdown_fold(acc, [v for _, _, v in buf[:k]])
+    buf = buf[k:]
+    emitted = drawdown_fold(acc, [v for _, _, v in buf])
+    return acc, buf, emitted
+
+
+def twa_fold(acc, events):
+    """Fold the held-value integral (last_ts_s, last_value, vdt4, dt, n)
+    over (ts_us, value) points in the given order."""
+    import math  # noqa: PLC0415 — hot only at batch granularity
+
+    last_ts, last_value, vdt, dt, n = acc
+    for ts_us, val in events:
+        ts_s = ts_us // 1_000_000
+        if last_ts is not None:
+            step = ts_s - last_ts
+            if step > 0:
+                # math.floor(x+0.5), matching the batch twin's
+                # floor(value*dt*1e4 + 0.5) for negative products too
+                vdt += math.floor((last_value * step) * 10000 + 0.5)
+                dt += step
+                n += 1
+        last_ts, last_value = ts_s, float(val)
+    return last_ts, last_value, vdt, dt, n
+
+
+def twa_step(acc, buf, new_events, wm_us):
+    """One TWA transition: finalize the sorted prefix behind the watermark,
+    keep the in-horizon tail, return (acc, kept_buf, emitted) with
+    ``emitted`` the integral over everything seen, in event order."""
+    buf = sorted(buf + list(new_events))
+    k = 0
+    while k < len(buf) and buf[k][0] < wm_us:
+        k += 1
+    acc = twa_fold(acc, [(t, v) for t, _, v in buf[:k]])
+    buf = buf[k:]
+    emitted = twa_fold(acc, [(t, v) for t, _, v in buf])
+    return acc, buf, emitted
+
+
 FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
 
 
@@ -573,54 +634,28 @@ def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
 
         if state.exists:
             last_ts, last_value, vdt, dt, n, bts, beid, bval = state.get
-            buf = sorted(zip(bts, beid, bval))
+            acc, buf = (last_ts, last_value, vdt, dt, n), list(
+                zip(bts, beid, bval)
+            )
         else:
-            last_ts, last_value, vdt, dt, n, buf = None, None, 0, 0, 0, []
+            acc, buf = (None, None, 0, 0, 0), []
+        new_events = []
         for pdf in pdfs:
             for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                buf.append(
+                new_events.append(
                     (int(pd.Timestamp(ts).value // 1_000), int(eid), float(val))
                 )
-        buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
-
-        def integrate(lt, lv, sv, sd, sn, ts_us, val):
-            ts_s = ts_us // 1_000_000
-            if lt is not None:
-                step = ts_s - lt
-                if step > 0:
-                    # math.floor(x+0.5), matching the batch twin's
-                    # floor(value*dt*1e4 + 0.5) for negative products too
-                    sv += math.floor((lv * step) * 10000 + 0.5)
-                    sd += step
-                    sn += 1
-            return ts_s, val, sv, sd, sn
-
-        # finalize the prefix no future event can re-time (ts < watermark)
-        k = 0
-        while k < len(buf) and buf[k][0] < wm_us:
-            ts_us, _, val = buf[k]
-            last_ts, last_value, vdt, dt, n = integrate(
-                last_ts, last_value, vdt, dt, n, ts_us, val
-            )
-            k += 1
-        buf = buf[k:]
+        acc, buf, (_, _, sv, sd, sn) = twa_step(
+            acc, buf, new_events, state.getCurrentWatermarkMs() * 1000
+        )
         state.update(
             (
-                last_ts,
-                last_value,
-                vdt,
-                dt,
-                n,
+                *acc,
                 [t for t, _, _ in buf],
                 [e for _, e, _ in buf],
                 [v for _, _, v in buf],
             )
         )
-        # recompute the in-horizon tail from the finalized point
-        lt, lv, sv, sd, sn = last_ts, last_value, vdt, dt, n
-        for ts_us, _, val in buf:
-            lt, lv, sv, sd, sn = integrate(lt, lv, sv, sd, sn, ts_us, val)
         if sd > 0:
             x = sv / (sd * 10000.0)
             # r4 convention (half away from zero), not Python's banker's round
@@ -715,47 +750,30 @@ def running_drawdown_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         if state.exists:
             cum4, peak4, maxdd4, n, bts, beid, bv4 = state.get
-            buf = sorted(zip(bts, beid, bv4))
+            acc, buf = (cum4, peak4, maxdd4, n), list(zip(bts, beid, bv4))
         else:
-            cum4, peak4, maxdd4, n, buf = 0, 0, 0, 0, []
+            acc, buf = (0, 0, 0, 0), []
+        new_events = []
         for pdf in pdfs:
             for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                buf.append(
+                new_events.append(
                     (
                         int(pd.Timestamp(ts).value // 1_000),
                         int(eid),
                         math.floor(float(val) * 10000 + 0.5),
                     )
                 )
-        buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        # finalize the prefix no future event can reorder (ts < watermark)
-        k = 0
-        while k < len(buf) and buf[k][0] < wm_us:
-            cum4 += buf[k][2]
-            peak4 = max(peak4, cum4)
-            maxdd4 = max(maxdd4, peak4 - cum4)
-            n += 1
-            k += 1
-        buf = buf[k:]
+        acc, buf, (tc, tp, tm, tn) = drawdown_step(
+            acc, buf, new_events, state.getCurrentWatermarkMs() * 1000
+        )
         state.update(
             (
-                cum4,
-                peak4,
-                maxdd4,
-                n,
+                *acc,
                 [t for t, _, _ in buf],
                 [e for _, e, _ in buf],
                 [v for _, _, v in buf],
             )
         )
-        # recompute the in-horizon tail from the finalized point
-        tc, tp, tm, tn = cum4, peak4, maxdd4, n
-        for _, _, v4 in buf:
-            tc += v4
-            tp = max(tp, tc)
-            tm = max(tm, tp - tc)
-            tn += 1
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

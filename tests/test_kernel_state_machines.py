@@ -177,3 +177,63 @@ def test_funnel_machine_pruning_never_changes_the_stage_times(tape, cuts):
                 seen_none = True
             else:
                 assert not seen_none
+
+
+@settings(max_examples=300, deadline=None)
+@given(events_strategy, cuts_strategy)
+def test_drawdown_machine_always_emits_the_event_ordered_path(tape, cuts):
+    """After every batch, the emitted (cum, peak, maxdd, n) must equal the
+    brute-force fold of ALL surviving events in event order — finalization
+    plus tail recompute loses nothing and orders everything."""
+    from hackatonbigdata_spark.streaming.jobs import drawdown_fold, drawdown_step
+
+    tape = [(ts, i, v) for i, (ts, v) in enumerate(tape)]
+    acc, buf = (0, 0, 0, 0), []
+    survivors = []
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = max(0, (max_seen - DELAY)) if max_seen is not None else 0
+        accepted = [e for e in batch if e[0] >= wm]
+        survivors.extend(accepted)
+        acc, buf, emitted = drawdown_step(acc, buf, accepted, wm)
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+        want = drawdown_fold((0, 0, 0, 0), [v for _, _, v in sorted(survivors)])
+        assert emitted == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),
+            st.floats(-5, 5, allow_nan=False, width=32),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    cuts_strategy,
+)
+def test_twa_machine_always_emits_the_event_ordered_integral(tape, cuts):
+    """Same identity for the held-value integral: emitted (vdt, dt, n)
+    equals the brute-force integration of the surviving events in event
+    order, after every batch.  ts here are treated as microseconds so the
+    second-floor inside the fold collapses ties the same way on both
+    sides."""
+    from hackatonbigdata_spark.streaming.jobs import twa_fold, twa_step
+
+    tape = [(ts * 1_000_000, i, float(v)) for i, (ts, v) in enumerate(tape)]
+    acc, buf = (None, None, 0, 0, 0), []
+    survivors = []
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = max(0, (max_seen - DELAY * 1_000_000)) if max_seen is not None else 0
+        accepted = [e for e in batch if e[0] >= wm]
+        survivors.extend(accepted)
+        acc, buf, emitted = twa_step(acc, buf, accepted, wm)
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+        want = twa_fold(
+            (None, None, 0, 0, 0), [(t, v) for t, _, v in sorted(survivors)]
+        )
+        assert emitted == want
