@@ -156,6 +156,9 @@ HEADLINE = [
     "mm_wav_pcm_stats",               # real PCM-WAV decode (SQL hex domain)
     "session_gaps_custom_close",      # r7: custom-close sessionizer twin
     "dedup_pipeline_report",          # r7: 4-method dedup overlap matrix
+    "dedup_substring_spans",          # r7: exact-substring dup spans
+    "text_bm25_topk",                 # r7: BM25 ranked retrieval
+    "dedup_semdedup_ivf",             # r7: SemDeDup in IVF buckets
 ]
 
 

@@ -2803,3 +2803,366 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_a").cast("long").alias("example_doc_a"),
         F.min("doc_b").cast("long").alias("example_doc_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7b: exact-substring spans, BM25 retrieval, SemDeDup
+
+_SUBSTR_K = 40  # character-shingle length for exact-substring dedup
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH pos AS (
+  SELECT d.doc_id, CAST(g.p AS BIGINT) AS p,
+         md5(substr(d.text, g.p, {_SUBSTR_K})) AS dig
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.n_chars - {_SUBSTR_K - 1}))
+                AS p) g
+  WHERE d.n_chars >= {_SUBSTR_K}
+),
+dup AS (SELECT dig FROM pos GROUP BY dig HAVING count(DISTINCT doc_id) > 1),
+dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (dig)),
+o AS (
+  SELECT doc_id, p,
+         max(p + {_SUBSTR_K - 1}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dp),
+i AS (
+  SELECT doc_id, p,
+         CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END AS brk
+  FROM o),
+isl AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM i),
+spans AS (
+  SELECT doc_id, island, min(p) AS s, max(p) + {_SUBSTR_K - 1} AS e
+  FROM isl GROUP BY doc_id, island),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT a.doc_id, a.n_spans, a.dup_chars,
+       floor(a.dup_chars * 10000.0 / d.n_chars + 0.5) / 10000 AS dup_frac
+FROM agg a JOIN documents d USING (doc_id)
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every 40-char substring
+    shared verbatim by >= 2 distinct documents marks its covering positions
+    duplicated; overlapping/adjacent marks merge into maximal spans
+    (gaps-and-islands over a running max-end), reported per doc as span
+    count, duplicated chars, and duplicated fraction.
+
+    This is the *span-level* complement of the set-level near-dup family
+    (Jaccard/MinHash/containment): it localizes WHICH text is copied, the
+    signal a curation pipeline uses to cut boilerplate instead of dropping
+    whole docs.
+
+    Scale (100 TB): positions explode to one row per char, but each row
+    collapses to an 8-byte digest before the only wide shuffle (the
+    dup-digest aggregate) — the suffix-array of the paper is replaced by a
+    hash-shuffle, the standard distributed formulation.  The span merge is
+    a per-doc partitioned window (bounded by doc length).  The digest is
+    the FULL 128-bit md5 (both engines emit the identical hex string): the
+    engine's usual 32-bit prefix already collides at ~10^5 shingles
+    (birthday bound), which the brute-force pin caught at sf0.001."""
+    t = Catalog(spark, sf_dir)
+    n_parts = t.spark.sparkContext.defaultParallelism
+    k = _SUBSTR_K
+    pos = (
+        t.documents.repartition(n_parts, "doc_id")
+        .filter(F.col("n_chars") >= k)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, cast(n_chars as int) - {k - 1})")
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.md5(F.expr(f"substring(text, p, {k})")).alias("dig"),
+        )
+    )
+    dup = (
+        pos.groupBy("dig")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("dig")
+    )
+    dp = pos.join(dup, "dig").select("doc_id", "p")
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = (
+        dp.withColumn("prev_end", F.max(F.col("p") + (k - 1)).over(w_prev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + (k - 1)).alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
+    )
+    docs = t.documents.select("doc_id", "n_chars")
+    return agg.join(docs, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_chars",
+        (
+            F.floor(F.col("dup_chars") * 10000.0 / F.col("n_chars") + F.lit(0.5))
+            / 10000.0
+        ).alias("dup_frac"),
+    )
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+tok AS (SELECT doc_id, term FROM w WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {repr(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dl.dl,
+         CAST(floor(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * {_BM25_K1 + 1.0}) /
+              (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl.dl / stats.avgdl))))
+           * 10000 + 0.5) AS BIGINT) AS s4
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+total AS (
+  SELECT doc_id, CAST(min(dl) AS BIGINT) AS dl,
+         sum(s4) / 10000.0 AS score
+  FROM scored GROUP BY doc_id),
+r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM total)
+SELECT doc_id, dl, score, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against the fixed query
+    {{'spark','window','merge'}} with Okapi BM25 (k1=1.2, b=0.75, idf =
+    ln(1 + (N-df+0.5)/(df+0.5))) over the shared normalized tokenization,
+    return the top 10.  The inverted-index retrieval primitive of a corpus
+    search / quality-dedup stack — complements text_tfidf_topterms (per-doc
+    keyword extraction) with cross-doc ranked retrieval.
+
+    Cross-engine exactness: each per-term score is quantized to the 1e-4
+    integer grid BEFORE the per-doc sum (3-term double addition would be
+    accumulation-order dependent); the final ranking breaks score ties by
+    doc_id.
+
+    Scale (100 TB): the term filter IS the inverted index — only postings
+    for the query terms survive the explode (predicate applied before the
+    tf aggregate), so the shuffle carries O(postings(q)) rows, not the
+    corpus.  df and the (N, avgdl) scalars broadcast; the final global
+    top-10 window runs on <= |postings| scored docs, and at scale becomes
+    an orderBy(...).limit(10) TakeOrderedAndProject."""
+    t = Catalog(spark, sf_dir)
+    tok = (
+        _doc_words(t)
+        .select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.min("dl").cast("long").alias("dl"),
+        (F.sum("s4") / 10000.0).alias("score"),
+    )
+    # exact top-10 via TakeOrderedAndProject (scale-safe), THEN number the
+    # bounded 10-row result — the global window never sees fact-scale input
+    top = total.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+_SEMDEDUP_TAU = 0.30
+
+
+@register(
+    "dedup_semdedup_ivf",
+    oracle=f"""
+WITH {_DUCK_EMB},
+c AS (SELECT vec_id AS centroid_id, emb, nrm FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+b AS (SELECT vec_id, centroid_id AS bucket_id, ccos FROM assign0 WHERE rn = 1),
+p AS (
+  SELECT bu.vec_id AS u, bu.ccos AS cu, bv.vec_id AS v, bv.ccos AS cv
+  FROM b bu JOIN b bv ON bu.bucket_id = bv.bucket_id AND bu.vec_id <> bv.vec_id
+  JOIN e eu ON eu.vec_id = bu.vec_id
+  JOIN e ev ON ev.vec_id = bv.vec_id
+  WHERE round(list_dot_product(eu.emb, ev.emb) / (eu.nrm * ev.nrm), 4) >= {_SEMDEDUP_TAU}),
+nn AS (
+  SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS n_near,
+         CAST(max(CASE WHEN cv < cu OR (cv = cu AND v < u) THEN 1 ELSE 0 END)
+              AS BIGINT) AS dropped
+  FROM p GROUP BY u)
+SELECT b.vec_id, b.bucket_id, b.ccos,
+       coalesce(nn.n_near, 0) AS n_near,
+       CAST(1 - coalesce(nn.dropped, 0) AS BIGINT) AS is_kept
+FROM b LEFT JOIN nn USING (vec_id)
+""",
+)
+def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside coarse
+    embedding clusters.  Every vector joins its IVF bucket (nearest of the
+    8 deterministic centroids, same assignment as similarity_ivf_bucketed);
+    within a bucket, pairs with cosine >= 0.30 are semantic duplicates, and
+    the member with the LOWER centroid-cosine survives (the paper keeps the
+    example farthest from the centroid; ties break toward the smaller
+    vec_id).  Output: one row per vector with its bucket, centroid-cosine,
+    near-duplicate count, and keep/drop decision.
+
+    The one-shot drop rule (drop u iff SOME in-bucket near-dup v orders
+    before it) is deterministic and non-iterative — exactly expressible in
+    SQL, unlike greedy sequential variants.
+
+    Scale (100 TB): centroids broadcast; the pair join is bucket-keyed
+    (never all-pairs); the decision is a per-vector aggregate over its
+    candidate list.  At scale the centroids come from MLlib KMeans with
+    more buckets — identical plumbing."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "centroid_id",
+            r4(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("bucket_id"), "ccos")
+    )
+    ea = e.join(assign, "vec_id")
+    u = ea.alias("u")
+    v = ea.alias("v")
+    pairs = (
+        u.join(
+            v,
+            (F.col("u.bucket_id") == F.col("v.bucket_id"))
+            & (F.col("u.vec_id") != F.col("v.vec_id")),
+        )
+        .select(
+            F.col("u.vec_id").alias("uid"),
+            F.col("u.ccos").alias("cu"),
+            F.col("v.vec_id").alias("vid"),
+            F.col("v.ccos").alias("cv"),
+            r4(
+                _dot("u.emb", "v.emb") / (F.col("u.nrm") * F.col("v.nrm"))
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= _SEMDEDUP_TAU)
+    )
+    nn = pairs.groupBy("uid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near"),
+        F.max(
+            F.when(
+                (F.col("cv") < F.col("cu"))
+                | ((F.col("cv") == F.col("cu")) & (F.col("vid") < F.col("uid"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped"),
+    )
+    return (
+        assign.join(nn, assign.vec_id == nn.uid, "left")
+        .select(
+            "vec_id",
+            "bucket_id",
+            "ccos",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            (1 - F.coalesce(F.col("dropped"), F.lit(0))).cast("long").alias("is_kept"),
+        )
+    )

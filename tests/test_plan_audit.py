@@ -65,6 +65,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "alert horizon",
     "text_zipf_slope": "prefix sum over DISTINCT frequencies — "
     "O(sqrt(total tokens)) rows for any corpus (r6 rewrite)",
+    "text_bm25_topk": "rank over TakeOrdered-limited top-10 rows",
 }
 
 
@@ -258,6 +259,17 @@ def test_round6_ops_stay_jvm_side(spark):
         "corpus_softdedup_weights",
         "join_asof_interpolate",
         "mm_wav_pcm_stats",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round7b_ops_stay_jvm_side(spark):
+    """r7b operators (substring spans, BM25, SemDeDup) are pure column
+    math / keyed joins / partitioned windows — no Python UDF anywhere."""
+    for name in [
+        "dedup_substring_spans",
+        "text_bm25_topk",
+        "dedup_semdedup_ivf",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 

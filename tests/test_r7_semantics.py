@@ -94,3 +94,170 @@ def test_dedup_pipeline_report_reproduces_member_cardinalities(spark):
     union |= {(r.doc_a, r.doc_b) for r in jacc}
     union |= {(r.doc_a, r.doc_b) for r in lsh}
     assert total >= len(union)  # exact pairs may add more
+
+
+def _q4(x: float) -> float:
+    """The engine's shared quantization: half away from zero at 1e-4."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 10000 + 0.5) / 10000
+
+
+def test_dedup_substring_spans_matches_bruteforce(spark):
+    """Recompute the 40-char cross-doc duplicated spans with plain Python
+    string slicing and interval merging — no hashing, no SQL — and require
+    identical (n_spans, dup_chars) per doc."""
+    from collections import defaultdict
+
+    from hackatonbigdata_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).documents.select("doc_id", "text").toPandas()
+    K = 40
+    owners = defaultdict(set)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for p in range(len(text) - K + 1):
+            owners[text[p : p + K]].add(doc_id)
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        marks = [
+            p
+            for p in range(len(text) - K + 1)
+            if len(owners[text[p : p + K]]) > 1
+        ]
+        if not marks:
+            continue
+        spans = []
+        start = end = None
+        for p in marks:
+            if start is None:
+                start, end = p, p + K - 1
+            elif p > end + 1:
+                spans.append((start, end))
+                start, end = p, p + K - 1
+            else:
+                end = max(end, p + K - 1)
+        spans.append((start, end))
+        want[doc_id] = (len(spans), sum(e - s + 1 for s, e in spans))
+
+    got = QUERIES["dedup_substring_spans"](spark, SF_DIR).collect()
+    assert {r.doc_id for r in got} == set(want)
+    for r in got:
+        assert (r.n_spans, r.dup_chars) == want[r.doc_id], r.doc_id
+
+
+def test_text_bm25_topk_matches_bruteforce(spark):
+    """Brute-force Okapi BM25 in pure Python over the same normalized
+    tokenization, same per-term 1e-4 integer quantization, and require the
+    identical top-10 (doc_id, dl, score, rnk)."""
+    import math
+    import re
+
+    from hackatonbigdata_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).documents.select("doc_id", "text").toPandas()
+    toks = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        words = [w for w in norm.split(" ") if w]
+        if words:
+            toks[doc_id] = words
+    n_docs = len(toks)
+    avgdl = float(sum(len(w) for w in toks.values())) / n_docs
+    terms = ("spark", "window", "merge")
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    scored = []
+    for doc_id, words in toks.items():
+        dl = len(words)
+        s4 = 0
+        hit = False
+        for t in terms:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+            s4 += math.floor(s * 10000 + 0.5)
+        if hit:
+            scored.append((doc_id, dl, s4 / 10000.0))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    want = scored[:10]
+
+    got = sorted(
+        QUERIES["text_bm25_topk"](spark, SF_DIR).collect(), key=lambda r: r.rnk
+    )
+    assert len(got) == 10
+    for rnk, (r, (doc_id, dl, score)) in enumerate(zip(got, want), start=1):
+        assert (r.doc_id, r.dl, r.score, r.rnk) == (doc_id, dl, score, rnk)
+
+
+def test_dedup_semdedup_ivf_matches_bruteforce(spark):
+    """Brute-force SemDeDup in pure Python: sequential-fold cosines (the
+    engine's IEEE addition order), 1e-4 quantization, nearest-of-8 bucket
+    assignment, and the keep-farthest-from-centroid drop rule.  Every
+    (bucket_id, ccos, n_near, is_kept) must match, and two structural
+    invariants hold: isolated vectors are always kept, and every bucket
+    with at least one near-dup pair keeps at least one member of that
+    pair."""
+    import math
+
+    from hackatonbigdata_spark.catalog import Catalog
+
+    emb = (
+        Catalog(spark, SF_DIR)
+        .embeddings.select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    vecs = {
+        int(vid): [float(x) for x in v]
+        for vid, v in zip(emb["vec_id"], emb["embedding"])
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    nrm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    cents = [i for i in sorted(vecs) if i < 8]
+    assign = {}
+    for i, v in vecs.items():
+        best = max(
+            ((_q4(dot(v, vecs[c]) / (nrm[i] * nrm[c])), -c) for c in cents)
+        )
+        assign[i] = (-best[1], best[0])  # (bucket_id, ccos)
+    buckets = {}
+    for i, (b, _) in assign.items():
+        buckets.setdefault(b, []).append(i)
+    want = {}
+    for i, (b, ci) in assign.items():
+        near = [
+            j
+            for j in buckets[b]
+            if j != i
+            and _q4(dot(vecs[i], vecs[j]) / (nrm[i] * nrm[j])) >= 0.30
+        ]
+        dropped = any(
+            (assign[j][1] < ci) or (assign[j][1] == ci and j < i) for j in near
+        )
+        want[i] = (b, ci, len(near), 0 if dropped else 1)
+
+    got = QUERIES["dedup_semdedup_ivf"](spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.bucket_id, r.ccos, r.n_near, r.is_kept) == want[r.vec_id], (
+            r.vec_id
+        )
+    # structural invariants
+    for r in got:
+        if r.n_near == 0:
+            assert r.is_kept == 1
+    kept_by_bucket = {}
+    for r in got:
+        if r.n_near > 0:
+            kept_by_bucket.setdefault(r.bucket_id, []).append(r.is_kept)
+    for b, flags in kept_by_bucket.items():
+        assert any(flags), f"bucket {b} dropped every near-dup member"
