@@ -159,6 +159,8 @@ HEADLINE = [
     "dedup_substring_spans",          # r7: exact-substring dup spans
     "text_bm25_topk",                 # r7: BM25 ranked retrieval
     "dedup_semdedup_ivf",             # r7: SemDeDup in IVF buckets
+    "text_gopher_rules",              # r7: Gopher quality-rule battery
+    "corpus_bpe_merges",              # r7: BPE tokenizer merge learning
 ]
 
 

@@ -3166,3 +3166,213 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 - F.coalesce(F.col("dropped"), F.lit(0))).cast("long").alias("is_kept"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         floor(sum(length(term)) * 10000.0 / count(*) + 0.5) / 10000
+           AS mean_word_len,
+         floor(sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+               * 10000.0 / count(*) + 0.5) / 10000 AS alpha_frac,
+         CAST(sum(CASE WHEN term IN {repr(tuple(_GOPHER_STOPWORDS))}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM t GROUP BY doc_id),
+sym AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_sym
+  FROM documents)
+SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_frac, s.n_stop,
+       floor(sym.n_sym * 10000.0 / s.n_words + 0.5) / 10000 AS sym_ratio,
+       CAST(CASE WHEN s.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_nwords,
+       CAST(CASE WHEN s.mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_wordlen,
+       CAST(CASE WHEN s.alpha_frac >= 0.8 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_alpha,
+       CAST(CASE WHEN s.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+       CAST(CASE WHEN sym.n_sym * 1.0 / s.n_words <= 0.1 THEN 1 ELSE 0 END
+            AS BIGINT) AS r_symbol,
+       CAST(CASE WHEN s.n_words BETWEEN 50 AND 100000
+                  AND s.mean_word_len BETWEEN 3 AND 10
+                  AND s.alpha_frac >= 0.8
+                  AND s.n_stop >= 2
+                  AND sym.n_sym * 1.0 / s.n_words <= 0.1
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s JOIN sym USING (doc_id)
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-quality rule battery (Rae et al. 2021, Appendix A):
+    per document, word count in [50, 1e5], mean word length in [3, 10],
+    alphabetic-word fraction >= 0.8, >= 2 stop-word occurrences (the
+    paper's 8-word list), and symbol-to-word ratio ('#' / '...') <= 0.1 —
+    each rule an explicit 0/1 column plus the conjunctive keep flag, so a
+    curation run can report WHY documents were cut, not just how many.
+
+    Complements text_quality_score (continuous length score) with the
+    published hard-threshold filter suite.
+
+    Scale (100 TB): one explode over tokens -> one per-doc aggregate; the
+    symbol scan is a narrow per-row map on the raw text.  No shuffle wider
+    than (doc_id).  Ratios quantize to the 1e-4 grid before comparison on
+    BOTH engines, so band edges are engine-independent."""
+    t = Catalog(spark, sf_dir)
+    tok = (
+        _doc_words(t)
+        .select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    s = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        (
+            F.floor(
+                F.sum(F.length("term")) * 10000.0 / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_word_len"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+                * 10000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("alpha_frac"),
+        F.sum(F.when(F.col("term").isin(*_GOPHER_STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    sym = t.documents.select(
+        "doc_id",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + F.floor(
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit("...")))
+                )
+                / 3
+            )
+        )
+        .cast("long")
+        .alias("n_sym"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    out = s.join(sym, "doc_id")
+    r_nwords = F.col("n_words").between(50, 100000)
+    r_wordlen = F.col("mean_word_len").between(3.0, 10.0)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("n_stop") >= 2
+    r_symbol = F.col("n_sym") * 1.0 / F.col("n_words") <= 0.1
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stop",
+        (
+            F.floor(F.col("n_sym") * 10000.0 / F.col("n_words") + F.lit(0.5))
+            / 10000.0
+        ).alias("sym_ratio"),
+        flag(r_nwords).alias("r_nwords"),
+        flag(r_wordlen).alias("r_wordlen"),
+        flag(r_alpha).alias("r_alpha"),
+        flag(r_stop).alias("r_stop"),
+        flag(r_symbol).alias("r_symbol"),
+        flag(r_nwords & r_wordlen & r_alpha & r_stop & r_symbol).alias("keep"),
+    )
+
+
+_N_BPE_MERGES = 10
+
+
+@register("corpus_bpe_merges")
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-training primitive of an LLM data pipeline — as a distributed
+    iterative dataflow: fold the corpus to a (word, count) vocabulary
+    table, then for each of 10 rounds (a) count adjacent symbol pairs
+    weighted by word frequency, (b) take the globally most frequent pair
+    (ties break lexicographically), (c) merge that pair inside every
+    word's symbol array with a left-to-right higher-order-function fold —
+    the exact greedy semantics of the reference algorithm.
+
+    Rows-only by design: each round's argmax depends on all prior merges,
+    so the 10-round trajectory is not one SQL statement; the full merge
+    table is pinned against a pure-Python BPE implementation in
+    tests/test_r7_semantics.py.
+
+    Scale (100 TB): the iteration state is the DISTINCT-WORD table (orders
+    of magnitude smaller than the corpus; the corpus itself is touched
+    once, by the vocabulary aggregate).  Per round: one partial-aggregated
+    pair count + a 1-row collect (the argmax — the same driver-held-scalar
+    loop as the GD calibrators), then a narrow map applying the merge.
+    The word table is localCheckpoint'ed each round so plans stay flat.
+
+    Merged symbols never contain spaces (the tokenizer strips them), so
+    the pair tie-break on (l, r) strings is unambiguous."""
+    t = Catalog(spark, sf_dir)
+    vocab = (
+        _doc_words(t)
+        .select(F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    words = vocab.select(
+        "word", "cnt", F.split("word", "").alias("syms")
+    ).localCheckpoint()
+    merges = []
+    for rank in range(1, _N_BPE_MERGES + 1):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms)-2),"
+                        " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pair_count = top[0].l, top[0].r, int(top[0].pair_count)
+        merges.append((rank, l, r, l + r, pair_count))
+        # left-to-right greedy merge of (l, r) inside every symbol array;
+        # symbols are [a-z0-9]+ so embedding the literals in SQL is safe
+        words = words.select(
+            "word",
+            "cnt",
+            # CASE, not AND: ANSI mode would throw on element_at of an
+            # empty accumulator if the conjunction were evaluated eagerly
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, s) ->"
+                " case when size(acc) = 0 then array(s)"
+                f" when element_at(acc, -1) = '{l}' and s = '{r}'"
+                f" then concat(slice(acc, 1, size(acc) - 1), array('{l}{r}'))"
+                " else concat(acc, array(s)) end)"
+            ).alias("syms"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )

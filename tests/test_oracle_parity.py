@@ -69,5 +69,10 @@ def test_every_query_has_oracle_or_reason():
         # internals; not-worse-than-ridge WMAPE + importance simplex pinned
         # by tests/test_ensemble_gbt.py
         "stacking_gbt_meta",
+        # 10-round iterative BPE merge learning: each round's argmax
+        # depends on all prior merges — not one SQL statement; the full
+        # merge table is pinned against pure-Python BPE over a
+        # DuckDB-derived vocabulary in tests/test_r7_semantics.py
+        "corpus_bpe_merges",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

@@ -270,6 +270,8 @@ def test_round7b_ops_stay_jvm_side(spark):
         "dedup_substring_spans",
         "text_bm25_topk",
         "dedup_semdedup_ivf",
+        "text_gopher_rules",
+        "corpus_bpe_merges",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 

@@ -261,3 +261,50 @@ def test_dedup_semdedup_ivf_matches_bruteforce(spark):
             kept_by_bucket.setdefault(r.bucket_id, []).append(r.is_kept)
     for b, flags in kept_by_bucket.items():
         assert any(flags), f"bucket {b} dropped every near-dup member"
+
+
+def test_corpus_bpe_merges_matches_bruteforce(spark):
+    """Pure-Python greedy BPE over the identical (word, count) vocabulary
+    (derived independently through DuckDB, not Spark) must reproduce the
+    full 10-row merge table: same pairs, same order, same weighted
+    counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = con.execute(
+        """
+        WITH w AS (SELECT unnest(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')), ' ')) AS w
+                   FROM read_parquet(?))
+        SELECT w, count(*) FROM w WHERE w <> '' GROUP BY w
+        """,
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    words = {w: (list(w), int(c)) for w, c in vocab}
+    want = []
+    for rank in range(1, 11):
+        counts = {}
+        for syms, cnt in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (l, r), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, pc))
+        for key, (syms, cnt) in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            words[key] = (out, cnt)
+
+    got = sorted(
+        QUERIES["corpus_bpe_merges"](spark, SF_DIR).collect(),
+        key=lambda row: row.rank,
+    )
+    assert [
+        (row.rank, row.left, row.right, row.merged, row.pair_count) for row in got
+    ] == want
