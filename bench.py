@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_semdedup_ivf",             # r7: SemDeDup in IVF buckets
     "text_gopher_rules",              # r7: Gopher quality-rule battery
     "corpus_bpe_merges",              # r7: BPE tokenizer merge learning
+    "text_chunk_windows",             # r7: 64/48 overlap token chunking
 ]
 
 

@@ -3376,3 +3376,82 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"
     )
+
+
+_CHUNK_LEN = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH w0 AS (SELECT doc_id, list_filter({_DUCK_WORDS}, x -> x <> '') AS w
+            FROM documents),
+w AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w0 WHERE len(w) >= 1),
+c AS (
+  SELECT doc_id, n, CAST(ci AS BIGINT) AS chunk_idx,
+         CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+         least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE}) AS n_toks,
+         array_to_string(
+           w[ci * {_CHUNK_STRIDE} + 1 : ci * {_CHUNK_STRIDE} + least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE})],
+           ' ') AS chunk_text
+  FROM w, unnest(range(0, (n - 1) // {_CHUNK_STRIDE} + 1)) AS u(ci))
+SELECT doc_id, chunk_idx, start_tok, CAST(n_toks AS BIGINT) AS n_toks,
+       {_duck_hash("chunk_text")} AS chunk_hash
+FROM c
+WHERE chunk_idx = 0 OR n_toks > {_CHUNK_LEN - _CHUNK_STRIDE}
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap — the pretraining / RAG
+    segmentation pass: split every document's normalized token stream into
+    64-token chunks on a 48-token stride (16-token overlap), dropping tail
+    chunks that add no tokens beyond the previous window.  Emits per chunk
+    the doc, index, start offset, length, and the engine's shared 32-bit
+    content hash (the key downstream chunk-level dedup joins on).
+
+    Scale (100 TB): a narrow per-doc map (token split) plus a bounded
+    explode — one output row per ~48 input tokens, each row carrying an
+    8-byte hash + offsets, never the text.  No shuffle at all: the plan is
+    scan -> project -> generate -> project (chunk text is sliced and
+    hashed inside the row).  Guard: ``n >= 1`` before the sequence (Spark
+    sequence(0, -1) DESCENDS)."""
+    t = Catalog(spark, sf_dir)
+    L, S = _CHUNK_LEN, _CHUNK_STRIDE
+    w = (
+        _doc_words(t)
+        .select("doc_id", F.expr("filter(w, x -> x <> '')").alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "w", F.size("w").cast("long").alias("n"))
+    )
+    c = (
+        w.select(
+            "doc_id",
+            "n",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, cast((n - 1) div {S} as int))")
+            ).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            (F.col("ci") * S).cast("long").alias("start_tok"),
+            F.least(F.lit(L), F.col("n") - F.col("ci") * S)
+            .cast("long")
+            .alias("n_toks"),
+            F.expr(
+                f"concat_ws(' ', slice(w, ci * {S} + 1,"
+                f" least({L}, n - ci * {S})))"
+            ).alias("chunk_text"),
+        )
+    )
+    return c.filter(
+        (F.col("chunk_idx") == 0) | (F.col("n_toks") > (L - S))
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_toks",
+        _h(F.col("chunk_text")).alias("chunk_hash"),
+    )

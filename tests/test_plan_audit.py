@@ -272,6 +272,7 @@ def test_round7b_ops_stay_jvm_side(spark):
         "dedup_semdedup_ivf",
         "text_gopher_rules",
         "corpus_bpe_merges",
+        "text_chunk_windows",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 

@@ -308,3 +308,40 @@ def test_corpus_bpe_merges_matches_bruteforce(spark):
     assert [
         (row.rank, row.left, row.right, row.merged, row.pair_count) for row in got
     ] == want
+
+
+def test_text_chunk_windows_matches_bruteforce(spark):
+    """Rebuild the 64/48 overlap chunking with plain Python list slicing
+    and require identical (chunk_idx, start_tok, n_toks) sets per doc,
+    plus full coverage: every token index falls inside >= 1 chunk."""
+    import re
+
+    from hackatonbigdata_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).documents.select("doc_id", "text").toPandas()
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        words = [w for w in norm.split(" ") if w]
+        n = len(words)
+        if n < 1:
+            continue
+        for ci in range((n - 1) // 48 + 1):
+            start = ci * 48
+            ln = min(64, n - start)
+            if ci == 0 or ln > 16:
+                want[(doc_id, ci)] = (start, ln)
+
+    got = QUERIES["text_chunk_windows"](spark, SF_DIR).collect()
+    assert {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_toks) for r in got} == want
+    # coverage: chunks tile every token of every doc
+    by_doc = {}
+    for (doc_id, _), (start, ln) in want.items():
+        by_doc.setdefault(doc_id, []).append((start, start + ln))
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        hi = 0
+        for s, e in spans:
+            assert s <= hi  # no gap
+            hi = max(hi, e)
