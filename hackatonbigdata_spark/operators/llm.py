@@ -3113,8 +3113,12 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "centroid_id",
-            r4(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
+            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("_ccos_raw"),
         )
+        # quantize in a SEPARATE projection: r4's isnan/signum/floor each
+        # reference their input once, so inlining the 64-dim fold directly
+        # would expand it 4x (round-7 lesson)
+        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -3127,23 +3131,52 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = e.join(assign, "vec_id")
     u = ea.alias("u")
     v = ea.alias("v")
-    pairs = (
+    # each unordered pair's 64-dim cosine fold is computed ONCE (u < v);
+    # both directed orientations are then emitted by a 2-element explode —
+    # halves the dominant cost vs a u != v join (cosine is symmetric)
+    half = (
         u.join(
             v,
             (F.col("u.bucket_id") == F.col("v.bucket_id"))
-            & (F.col("u.vec_id") != F.col("v.vec_id")),
+            & (F.col("u.vec_id") < F.col("v.vec_id")),
         )
         .select(
             F.col("u.vec_id").alias("uid"),
             F.col("u.ccos").alias("cu"),
             F.col("v.vec_id").alias("vid"),
             F.col("v.ccos").alias("cv"),
-            r4(
+            (
                 _dot("u.emb", "v.emb") / (F.col("u.nrm") * F.col("v.nrm"))
-            ).alias("cs"),
+            ).alias("_cs_raw"),
         )
+        # threshold on the RAW cosine with the algebraically identical
+        # integer predicate (floor(x*1e4+0.5) >= 3000  <=>  x*1e4+0.5 >=
+        # 3000 for x >= 0): when Catalyst pushes this into the join
+        # condition it carries ONE 64-dim fold, not r4's 4x-expanded
+        # isnan/signum/floor tree; the quantized cs is then projected over
+        # only the surviving pairs
+        .filter(F.col("_cs_raw") * 10000.0 + 0.5 >= _SEMDEDUP_TAU * 10000.0)
+        .select("uid", "cu", "vid", "cv", r4("_cs_raw").alias("cs"))
         .filter(F.col("cs") >= _SEMDEDUP_TAU)
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("uid").alias("uid"),
+                    F.col("cu").alias("cu"),
+                    F.col("vid").alias("vid"),
+                    F.col("cv").alias("cv"),
+                ),
+                F.struct(
+                    F.col("vid").alias("uid"),
+                    F.col("cv").alias("cu"),
+                    F.col("uid").alias("vid"),
+                    F.col("cu").alias("cv"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     nn = pairs.groupBy("uid").agg(
         F.count(F.lit(1)).cast("long").alias("n_near"),
         F.max(
