@@ -162,6 +162,7 @@ HEADLINE = [
     "text_gopher_rules",              # r7: Gopher quality-rule battery
     "corpus_bpe_merges",              # r7: BPE tokenizer merge learning
     "text_chunk_windows",             # r7: 64/48 overlap token chunking
+    "stream_hourly_heavy_hitters",    # r7: exact twin of the sketch kernel
 ]
 
 

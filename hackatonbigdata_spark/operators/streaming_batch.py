@@ -1164,3 +1164,46 @@ def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v0") + (F.col("v1") - F.col("v0")) * frac) / F.lit(10000.0)
         ).alias("v_interp"),
     )
+
+
+@register(
+    "stream_hourly_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, user_id) AS rnk
+      FROM c)
+SELECT window_start, CAST(rnk AS BIGINT) AS rnk, user_id, n_events
+FROM r WHERE rnk <= 3
+""",
+)
+def stream_hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour top-3 heavy hitters (users by event count) — the
+    batch twin of the bounded-state space-saving sketch kernel
+    (``streaming/jobs.py: heavyhitters_topk_stream``), which the streaming
+    tests pin against this query (the sketch is exact whenever an hour's
+    distinct-user count fits its k=32 counters).  Rate-per-entity alerting
+    shape from /root/reference/src/monitoring/alerts.py:399.
+
+    Scale: one keyed aggregate on (hour, user) with map-side partial
+    counts, then a per-hour partitioned window limited by
+    WindowGroupLimit.  Ties break (count desc, user_id asc) so ranking is
+    engine-independent."""
+    t = Catalog(spark, sf_dir)
+    c = (
+        t.events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "user_id", "n_events")
+    )

@@ -63,13 +63,14 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 7 BUDGET (50-slot driver window) ============================
-    # 15 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
-    # verdict "What's missing" #1) + 16 oldest r2-stale = 50.  After this
+    # 16 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
+    # verdict "What's missing" #1) + 15 oldest r2-stale = 50.  After this
     # window lands, zero queries have code newer than their driver evidence
-    # and the r2-latest backlog is down to 17 names (the trade taken for
-    # the six r7b operators; r8 burns them all with 33 slots to spare).
+    # and the r2-latest backlog is down to 18 names (the trade taken for
+    # the seven r7b operators; r8 burns them all with 32 slots to spare).
     # --- round 7: rewritten this round (HOF byte kernels, degree-ordered
     #     triangles) and brand-new queries -- freshest code leads ---------
+    "stream_hourly_heavy_hitters",  # r7b NEW: top-3/hour, sketch twin
     "text_chunk_windows",  # r7b NEW: 64/48 overlap token chunking
     "text_gopher_rules",  # r7b NEW: Gopher hard-threshold quality battery
     "corpus_bpe_merges",  # r7b NEW: BPE merge learning (rows-only, pinned)

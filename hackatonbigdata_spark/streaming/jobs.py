@@ -1078,3 +1078,123 @@ def funnel_stage_kernel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_K = 32  # space-saving counter budget per hour bucket
+
+
+def spacesaving_update(counters, items, k=HH_K):
+    """One space-saving (Metwally et al. 2005) sketch pass: ``counters``
+    maps key -> [est_count, err].  A known key increments; a new key takes
+    a free slot; otherwise it REPLACES the minimum counter, inheriting its
+    count as the overestimation error.  Mutates and returns ``counters``.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): state never
+    exceeds k entries; sum of estimates equals items seen; true <= est <=
+    true + err; any key absent from the sketch has true count <= the
+    sketch's minimum estimate (<= n/k) — so every hitter above n/k is
+    tracked.  With <= k distinct keys the sketch IS the exact multiset
+    count (err 0), which is what the batch-equality pin exploits.  The
+    victim tie-break (count, key) keeps replacement deterministic."""
+    for it in items:
+        if it in counters:
+            counters[it][0] += 1
+        elif len(counters) < k:
+            counters[it] = [1, 0]
+        else:
+            victim = min(counters, key=lambda c: (counters[c][0], c))
+            vcnt = counters[victim][0]
+            del counters[victim]
+            counters[it] = [vcnt + 1, vcnt]
+    return counters
+
+
+def spacesaving_topk(counters, n):
+    """Top-n (key, [est, err]) by (estimate desc, key asc)."""
+    return sorted(counters.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
+
+
+def heavyhitters_topk_stream(events: DataFrame) -> DataFrame:
+    """Per-hour top-3 heavy hitters with BOUNDED state: each hour bucket
+    holds a k=32-counter space-saving sketch — O(k) per key no matter how
+    many distinct users an hour sees, the property that lets a
+    1000-executor job track hitters over millions of users per bucket.
+    Update-mode emission: each micro-batch re-emits the bucket's current
+    top-3 stamped with ``n_total`` (events absorbed so far), so the final
+    row set per hour is the one with the maximum n_total (monotone per
+    key).  The sketch guarantee is ORDER-INSENSITIVE (any arrival order
+    yields estimates within the same error bound, and with <= k distinct
+    users the exact counts), so no out-of-order buffer is needed — unlike
+    the path-dependent kernels above.
+
+    State is evicted when the watermark passes the hour's end (no event
+    for the bucket can still be accepted): an event-time timeout fires the
+    cleanup, mirroring the burn-rate kernel's pruning discipline.
+
+    Batch twin: ``stream_hourly_heavy_hitters`` (oracled); the streaming
+    test pins stream == batch exactly because sf events have < 32 distinct
+    users per hour."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, rnk long, user_id long,"
+        " n_events long, err long"
+    )
+    state_schema = (
+        "keys array<long>, cnts array<long>, errs array<long>, n long"
+    )
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            keys, cnts, errs, n = state.get
+            counters = {k_: [c, e] for k_, c, e in zip(keys, cnts, errs)}
+        else:
+            counters, n = {}, 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            # no event for this hour can still be accepted — final top-3
+            # was emitted with the last data batch; free the sketch
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(int(u) for u in pdf["user_id"])
+        if not items:
+            return
+        n += len(items)
+        spacesaving_update(counters, items)
+        ks = list(counters)
+        state.update(
+            (ks, [counters[x][0] for x in ks], [counters[x][1] for x in ks], n)
+        )
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "rnk": i + 1,
+                    "user_id": k_,
+                    "n_events": ce[0],
+                    "err": ce[1],
+                }
+                for i, (k_, ce) in enumerate(spacesaving_topk(counters, 3))
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

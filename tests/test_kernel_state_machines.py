@@ -237,3 +237,40 @@ def test_twa_machine_always_emits_the_event_ordered_integral(tape, cuts):
             (None, None, 0, 0, 0), [(t, v) for t, _, v in sorted(survivors)]
         )
         assert emitted == want
+
+
+@given(
+    st.lists(st.integers(0, 12), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_spacesaving_sketch_guarantees_under_any_chunking(tape, cuts):
+    """Space-saving invariants after every chunk boundary, for any item
+    order and any chunking: bounded state, estimate sum == items seen,
+    true <= est <= true + err, absent keys bounded by the sketch minimum
+    (so every hitter above n/k is tracked), and exactness when the
+    distinct count fits the budget."""
+    from collections import Counter
+
+    from hackatonbigdata_spark.streaming.jobs import spacesaving_update
+
+    k = 4
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    counters: dict = {}
+    done = 0
+    for b in bounds:
+        spacesaving_update(counters, tape[done:b], k)
+        done = b
+        seen = tape[:done]
+        true = Counter(seen)
+        assert len(counters) <= k
+        assert sum(c for c, _ in counters.values()) == len(seen)
+        for key, (est, err) in counters.items():
+            assert true[key] <= est <= true[key] + err
+        if counters and len(counters) == k:
+            m = min(c for c, _ in counters.values())
+            for key, tc in true.items():
+                if key not in counters:
+                    assert tc <= m
+        if len(set(seen)) <= k:
+            assert {key: c for key, (c, _) in counters.items()} == dict(true)
+            assert all(e == 0 for _, e in counters.values())

@@ -273,6 +273,7 @@ def test_round7b_ops_stay_jvm_side(spark):
         "text_gopher_rules",
         "corpus_bpe_merges",
         "text_chunk_windows",
+        "stream_hourly_heavy_hitters",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 

@@ -724,3 +724,84 @@ def test_transition_kernel_retracts_split_pair_across_batches(spark, tmp_path):
     agg = raw.groupby(["prev_type", "next_type"])["n_trans"].sum()
     agg = agg[agg != 0].to_dict()
     assert agg == {("signup", "view"): 1, ("view", "click"): 1}
+
+
+def test_heavyhitters_stream_matches_batch_topk(spark, events_stream, events_batch):
+    """The space-saving kernel's final per-hour top-3 must equal the exact
+    batch ranking: sf events hold < 32 distinct users per hour, so the
+    k=32 sketch IS the exact multiset count (err 0 everywhere)."""
+    jobs.run_to_memory(
+        jobs.heavyhitters_topk_stream(events_stream), "t_hh", "update"
+    )
+    emitted = spark.table("t_hh").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final_pdf = emitted[emitted["n_total"] == last]
+    assert (final_pdf["err"] == 0).all()
+    expect = (
+        events_batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("hour").orderBy(
+                    F.col("n_events").desc(), "user_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    f = (
+        final_pdf[["hour", "rnk", "user_id", "n_events"]]
+        .sort_values(["hour", "rnk"])
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(expect.select("hour", "rnk", "user_id", "n_events"), ["hour", "rnk"])
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_heavyhitters_kernel_exact_across_batches(spark, tmp_path):
+    """3-file stream (maxFilesPerTrigger=1): the sketch accumulates across
+    micro-batches and the LAST emission per hour equals the exact counts
+    over all three files."""
+    import pandas as pd  # noqa: PLC0415
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    files = [
+        [(0, 1), (1, 1), (2, 2)],
+        [(3, 1), (4, 3), (5, 1)],
+        [(6, 2), (7, 1), (8, 1)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(i * 10, i * 10 + len(rows)),
+                "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
+                "user_id": [u for _, u in rows],
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / f"f{i}")
+        )
+    schema = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    jobs.run_to_memory(jobs.heavyhitters_topk_stream(stream), "t_hh_mb", "update")
+    emitted = spark.table("t_hh_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    assert emitted["n_total"].max() == 9
+    # exact counts: user 1 -> 6 events, user 2 -> 2, user 3 -> 1
+    got = list(
+        final.sort_values("rnk")[["rnk", "user_id", "n_events", "err"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got == [(1, 1, 6, 0), (2, 2, 2, 0), (3, 3, 1, 0)]
