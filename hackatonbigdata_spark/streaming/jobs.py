@@ -1198,3 +1198,123 @@ def heavyhitters_topk_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+KMV_K = 32  # bottom-k budget per hour bucket
+_M64 = (1 << 64) - 1
+_M63 = (1 << 63) - 1  # sketch hashes masked to 63 bits (fit a signed long)
+
+
+def kmv_hash(x: int) -> int:
+    """Deterministic 63-bit mix of an integer key (splitmix64 finalizer,
+    public-domain constants), masked to a signed-long-safe range so the
+    sketch state round-trips through an ``array<long>`` state column.
+    Python's builtin ``hash`` is salted per process for str and would make
+    executor restarts non-deterministic; this mix is stable everywhere."""
+    z = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return (z ^ (z >> 31)) & _M63
+
+
+def kmv_update(sketch: set, items, k: int = KMV_K) -> set:
+    """One bottom-k (KMV, Bar-Yossef et al. 2002) pass: ``sketch`` is the
+    set of the k SMALLEST distinct hashes seen so far.  Mutates and
+    returns it.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): state
+    never exceeds k entries; the state equals the k smallest distinct
+    hashes of everything seen — a pure SET property, so the sketch is
+    fully ORDER- and CHUNKING-insensitive and duplicate-blind; while
+    |state| < k the estimate IS the exact distinct count, which is what
+    the batch-equality pin exploits."""
+    for it in items:
+        h = kmv_hash(it)
+        if h in sketch:
+            continue
+        if len(sketch) < k:
+            sketch.add(h)
+        else:
+            mx = max(sketch)
+            if h < mx:
+                sketch.discard(mx)
+                sketch.add(h)
+    return sketch
+
+
+def kmv_estimate(sketch: set, k: int = KMV_K) -> tuple[int, bool]:
+    """(estimate, exact?) — exact while the sketch is under budget; at
+    budget, the classic (k-1)/U_(k) estimator on the 63-bit hash space."""
+    if len(sketch) < k:
+        return len(sketch), True
+    kth = max(sketch)
+    return int(round((k - 1) * float(1 << 63) / float(kth + 1))), False
+
+
+def distinct_kmv_stream(events: DataFrame) -> DataFrame:
+    """Per-hour distinct-user count with BOUNDED state: each hour bucket
+    keeps only the k=32 smallest user-id hashes (bottom-k / KMV sketch) —
+    O(k) per bucket no matter how many distinct users the hour sees, the
+    companion cardinality sketch to the space-saving heavy-hitters kernel
+    above.  Because the sketch is a pure set-of-minima, it needs NO
+    out-of-order buffer: any arrival order, chunking, or duplication
+    yields the identical state, so late-but-within-watermark events are
+    absorbed exactly.
+
+    Update-mode emission: each micro-batch re-emits the bucket's current
+    (estimate, exact?) stamped with ``n_total`` events absorbed, so the
+    final row per hour is the one with the maximum n_total.  State is
+    evicted by event-time timeout once the watermark passes the hour end,
+    mirroring the heavy-hitters kernel's pruning discipline.
+
+    Batch twin: ``stream_hourly_distinct`` (oracled exact per-hour
+    COUNT(DISTINCT)); the streaming test pins stream == batch exactly
+    because sf events hold < 32 distinct users per hour (the sketch is
+    exact under budget)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, n_users long, exact boolean"
+    )
+    state_schema = "hashes array<long>, n long"
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            hashes, n = state.get
+            sketch = set(hashes)
+        else:
+            sketch, n = set(), 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(int(u) for u in pdf["user_id"])
+        if not items:
+            return
+        n += len(items)
+        kmv_update(sketch, items)
+        state.update((sorted(sketch), n))
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        est, exact = kmv_estimate(sketch)
+        yield pd.DataFrame(
+            [{"hour": hour, "n_total": n, "n_users": est, "exact": exact}]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
