@@ -163,6 +163,9 @@ HEADLINE = [
     "corpus_bpe_merges",              # r7: BPE tokenizer merge learning
     "text_chunk_windows",             # r7: 64/48 overlap token chunking
     "stream_hourly_heavy_hitters",    # r7: exact twin of the sketch kernel
+    "stream_hourly_distinct",         # r8: exact twin of the KMV kernel
+    "dedup_chunk_hashes",             # r8: chunk-level dedup report
+    "corpus_bpe_encode",              # r8: BPE tokenizer application
 ]
 
 

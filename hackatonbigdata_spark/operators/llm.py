@@ -2740,7 +2740,10 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics test pins each branch's marginal equal to the member
     query's own output, so the sharing provably preserves the members'
     definitions.  The fold is one union + one (doc_a, doc_b)-keyed
-    aggregate + one 16-row combination aggregate."""
+    aggregate + one 16-row combination aggregate.  The per-doc shingle
+    size table carries one row per document, so it gets NO broadcast
+    hint — AQE picks broadcast at small SF and a shuffle join once the
+    corpus outgrows the driver."""
     t = Catalog(spark, sf_dir)
     n = t.documents.select("doc_id", F.md5(_norm_text()).alias("text_hash"))
     na, nb = n.alias("na"), n.alias("nb")
@@ -2760,15 +2763,11 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
         .join(
-            F.broadcast(
-                sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-            ),
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-            ),
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
             "doc_b",
         )
         .localCheckpoint()  # two branches below read it
@@ -3235,13 +3234,13 @@ SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_frac, s.n_stop,
        CAST(CASE WHEN s.alpha_frac >= 0.8 THEN 1 ELSE 0 END
             AS BIGINT) AS r_alpha,
        CAST(CASE WHEN s.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
-       CAST(CASE WHEN sym.n_sym * 1.0 / s.n_words <= 0.1 THEN 1 ELSE 0 END
-            AS BIGINT) AS r_symbol,
+       CAST(CASE WHEN floor(sym.n_sym * 10000.0 / s.n_words + 0.5) <= 1000
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
        CAST(CASE WHEN s.n_words BETWEEN 50 AND 100000
                   AND s.mean_word_len BETWEEN 3 AND 10
                   AND s.alpha_frac >= 0.8
                   AND s.n_stop >= 2
-                  AND sym.n_sym * 1.0 / s.n_words <= 0.1
+                  AND floor(sym.n_sym * 10000.0 / s.n_words + 0.5) <= 1000
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM s JOIN sym USING (doc_id)
 """,
@@ -3309,7 +3308,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_wordlen = F.col("mean_word_len").between(3.0, 10.0)
     r_alpha = F.col("alpha_frac") >= 0.8
     r_stop = F.col("n_stop") >= 2
-    r_symbol = F.col("n_sym") * 1.0 / F.col("n_words") <= 0.1
+    # compare the 1e-4-quantized ratio (as an integer grid point), same
+    # as the oracle: the band edge is engine-independent by construction,
+    # not by luck of identical IEEE division (r7 ADVICE fix)
+    r_symbol = (
+        F.floor(F.col("n_sym") * 10000.0 / F.col("n_words") + F.lit(0.5))
+        <= 1000
+    )
     return out.select(
         "doc_id",
         "n_words",
@@ -3487,4 +3492,190 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_tok",
         "n_toks",
         _h(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+# the chunk derivation of text_chunk_windows' oracle, reduced to the
+# (doc_id, chunk_hash) instance table downstream chunk-dedup joins on
+_DUCK_CHUNK_HASHES = f"""
+w0 AS (SELECT doc_id, list_filter({_DUCK_WORDS}, x -> x <> '') AS w
+       FROM documents),
+w AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w0 WHERE len(w) >= 1),
+c AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE}) AS n_toks,
+         array_to_string(
+           w[ci * {_CHUNK_STRIDE} + 1 : ci * {_CHUNK_STRIDE} + least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE})],
+           ' ') AS chunk_text
+  FROM w, unnest(range(0, (n - 1) // {_CHUNK_STRIDE} + 1)) AS u(ci)),
+ch AS (
+  SELECT doc_id, {_duck_hash("chunk_text")} AS chunk_hash
+  FROM c WHERE chunk_idx = 0 OR n_toks > {_CHUNK_LEN - _CHUNK_STRIDE})
+"""
+
+
+@register(
+    "dedup_chunk_hashes",
+    oracle=f"""
+WITH {_DUCK_CHUNK_HASHES.strip().rstrip()},
+f AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ
+      FROM ch GROUP BY 1),
+per AS (
+  SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM ch JOIN f USING (chunk_hash) GROUP BY ch.doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_id,
+         CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_partner_docs
+  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash
+                     AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id)
+SELECT per.doc_id, n_chunks, n_dup_chunks,
+       floor(n_dup_chunks * 10000.0 / n_chunks + 0.5) / 10000
+         AS dup_chunk_frac,
+       CAST(COALESCE(pr.n_partner_docs, 0) AS BIGINT) AS n_partner_docs
+FROM per LEFT JOIN pr ON per.doc_id = pr.doc_id
+""",
+)
+def dedup_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup report — the consumer of ``text_chunk_windows``'s
+    chunk-hash column (its stated downstream purpose): per document, how
+    many of its 64/48-stride chunks are duplicated ANYWHERE in the corpus
+    (same content hash appearing >= 2 times, within- or cross-doc), the
+    duplicated-chunk fraction, and how many OTHER documents share at
+    least one chunk with it.  This is the sub-document granularity exact
+    dedup modern pretraining pipelines run between whole-doc hashing and
+    substring-span dedup: it localizes boilerplate (headers, license
+    blocks) that document-level digests miss.
+
+    Exactness: pure integer set algebra over the shared 32-bit content
+    hash (identical md5-prefix construction on both engines); the one
+    ratio quantizes to the 1e-4 grid on both sides.
+
+    Scale (100 TB): the chunk instance table (one 8-byte hash per ~48
+    input tokens — never chunk text) is localCheckpoint'ed once and feeds
+    three hash-keyed aggregates/joins: a per-hash frequency count (map-side
+    partial), a per-doc rollup, and the partner self-join keyed on
+    chunk_hash — candidate pairs come from hash buckets only, never
+    all-pairs.  Ubiquitous boilerplate hashes would skew the self-join at
+    extreme scale; the standard mitigation (cap or drop hashes with n_occ
+    above a boilerplate threshold before pairing) composes here as one
+    filter on ``f``."""
+    ch = (
+        text_chunk_windows(spark, sf_dir)
+        .select("doc_id", "chunk_hash")
+        .localCheckpoint()
+    )
+    f = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    per = (
+        ch.join(f, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    pr = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct(F.col("b.doc_id"))
+            .cast("long")
+            .alias("n_partner_docs")
+        )
+    )
+    return per.join(pr, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        (
+            F.floor(
+                F.col("n_dup_chunks") * 10000.0 / F.col("n_chunks")
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_chunk_frac"),
+        F.coalesce(F.col("n_partner_docs"), F.lit(0))
+        .cast("long")
+        .alias("n_partner_docs"),
+    )
+
+
+@register("corpus_bpe_encode")
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode the corpus with the merge table
+    ``corpus_bpe_merges`` learns, completing the tokenizer story: per
+    document, whitespace-token count, BPE-piece count under the learned
+    merges, and pieces-per-word (the compression a tokenizer report
+    tracks; with only 10 learned merges the pieces sit near character
+    granularity, exactly as the real curve starts).
+
+    Rows-only by design (like the learner): the merge table is itself the
+    output of the 10-round iterative argmax, so no single SQL statement
+    reproduces it; the encoding is pinned end-to-end against a pure-Python
+    learn-then-encode in tests/test_r8_semantics.py.
+
+    Encoding semantics: merges apply IN RANK ORDER, each as one greedy
+    left-to-right pass over the word's symbol array — the identical
+    CASE/HOF fold the learner uses between rounds, so learn-state and
+    apply-state agree by construction (reference shape: vocabulary
+    encoding /root/reference/src/data/preprocessors.py:210-248).
+
+    Scale (100 TB): the 10-row merge table is driver-held and inlined as
+    literals (the GD-calibrator pattern); encoding runs ONCE PER DISTINCT
+    WORD (the vocabulary table, orders of magnitude smaller than the
+    corpus) as one 10-deep HOF projection, then a hash join fans the
+    per-word piece count back onto word occurrences and one per-doc
+    aggregate sums them.  The corpus text is scanned once."""
+    merges = sorted(
+        corpus_bpe_merges(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    t = Catalog(spark, sf_dir)
+    occ = (
+        _doc_words(t)
+        .select("doc_id", F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    expr = "split(word, '')"
+    for row in merges:
+        # symbols are [a-z0-9]+ so embedding the literals in SQL is safe;
+        # CASE, not AND: ANSI element_at throws on an empty accumulator
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>), (acc, s) ->"
+            " case when size(acc) = 0 then array(s)"
+            f" when element_at(acc, -1) = '{row.left}' and s = '{row.right}'"
+            f" then concat(slice(acc, 1, size(acc) - 1), array('{row.merged}'))"
+            " else concat(acc, array(s)) end)"
+        )
+    enc = (
+        occ.select("word")
+        .distinct()
+        .select("word", F.size(F.expr(expr)).cast("long").alias("n_pieces"))
+    )
+    return (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.floor(
+                    F.col("n_bpe_tokens") * 10000.0 / F.col("n_words")
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("pieces_per_word"),
+        )
     )

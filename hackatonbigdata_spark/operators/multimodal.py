@@ -282,7 +282,8 @@ WITH b AS (
 ), n AS (
   SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
          CAST(count(*) AS BIGINT) AS n_distinct,
-         round(-sum(share * log2(share)), 4) AS entropy_bits
+         -sum(CAST(floor(share * log2(share) * 10000 + 0.5) AS BIGINT))
+           / 10000.0 AS entropy_bits
   FROM s GROUP BY doc_id
 )
 SELECT doc_id, n_bytes, n_distinct, entropy_bits,
@@ -299,9 +300,12 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     queue.  Byte == char on this ASCII corpus (module docstring).
 
     Exactness: byte counts are integers; shares are identical exact
-    ratios; the entropy sum runs over <= 96 distinct byte values per doc,
-    the same bounded-ulp regime as ``entropy_store_portfolio`` (5 rounds
-    of precedent); the flag compares the 4dp-rounded value.
+    IEEE divisions on both engines; each ``share * log2(share)`` term is
+    quantized to the 1e-4 integer grid BEFORE the sum (the repo's
+    standard order-free-fold technique), so the BIGINT accumulation is
+    associative and the r7 HOF fold order (array_distinct first-seen)
+    vs the oracle's group-by order cannot flip a last ulp; the flag
+    compares the resulting exact 4dp value.
 
     Scale: the whole histogram is built ROWWISE with higher-order
     functions (``transform(sequence(..))`` -> ``array_distinct`` ->
@@ -321,10 +325,11 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(array_distinct(codes),"
         " c -> size(filter(codes, x -> x = c)))"
     )
-    entropy = F.expr(
-        "-aggregate(hist, cast(0.0 as double),"
-        " (acc, cnt) -> acc + (cnt / cast(n_bytes as double))"
-        "               * log2(cnt / cast(n_bytes as double)))"
+    entropy_q = F.expr(
+        "aggregate(hist, cast(0 as bigint),"
+        " (acc, cnt) -> acc + cast(floor((cnt / cast(n_bytes as double))"
+        "               * log2(cnt / cast(n_bytes as double))"
+        "               * 10000d + 0.5d) as bigint))"
     )
     d = (
         t.documents.filter(F.col("n_chars") >= 1)
@@ -339,7 +344,7 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         F.size("hist").cast("long").alias("n_distinct"),
-        r4(entropy).alias("entropy_bits"),
+        (-entropy_q / F.lit(10000.0)).alias("entropy_bits"),
     ).select(
         "doc_id",
         "n_bytes",

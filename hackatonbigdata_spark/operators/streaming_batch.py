@@ -1207,3 +1207,38 @@ def stream_hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start", "rnk", "user_id", "n_events")
     )
+
+
+@register(
+    "stream_hourly_distinct",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour distinct-user cardinality (plus total event count) —
+    the batch twin of the bounded-state bottom-k KMV sketch kernel
+    (``streaming/jobs.py: distinct_kmv_stream``), which the streaming
+    tests pin against this query: the sketch is EXACT whenever an hour's
+    distinct-user count fits its k=32 budget (true of the sf test data),
+    and beyond budget the tests pin the stream against the deterministic
+    pure-Python estimator over the same hash space.  Per-entity
+    cardinality monitoring shape from
+    /root/reference/src/monitoring/alerts.py:399 (rate alerting on
+    distinct actors per window).
+
+    Scale: Spark plans COUNT(DISTINCT) as a two-phase aggregate (partial
+    distinct on (hour, user), then the per-hour count), so the shuffle
+    carries one row per (hour, user) — never raw events; at 100 TB the
+    streaming KMV twin replaces it with O(k) state per hour."""
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -1114,7 +1114,7 @@ def spacesaving_topk(counters, n):
     return sorted(counters.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
 
 
-def heavyhitters_topk_stream(events: DataFrame) -> DataFrame:
+def heavyhitters_topk_stream(events: DataFrame, k: int = HH_K) -> DataFrame:
     """Per-hour top-3 heavy hitters with BOUNDED state: each hour bucket
     holds a k=32-counter space-saving sketch — O(k) per key no matter how
     many distinct users an hour sees, the property that lets a
@@ -1166,7 +1166,7 @@ def heavyhitters_topk_stream(events: DataFrame) -> DataFrame:
         if not items:
             return
         n += len(items)
-        spacesaving_update(counters, items)
+        spacesaving_update(counters, items, k)
         ks = list(counters)
         state.update(
             (ks, [counters[x][0] for x in ks], [counters[x][1] for x in ks], n)
@@ -1251,7 +1251,7 @@ def kmv_estimate(sketch: set, k: int = KMV_K) -> tuple[int, bool]:
     return int(round((k - 1) * float(1 << 63) / float(kth + 1))), False
 
 
-def distinct_kmv_stream(events: DataFrame) -> DataFrame:
+def distinct_kmv_stream(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Per-hour distinct-user count with BOUNDED state: each hour bucket
     keeps only the k=32 smallest user-id hashes (bottom-k / KMV sketch) —
     O(k) per bucket no matter how many distinct users the hour sees, the
@@ -1298,10 +1298,10 @@ def distinct_kmv_stream(events: DataFrame) -> DataFrame:
         if not items:
             return
         n += len(items)
-        kmv_update(sketch, items)
+        kmv_update(sketch, items, k)
         state.update((sorted(sketch), n))
         state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
-        est, exact = kmv_estimate(sketch)
+        est, exact = kmv_estimate(sketch, k)
         yield pd.DataFrame(
             [{"hour": hour, "n_total": n, "n_users": est, "exact": exact}]
         )

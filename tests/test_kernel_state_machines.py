@@ -274,3 +274,40 @@ def test_spacesaving_sketch_guarantees_under_any_chunking(tape, cuts):
         if len(set(seen)) <= k:
             assert {key: c for key, (c, _) in counters.items()} == dict(true)
             assert all(e == 0 for _, e in counters.values())
+
+
+@given(
+    st.lists(st.integers(0, 12), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_kmv_sketch_invariants_under_any_chunking(tape, cuts):
+    """Bottom-k KMV invariants after every chunk boundary, for any item
+    order, duplication, and chunking: the state IS the set of the k
+    smallest distinct hashes of everything seen (a pure set property, so
+    the sketch is order/chunking/duplicate-insensitive by construction),
+    it never exceeds k entries, the estimate is EXACT while under budget,
+    and at budget it equals the published (k-1)/U_(k) estimator."""
+    from hackatonbigdata_spark.streaming.jobs import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_update,
+    )
+
+    k = 4
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    sketch: set = set()
+    done = 0
+    for b in bounds:
+        kmv_update(sketch, tape[done:b], k)
+        done = b
+        seen = set(tape[:done])
+        want = set(sorted(kmv_hash(x) for x in seen)[:k])
+        assert sketch == want
+        assert len(sketch) <= k
+        est, exact = kmv_estimate(sketch, k)
+        if len(seen) < k:
+            assert exact and est == len(seen)
+        else:
+            assert not exact
+            kth = max(want)
+            assert est == int(round((k - 1) * float(1 << 63) / float(kth + 1)))

@@ -74,5 +74,9 @@ def test_every_query_has_oracle_or_reason():
         # merge table is pinned against pure-Python BPE over a
         # DuckDB-derived vocabulary in tests/test_r7_semantics.py
         "corpus_bpe_merges",
+        # BPE application: encodes with the learner's (itself rows-only)
+        # merge table; pinned end-to-end against pure-Python
+        # learn-then-encode in tests/test_r8_semantics.py
+        "corpus_bpe_encode",
     }
     assert set(missing) <= allowed_rows_only, f"queries missing oracle SQL: {missing}"

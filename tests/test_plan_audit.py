@@ -296,3 +296,15 @@ def test_multimodal_byte_kernels_have_no_byte_explode(spark):
             .toString()
         )
         assert plan.count("Generate") <= max_generates, name
+
+
+def test_round8_ops_stay_jvm_side(spark):
+    """r8 operators are pure column math / keyed aggregates — no Python
+    UDF anywhere (the KMV/space-saving streaming kernels are the declared
+    applyInPandasWithState exceptions, tested in test_streaming)."""
+    for name in [
+        "stream_hourly_distinct",
+        "dedup_chunk_hashes",
+        "corpus_bpe_encode",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

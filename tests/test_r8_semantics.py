@@ -1,0 +1,145 @@
+"""Independent semantic pins for the round-8 operators.
+
+Same contract as test_r7_semantics: the oracle parity suite proves
+Spark == DuckDB; these tests guard against both engines computing the same
+WRONG thing by re-deriving each operator's result independently (pure
+Python, with inputs pulled through DuckDB — never through the Spark code
+under test).
+"""
+
+from __future__ import annotations
+
+from hackatonbigdata_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _python_bpe(vocab: dict, n_merges: int):
+    """Greedy BPE: learn ``n_merges`` merges over a (word -> count)
+    vocabulary, returning (merge list, final word -> symbol-array map).
+    Identical semantics to the engine: weighted pair counts, argmax with
+    (count desc, pair asc) tie-break, one left-to-right merge pass per
+    round in which a just-merged token can serve as the left element of
+    the next match."""
+    words = {w: (list(w), c) for w, c in vocab.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, cnt in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (l, r), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, pc))
+        for key, (syms, cnt) in words.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            words[key] = (out, cnt)
+    return merges, {w: syms for w, (syms, _) in words.items()}
+
+
+def test_corpus_bpe_encode_matches_python_learn_then_encode(spark):
+    """Learn the 10 merges AND encode every document in pure Python (word
+    stream pulled through DuckDB), then require the Spark query to
+    reproduce every per-doc (n_words, n_bpe_tokens, pieces_per_word)
+    exactly."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')), ' ')) AS w
+                   FROM read_parquet(?))
+        SELECT doc_id, w FROM t WHERE w <> ''
+        """,
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    vocab: dict = {}
+    for _, w in rows:
+        vocab[w] = vocab.get(w, 0) + 1
+    _, encoded = _python_bpe(vocab, 10)
+    want: dict = {}
+    for doc_id, w in rows:
+        n_words, n_pieces = want.get(doc_id, (0, 0))
+        want[doc_id] = (n_words + 1, n_pieces + len(encoded[w]))
+    got = QUERIES["corpus_bpe_encode"](spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for row in got:
+        n_words, n_pieces = want[row.doc_id]
+        assert row.n_words == n_words, row.doc_id
+        assert row.n_bpe_tokens == n_pieces, row.doc_id
+        assert row.pieces_per_word == (
+            math.floor(n_pieces * 10000.0 / n_words + 0.5) / 10000.0
+        ), row.doc_id
+
+
+def test_dedup_chunk_hashes_matches_bruteforce_chunking(spark):
+    """Re-chunk every document with a plain Python loop (64-token windows
+    on a 48 stride, tail windows dropped unless they add tokens), hash
+    chunk text with the same md5-prefix construction, and rebuild the
+    per-doc dup/partner report from first principles."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT doc_id, string_split(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')), ' ') AS w
+        FROM read_parquet(?)
+        """,
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    L, S = 64, 48
+    inst = []  # (doc_id, chunk_hash)
+    for doc_id, w in rows:
+        w = [x for x in w if x != ""]
+        if not w:
+            continue
+        for ci in range((len(w) - 1) // S + 1):
+            toks = w[ci * S : ci * S + L]
+            if ci > 0 and len(toks) <= L - S:
+                continue
+            h = int(hashlib.md5(" ".join(toks).encode()).hexdigest()[:8], 16)
+            inst.append((doc_id, h))
+    freq: dict = {}
+    for _, h in inst:
+        freq[h] = freq.get(h, 0) + 1
+    bydoc: dict = {}
+    for doc_id, h in inst:
+        bydoc.setdefault(doc_id, []).append(h)
+    docs_by_hash: dict = {}
+    for doc_id, h in inst:
+        docs_by_hash.setdefault(h, set()).add(doc_id)
+    import math
+
+    got = QUERIES["dedup_chunk_hashes"](spark, SF_DIR).collect()
+    assert len(got) == len(bydoc)
+    n_docs_with_dups = 0
+    for row in got:
+        hashes = bydoc[row.doc_id]
+        n_dup = sum(1 for h in hashes if freq[h] >= 2)
+        partners = set().union(*(docs_by_hash[h] for h in hashes)) - {
+            row.doc_id
+        }
+        assert row.n_chunks == len(hashes), row.doc_id
+        assert row.n_dup_chunks == n_dup, row.doc_id
+        assert row.n_partner_docs == len(partners), row.doc_id
+        assert row.dup_chunk_frac == (
+            math.floor(n_dup * 10000.0 / len(hashes) + 0.5) / 10000.0
+        ), row.doc_id
+        n_docs_with_dups += n_dup > 0
+    # the scenario must actually exercise duplication (planted dups exist)
+    assert n_docs_with_dups > 0

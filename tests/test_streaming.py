@@ -805,3 +805,119 @@ def test_heavyhitters_kernel_exact_across_batches(spark, tmp_path):
         .itertuples(index=False, name=None)
     )
     assert got == [(1, 1, 6, 0), (2, 2, 2, 0), (3, 3, 1, 0)]
+
+
+def _event_files_stream(spark, tmp_path, files):
+    """Write one parquet dir per micro-batch (list of (minute, user_id)
+    rows each) and return a maxFilesPerTrigger=1 file stream over them —
+    the multi-batch harness the kernel tests share."""
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    src = tmp_path / "src"
+    src.mkdir()
+    eid = 0
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(eid, eid + len(rows)),
+                "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
+                "user_id": [u for _, u in rows],
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        eid += len(rows)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / f"f{i}")
+        )
+    schema = spark.read.parquet(str(src / "f0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+
+def test_kmv_distinct_stream_matches_batch_twin(spark, events_stream):
+    """The bottom-k KMV kernel's final per-hour cardinality must equal the
+    oracled batch twin ``stream_hourly_distinct`` exactly: sf events hold
+    < 32 distinct users per hour, so the k=32 sketch stays under budget
+    and IS the exact distinct count (``exact`` flag true everywhere)."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_distinct,
+    )
+
+    jobs.run_to_memory(jobs.distinct_kmv_stream(events_stream), "t_kmv", "update")
+    emitted = spark.table("t_kmv").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    assert final["exact"].all()
+    f = (
+        final[["hour", "n_total", "n_users"]]
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(
+        stream_hourly_distinct(spark, SF_DIR).select(
+            "hour", "n_total", "n_users"
+        ),
+        ["hour"],
+    )
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_kmv_kernel_estimates_beyond_budget_across_batches(spark, tmp_path):
+    """3-file stream, k=4, 9 distinct users (> budget): the final per-hour
+    state must equal the pure-Python KMV fold over the full multiset —
+    the sketch is order/chunking-insensitive, so the Spark state plumbing
+    is pinned against the deterministic estimator, beyond the exact
+    regime the sf-data test exercises."""
+    files = [
+        [(0, 0), (0, 1), (1, 2), (1, 3)],
+        [(2, 2), (2, 3), (3, 4), (3, 5), (4, 6)],
+        [(5, 7), (5, 8), (6, 0), (6, 1)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.distinct_kmv_stream(stream, k=4), "t_kmv_mb", "update"
+    )
+    emitted = spark.table("t_kmv_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    assert len(final) == 1
+    row = final.iloc[0]
+    all_users = [u for rows in files for _, u in rows]
+    want, _ = jobs.kmv_estimate(jobs.kmv_update(set(), all_users, 4), 4)
+    assert int(row["n_total"]) == len(all_users) == 13
+    assert not bool(row["exact"])  # 9 distinct > k=4: estimator regime
+    assert int(row["n_users"]) == want
+
+
+def test_heavyhitters_kernel_bounds_beyond_budget_across_batches(spark, tmp_path):
+    """3-file stream, k=4, 9 distinct users (> budget): the space-saving
+    guarantees must hold in-stream, not just in the fuzzed pure function —
+    est - err <= true <= est for every emitted counter, and the top-3
+    contains every user whose true count exceeds n/k."""
+    from collections import Counter
+
+    files = [
+        [(0, 1), (0, 1), (1, 1), (1, 2), (2, 3)],
+        [(3, 1), (3, 1), (4, 4), (4, 5), (5, 6), (5, 2)],
+        [(6, 7), (6, 8), (7, 2)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.heavyhitters_topk_stream(stream, k=4), "t_hh_small", "update"
+    )
+    emitted = spark.table("t_hh_small").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    all_users = [u for rows in files for _, u in rows]
+    true = Counter(all_users)
+    n = len(all_users)
+    assert int(final["n_total"].max()) == n == 14
+    assert len(final) == 3
+    for r in final.itertuples():
+        est, err = int(r.n_events), int(r.err)
+        assert est - err <= true[int(r.user_id)] <= est
+    heavy = {u for u, c in true.items() if c > n / 4}
+    assert heavy  # the scenario must actually exercise the guarantee
+    assert heavy <= set(final["user_id"].astype(int))
