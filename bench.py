@@ -150,6 +150,9 @@ HEADLINE = [
     "text_pii_scrub",                 # PII detection + redaction
     "graph_triangle_count",           # triangles + clustering coefficient
     "basket_association_rules",       # support/confidence/lift rules
+    #   ^ r7 bench read 2.35s (+18% vs r6) with no touching commit; an r8
+    #   isolated 3-pass re-measure lands at 1.90s warm == the r6 figure,
+    #   so the r7 number was same-session neighbor noise, not a regression
     "dedup_containment_pairs",        # asymmetric containment near-dup
     "corpus_softdedup_weights",       # duplicate down-weighting report
     "join_asof_interpolate",          # grid-aligned linear interpolation

@@ -62,66 +62,22 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 7 BUDGET (50-slot driver window) ============================
-    # 16 r7-new/rewritten + 19 edited-after-their-last-driver-check (r6
-    # verdict "What's missing" #1) + 15 oldest r2-stale = 50.  After this
-    # window lands, zero queries have code newer than their driver evidence
-    # and the r2-latest backlog is down to 18 names (the trade taken for
-    # the seven r7b operators; r8 burns them all with 32 slots to spare).
-    # --- round 7: rewritten this round (HOF byte kernels, degree-ordered
-    #     triangles) and brand-new queries -- freshest code leads ---------
-    "stream_hourly_heavy_hitters",  # r7b NEW: top-3/hour, sketch twin
-    "text_chunk_windows",  # r7b NEW: 64/48 overlap token chunking
-    "text_gopher_rules",  # r7b NEW: Gopher hard-threshold quality battery
-    "corpus_bpe_merges",  # r7b NEW: BPE merge learning (rows-only, pinned)
-    "dedup_substring_spans",  # r7b NEW: exact-substring dup spans (Lee et al.)
-    "text_bm25_topk",  # r7b NEW: BM25 ranked retrieval
-    "dedup_semdedup_ivf",  # r7b NEW: SemDeDup inside IVF buckets
-    "mm_payload_entropy",  # r7: rowwise HOF histogram (explode removed)
-    "mm_patch_byte_stats",  # r7: per-patch HOF stats (byte explode removed)
-    "mm_wav_pcm_stats",  # r7: HOF sample stats + header-only hex decode
-    "graph_triangle_count",  # r7: degree-ordered compact-forward
-    "session_gaps_custom_close",  # r7 NEW: batch twin of the timeout kernel
-    "dedup_pipeline_report",  # r7 NEW: 4-method dedup overlap matrix
-    "calibration_quantile_fit",  # r7: flat-aggregate GD loop (same state)
-    "calibration_platt_exact",  # r7: same GD rework + shared checkpoint
-    "multimodal_frame_sample",  # r7: n_frames >= 1 empty-payload guard
-    # --- edited after their last driver check (r6 verdict list #1) --------
-    "io_clustered_stats_prune",  # post-r5 empty-keep-list guard
-    "stacking_ridge_weights",  # post-r5 shared-constant touch
-    "dedup_cluster_components",  # post-r4 shared-helper touch
-    "agg_approx_sketches",  # post-r4 (rows-only by design)
-    "stream_interval_join_views",  # post-r4 oracle touch
-    "io_csv_roundtrip",  # post-r4 touch
-    "calibration_platt",  # post-r4 (rows-only by design)
-    "corpus_curation_pipeline",  # post-r4 touch
-    "multimodal_decode_stub",  # post-r4 (rows-only by design)
-    "ewm_pandas_per_series",  # post-r4 (rows-only by design)
-    "clip_and_rewrite",  # post-r3 touch
-    "store_coldstart_fallback",  # r2-latest + later touch
-    "calibration_curve_bins",  # r2-latest + later touch
-    "text_tfidf_topterms",  # r2-latest + later touch
-    "customer_rfm_segments",  # r2-latest + later touch
-    "join_range_price_band",  # r2-latest + later touch
-    "unpivot_store_metrics",  # r2-latest + later touch
-    "text_scrub_numbers",  # r2-latest + later touch
-    "window_expanding_stats",  # r2-latest + later touch
-    # --- oldest driver evidence: last checked in round 2 ------------------
-    "metric_suite_global",
-    "metric_abc_tiers",
-    "heuristic_blend_forecast",
-    "residual_diagnostics_store",
-    "metric_wmape_weighted",
-    "dedup_fuzzy_names",
-    "scan_project_filter",
-    "sample_scan",
-    "filter_quantile_band",
-    "filter_date_range_valid",
-    "dedup_keep_first",
-    "join_multiway_enrich",
-    "join_anti_orphans",
-    "join_semi_active_customers",
-    "share_window_vs_join_back",
+    # === ROUND 8 BUDGET (50-slot driver window) ============================
+    # Plan: (1) every name whose code is new or edited in r8 leads;
+    # (2) the ENTIRE 18-name r2-latest backlog (r7 verdict "missing" #1)
+    # is retired; (3) the remaining ~26 slots start on the 39 r3-latest
+    # names (all oracled; the tail queues for r9).  Oracled names outrank
+    # rows-only names of equal staleness (r7 verdict "wrong" #1) — the one
+    # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
+    # block for exactly that reason.
+    # --- round 8: new queries and edited-after-r7-check code --------------
+    "stream_hourly_distinct",  # r8 NEW: exact twin of the KMV stream kernel
+    "dedup_chunk_hashes",  # r8 NEW: chunk-level dedup over chunk hashes
+    "mm_payload_entropy",  # r8: order-free 1e-4-grid entropy fold
+    "text_gopher_rules",  # r8: quantized r_symbol band edge
+    "dedup_pipeline_report",  # r8: broadcast hints dropped (AQE decides)
+    "corpus_bpe_encode",  # r8 NEW: BPE application (rows-only, pinned)
+    # --- r2-latest backlog: all 18, retired this round --------------------
     "union_slices",
     "topk_orders_by_value",
     "cooccurrence_pairs",
@@ -129,10 +85,6 @@ _PRIORITY: list[str] = [
     "data_quality_profile",
     "binning_quantile_ntile",
     "window_lag_family",
-    # ---- below the likely 50-cut: the remaining 11 r2-latest names queue
-    # for the r8 rotation; everything in the registry is re-verified at
-    # sf0.001 by tests/test_oracle_parity.py every session (and the whole
-    # registry by the driver-sim sweep at sf0.01). -------------------------
     "window_rolling_stats",
     "window_rolling_median_skew",
     "window_rolling_slope",
@@ -144,6 +96,47 @@ _PRIORITY: list[str] = [
     "window_growth_cap",
     "holt_level_trend",
     "window_rolling_multiscale",
+    # --- oldest remaining evidence: the 39 r3-latest names (~26 fit the
+    #     window; the tail below the cut queues for the r9 rotation) ------
+    "agg_multistat_product",
+    "agg_moments_brand",
+    "agg_distinct_counts",
+    "agg_grouped_quantiles",
+    "market_share_brand",
+    "entropy_store_portfolio",
+    "hhi_by_type",
+    "top5_share_per_store",
+    "mode_share_store",
+    "zero_ratio_per_part",
+    "weekday_profile",
+    "pivot_brand_by_status",
+    "basket_stats",
+    "corr_price_quantity",
+    "rollup_type_brand",
+    "cube_flag_status",
+    "global_describe",
+    "calendar_extract",
+    "cyclical_fourier",
+    "binning_fixed_tiers",
+    "string_normalize",
+    "null_strategies",
+    "frequency_encoding",
+    "label_encode_other",
+    "holiday_proximity",
+    "business_calendar_flags",
+    "window_ffill",
+    "window_group_transform",
+    "window_momentum_accel",
+    "window_decline_indicator",
+    "ewm_daily_store",
+    "cv_walkforward_folds",
+    "postproc_clip_caps",
+    "similarity_topk_cosine",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_metadata",
 ]
 
 
