@@ -169,6 +169,9 @@ HEADLINE = [
     "stream_hourly_distinct",         # r8: exact twin of the KMV kernel
     "dedup_chunk_hashes",             # r8: chunk-level dedup report
     "corpus_bpe_encode",              # r8: BPE tokenizer application
+    "similarity_matryoshka_eval",     # r8: truncated-dim retrieval ablation
+    "similarity_hamming_binary",      # r8: sign-bit Hamming retrieval eval
+    "corpus_dsir_weights",            # r8: DSIR importance weighting
 ]
 
 

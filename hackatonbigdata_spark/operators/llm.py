@@ -3679,3 +3679,401 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pieces_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: embedding compression evaluations (Matryoshka truncation, binary
+# sign quantization) and DSIR importance weighting
+
+
+_MRL_DIMS = (8, 16, 32)  # truncation prefixes evaluated against full 64-d
+
+
+@register(
+    "similarity_matryoshka_eval",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+         {", ".join(
+             f"round(list_dot_product(a.emb[1:{d}], b.emb[1:{d}])"
+             f" / (sqrt(list_dot_product(a.emb[1:{d}], a.emb[1:{d}]))"
+             f"    * sqrt(list_dot_product(b.emb[1:{d}], b.emb[1:{d}]))), 4)"
+             f" AS c{d}" for d in (8, 16, 32))},
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS c64
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT vec_id, nb,
+         {", ".join(
+             f"row_number() OVER (PARTITION BY vec_id"
+             f" ORDER BY c{d} DESC, nb) AS r{d}" for d in (8, 16, 32, 64))}
+  FROM p),
+h AS (
+  SELECT vec_id,
+         {", ".join(
+             f"sum(CASE WHEN r{d} <= 5 AND r64 <= 5 THEN 1 ELSE 0 END)"
+             f" AS h{d}" for d in (8, 16, 32))}
+  FROM r GROUP BY vec_id),
+u AS (
+  SELECT 8 AS trunc_dim, h8 AS hits FROM h
+  UNION ALL SELECT 16, h16 FROM h
+  UNION ALL SELECT 32, h32 FROM h)
+SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       floor(sum(hits) * 10000.0 / (5 * count(*)) + 0.5) / 10000
+         AS mean_recall5,
+       floor(sum(CASE WHEN hits = 5 THEN 1 ELSE 0 END) * 10000.0
+             / count(*) + 0.5) / 10000 AS frac_perfect
+FROM u GROUP BY 1
+""",
+)
+def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation ablation (Kusupati et al. 2022): score exact
+    cosine top-5 retrieval using only the FIRST 8/16/32 dimensions of the
+    64-d embedding against the full-dimension top-5, reporting per
+    truncation the mean recall@5 and the fraction of query vectors whose
+    top-5 is preserved perfectly.  This is the standard report backing the
+    "truncate stored vectors to d'" decision a 100 TB vector-store owner
+    makes: it quantifies exactly what first-stage retrieval quality each
+    prefix length buys.
+
+    Exactness: all four cosines per pair are computed with the shared
+    sequential-fold dot product and 4dp-quantized before ranking, ties
+    break on neighbor id, recall ratios quantize to the 1e-4 grid — every
+    comparison engine-independent.
+
+    Scale: ONE O(n²·d) pair scan (the documented sampled-oracle regime —
+    at 100 TB this runs on a query sample, like ``similarity_topk_cosine``)
+    evaluates ALL prefix lengths at once: prefix dot products share the
+    broadcast+partitioned pair join, each pair row carries 4 cosines, and
+    the four rankings reuse one hash exchange on vec_id (same partition
+    key, per-ranking sort only).  Output is 3 aggregate rows."""
+    t = Catalog(spark, sf_dir)
+    dims = list(_MRL_DIMS)
+    e = _embeddings(t)
+    sel = ["vec_id", "emb", F.col("nrm").alias("n64")]
+    for d in dims:
+        sel.append(
+            F.sqrt(
+                _dot(f"slice(emb, 1, {d})", f"slice(emb, 1, {d})")
+            ).alias(f"n{d}")
+        )
+    e = e.select(*sel)
+    a, b = e.alias("a"), e.alias("b")
+    # one evaluation per unordered pair, both directions emitted from the
+    # same row (cosine is symmetric) — the similarity_topk_cosine pattern
+    raw = [
+        (
+            _dot(f"slice(a.emb, 1, {d})", f"slice(b.emb, 1, {d})")
+            / (F.col(f"a.n{d}") * F.col(f"b.n{d}"))
+        ).alias(f"_c{d}")
+        for d in dims
+    ] + [(_dot("a.emb", "b.emb") / (F.col("a.n64") * F.col("b.n64"))).alias("_c64")]
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_lo"), F.col("b.vec_id").alias("id_hi"), *raw)
+        .select(
+            "id_lo",
+            "id_hi",
+            *[r4(f"_c{d}").alias(f"c{d}") for d in dims + [64]],
+        )
+    )
+    cs = [F.col(f"c{d}").alias(f"c{d}") for d in dims + [64]]
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"), F.col("id_hi").alias("nb"), *cs
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"), F.col("id_lo").alias("nb"), *cs
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ranked = pairs.select(
+        "vec_id",
+        "nb",
+        *[
+            F.row_number()
+            .over(W.partitionBy("vec_id").orderBy(F.col(f"c{d}").desc(), "nb"))
+            .alias(f"r{d}")
+            for d in dims + [64]
+        ],
+    )
+    per = ranked.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when((F.col(f"r{d}") <= 5) & (F.col("r64") <= 5), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"h{d}")
+            for d in dims
+        ]
+    )
+    stacked = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("trunc_dim"),
+                        F.col(f"h{d}").alias("hits"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    n = F.count(F.lit(1))
+    return stacked.groupBy("trunc_dim").agg(
+        n.cast("long").alias("n_vectors"),
+        (F.floor(F.sum("hits") * 10000.0 / (5 * n) + F.lit(0.5)) / 10000.0).alias(
+            "mean_recall5"
+        ),
+        (
+            F.floor(
+                F.sum(F.when(F.col("hits") == 5, 1).otherwise(0)) * 10000.0 / n
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_perfect"),
+    )
+
+
+@register(
+    "similarity_hamming_binary",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+         CAST(len(list_filter(range(1, 65),
+                  i -> (a.emb[i] > 0) <> (b.emb[i] > 0))) AS BIGINT) AS ham,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS c64
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT vec_id, nb, ham,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ham, nb) AS rh,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c64 DESC, nb) AS rc
+  FROM p),
+h AS (
+  SELECT vec_id,
+         sum(CASE WHEN rh <= 5 AND rc <= 5 THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN rh <= 5 THEN ham ELSE 0 END) AS ham5
+  FROM r GROUP BY vec_id)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       floor(sum(hits) * 10000.0 / (5 * count(*)) + 0.5) / 10000
+         AS mean_recall5,
+       floor(sum(CASE WHEN hits = 5 THEN 1 ELSE 0 END) * 10000.0
+             / count(*) + 0.5) / 10000 AS frac_perfect,
+       floor(sum(ham5) * 10000.0 / (5 * count(*)) + 0.5) / 10000
+         AS mean_hamming_top5
+FROM h
+""",
+)
+def similarity_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization retrieval evaluation: collapse each 64-d
+    float embedding to 64 sign bits (1 bit per dimension — a 256x storage
+    reduction) and score exact Hamming-distance top-5 retrieval against
+    full-precision cosine top-5.  Reports mean recall@5, the fraction of
+    queries whose top-5 survives intact, and the mean Hamming distance of
+    retrieved neighbors — the go/no-go report for the cheapest first-stage
+    filter a 100 TB vector store can run (bitwise XOR + popcount).
+
+    Exactness: Hamming distances are pure integers (sign tests on exact
+    doubles, identical on both engines — no zero-valued components exist
+    in the corpus and 0 compares identically anyway); cosine ranking uses
+    the shared 4dp-quantized fold; ratios quantize to the 1e-4 grid.
+
+    Scale: one O(n²·d) pair scan (sampled-oracle regime at scale, like
+    ``similarity_topk_cosine``) carries both the bit distance and the
+    cosine, so the comparison costs one extra integer fold per pair; both
+    rankings reuse a single hash exchange on vec_id.  Production form
+    packs the 64 bits into one BIGINT and XOR/popcounts — the ranking
+    this query certifies is identical."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    a, b = e.alias("a"), e.alias("b")
+    ham = F.expr(
+        "aggregate(zip_with(a.emb, b.emb,"
+        " (x, y) -> case when (x > 0d) = (y > 0d) then 0 else 1 end),"
+        " 0, (acc, v) -> acc + v)"
+    ).cast("long")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            ham.alias("ham"),
+            (_dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+                "_cos"
+            ),
+        )
+        .select("id_lo", "id_hi", "ham", r4("_cos").alias("c64"))
+    )
+    # Hamming and cosine are both symmetric: emit both directions from the
+    # one evaluated row (the similarity_topk_cosine pattern)
+    fields = [F.col("ham").alias("ham"), F.col("c64").alias("c64")]
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"), F.col("id_hi").alias("nb"), *fields
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"), F.col("id_lo").alias("nb"), *fields
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ranked = pairs.select(
+        "vec_id",
+        "ham",
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy("ham", "nb"))
+        .alias("rh"),
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy(F.col("c64").desc(), "nb"))
+        .alias("rc"),
+    )
+    h = ranked.groupBy("vec_id").agg(
+        F.sum(F.when((F.col("rh") <= 5) & (F.col("rc") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.sum(F.when(F.col("rh") <= 5, F.col("ham")).otherwise(0))
+        .cast("long")
+        .alias("ham5"),
+    )
+    n = F.count(F.lit(1))
+    return h.agg(
+        n.cast("long").alias("n_vectors"),
+        (F.floor(F.sum("hits") * 10000.0 / (5 * n) + F.lit(0.5)) / 10000.0).alias(
+            "mean_recall5"
+        ),
+        (
+            F.floor(
+                F.sum(F.when(F.col("hits") == 5, 1).otherwise(0)) * 10000.0 / n
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_perfect"),
+        (
+            F.floor(F.sum("ham5") * 10000.0 / (5 * n) + F.lit(0.5)) / 10000.0
+        ).alias("mean_hamming_top5"),
+    )
+
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # the "curated" target pool
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents),
+i AS (
+  SELECT doc_id,
+         CASE WHEN source IN {repr(tuple(_DSIR_TARGET))} THEN 1 ELSE 0 END
+           AS is_t,
+         CAST(('0x' || substr(md5(w[k] || ' ' || w[k+1]), 1, 8)) AS BIGINT)
+           % {_DSIR_B} AS bucket
+  FROM d, unnest(range(1, len(w))) AS u(k)),
+g AS (SELECT bucket, sum(is_t) AS ct, sum(1 - is_t) AS cs
+      FROM i GROUP BY bucket),
+tot AS (SELECT sum(is_t) AS nt, sum(1 - is_t) AS ns FROM i),
+q AS (
+  SELECT bucket,
+         CAST(floor(ln(((ct + 1) * 1.0 / (nt + {_DSIR_B}))
+                       / ((cs + 1) * 1.0 / (ns + {_DSIR_B})))
+                    * 10000 + 0.5) AS BIGINT) AS qterm
+  FROM g, tot),
+dc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM i GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(cnt * qterm) AS lw,
+               CAST(sum(cnt) AS BIGINT) AS n_feats
+        FROM dc JOIN q USING (bucket) GROUP BY doc_id)
+SELECT per.doc_id,
+       CAST(CASE WHEN documents.source IN {repr(tuple(_DSIR_TARGET))}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+       n_feats,
+       lw / 10000.0 AS log_weight,
+       lw > 0 AS keep
+FROM per JOIN documents USING (doc_id)
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by how much it looks
+    like a designated target pool, using hashed word-bigram features —
+    per doc, log-importance = sum over its bigrams of
+    ln(p_target(bucket) / p_raw(bucket)) with add-1 smoothing over
+    {_DSIR_B} hash buckets.  ``keep`` (log-weight > 0) is the selection a
+    DSIR-style pretraining pipeline resamples by; target pool here is the
+    four ``src0..src3`` sources (the curated-corpus stand-in).
+
+    Exactness: every per-bucket log-ratio is computed from exact integer
+    counts and quantized to the 1e-4 BIGINT grid ONCE per bucket; the
+    per-doc score is then an integer multiply-add (count x qterm), so the
+    sum is order-free and engine-independent — identical ln-input doubles
+    on both engines (one composite ratio of exact integer divisions), the
+    entropy-family precedent.
+
+    Scale (100 TB): the corpus is scanned once into (doc, bucket)
+    instances; the model is a {_DSIR_B}-row bucket table (two partial
+    aggregates + a 1-row total, broadcast back); the per-doc score is one
+    keyed aggregate over (doc, bucket) counts joined to the tiny bucket
+    table.  No all-pairs anything; shuffles carry bucket/doc keys only.
+    Docs with no bigram (zero or one token) have no features and are
+    absent, as in the paper's n-gram model."""
+    t = Catalog(spark, sf_dir)
+    is_t = F.col("source").isin(*_DSIR_TARGET).cast("long")
+    n_parts = t.spark.sparkContext.defaultParallelism
+    d = (
+        t.documents.repartition(n_parts, "doc_id")
+        .select("doc_id", is_t.alias("is_t"), F.split(_norm_text(), " ").alias("w"))
+    )
+    i = d.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " k -> concat_ws(' ', w[k], w[k + 1]))"
+            )
+        ).alias("bigram"),
+    ).select("doc_id", "is_t", (_h(F.col("bigram")) % _DSIR_B).alias("bucket"))
+    g = i.groupBy("bucket").agg(
+        F.sum("is_t").alias("ct"), F.sum(1 - F.col("is_t")).alias("cs")
+    )
+    tot = i.agg(
+        F.sum("is_t").alias("nt"), F.sum(1 - F.col("is_t")).alias("ns")
+    )
+    pt = (F.col("ct") + 1) * F.lit(1.0) / (F.col("nt") + F.lit(_DSIR_B))
+    ps = (F.col("cs") + 1) * F.lit(1.0) / (F.col("ns") + F.lit(_DSIR_B))
+    q = g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(F.log(pt / ps) * 10000 + F.lit(0.5)).cast("long").alias("qterm"),
+    )
+    dc = i.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per = (
+        dc.join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("qterm")).alias("lw"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+        )
+    )
+    return per.join(
+        t.documents.select("doc_id", is_t.alias("is_target")), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("is_target").cast("long").alias("is_target"),
+        "n_feats",
+        (F.col("lw") / F.lit(10000.0)).alias("log_weight"),
+        (F.col("lw") > 0).alias("keep"),
+    )

@@ -71,6 +71,9 @@ _PRIORITY: list[str] = [
     # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
     # block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "similarity_matryoshka_eval",  # r8 NEW: truncation retrieval ablation
+    "similarity_hamming_binary",  # r8 NEW: sign-bit Hamming retrieval eval
+    "corpus_dsir_weights",  # r8 NEW: DSIR importance weighting
     "stream_hourly_distinct",  # r8 NEW: exact twin of the KMV stream kernel
     "dedup_chunk_hashes",  # r8 NEW: chunk-level dedup over chunk hashes
     "mm_payload_entropy",  # r8: order-free 1e-4-grid entropy fold

@@ -306,5 +306,8 @@ def test_round8_ops_stay_jvm_side(spark):
         "stream_hourly_distinct",
         "dedup_chunk_hashes",
         "corpus_bpe_encode",
+        "similarity_matryoshka_eval",
+        "similarity_hamming_binary",
+        "corpus_dsir_weights",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
