@@ -172,6 +172,8 @@ HEADLINE = [
     "similarity_matryoshka_eval",     # r8: truncated-dim retrieval ablation
     "similarity_hamming_binary",      # r8: sign-bit Hamming retrieval eval
     "corpus_dsir_weights",            # r8: DSIR importance weighting
+    "dedup_lsh_calibration",          # r8: MinHash estimator calibration
+    "corpus_mixture_temperature",     # r8: temperature-sampled mixture
 ]
 
 

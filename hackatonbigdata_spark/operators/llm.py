@@ -4077,3 +4077,186 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lw") / F.lit(10000.0)).alias("log_weight"),
         (F.col("lw") > 0).alias("keep"),
     )
+
+
+@register(
+    "dedup_lsh_calibration",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+{_duck_sig()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(({" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END" for s in range(_N_MINHASH))}) / {_N_MINHASH}.0, 4) AS est_jaccard
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tj AS (
+  SELECT cand.est_jaccard,
+         COALESCE(cp.n_common * 1.0 / (sa.sz + sb.sz - cp.n_common), 0.0)
+           AS jac
+  FROM cand
+  LEFT JOIN cp ON cand.doc_a = cp.doc_a AND cand.doc_b = cp.doc_b
+  JOIN sz sa ON cand.doc_a = sa.doc_id
+  JOIN sz sb ON cand.doc_b = sb.doc_id)
+SELECT est_jaccard, CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(sum(CAST(floor(jac * 10000 + 0.5) AS BIGINT)) * 1.0
+             / count(*) + 0.5) / 10000 AS mean_true_jaccard,
+       CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_dups
+FROM tj GROUP BY 1
+""",
+)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — for every LSH candidate pair the
+    banded index surfaces, compare the signature-estimated Jaccard
+    (matching minhash fraction, 9 possible levels with 8 hashes) against
+    the TRUE shingle Jaccard, grouped by estimate level: pair count, mean
+    true similarity, and how many are real near-dups (true >= 0.5).  This
+    is the tuning report behind the band/row configuration choice: it
+    shows directly how much each estimate level can be trusted and where
+    the candidate precision cliff sits.  (The recall side — true dups the
+    bands MISS — reads off ``dedup_pipeline_report``'s in_jaccard-without-
+    in_lsh cell.)
+
+    Exactness: estimate levels are exact k/8 grid points; each true
+    Jaccard quantizes to the 1e-4 BIGINT grid before the mean (order-free
+    integer sum, then one identical division); the dup threshold compares
+    the same exact integer-derived ratio as ``dedup_jaccard_pairs``.
+    Candidates whose docs share no shingle (possible only via h32
+    collisions) count as true Jaccard 0 on both engines.
+
+    Scale (100 TB): candidates come from the banded equi-join (never
+    all-pairs); true Jaccard is computed ONLY for candidate pairs via the
+    shingle co-occurrence join; the report is one 9-row aggregate."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    cp = (
+        sa.join(sb, "shingle")
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    tj = (
+        cand.join(cp, ["doc_a", "doc_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "est_jaccard",
+            F.coalesce(
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("sza") + F.col("szb") - F.col("n_common")),
+                F.lit(0.0),
+            ).alias("jac"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return tj.groupBy("est_jaccard").agg(
+        n.cast("long").alias("n_pairs"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("jac") * 10000 + F.lit(0.5)).cast("long"))
+                * F.lit(1.0)
+                / n
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_true_jaccard"),
+        F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_dups"),
+    )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (T5 / Pile-style mixture)
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source,
+                  len(list_filter({_DUCK_WORDS}, x -> x <> '')) AS n_tok
+           FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source),
+q AS (SELECT source, n_docs, n_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA})
+                        * 10000 + 0.5) AS BIGINT) AS qw
+      FROM s),
+tot AS (SELECT sum(qw) AS sqw, sum(n_tokens) AS t FROM q)
+SELECT source, n_docs, n_tokens,
+       floor(n_tokens * 10000.0 / t + 0.5) / 10000 AS raw_share,
+       floor(qw * 10000.0 / sqw + 0.5) / 10000 AS temp_share,
+       floor((qw * 1.0 * t) / (sqw * 1.0 * n_tokens) * 10000 + 0.5) / 10000
+         AS epochs
+FROM q, tot
+""",
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixture design (the T5 / Pile recipe):
+    per source, token counts and the sampling share under
+    weight ∝ n_tokens^{_MIX_ALPHA}, plus the implied repetition factor
+    ("epochs") if the full corpus token budget were drawn at those
+    shares — the one-table answer to "how hard does temperature sampling
+    upweight my small sources, and how many times will each be repeated".
+    Epochs > 1 on small sources is exactly the over-sampling a mixture
+    designer is trading off against duplication harm.
+
+    Exactness: token counts are integers; each pow(tokens, alpha) term is
+    quantized to the 1e-4 BIGINT grid once per source, so shares and
+    epochs are ratios of exact integers (one identically-ordered double
+    expression per column on both engines).
+
+    Scale (100 TB): one narrow corpus scan into per-source token sums
+    (map-side partial), a ~|sources|-row weight table, one broadcast of a
+    1-row total.  Nothing touches the corpus twice."""
+    t = Catalog(spark, sf_dir)
+    d = _doc_words(t).select(
+        "doc_id", F.size(F.expr("filter(w, x -> x <> '')")).alias("n_tok")
+    ).join(t.documents.select("doc_id", "source"), "doc_id")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    q = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qw"),
+    )
+    tot = q.agg(F.sum("qw").alias("sqw"), F.sum("n_tokens").alias("t"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.col("n_tokens") * 10000.0 / F.col("t") + F.lit(0.5)) / 10000.0).alias(
+            "raw_share"
+        ),
+        (F.floor(F.col("qw") * 10000.0 / F.col("sqw") + F.lit(0.5)) / 10000.0).alias(
+            "temp_share"
+        ),
+        (
+            F.floor(
+                (F.col("qw") * F.lit(1.0) * F.col("t"))
+                / (F.col("sqw") * F.lit(1.0) * F.col("n_tokens"))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("epochs"),
+    )

@@ -71,6 +71,8 @@ _PRIORITY: list[str] = [
     # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
     # block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "dedup_lsh_calibration",  # r8 NEW: MinHash estimator calibration
+    "corpus_mixture_temperature",  # r8 NEW: temperature-sampled mixture
     "similarity_matryoshka_eval",  # r8 NEW: truncation retrieval ablation
     "similarity_hamming_binary",  # r8 NEW: sign-bit Hamming retrieval eval
     "corpus_dsir_weights",  # r8 NEW: DSIR importance weighting

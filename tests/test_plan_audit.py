@@ -309,5 +309,7 @@ def test_round8_ops_stay_jvm_side(spark):
         "similarity_matryoshka_eval",
         "similarity_hamming_binary",
         "corpus_dsir_weights",
+        "dedup_lsh_calibration",
+        "corpus_mixture_temperature",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
