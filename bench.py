@@ -174,6 +174,8 @@ HEADLINE = [
     "corpus_dsir_weights",            # r8: DSIR importance weighting
     "dedup_lsh_calibration",          # r8: MinHash estimator calibration
     "corpus_mixture_temperature",     # r8: temperature-sampled mixture
+    "corpus_vocab_growth",            # r8: Heaps-law vocabulary curve
+    "stream_hourly_sample",           # r8: exact twin of the bottom-k kernel
 ]
 
 

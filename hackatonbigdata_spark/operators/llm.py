@@ -4260,3 +4260,91 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("epochs"),
     )
+
+
+_VG_BUCKETS = 20  # doc-id range buckets for the growth curve
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle=f"""
+WITH d AS (SELECT doc_id,
+                  len(list_filter({_DUCK_WORDS}, x -> x <> '')) AS n_tok,
+                  list_filter({_DUCK_WORDS}, x -> x <> '') AS w
+           FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS n FROM d),
+b AS (SELECT doc_id, n_tok, w,
+             least({_VG_BUCKETS - 1}, (doc_id * {_VG_BUCKETS}) // n)
+               AS bucket
+      FROM d, mx),
+inst AS (SELECT DISTINCT bucket, unnest(w) AS word FROM b),
+fw AS (SELECT word, min(bucket) AS first_bucket FROM inst GROUP BY word),
+nw AS (SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new_words
+       FROM fw GROUP BY 1),
+bs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       FROM b GROUP BY bucket),
+j AS (SELECT bs.bucket, n_docs, n_tokens,
+             CAST(COALESCE(nw.n_new_words, 0) AS BIGINT) AS n_new_words
+      FROM bs LEFT JOIN nw ON bs.bucket = nw.bucket)
+SELECT bucket, n_docs, n_tokens, n_new_words,
+       CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+       CAST(sum(n_new_words) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM j
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cut the corpus into
+    {_VG_BUCKETS} doc-id range slices and report, per slice, token volume,
+    NEW distinct words first seen in that slice, and the cumulative
+    (tokens, vocabulary) curve — the log-log plot a corpus analyst fits
+    Heaps' exponent to, and the practical answer to "is new data still
+    contributing vocabulary or only repetition".
+
+    Exactness: every column is an exact integer — no floats anywhere
+    (first occurrence is a min over bucket indices; cumulative sums are
+    integer prefix sums over the {_VG_BUCKETS}-row bucket table).
+
+    Scale (100 TB): one corpus scan into (bucket, word) DISTINCT
+    instances (shuffle carries distinct words per bucket, not tokens);
+    first-occurrence is one word-keyed min; everything after runs on the
+    {_VG_BUCKETS}-row bucket table, where the unpartitioned cumulative
+    window is a documented bounded-domain exemption."""
+    t = Catalog(spark, sf_dir)
+    d = _doc_words(t).select(
+        "doc_id", F.expr("filter(w, x -> x <> '')").alias("w")
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    b = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        "w",
+        F.least(
+            F.lit(_VG_BUCKETS - 1),
+            F.expr(f"(doc_id * {_VG_BUCKETS}) div n"),
+        ).alias("bucket"),
+    )
+    inst = b.select("bucket", F.explode("w").alias("word")).distinct()
+    fw = inst.groupBy("word").agg(F.min("bucket").alias("first_bucket"))
+    nw = fw.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_words")
+    )
+    bs = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    j = bs.join(nw, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("n_new_words"), F.lit(0)).cast("long").alias("n_new_words"),
+    )
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "n_new_words",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("tokens_cum"),
+        F.sum("n_new_words").over(w_cum).cast("long").alias("vocab_cum"),
+    )

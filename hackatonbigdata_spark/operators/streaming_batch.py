@@ -1242,3 +1242,52 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+SAMPLE_K = 8  # bottom-k uniform sample size per hour
+
+
+@register(
+    "stream_hourly_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_id, user_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY hour
+                                   ORDER BY h, event_id) AS rnk
+      FROM h)
+SELECT hour, CAST(rnk AS BIGINT) AS rnk, event_id, user_id, h
+FROM r WHERE rnk <= {SAMPLE_K}
+""",
+)
+def stream_hourly_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-hour uniform sample: the {SAMPLE_K} events with
+    the smallest content hash of their event id (bottom-k sampling —
+    hashing induces a uniform random order, so the k smallest ARE a
+    uniform sample without replacement, reproducible on every engine and
+    every run).  Batch twin of the bounded-state
+    ``streaming/jobs.py: sample_bottomk_stream`` kernel, which the
+    streaming tests pin EQUAL to this query — bottom-k state is a pure
+    set-of-minima, so unlike the KMV/space-saving sketches the stream
+    result is exact at every scale, not just under budget.
+
+    Scale: one keyed aggregate per (hour) partition with a
+    WindowGroupLimit-pruned rank — the shuffle carries candidate rows
+    only; the streaming twin replaces it with O(k) state per hour."""
+    t = Catalog(spark, sf_dir)
+    h = t.events.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_id",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = W.partitionBy("hour").orderBy("h", "event_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SAMPLE_K)
+        .select("hour", "rnk", "event_id", "user_id", "h")
+    )

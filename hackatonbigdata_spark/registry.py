@@ -71,6 +71,8 @@ _PRIORITY: list[str] = [
     # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
     # block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "corpus_vocab_growth",  # r8 NEW: Heaps-law vocabulary growth curve
+    "stream_hourly_sample",  # r8 NEW: exact twin of the bottom-k kernel
     "dedup_lsh_calibration",  # r8 NEW: MinHash estimator calibration
     "corpus_mixture_temperature",  # r8 NEW: temperature-sampled mixture
     "similarity_matryoshka_eval",  # r8 NEW: truncation retrieval ablation

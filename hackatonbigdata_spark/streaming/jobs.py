@@ -1318,3 +1318,122 @@ def distinct_kmv_stream(events: DataFrame, k: int = KMV_K) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SAMPLE_K = 8  # bottom-k uniform-sample budget per hour (== batch twin's)
+
+
+def sample_hash(event_id: int) -> int:
+    """The engine's shared 32-bit content hash (first 8 md5 hex chars of
+    the DECIMAL string form) — identical to the Spark/DuckDB expression
+    the batch twin ranks by, so stream and batch select the same rows."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    return int(hashlib.md5(str(int(event_id)).encode()).hexdigest()[:8], 16)
+
+
+def bottomk_update(sample: list, items, k: int = SAMPLE_K) -> list:
+    """One bottom-k sampling pass: ``sample`` is the sorted list of the k
+    (hash, event_id, user_id) triples with the smallest (hash, event_id)
+    among all DISTINCT events seen.  Returns the new list.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): the state
+    IS the k smallest distinct events by (hash, id) — a pure set-of-minima
+    property, so the sample is ORDER-, CHUNKING- and DUPLICATE-insensitive
+    and needs no out-of-order buffer; because hashing induces a uniform
+    random order on event ids, the k minima are a uniform sample without
+    replacement, and the stream result ALWAYS equals the batch ranking
+    (exact at every scale, unlike the estimator sketches)."""
+    merged = dict()
+    for h, eid, uid in sample:
+        merged[eid] = (h, eid, uid)
+    for eid, uid in items:
+        if eid not in merged:
+            merged[eid] = (sample_hash(eid), eid, uid)
+    return sorted(merged.values())[:k]
+
+
+def sample_bottomk_stream(events: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Per-hour deterministic uniform sample with BOUNDED state: each hour
+    bucket keeps only the k events whose id hashes smallest (bottom-k
+    sampling) — O(k) per bucket for any event volume, the third member of
+    the bounded-state family (space-saving heavy hitters, KMV distinct,
+    bottom-k sample).  Pure set-of-minima state: any arrival order,
+    chunking, or replay yields the identical sample, so
+    late-but-within-watermark events are absorbed exactly and the final
+    emission per hour equals the batch twin ``stream_hourly_sample``
+    EXACTLY — always, not just under a budget.
+
+    Update-mode emission: each micro-batch re-emits the bucket's current
+    ranked sample stamped with ``n_total`` events absorbed; final rows per
+    hour are those with the maximum n_total.  State evicts by event-time
+    timeout once the watermark passes the hour end."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, rnk long, event_id long,"
+        " user_id long, h long"
+    )
+    state_schema = (
+        "hs array<long>, ids array<long>, uids array<long>, n long"
+    )
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            hs, ids, uids, n = state.get
+            sample = sorted(zip(hs, ids, uids))
+        else:
+            sample, n = [], 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(
+                (int(e), int(u))
+                for e, u in zip(pdf["event_id"], pdf["user_id"])
+            )
+        if not items:
+            return
+        n += len(items)
+        sample = bottomk_update(sample, items, k)
+        state.update(
+            (
+                [h for h, _, _ in sample],
+                [e for _, e, _ in sample],
+                [u for _, _, u in sample],
+                n,
+            )
+        )
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "rnk": i + 1,
+                    "event_id": eid,
+                    "user_id": uid,
+                    "h": h,
+                }
+                for i, (h, eid, uid) in enumerate(sample)
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -311,3 +311,34 @@ def test_kmv_sketch_invariants_under_any_chunking(tape, cuts):
             assert not exact
             kth = max(want)
             assert est == int(round((k - 1) * float(1 << 63) / float(kth + 1)))
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_bottomk_sample_invariants_under_any_chunking(tape, cuts):
+    """Bottom-k sampling invariants after every chunk boundary, for any
+    arrival order, replay, and chunking: the state IS the k smallest
+    DISTINCT events by (hash, event_id) — replays of an event id never
+    change the sample — and it never exceeds k entries."""
+    from hackatonbigdata_spark.streaming.jobs import (
+        bottomk_update,
+        sample_hash,
+    )
+
+    k = 4
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    sample: list = []
+    done = 0
+    for b in bounds:
+        sample = bottomk_update(sample, tape[done:b], k)
+        done = b
+        first_uid = {}
+        for eid, uid in tape[:done]:
+            first_uid.setdefault(eid, uid)
+        want = sorted(
+            (sample_hash(eid), eid, uid) for eid, uid in first_uid.items()
+        )[:k]
+        assert sample == want
+        assert len(sample) <= k

@@ -66,6 +66,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "text_zipf_slope": "prefix sum over DISTINCT frequencies — "
     "O(sqrt(total tokens)) rows for any corpus (r6 rewrite)",
     "text_bm25_topk": "rank over TakeOrdered-limited top-10 rows",
+    "corpus_vocab_growth": "cumulative sums over the 20-row doc-range "
+    "bucket table (corpus already aggregated away)",
 }
 
 
@@ -311,5 +313,7 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_dsir_weights",
         "dedup_lsh_calibration",
         "corpus_mixture_temperature",
+        "corpus_vocab_growth",
+        "stream_hourly_sample",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -921,3 +921,63 @@ def test_heavyhitters_kernel_bounds_beyond_budget_across_batches(spark, tmp_path
     heavy = {u for u, c in true.items() if c > n / 4}
     assert heavy  # the scenario must actually exercise the guarantee
     assert heavy <= set(final["user_id"].astype(int))
+
+
+def test_bottomk_sample_stream_matches_batch_twin(spark, events_stream):
+    """The bottom-k sampling kernel's final per-hour sample must equal the
+    oracled batch twin ``stream_hourly_sample`` EXACTLY — bottom-k state
+    is a pure set-of-minima, so equality holds at every scale (no
+    under-budget caveat)."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_sample,
+    )
+
+    jobs.run_to_memory(
+        jobs.sample_bottomk_stream(events_stream), "t_bk", "update"
+    )
+    emitted = spark.table("t_bk").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    f = (
+        final[["hour", "rnk", "event_id", "user_id", "h"]]
+        .sort_values(["hour", "rnk"])
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(
+        stream_hourly_sample(spark, SF_DIR).select(
+            "hour", "rnk", "event_id", "user_id", "h"
+        ),
+        ["hour", "rnk"],
+    )
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_bottomk_sample_kernel_across_batches(spark, tmp_path):
+    """3-file stream, k=4, 13 distinct events: the final sample must equal
+    the pure-Python bottom-k fold over all events — cross-batch state
+    accumulation under maxFilesPerTrigger=1."""
+    files = [
+        [(0, 10), (0, 11), (1, 12), (1, 13)],
+        [(2, 14), (2, 15), (3, 16), (3, 17), (4, 18)],
+        [(5, 19), (5, 20), (6, 21), (6, 22)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.sample_bottomk_stream(stream, k=4), "t_bk_mb", "update"
+    )
+    emitted = spark.table("t_bk_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    # _event_files_stream assigns event_ids 0..12 in file order
+    all_items = []
+    eid = 0
+    for rows in files:
+        for _, u in rows:
+            all_items.append((eid, u))
+            eid += 1
+    want = jobs.bottomk_update([], all_items, 4)
+    got = [
+        (int(r.h), int(r.event_id), int(r.user_id))
+        for r in final.sort_values("rnk").itertuples()
+    ]
+    assert int(final["n_total"].max()) == 13
+    assert got == want
