@@ -176,6 +176,7 @@ HEADLINE = [
     "corpus_mixture_temperature",     # r8: temperature-sampled mixture
     "corpus_vocab_growth",            # r8: Heaps-law vocabulary curve
     "stream_hourly_sample",           # r8: exact twin of the bottom-k kernel
+    "stream_user_trailing_count",     # r8: exact twin of the DGIM kernel
 ]
 
 

@@ -1291,3 +1291,48 @@ def stream_hourly_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= SAMPLE_K)
         .select("hour", "rnk", "event_id", "user_id", "h")
     )
+
+
+@register(
+    "stream_user_trailing_count",
+    oracle="""
+WITH m AS (SELECT user_id, max(ts) AS last_ts,
+                  CAST(count(*) AS BIGINT) AS n_total
+           FROM events GROUP BY user_id)
+SELECT e.user_id, any_value(m.n_total) AS n_total,
+       any_value(m.last_ts) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_window
+FROM events e JOIN m ON e.user_id = m.user_id
+WHERE e.ts > m.last_ts - INTERVAL 6 HOUR
+GROUP BY e.user_id
+""",
+)
+def stream_user_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user trailing-6-hour event count, evaluated at each
+    user's LAST event time — the batch twin of the logarithmic-state DGIM
+    kernel (``streaming/jobs.py: trailing_count_dgim_stream``), which the
+    streaming tests pin within the published DGIM bound of this query and
+    EQUAL to the pure-Python fold of the same event sequence.
+    Rate-per-entity trailing-window shape from
+    /root/reference/src/monitoring/alerts.py:399.
+
+    Scale: one per-user max (map-side partial), one user-keyed join, one
+    filtered count — the shuffle carries (user, ts) pairs; at 100 TB the
+    streaming twin replaces the second scan with O(log n) bucket state per
+    user."""
+    t = Catalog(spark, sf_dir)
+    m = t.events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    return (
+        t.events.select("user_id", "ts")
+        .join(m, "user_id")
+        .filter(F.col("ts") > F.col("last_ts") - F.expr("INTERVAL 6 HOUR"))
+        .groupBy("user_id")
+        .agg(
+            F.first("n_total").cast("long").alias("n_total"),
+            F.first("last_ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_window"),
+        )
+    )

@@ -1437,3 +1437,163 @@ def sample_bottomk_stream(events: DataFrame, k: int = SAMPLE_K) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DGIM_WINDOW_US = 21600 * 1_000_000  # 6-hour trailing window (== batch twin)
+
+
+def dgim_fold(buckets: list, ts_events, r: int = 2) -> list:
+    """DGIM bucket maintenance (Datar, Gionis, Indyk, Motwani 2002):
+    ``buckets`` is the oldest-first list of (newest_ts, size) with sizes
+    powers of two; each new event appends a size-1 bucket, and whenever
+    more than ``r`` buckets share a size the two OLDEST of that size merge
+    into one of double size carrying the newer timestamp.  Events must
+    arrive in non-decreasing ts order (callers sort).
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): at most r
+    buckets per size; sizes non-increasing and timestamps non-decreasing
+    from oldest to newest; the total size always equals the number of
+    events folded (merging never loses counts).  Without expiry the list
+    is O(log n) buckets total — the bound this kernel's state relies on —
+    because doubling sizes with <= r per size cover n events in
+    O(log n) buckets."""
+    for ts in ts_events:
+        buckets.append((ts, 1))
+        size = 1
+        while True:
+            idxs = [i for i, b in enumerate(buckets) if b[1] == size]
+            if len(idxs) <= r:
+                break
+            i0, i1 = idxs[0], idxs[1]
+            merged = (buckets[i1][0], size * 2)
+            buckets = (
+                buckets[:i0]
+                + buckets[i0 + 1 : i1]
+                + [merged]
+                + buckets[i1 + 1 :]
+            )
+            # the merged bucket's newest ts equals buckets[i1]'s, so
+            # re-inserting it AT i1's position keeps timestamps sorted
+            size *= 2
+    return buckets
+
+
+def dgim_estimate(buckets: list, t: int, window_us: int) -> tuple:
+    """(estimate, n_kept_buckets) of events in (t - window, t]: buckets
+    whose newest event is inside the window contribute their size, minus
+    half the OLDEST kept bucket's size (its tail may have expired) — the
+    classic DGIM estimator.  Structural guarantee (fuzzed): the true
+    count lies in [kept_total - oldest + 1, kept_total], so
+    |est - true| <= oldest/2 <= (true + 1)/2 with r=2."""
+    cutoff = t - window_us
+    kept = [b for b in buckets if b[0] > cutoff]
+    if not kept:
+        return 0, 0
+    total = sum(s for _, s in kept)
+    return total - kept[0][1] // 2, len(kept)
+
+
+def dgim_step(acc: list, buf: list, new_events, wm_us: int):
+    """One trailing-count transition: merge + sort the in-horizon buffer,
+    fold the prefix behind the watermark into the finalized DGIM bucket
+    list, keep the tail, and return (acc, kept_buf, emitted_buckets,
+    t_max) where ``emitted_buckets`` is the accumulator extended by the
+    recomputed tail — the exact DGIM fold of every event seen, in event
+    order (the drawdown/TWA repair pattern).  Buckets are NEVER expired
+    in-state: that keeps the fold path identical to a one-shot fold over
+    the full sorted sequence (expiry inside the stream would change later
+    merges), at an O(log n_total) cost the sketch affords by design;
+    expiry happens only inside ``dgim_estimate`` at read time."""
+    buf = sorted(buf + list(new_events))
+    k = 0
+    while k < len(buf) and buf[k][0] < wm_us:
+        k += 1
+    acc = dgim_fold(acc, [t for t, _ in buf[:k]])
+    buf = buf[k:]
+    emitted = dgim_fold(list(acc), [t for t, _ in buf])
+    t_max = emitted[-1][0] if emitted else None
+    return acc, buf, emitted, t_max
+
+
+def trailing_count_dgim_stream(
+    events: DataFrame, window_us: int = DGIM_WINDOW_US
+) -> DataFrame:
+    """Per-user trailing-window event count with LOGARITHMIC state: a
+    DGIM bucket list (O(log n) (ts, power-of-two size) pairs) replaces
+    storing the window's events, answering "how many events did this user
+    produce in the last 6 h" within the classic 50% guarantee — exact
+    while buckets are unmerged.  Fourth member of the bounded-state
+    family and the first ORDER-DEPENDENT sketch: like the drawdown/TWA
+    kernels it keeps a finalized accumulator plus the in-horizon buffer
+    and re-folds the tail each batch, so late-but-within-watermark
+    arrivals repair the bucket structure exactly.
+
+    Update-mode emission per user per batch: events absorbed, last event
+    time, the DGIM estimate as of that time, and the kept-bucket count.
+    Batch twin: ``stream_hourly_sample``'s sibling
+    ``stream_user_trailing_count`` (exact trailing count, oracled); the
+    streaming tests pin the estimate EQUAL to the pure-Python DGIM fold
+    of the same sorted sequence and WITHIN the published bound of the
+    twin's exact count."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "user_id long, n_total long, last_ts timestamp,"
+        " n_window_est long, n_buckets long"
+    )
+    state_schema = (
+        "bts array<long>, bsz array<long>,"
+        " fts array<long>, feid array<long>, n long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            bts, bsz, fts, feid, n = state.get
+            acc, buf = list(zip(bts, bsz)), list(zip(fts, feid))
+            acc = [tuple(b) for b in acc]
+            buf = [tuple(e) for e in buf]
+        else:
+            acc, buf, n = [], [], 0
+        new_events = []
+        for pdf in pdfs:
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                new_events.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid))
+                )
+        if not new_events:
+            return
+        n += len(new_events)
+        acc, buf, emitted, t_max = dgim_step(
+            acc, buf, new_events, state.getCurrentWatermarkMs() * 1000
+        )
+        state.update(
+            (
+                [t for t, _ in acc],
+                [s for _, s in acc],
+                [t for t, _ in buf],
+                [e for _, e in buf],
+                n,
+            )
+        )
+        est, n_kept = dgim_estimate(emitted, t_max, window_us)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_total": [n],
+                "last_ts": [pd.Timestamp(t_max, unit="us")],
+                "n_window_est": [est],
+                "n_buckets": [n_kept],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -342,3 +342,64 @@ def test_bottomk_sample_invariants_under_any_chunking(tape, cuts):
         )[:k]
         assert sample == want
         assert len(sample) <= k
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=80), min_size=0, max_size=40),
+    cuts_strategy,
+)
+def test_dgim_machine_matches_one_shot_fold_and_bounds(tape, cuts):
+    """DGIM state-machine identity + sketch invariants, after every batch,
+    for any arrival order, batch split, and watermark schedule: the
+    emitted bucket list equals the ONE-SHOT fold of the surviving events
+    in event order (the no-expiry design makes this an exact identity);
+    at most 2 buckets per size; sizes non-increasing and timestamps
+    non-decreasing oldest-first; sizes conserve the event count; and for
+    a trailing window the estimate obeys the structural guarantee
+    kept_total - oldest + 1 <= true <= kept_total with
+    |est - true| <= oldest/2."""
+    from hackatonbigdata_spark.streaming.jobs import (
+        dgim_estimate,
+        dgim_fold,
+        dgim_step,
+    )
+
+    W = 30
+    tape = [(ts, i) for i, ts in enumerate(tape)]
+    acc, buf = [], []
+    survivors = []
+    max_seen = None
+    for batch in batches_of(tape, cuts):
+        wm = max(0, (max_seen - DELAY)) if max_seen is not None else 0
+        accepted = [e for e in batch if e[0] >= wm]
+        survivors.extend(accepted)
+        acc, buf, emitted, t_max = dgim_step(acc, buf, accepted, wm)
+        for e in batch:
+            max_seen = e[0] if max_seen is None else max(max_seen, e[0])
+        want = dgim_fold([], [t for t, _ in sorted(survivors)])
+        assert emitted == want
+        if not emitted:
+            assert t_max is None
+            continue
+        assert t_max == max(t for t, _ in survivors)
+        sizes = [s for _, s in emitted]
+        ts_list = [t for t, _ in emitted]
+        for s in set(sizes):
+            assert sizes.count(s) <= 2
+        assert sizes == sorted(sizes, reverse=True) or all(
+            sizes[i] >= sizes[i + 1] for i in range(len(sizes) - 1)
+        )
+        assert ts_list == sorted(ts_list)
+        assert sum(sizes) == len(survivors)
+        est, n_kept = dgim_estimate(emitted, t_max, W)
+        true = sum(1 for t, _ in survivors if t > t_max - W)
+        kept = [b for b in emitted if b[0] > t_max - W]
+        assert n_kept == len(kept)
+        if kept:
+            total = sum(s for _, s in kept)
+            oldest = kept[0][1]
+            assert total - oldest + 1 <= true <= total
+            assert abs(est - true) <= oldest / 2
+        else:
+            assert est == 0 and true == 0

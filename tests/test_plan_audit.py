@@ -315,5 +315,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_mixture_temperature",
         "corpus_vocab_growth",
         "stream_hourly_sample",
+        "stream_user_trailing_count",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -981,3 +981,75 @@ def test_bottomk_sample_kernel_across_batches(spark, tmp_path):
     ]
     assert int(final["n_total"].max()) == 13
     assert got == want
+
+
+def test_dgim_stream_matches_pure_fold_and_batch_bound(
+    spark, events_stream, events_batch
+):
+    """The DGIM kernel's final per-user estimate must EQUAL the pure-Python
+    DGIM fold of the user's full time-ordered event sequence (the
+    no-expiry design makes stream == one-shot fold an exact identity) and
+    sit within the published bound of the oracled exact twin
+    ``stream_user_trailing_count``."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_user_trailing_count,
+    )
+
+    jobs.run_to_memory(
+        jobs.trailing_count_dgim_stream(events_stream), "t_dgim", "update"
+    )
+    emitted = spark.table("t_dgim").toPandas()
+    last = emitted.groupby("user_id")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last].set_index("user_id")
+    exact = (
+        stream_user_trailing_count(spark, SF_DIR).toPandas().set_index("user_id")
+    )
+    ev = (
+        events_batch.select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    assert set(final.index) == set(exact.index)
+    for uid, grp in ev.groupby("user_id"):
+        ts_us = [int(pd.Timestamp(t).value // 1_000) for t in grp["ts"]]
+        buckets = jobs.dgim_fold([], ts_us)
+        want_est, want_kept = jobs.dgim_estimate(
+            buckets, ts_us[-1], jobs.DGIM_WINDOW_US
+        )
+        row = final.loc[uid]
+        assert int(row["n_total"]) == len(ts_us)
+        assert int(row["n_window_est"]) == want_est
+        assert int(row["n_buckets"]) == want_kept
+        true = int(exact.loc[uid]["n_window"])
+        assert abs(want_est - true) <= (true + 1) / 2
+        assert pd.Timestamp(row["last_ts"]) == pd.Timestamp(
+            exact.loc[uid]["last_ts"]
+        )
+
+
+def test_dgim_kernel_repairs_late_event_across_batches(spark, tmp_path):
+    """3-file stream with a late-but-within-watermark event arriving two
+    batches after its event time: the final bucket structure must equal
+    the one-shot fold of the SORTED sequence — the repair path, which an
+    append-where-it-arrived fold would get wrong."""
+    files = [
+        [(0, 1), (1, 1), (2, 1)],
+        [(9, 1), (3, 1)],
+        [(10, 1), (4, 1), (11, 1)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.trailing_count_dgim_stream(stream), "t_dgim_mb", "update"
+    )
+    emitted = spark.table("t_dgim_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    assert len(final) == 1
+    base = pd.Timestamp("2024-03-01 10:00:00").value // 1_000
+    ts_us = sorted(base + m * 60_000_000 for rows in files for m, _ in rows)
+    want_est, want_kept = jobs.dgim_estimate(
+        jobs.dgim_fold([], ts_us), ts_us[-1], jobs.DGIM_WINDOW_US
+    )
+    row = final.iloc[0]
+    assert int(row["n_total"]) == 8
+    assert int(row["n_window_est"]) == want_est
+    assert int(row["n_buckets"]) == want_kept
