@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_vocab_growth",            # r8: Heaps-law vocabulary curve
     "stream_hourly_sample",           # r8: exact twin of the bottom-k kernel
     "stream_user_trailing_count",     # r8: exact twin of the DGIM kernel
+    "search_hybrid_rrf",              # r8: BM25 + cosine rank fusion
 ]
 
 

@@ -4348,3 +4348,136 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w_cum).cast("long").alias("tokens_cum"),
         F.sum("n_new_words").over(w_cum).cast("long").alias("vocab_cum"),
     )
+
+
+_RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al. 2009)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+tok AS (SELECT doc_id, term FROM w WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {repr(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * {_BM25_K1 + 1.0}) /
+              (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl.dl / stats.avgdl))))
+           * 10000 + 0.5) AS BIGINT) AS s4
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+total AS (SELECT doc_id, sum(s4) AS sq FROM scored GROUP BY doc_id),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS rnk
+         FROM total),
+lex10 AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rnk FROM lexr WHERE rnk <= 10),
+sem0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qv AS (SELECT emb AS qe FROM sem0 WHERE vec_id = 0),
+cs AS (
+  SELECT s.vec_id AS doc_id,
+         round(list_dot_product(s.emb, qv.qe)
+               / (sqrt(list_dot_product(s.emb, s.emb))
+                  * sqrt(list_dot_product(qv.qe, qv.qe))), 4) AS cos
+  FROM sem0 s, qv WHERE s.vec_id <> 0),
+semr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk
+         FROM cs),
+sem10 AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rnk FROM semr WHERE rnk <= 10),
+u AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rnk AS lex_rank, s.rnk AS sem_rank
+  FROM lex10 l FULL JOIN sem10 s ON l.doc_id = s.doc_id),
+f AS (
+  SELECT doc_id, lex_rank, sem_rank,
+         COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + lex_rank) + 0.5)
+                       AS BIGINT), 0)
+       + COALESCE(CAST(floor(1000000.0 / ({_RRF_K} + sem_rank) + 0.5)
+                       AS BIGINT), 0) AS q
+  FROM u),
+r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rnk FROM f)
+SELECT doc_id, lex_rank, sem_rank, q / 1000000.0 AS rrf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+""",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009 —
+    the standard RAG first-stage fusion): fuse the BM25 lexical top-10
+    for the fixed term query with the embedding-cosine top-10 for the
+    fixed query vector (vec 0) by rrf(d) = sum over lists of
+    1/({_RRF_K} + rank_d), and return the fused top-10 with each source
+    rank exposed (NULL where a list didn't surface the doc).  Completes
+    the retrieval story: BM25 (lexical), cosine/IVF/LSH (semantic), and
+    the fusion layer a production search stack puts on top.
+
+    Exactness: both source rankings are the engine's already-verified
+    quantized rankings (BM25 integer scores; 4dp cosine, ties by id); each
+    reciprocal quantizes to the 1e-6 integer grid before the sum, so the
+    fused score is an exact integer and ties break by doc_id.
+
+    Scale (100 TB): each source list is a TakeOrdered-limited top-10 (the
+    BM25 term filter is the inverted index; the cosine scan is one
+    broadcast-query pass over the vector table — IVF-bucketed at scale);
+    fusion is a full-outer join of two 10-row lists and a rank over <= 20
+    rows (documented bounded-domain window exemption)."""
+    t = Catalog(spark, sf_dir)
+    lex10 = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lex_rank")
+    )
+    e = _embeddings(t)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cs = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (_dot("emb", "qe") / (F.col("nrm") * F.col("qn"))).alias("_cos"),
+        )
+        .select("doc_id", r4("_cos").alias("cos"))
+    )
+    sem10 = (
+        cs.withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("sem_rank") <= 10)
+        .select("doc_id", "sem_rank")
+    )
+    u = lex10.join(sem10, "doc_id", "full")
+    rq = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + r) + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    f = u.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (rq(F.col("lex_rank")) + rq(F.col("sem_rank"))).alias("q"),
+    )
+    return (
+        f.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.col("q").desc(), "doc_id")).cast("long"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.col("q") / 1000000.0).alias("rrf"),
+            "rnk",
+        )
+    )

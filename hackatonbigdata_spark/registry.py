@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
     # block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "search_hybrid_rrf",  # r8 NEW: BM25 + cosine reciprocal-rank fusion
     "stream_user_trailing_count",  # r8 NEW: exact twin of the DGIM kernel
     "corpus_vocab_growth",  # r8 NEW: Heaps-law vocabulary growth curve
     "stream_hourly_sample",  # r8 NEW: exact twin of the bottom-k kernel

@@ -68,6 +68,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "text_bm25_topk": "rank over TakeOrdered-limited top-10 rows",
     "corpus_vocab_growth": "cumulative sums over the 20-row doc-range "
     "bucket table (corpus already aggregated away)",
+    "search_hybrid_rrf": "two TakeOrdered-limited top-10 rankings plus a "
+    "fusion rank over their <= 20-row union",
 }
 
 
@@ -316,5 +318,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_vocab_growth",
         "stream_hourly_sample",
         "stream_user_trailing_count",
+        "search_hybrid_rrf",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
