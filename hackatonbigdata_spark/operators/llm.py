@@ -252,6 +252,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     # min() is duplicate-insensitive -> skip the distinct-shingle shuffle
     sh = _doc_shingles(t, distinct=False)
+    return _minhash_candidates(sh)
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, shingle) table —
+    extracted so ``dedup_lsh_calibration`` can share ONE checkpointed
+    shingle pass between candidate generation and true-Jaccard scoring
+    (the construction is byte-identical to ``dedup_minhash_lsh``'s)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(_h(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
@@ -4132,9 +4140,14 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): candidates come from the banded equi-join (never
     all-pairs); true Jaccard is computed ONLY for candidate pairs via the
     shingle co-occurrence join; the report is one 9-row aggregate."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
     t = Catalog(spark, sf_dir)
-    sh = _doc_shingles(t)
+    # ONE shingle pass (text scan + normalize + 3-gram explode),
+    # checkpointed, feeds BOTH the banded candidate generation (min() is
+    # duplicate-insensitive, so the non-distinct table is fine there) and
+    # the distinct-shingle true-Jaccard scoring below
+    sh_all = _doc_shingles(t, distinct=False).localCheckpoint()
+    cand = _minhash_candidates(sh_all)
+    sh = sh_all.distinct()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     cp = (
@@ -4479,5 +4492,138 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sem_rank",
             (F.col("q") / 1000000.0).alias("rrf"),
             "rnk",
+        )
+    )
+
+
+@register(
+    "corpus_source_report",
+    oracle=f"""
+WITH tokw AS (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM tokw),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         floor(sum(length(term)) * 10000.0 / count(*) + 0.5) / 10000
+           AS mean_word_len,
+         floor(sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+               * 10000.0 / count(*) + 0.5) / 10000 AS alpha_frac,
+         CAST(sum(CASE WHEN term IN {repr(tuple(_GOPHER_STOPWORDS))}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM t GROUP BY doc_id),
+sym AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_sym
+  FROM documents),
+g AS (
+  SELECT s.doc_id, s.n_words,
+         CASE WHEN s.n_words BETWEEN 50 AND 100000
+               AND s.mean_word_len BETWEEN 3 AND 10
+               AND s.alpha_frac >= 0.8
+               AND s.n_stop >= 2
+               AND floor(sym.n_sym * 10000.0 / s.n_words + 0.5) <= 1000
+              THEN 1 ELSE 0 END AS g_keep
+  FROM s JOIN sym USING (doc_id)),
+dg AS (SELECT doc_id, source, md5({_DUCK_NORM}) AS text_hash
+       FROM documents),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN count(*) OVER (PARTITION BY text_hash) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM dg),
+i AS (
+  SELECT doc_id,
+         CASE WHEN source IN {repr(tuple(_DSIR_TARGET))} THEN 1 ELSE 0 END
+           AS is_t,
+         CAST(('0x' || substr(md5(w[k] || ' ' || w[k+1]), 1, 8)) AS BIGINT)
+           % {_DSIR_B} AS bucket
+  FROM tokw, unnest(range(1, len(w))) AS u(k)),
+gb AS (SELECT bucket, sum(is_t) AS ct, sum(1 - is_t) AS cs
+       FROM i GROUP BY bucket),
+tot AS (SELECT sum(is_t) AS nt, sum(1 - is_t) AS ns FROM i),
+q AS (
+  SELECT bucket,
+         CAST(floor(ln(((ct + 1) * 1.0 / (nt + {_DSIR_B}))
+                       / ((cs + 1) * 1.0 / (ns + {_DSIR_B})))
+                    * 10000 + 0.5) AS BIGINT) AS qterm
+  FROM gb, tot),
+dc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM i GROUP BY 1, 2),
+dsir AS (SELECT doc_id,
+                CASE WHEN sum(cnt * qterm) > 0 THEN 1 ELSE 0 END AS d_keep
+         FROM dc JOIN q USING (bucket) GROUP BY doc_id)
+SELECT dg.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(COALESCE(g.n_words, 0)) AS BIGINT) AS n_tokens,
+       floor(sum(COALESCE(g.g_keep, 0)) * 10000.0 / count(*) + 0.5) / 10000
+         AS gopher_keep_rate,
+       floor(sum(COALESCE(dsir.d_keep, 0)) * 10000.0 / count(*) + 0.5) / 10000
+         AS dsir_keep_rate,
+       floor(sum(dup.is_dup) * 10000.0 / count(*) + 0.5) / 10000
+         AS dup_doc_rate
+FROM dg
+LEFT JOIN g ON dg.doc_id = g.doc_id
+LEFT JOIN dsir ON dg.doc_id = dsir.doc_id
+JOIN dup ON dg.doc_id = dup.doc_id
+GROUP BY dg.source
+""",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus report card — the one-table weekly dashboard
+    a curation team reads before adjusting a mixture: per source, doc and
+    token volume, the Gopher hard-rule pass rate, the DSIR keep rate
+    (target-likeness), and the exact-duplicate document rate.  Composes
+    three independently-oracled members (``text_gopher_rules``,
+    ``corpus_dsir_weights``, ``dedup_exact_docs``'s digest construction)
+    by doc-level join + one per-source rollup, so every rate reconciles
+    against its member query by construction.
+
+    Exactness: member flags are the members' own exact 0/1 columns; rates
+    quantize to the 1e-4 grid.  Docs too short to produce features
+    (absent from a member's output) count as 0-flags via the same LEFT
+    JOIN + COALESCE on both engines.
+
+    Scale (100 TB): each member is its already-audited plan (narrow maps,
+    bucket-keyed aggregates — no all-pairs anything); the composition
+    adds three doc-keyed joins and one ~|sources|-row aggregate."""
+    t = Catalog(spark, sf_dir)
+    g = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", "n_words", F.col("keep").alias("g_keep")
+    )
+    d = corpus_dsir_weights(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("d_keep")
+    )
+    dg = t.documents.select(
+        "doc_id", "source", F.md5(_norm_text()).alias("text_hash")
+    )
+    dup = dg.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(W.partitionBy("text_hash")) > 1
+        )
+        .cast("long")
+        .alias("is_dup"),
+    )
+    n = F.count(F.lit(1))
+    rate = lambda c: (  # noqa: E731
+        F.floor(F.sum(c) * 10000.0 / n + F.lit(0.5)) / 10000.0
+    )
+    return (
+        dg.select("doc_id", "source")
+        .join(g, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+            rate(F.coalesce(F.col("g_keep"), F.lit(0))).alias("gopher_keep_rate"),
+            rate(F.coalesce(F.col("d_keep"), F.lit(0))).alias("dsir_keep_rate"),
+            rate(F.col("is_dup")).alias("dup_doc_rate"),
         )
     )

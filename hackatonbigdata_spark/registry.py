@@ -71,11 +71,13 @@ _PRIORITY: list[str] = [
     # rows-only r8 name (corpus_bpe_encode) sits last in the r8-edited
     # block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "corpus_source_report",  # r8 NEW: per-source curation dashboard
     "search_hybrid_rrf",  # r8 NEW: BM25 + cosine reciprocal-rank fusion
     "stream_user_trailing_count",  # r8 NEW: exact twin of the DGIM kernel
     "corpus_vocab_growth",  # r8 NEW: Heaps-law vocabulary growth curve
     "stream_hourly_sample",  # r8 NEW: exact twin of the bottom-k kernel
     "dedup_lsh_calibration",  # r8 NEW: MinHash estimator calibration
+    "dedup_minhash_lsh",  # r8: candidate generation split into shared helper
     "corpus_mixture_temperature",  # r8 NEW: temperature-sampled mixture
     "similarity_matryoshka_eval",  # r8 NEW: truncation retrieval ablation
     "similarity_hamming_binary",  # r8 NEW: sign-bit Hamming retrieval eval
