@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_user_trailing_count",     # r8: exact twin of the DGIM kernel
     "search_hybrid_rrf",              # r8: BM25 + cosine rank fusion
     "corpus_source_report",           # r8: per-source curation dashboard
+    "corpus_source_kl",               # r8: per-source KL vs corpus unigrams
 ]
 
 

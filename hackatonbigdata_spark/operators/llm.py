@@ -4627,3 +4627,90 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate(F.col("is_dup")).alias("dup_doc_rate"),
         )
     )
+
+
+@register(
+    "corpus_source_kl",
+    oracle=f"""
+WITH tok AS (SELECT source, unnest({_DUCK_WORDS}) AS term FROM documents),
+t AS (SELECT source, term FROM tok WHERE term <> ''),
+sw AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM t GROUP BY 1, 2),
+cw AS (SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM sw GROUP BY 1),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+              CAST(count(*) AS BIGINT) AS nd
+       FROM sw GROUP BY 1),
+nc AS (SELECT CAST(sum(cc) AS BIGINT) AS n_c FROM cw),
+q AS (
+  SELECT sw.source,
+         CAST(floor((sw.c * 1.0 / ns.n_s)
+                    * ln((sw.c * 1.0 / ns.n_s) / (cw.cc * 1.0 / nc.n_c))
+                    * 100000000 + 0.5) AS BIGINT) AS qt
+  FROM sw JOIN cw USING (term) JOIN ns USING (source), nc)
+SELECT q.source, any_value(ns.n_s) AS n_tokens,
+       any_value(ns.nd) AS n_distinct_words,
+       sum(qt) / 100000000.0 AS kl_nats
+FROM q JOIN ns USING (source)
+GROUP BY q.source
+""",
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distributional distinctiveness: KL(P_source || P_corpus)
+    over unigram word distributions — the standard domain-shift measure a
+    mixture designer reads next to the temperature shares (a source with
+    near-zero KL adds volume but no diversity; a high-KL source shifts
+    the blend).  No smoothing is needed: every source word exists in the
+    corpus distribution by construction, so the log ratio is always
+    finite.
+
+    Exactness: all probabilities are exact integer-count ratios with
+    identical expression structure on both engines; each word's
+    p*ln(p/q) contribution is quantized to the 1e-8 BIGINT grid before
+    the per-source sum, so the aggregation is an order-free integer add
+    (the entropy-family technique at a finer grid — per-term magnitudes
+    are O(1/vocab)).
+
+    Scale (100 TB): one corpus scan into (source, word) counts (map-side
+    partial), a word-keyed join of the per-source vocabulary against the
+    corpus vocabulary (shuffle carries distinct words, never tokens), a
+    |sources|-row rollup.  The 1-row corpus total broadcasts."""
+    t = Catalog(spark, sf_dir)
+    n_parts = t.spark.sparkContext.defaultParallelism
+    tokens = (
+        t.documents.repartition(n_parts, "doc_id")
+        .select("source", F.explode(F.split(_norm_text(), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    sw = tokens.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cw = sw.groupBy("term").agg(F.sum("c").cast("long").alias("cc"))
+    ns = sw.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    nc = cw.agg(F.sum("cc").cast("long").alias("n_c"))
+    ps = F.col("c") * F.lit(1.0) / F.col("n_s")
+    pc = F.col("cc") * F.lit(1.0) / F.col("n_c")
+    q = (
+        sw.join(cw, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            F.floor(ps * F.log(ps / pc) * F.lit(100000000) + F.lit(0.5))
+            .cast("long")
+            .alias("qt"),
+        )
+    )
+    return (
+        q.groupBy("source")
+        .agg(F.sum("qt").alias("sq"))
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("nd").alias("n_distinct_words"),
+            (F.col("sq") / F.lit(100000000.0)).alias("kl_nats"),
+        )
+    )

@@ -320,5 +320,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "stream_user_trailing_count",
         "search_hybrid_rrf",
         "corpus_source_report",
+        "corpus_source_kl",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
