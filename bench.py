@@ -180,6 +180,7 @@ HEADLINE = [
     "search_hybrid_rrf",              # r8: BM25 + cosine rank fusion
     "corpus_source_report",           # r8: per-source curation dashboard
     "corpus_source_kl",               # r8: per-source KL vs corpus unigrams
+    "dedup_chunk_incremental",        # r8: ingestion-gate chunk dedup
 ]
 
 

@@ -4714,3 +4714,73 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq") / F.lit(100000000.0)).alias("kl_nats"),
         )
     )
+
+
+@register(
+    "dedup_chunk_incremental",
+    oracle=f"""
+WITH {_DUCK_CHUNK_HASHES.strip()},
+mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+base AS (SELECT DISTINCT chunk_hash FROM ch, mx WHERE doc_id * 5 < n * 4),
+inc AS (SELECT doc_id, chunk_hash FROM ch, mx WHERE doc_id * 5 >= n * 4),
+per AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN b.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM inc i LEFT JOIN base b ON i.chunk_hash = b.chunk_hash
+  GROUP BY i.doc_id)
+SELECT doc_id, n_chunks, n_hit,
+       floor(n_hit * 10000.0 / n_chunks + 0.5) / 10000 AS hit_frac,
+       floor(n_hit * 10000.0 / n_chunks + 0.5) >= 5000 AS is_dup
+FROM per
+""",
+)
+def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-level dedup — the ingestion-time form of
+    ``dedup_chunk_hashes``: treat the last 20% of the doc-id range as the
+    INCOMING batch and the first 80% as the established corpus whose
+    distinct chunk-hash index is already stored; report, per incoming
+    doc, how many of its chunks already exist in the index, the hit
+    fraction, and the >= 50% is_dup verdict an ingestion gate would act
+    on.  Completes the incremental family (``dedup_incremental_vs_
+    snapshot`` does the same at whole-doc digest granularity).
+
+    Exactness: set membership over the shared 32-bit chunk hash; the one
+    ratio quantizes to the 1e-4 grid and the verdict compares the
+    quantized integer on both engines.
+
+    Scale (100 TB): the index side is a distinct-hash table (8 bytes per
+    ~48 corpus tokens); the probe is a hash-keyed LEFT join of the
+    incoming batch's chunk instances — exactly the lookup an ingestion
+    pipeline does against its stored index, no all-pairs anything."""
+    ch = text_chunk_windows(spark, sf_dir).select("doc_id", "chunk_hash")
+    t = Catalog(spark, sf_dir)
+    mx = t.documents.agg((F.max("doc_id") + 1).alias("n"))
+    chm = ch.crossJoin(F.broadcast(mx))
+    base = (
+        chm.filter(F.col("doc_id") * 5 < F.col("n") * 4)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    inc = chm.filter(F.col("doc_id") * 5 >= F.col("n") * 4).select(
+        "doc_id", "chunk_hash"
+    )
+    per = (
+        inc.join(base, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    hq = F.floor(F.col("n_hit") * 10000.0 / F.col("n_chunks") + F.lit(0.5))
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_hit",
+        (hq / 10000.0).alias("hit_frac"),
+        (hq >= 5000).alias("is_dup"),
+    )

@@ -321,5 +321,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "search_hybrid_rrf",
         "corpus_source_report",
         "corpus_source_kl",
+        "dedup_chunk_incremental",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
