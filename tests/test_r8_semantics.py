@@ -143,3 +143,182 @@ def test_dedup_chunk_hashes_matches_bruteforce_chunking(spark):
         n_docs_with_dups += n_dup > 0
     # the scenario must actually exercise duplication (planted dups exist)
     assert n_docs_with_dups > 0
+
+
+def _seq_dot(a, b):
+    """Sequential left-to-right fold — the exact IEEE addition order both
+    engines use (llm._dot / DuckDB list_dot_product)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _r4(x):
+    import math
+
+    return math.copysign(math.floor(abs(x) * 10000.0 + 0.5) / 10000.0, x)
+
+
+def _load_embeddings():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM read_parquet(?)"
+        " ORDER BY vec_id",
+        [f"{SF_DIR}/embeddings.parquet"],
+    ).fetchall()
+    return {vid: list(emb) for vid, emb in rows}
+
+
+def test_similarity_matryoshka_eval_matches_bruteforce(spark):
+    """Recompute the whole truncation ablation in pure Python with the
+    same sequential-fold dot products, 4dp quantization, and id
+    tie-breaks, and require identical aggregate rows."""
+    import math
+
+    embs = _load_embeddings()
+    ids = sorted(embs)
+    dims = [8, 16, 32, 64]
+    norms = {
+        d: {i: math.sqrt(_seq_dot(embs[i][:d], embs[i][:d])) for i in ids}
+        for d in dims
+    }
+    ranks = {}
+    for d in dims:
+        per = {}
+        for i in ids:
+            cos = [
+                (
+                    -_r4(
+                        _seq_dot(embs[i][:d], embs[j][:d])
+                        / (norms[d][i] * norms[d][j])
+                    ),
+                    j,
+                )
+                for j in ids
+                if j != i
+            ]
+            cos.sort()
+            per[i] = {j: r + 1 for r, (_, j) in enumerate(cos)}
+        ranks[d] = per
+    want = {}
+    for d in (8, 16, 32):
+        hits = {
+            i: sum(
+                1
+                for j in ids
+                if j != i and ranks[d][i][j] <= 5 and ranks[64][i][j] <= 5
+            )
+            for i in ids
+        }
+        n = len(ids)
+        want[d] = (
+            n,
+            math.floor(sum(hits.values()) * 10000.0 / (5 * n) + 0.5) / 10000.0,
+            math.floor(
+                sum(1 for h in hits.values() if h == 5) * 10000.0 / n + 0.5
+            )
+            / 10000.0,
+        )
+    got = QUERIES["similarity_matryoshka_eval"](spark, SF_DIR).collect()
+    assert len(got) == 3
+    for row in got:
+        n, mr, fp = want[row.trunc_dim]
+        assert (row.n_vectors, row.mean_recall5, row.frac_perfect) == (n, mr, fp)
+
+
+def test_similarity_hamming_binary_matches_bruteforce(spark):
+    """Pure-Python sign-bit Hamming + cosine rankings must reproduce the
+    aggregate row exactly (Hamming distances are pure integers)."""
+    import math
+
+    embs = _load_embeddings()
+    ids = sorted(embs)
+    norms = {i: math.sqrt(_seq_dot(embs[i], embs[i])) for i in ids}
+    bits = {i: [x > 0 for x in embs[i]] for i in ids}
+    hits = {}
+    ham5 = {}
+    for i in ids:
+        hams = sorted(
+            (sum(a != b for a, b in zip(bits[i], bits[j])), j)
+            for j in ids
+            if j != i
+        )
+        rh = {j: r + 1 for r, (_, j) in enumerate(hams)}
+        cos = sorted(
+            (-_r4(_seq_dot(embs[i], embs[j]) / (norms[i] * norms[j])), j)
+            for j in ids
+            if j != i
+        )
+        rc = {j: r + 1 for r, (_, j) in enumerate(cos)}
+        hits[i] = sum(1 for j in rh if rh[j] <= 5 and rc[j] <= 5)
+        ham5[i] = sum(h for h, j in hams[:5])
+    n = len(ids)
+    row = QUERIES["similarity_hamming_binary"](spark, SF_DIR).collect()[0]
+    assert row.n_vectors == n
+    assert row.mean_recall5 == math.floor(
+        sum(hits.values()) * 10000.0 / (5 * n) + 0.5
+    ) / 10000.0
+    assert row.frac_perfect == math.floor(
+        sum(1 for h in hits.values() if h == 5) * 10000.0 / n + 0.5
+    ) / 10000.0
+    assert row.mean_hamming_top5 == math.floor(
+        sum(ham5.values()) * 10000.0 / (5 * n) + 0.5
+    ) / 10000.0
+
+
+def test_corpus_dsir_weights_matches_bruteforce(spark):
+    """Re-derive the hashed-bigram importance weights in pure Python
+    (DuckDB-independent tokenization and hashing) and require identical
+    per-doc integer-grid scores."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, source, text FROM read_parquet(?)",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    B = 1024
+    target = {"src0", "src1", "src2", "src3"}
+    inst = []  # (doc_id, is_t, bucket)
+    for doc_id, source, text in docs:
+        words = re.sub(
+            " +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())
+        ).strip().split(" ")
+        is_t = 1 if source in target else 0
+        for a, b in zip(words, words[1:]):
+            h = int(
+                hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16
+            ) % B
+            inst.append((doc_id, is_t, h))
+    ct = {}
+    cs = {}
+    for _, is_t, h in inst:
+        if is_t:
+            ct[h] = ct.get(h, 0) + 1
+        else:
+            cs[h] = cs.get(h, 0) + 1
+    nt = sum(ct.values())
+    ns = sum(cs.values())
+    qterm = {}
+    for h in set(ct) | set(cs):
+        pt = (ct.get(h, 0) + 1) * 1.0 / (nt + B)
+        ps = (cs.get(h, 0) + 1) * 1.0 / (ns + B)
+        qterm[h] = math.floor(math.log(pt / ps) * 10000 + 0.5)
+    lw = {}
+    nf = {}
+    for doc_id, _, h in inst:
+        lw[doc_id] = lw.get(doc_id, 0) + qterm[h]
+        nf[doc_id] = nf.get(doc_id, 0) + 1
+    got = QUERIES["corpus_dsir_weights"](spark, SF_DIR).collect()
+    assert len(got) == len(lw)
+    for row in got:
+        assert row.n_feats == nf[row.doc_id], row.doc_id
+        assert row.log_weight == lw[row.doc_id] / 10000.0, row.doc_id
+        assert row.keep == (lw[row.doc_id] > 0), row.doc_id
