@@ -182,6 +182,7 @@ HEADLINE = [
     "corpus_source_kl",               # r8: per-source KL vs corpus unigrams
     "dedup_chunk_incremental",        # r8: ingestion-gate chunk dedup
     "embedding_int8_ranking",         # r8: int8 retrieval fidelity eval
+    "dedup_savings_report",           # r8: token savings per dedup policy
 ]
 
 

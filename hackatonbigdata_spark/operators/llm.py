@@ -4917,3 +4917,165 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("frac_perfect"),
     )
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(list_filter({_DUCK_WORDS}, x -> x <> ''))
+                       AS BIGINT) AS nw
+           FROM documents),
+tot AS (SELECT CAST(sum(nw) AS BIGINT) AS t FROM d),
+nh AS (SELECT doc_id, md5({_DUCK_NORM}) AS h FROM documents),
+exr AS (SELECT doc_id,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM nh),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+              CAST(COALESCE(sum(d.nw), 0) AS BIGINT) AS tokens_removed
+       FROM exr JOIN d USING (doc_id) WHERE rn > 1),
+{_DUCK_SHINGLES},
+{_duck_sig()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(({" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END" for s in range(_N_MINHASH))}) / {_N_MINHASH}.0, 4) AS est_jaccard
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {" OR ".join(f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})" for b in range(_N_MINHASH // 2))}),
+lshdrop AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+            WHERE est_jaccard >= 0.5),
+lsh AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+               CAST(COALESCE(sum(d.nw), 0) AS BIGINT) AS tokens_removed
+        FROM lshdrop JOIN d USING (doc_id)),
+w0 AS (SELECT doc_id, list_filter({_DUCK_WORDS}, x -> x <> '') AS w
+       FROM documents),
+wn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+       FROM w0 WHERE len(w) >= 1),
+c AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE}) AS n_toks,
+         array_to_string(
+           w[ci * {_CHUNK_STRIDE} + 1 : ci * {_CHUNK_STRIDE} + least({_CHUNK_LEN}, n - ci * {_CHUNK_STRIDE})],
+           ' ') AS chunk_text
+  FROM wn, unnest(range(0, (n - 1) // {_CHUNK_STRIDE} + 1)) AS u(ci)),
+ch AS (
+  SELECT doc_id, chunk_idx, CAST(n_toks AS BIGINT) AS n_toks,
+         {_duck_hash("chunk_text")} AS chunk_hash
+  FROM c WHERE chunk_idx = 0 OR n_toks > {_CHUNK_LEN - _CHUNK_STRIDE}),
+chr AS (SELECT n_toks,
+               row_number() OVER (PARTITION BY chunk_hash
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch),
+chk AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+               CAST(COALESCE(sum(n_toks), 0) AS BIGINT) AS tokens_removed
+        FROM chr WHERE rn > 1),
+u AS (
+  SELECT 'exact_doc' AS policy, 'docs' AS unit, n_removed, tokens_removed
+  FROM ex
+  UNION ALL
+  SELECT 'lsh_pair_greedy', 'docs', n_removed, tokens_removed FROM lsh
+  UNION ALL
+  SELECT 'chunk_first_seen', 'chunks', n_removed, tokens_removed FROM chk)
+SELECT policy, unit, n_removed, tot.t AS tokens_total, tokens_removed,
+       floor(tokens_removed * 10000.0 / tot.t + 0.5) / 10000
+         AS savings_frac
+FROM u, tot
+""",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-savings accounting across three dedup policies — the number
+    a curation lead actually budgets by ("how many training tokens does
+    each policy buy back"): exact whole-doc keep-first (drop every
+    non-canonical copy of an identical normalized text), greedy LSH-pair
+    keep (drop any doc with a near-dup candidate partner of smaller id at
+    est Jaccard >= 0.5 — the one-pass approximation of the
+    connected-components keep rule, whose transitive form is
+    ``dedup_cluster_components``), and chunk-level first-seen (drop every
+    64/48 chunk instance whose content hash already appeared at an
+    earlier (doc, position)).  Chunk savings count chunk tokens, which
+    overlap by 16 tokens per stride — the standard accounting for
+    chunk-granular dedup, stated per chunk instance.
+
+    Exactness: all counts integers; keep-first orders are deterministic
+    (doc_id / (doc_id, chunk_idx)); est_jaccard compares the same exact
+    k/8 grid point on both engines; the one ratio quantizes to 1e-4.
+
+    Scale (100 TB): each policy is a hash-keyed window/join over its
+    already-audited candidate structure (digest buckets, banded LSH
+    pairs, chunk-hash buckets — never all-pairs), then a 1-row aggregate;
+    the three policy rows union with the broadcast corpus total."""
+    t = Catalog(spark, sf_dir)
+    d = _doc_words(t).select(
+        "doc_id",
+        F.size(F.expr("filter(w, x -> x <> '')")).cast("long").alias("nw"),
+    )
+    tot = d.agg(F.sum("nw").cast("long").alias("t"))
+    nh = t.documents.select("doc_id", F.md5(_norm_text()).alias("h"))
+    exr = nh.withColumn(
+        "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    ).filter(F.col("rn") > 1)
+    ex = exr.join(d, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("tokens_removed"),
+    )
+    lshdrop = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    lsh = lshdrop.join(d, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("tokens_removed"),
+    )
+    chr_ = (
+        text_chunk_windows(spark, sf_dir)
+        .select("doc_id", "chunk_idx", "n_toks", "chunk_hash")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+            ),
+        )
+        .filter(F.col("rn") > 1)
+    )
+    chk = chr_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum("n_toks"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+    u = (
+        ex.select(
+            F.lit("exact_doc").alias("policy"),
+            F.lit("docs").alias("unit"),
+            "n_removed",
+            "tokens_removed",
+        )
+        .unionAll(
+            lsh.select(
+                F.lit("lsh_pair_greedy").alias("policy"),
+                F.lit("docs").alias("unit"),
+                "n_removed",
+                "tokens_removed",
+            )
+        )
+        .unionAll(
+            chk.select(
+                F.lit("chunk_first_seen").alias("policy"),
+                F.lit("chunks").alias("unit"),
+                "n_removed",
+                "tokens_removed",
+            )
+        )
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        "policy",
+        "unit",
+        "n_removed",
+        F.col("t").alias("tokens_total"),
+        "tokens_removed",
+        (
+            F.floor(F.col("tokens_removed") * 10000.0 / F.col("t") + F.lit(0.5))
+            / 10000.0
+        ).alias("savings_frac"),
+    )

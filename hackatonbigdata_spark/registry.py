@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     # verdict "wrong" #1) — the one rows-only r8 name (corpus_bpe_encode)
     # sits last in the r8-edited block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "dedup_savings_report",  # r8 NEW: token savings per dedup policy
     "embedding_int8_ranking",  # r8 NEW: int8 retrieval fidelity eval
     "dedup_chunk_incremental",  # r8 NEW: ingestion-gate chunk dedup
     "corpus_source_kl",  # r8 NEW: per-source KL vs corpus unigrams

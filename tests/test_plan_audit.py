@@ -323,5 +323,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_source_kl",
         "dedup_chunk_incremental",
         "embedding_int8_ranking",
+        "dedup_savings_report",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
