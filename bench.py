@@ -183,6 +183,7 @@ HEADLINE = [
     "dedup_chunk_incremental",        # r8: ingestion-gate chunk dedup
     "embedding_int8_ranking",         # r8: int8 retrieval fidelity eval
     "dedup_savings_report",           # r8: token savings per dedup policy
+    "quality_classifier_gd",          # r8: exact-GD quality classifier
 ]
 
 

@@ -30,6 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -5079,3 +5080,324 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_gd: the fasttext/LR quality-classifier curation stage
+# (GPT-3, PaLM, LLaMA all gate web data with a cheap linear classifier) as a
+# FULLY ORACLED exact fixed-point.  Same integer-GD discipline as
+# calibration_platt_exact (forecast.py): BIGINT nano-unit params on the
+# driver, algebraic sigmoid s(z) = 0.5 + 0.5*z/(1+|z|) instead of exp, every
+# per-row gradient quantized to integers before summing — the entire
+# 12-step trajectory is bit-identical between Spark and DuckDB and across
+# any partitioning.
+
+_QC_ITERS = 12
+_QC_LR = "4.0"
+
+
+def _qc_oracle() -> str:
+    head = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(floor(sum(length(term)) * 10000.0 / count(*) + 0.5)
+              AS BIGINT) AS mwl4,
+         CAST(floor(sum(CASE WHEN regexp_matches(term, '[a-z]')
+                             THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5)
+              AS BIGINT) AS af4,
+         CAST(sum(CASE WHEN term IN {repr(tuple(_GOPHER_STOPWORDS))}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_dist
+  FROM t GROUP BY doc_id),
+sym AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_sym
+  FROM documents),
+lab AS (
+  SELECT s.doc_id,
+         least(s.n_words, 200) / 200.0 AS x1,
+         s.mwl4 / 100000.0 AS x2,
+         least(s.n_stop, 10) / 10.0 AS x3,
+         floor(s.n_dist * 10000.0 / s.n_words + 0.5) / 10000.0 AS x4,
+         CASE WHEN s.n_words BETWEEN 50 AND 100000
+               AND s.mwl4 BETWEEN 30000 AND 100000
+               AND s.af4 >= 8000
+               AND s.n_stop >= 2
+               AND floor(sym.n_sym * 10000.0 / s.n_words + 0.5) <= 1000
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM s JOIN sym USING (doc_id)),
+cal AS (SELECT x1, x2, x3, x4, y FROM lab WHERE doc_id % 2 = 0),
+p0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
+              CAST(0 AS BIGINT) AS b)
+"""
+    step = """, p{i} AS (
+  SELECT CAST(any_value(w1) - floor({lr} * sum(g1) / count(*) + 0.5)
+              AS BIGINT) AS w1,
+         CAST(any_value(w2) - floor({lr} * sum(g2) / count(*) + 0.5)
+              AS BIGINT) AS w2,
+         CAST(any_value(w3) - floor({lr} * sum(g3) / count(*) + 0.5)
+              AS BIGINT) AS w3,
+         CAST(any_value(w4) - floor({lr} * sum(g4) / count(*) + 0.5)
+              AS BIGINT) AS w4,
+         CAST(any_value(b) - floor({lr} * sum(gb) / count(*) + 0.5)
+              AS BIGINT) AS b
+  FROM (
+    SELECT q.w1, q.w2, q.w3, q.w4, q.b,
+           floor(q.gc * q.x1 * 1000000000 + 0.5) AS g1,
+           floor(q.gc * q.x2 * 1000000000 + 0.5) AS g2,
+           floor(q.gc * q.x3 * 1000000000 + 0.5) AS g3,
+           floor(q.gc * q.x4 * 1000000000 + 0.5) AS g4,
+           floor(q.gc * 1000000000 + 0.5) AS gb
+    FROM (
+      SELECT zz.w1, zz.w2, zz.w3, zz.w4, zz.b,
+             zz.x1, zz.x2, zz.x3, zz.x4,
+             (0.5 + 0.5 * (zz.z / (1 + abs(zz.z))) - zz.y)
+             * (0.5 / ((1 + abs(zz.z)) * (1 + abs(zz.z)))) AS gc
+      FROM (
+        SELECT p.w1, p.w2, p.w3, p.w4, p.b,
+               c.x1, c.x2, c.x3, c.x4, c.y,
+               (((((p.w1 / 1000000000.0) * c.x1
+                  + (p.w2 / 1000000000.0) * c.x2)
+                  + (p.w3 / 1000000000.0) * c.x3)
+                  + (p.w4 / 1000000000.0) * c.x4)
+                  + (p.b / 1000000000.0)) AS z
+        FROM cal c CROSS JOIN p{prev} p
+      ) zz
+    ) q
+  )
+)"""
+    sql = head
+    for i in range(1, _QC_ITERS + 1):
+        sql += step.format(i=i, prev=i - 1, lr=_QC_LR)
+    sql += """
+, fin0 AS (
+  SELECT l.y, p.w1, p.w2, p.w3, p.w4, p.b,
+         (((((p.w1 / 1000000000.0) * l.x1
+            + (p.w2 / 1000000000.0) * l.x2)
+            + (p.w3 / 1000000000.0) * l.x3)
+            + (p.w4 / 1000000000.0) * l.x4)
+            + (p.b / 1000000000.0)) AS z
+  FROM lab l CROSS JOIN p{last} p),
+fin AS (
+  SELECT y, w1, w2, w3, w4, b,
+         CAST(floor((0.5 + 0.5 * (z / (1 + abs(z)))) * 100000000 + 0.5)
+              AS BIGINT) AS p8
+  FROM fin0)
+SELECT CAST(least(9, p8 // 10000000) AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(y) / count(*), 4) AS rule_keep_rate,
+       round(sum(p8) / (count(*) * 100000000.0), 4) AS mean_p,
+       CAST(sum(CASE WHEN p8 >= 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_keep,
+       CAST(any_value(w1) AS BIGINT) AS w1_nano,
+       CAST(any_value(w2) AS BIGINT) AS w2_nano,
+       CAST(any_value(w3) AS BIGINT) AS w3_nano,
+       CAST(any_value(w4) AS BIGINT) AS w4_nano,
+       CAST(any_value(b) AS BIGINT) AS b_nano
+FROM fin GROUP BY decile
+""".replace("{last}", str(_QC_ITERS))
+    return sql
+
+
+@register("quality_classifier_gd", oracle=_qc_oracle())
+def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier for corpus curation, trained in-engine as
+    a FULLY ORACLED exact fixed-point.  The modern pipelines gate web text
+    with a cheap linear classifier (GPT-3's LR-against-WebText, fasttext
+    quality scores in LLaMA/RedPajama); this is that stage with the labels
+    the engine already computes: y = the text_gopher_rules keep conjunction,
+    features = four surface statistics (capped word count, 1e-4-grid mean
+    word length, capped stop-word count, distinct-word ratio), so the fit
+    DISTILLS the hard rule battery into a soft score a curation run can
+    threshold at any budget — the reference's quality screens live in
+    /root/reference/src/data/preprocessors.py (rule filters) with no
+    learned form; this graduates them.
+
+    Training: logistic regression by {iters} deterministic GD steps on the
+    even-doc_id half, exactly the calibration_platt_exact discipline —
+    BIGINT nano-unit params held on the DRIVER and inlined as literals
+    (one flat aggregate + a 1-row collect per step), exp replaced by the
+    algebraic sigmoid s(z) = 0.5 + 0.5*z/(1+|z|) (correctly-rounded IEEE
+    ops only), every per-row gradient quantized to integer nano-units
+    before summing.  The whole optimizer trajectory — not just the report
+    — is bit-identical between Spark and DuckDB.
+
+    Output: score-decile reliability table over ALL docs (rule keep rate
+    vs mean predicted probability per decile, predicted keeps at the 0.5
+    threshold) with the fitted params echoed in nano-units.
+
+    Scale (100 TB): the labeled projection is five doubles a row,
+    localCheckpointed once; each GD step is one full-pass flat aggregate —
+    the textbook distributed-GD layout.  Production fits on a hash sample
+    (already the even-half semantics here) and scores the full corpus in
+    one narrow map."""
+    t = Catalog(spark, sf_dir)
+    tok = (
+        _doc_words(t)
+        .select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    s = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.floor(
+            F.sum(F.length("term")) * 10000.0 / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mwl4"),
+        F.floor(
+            F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+            * 10000.0
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("af4"),
+        F.sum(F.when(F.col("term").isin(*_GOPHER_STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+        F.count_distinct("term").cast("long").alias("n_dist"),
+    )
+    sym = t.documents.select(
+        "doc_id",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + F.floor(
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit("...")))
+                )
+                / 3
+            )
+        )
+        .cast("long")
+        .alias("n_sym"),
+    )
+    y = (
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & F.col("mwl4").between(30000, 100000)
+            & (F.col("af4") >= 8000)
+            & (F.col("n_stop") >= 2)
+            & (
+                F.floor(
+                    F.col("n_sym") * 10000.0 / F.col("n_words") + F.lit(0.5)
+                )
+                <= 1000
+            ),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y")
+    )
+    # checkpoint the five-doubles-a-row labeled projection ONCE — both the
+    # GD loop and the final scoring pass read it (same reuse discipline as
+    # calibration_platt_exact)
+    lab = (
+        s.join(sym, "doc_id")
+        .select(
+            "doc_id",
+            (F.least(F.col("n_words"), F.lit(200)) / 200.0).alias("x1"),
+            (F.col("mwl4") / 100000.0).alias("x2"),
+            (F.least(F.col("n_stop"), F.lit(10)) / 10.0).alias("x3"),
+            (
+                F.floor(
+                    F.col("n_dist") * 10000.0 / F.col("n_words") + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("x4"),
+            y,
+        )
+        .localCheckpoint()
+    )
+    cal = (
+        lab.filter(F.col("doc_id") % 2 == 0)
+        .select("x1", "x2", "x3", "x4", "y")
+        .repartition(4)
+        .localCheckpoint()
+    )
+
+    def z_col(w1, w2, w3, w4, b):
+        return (
+            (w1 / F.lit(1e9)) * F.col("x1")
+            + (w2 / F.lit(1e9)) * F.col("x2")
+            + (w3 / F.lit(1e9)) * F.col("x3")
+            + (w4 / F.lit(1e9)) * F.col("x4")
+            + (b / F.lit(1e9))
+        )
+
+    lr = float(_QC_LR)
+    params = [0, 0, 0, 0, 0]
+    for _ in range(_QC_ITERS):
+        z = z_col(*[F.lit(p) for p in params])
+        az1 = F.lit(1) + F.abs(z)
+        p = F.lit(0.5) + F.lit(0.5) * (z / az1)
+        wgt = F.lit(0.5) / (az1 * az1)
+        gc = (p - F.col("y")) * wgt
+        row = cal.agg(
+            F.sum(
+                F.floor(gc * F.col("x1") * F.lit(1000000000) + F.lit(0.5))
+            ).alias("s1"),
+            F.sum(
+                F.floor(gc * F.col("x2") * F.lit(1000000000) + F.lit(0.5))
+            ).alias("s2"),
+            F.sum(
+                F.floor(gc * F.col("x3") * F.lit(1000000000) + F.lit(0.5))
+            ).alias("s3"),
+            F.sum(
+                F.floor(gc * F.col("x4") * F.lit(1000000000) + F.lit(0.5))
+            ).alias("s4"),
+            F.sum(F.floor(gc * F.lit(1000000000) + F.lit(0.5))).alias("sb"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        for j, key in enumerate(["s1", "s2", "s3", "s4", "sb"]):
+            params[j] -= int(math.floor(lr * row[key] / row["n"] + 0.5))
+    pdf = spark.range(1).select(
+        F.lit(params[0]).cast("long").alias("w1"),
+        F.lit(params[1]).cast("long").alias("w2"),
+        F.lit(params[2]).cast("long").alias("w3"),
+        F.lit(params[3]).cast("long").alias("w4"),
+        F.lit(params[4]).cast("long").alias("b"),
+    )
+    zf = z_col(
+        F.col("w1"), F.col("w2"), F.col("w3"), F.col("w4"), F.col("b")
+    )
+    azf = F.lit(1) + F.abs(zf)
+    pf = F.lit(0.5) + F.lit(0.5) * (zf / azf)
+    fin = lab.crossJoin(F.broadcast(pdf)).select(
+        "y",
+        "w1",
+        "w2",
+        "w3",
+        "w4",
+        "b",
+        F.floor(pf * F.lit(100000000) + F.lit(0.5)).cast("long").alias("p8"),
+    )
+    return fin.groupBy(
+        F.least(F.lit(9), F.expr("p8 div 10000000")).cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.sum("y") / F.count(F.lit(1))).alias("rule_keep_rate"),
+        r4(F.sum("p8") / (F.count(F.lit(1)) * F.lit(100000000.0))).alias(
+            "mean_p"
+        ),
+        F.sum(F.when(F.col("p8") >= 50000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_keep"),
+        F.first("w1").cast("long").alias("w1_nano"),
+        F.first("w2").cast("long").alias("w2_nano"),
+        F.first("w3").cast("long").alias("w3_nano"),
+        F.first("w4").cast("long").alias("w4_nano"),
+        F.first("b").cast("long").alias("b_nano"),
+    )
+
+
+quality_classifier_gd.__doc__ = quality_classifier_gd.__doc__.replace(
+    "{iters}", str(_QC_ITERS)
+)

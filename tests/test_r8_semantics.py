@@ -322,3 +322,99 @@ def test_corpus_dsir_weights_matches_bruteforce(spark):
         assert row.n_feats == nf[row.doc_id], row.doc_id
         assert row.log_weight == lw[row.doc_id] / 10000.0, row.doc_id
         assert row.keep == (lw[row.doc_id] > 0), row.doc_id
+
+
+def test_quality_classifier_gd_matches_python_gd(spark):
+    """Re-run the whole 12-step integer-GD trajectory in pure Python
+    (DuckDB-independent tokenization, IEEE doubles, the same quantized
+    gradient accumulation) and require the identical nano-unit params and
+    decile table."""
+    import math
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?)",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    feats = {}  # doc_id -> (x1, x2, x3, x4, y)
+    for doc_id, text in docs:
+        words = [
+            w
+            for w in re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower()))
+            .strip()
+            .split(" ")
+            if w != ""
+        ]
+        n = len(words)
+        mwl4 = math.floor(sum(len(w) for w in words) * 10000.0 / n + 0.5)
+        af4 = math.floor(
+            sum(1 for w in words if re.search("[a-z]", w)) * 10000.0 / n + 0.5
+        )
+        n_stop = sum(1 for w in words if w in stop)
+        n_dist = len(set(words))
+        n_sym = text.count("#") + text.count("...")
+        y = (
+            1.0
+            if (
+                50 <= n <= 100000
+                and 30000 <= mwl4 <= 100000
+                and af4 >= 8000
+                and n_stop >= 2
+                and math.floor(n_sym * 10000.0 / n + 0.5) <= 1000
+            )
+            else 0.0
+        )
+        feats[doc_id] = (
+            min(n, 200) / 200.0,
+            mwl4 / 100000.0,
+            min(n_stop, 10) / 10.0,
+            math.floor(n_dist * 10000.0 / n + 0.5) / 10000.0,
+            y,
+        )
+    cal = [v for d, v in feats.items() if d % 2 == 0]
+    params = [0, 0, 0, 0, 0]
+
+    def zval(x1, x2, x3, x4):
+        return (
+            (params[0] / 1e9) * x1
+            + (params[1] / 1e9) * x2
+            + (params[2] / 1e9) * x3
+            + (params[3] / 1e9) * x4
+            + (params[4] / 1e9)
+        )
+
+    for _ in range(12):
+        sums = [0, 0, 0, 0, 0]
+        for x1, x2, x3, x4, y in cal:
+            z = zval(x1, x2, x3, x4)
+            az1 = 1 + abs(z)
+            gc = (0.5 + 0.5 * (z / az1) - y) * (0.5 / (az1 * az1))
+            for j, x in enumerate((x1, x2, x3, x4)):
+                sums[j] += math.floor(gc * x * 1000000000 + 0.5)
+            sums[4] += math.floor(gc * 1000000000 + 0.5)
+        for j in range(5):
+            params[j] -= int(math.floor(4.0 * sums[j] / len(cal) + 0.5))
+    table = {}  # decile -> [n, sum_y, sum_p8, n_pred]
+    for x1, x2, x3, x4, y in feats.values():
+        z = zval(x1, x2, x3, x4)
+        p8 = math.floor((0.5 + 0.5 * (z / (1 + abs(z)))) * 100000000 + 0.5)
+        d = min(9, p8 // 10000000)
+        row = table.setdefault(d, [0, 0.0, 0, 0])
+        row[0] += 1
+        row[1] += y
+        row[2] += p8
+        row[3] += 1 if p8 >= 50000000 else 0
+    got = QUERIES["quality_classifier_gd"](spark, SF_DIR).collect()
+    assert len(got) == len(table)
+    for r in got:
+        assert [r.w1_nano, r.w2_nano, r.w3_nano, r.w4_nano, r.b_nano] == params
+        n, sy, sp8, npred = table[r.decile]
+        assert r.n_docs == n and r.n_pred_keep == npred, r.decile
+        assert r.rule_keep_rate == math.floor(sy / n * 10000 + 0.5) / 10000.0
+        assert r.mean_p == math.floor(
+            sp8 / (n * 100000000.0) * 10000 + 0.5
+        ) / 10000.0
