@@ -184,6 +184,7 @@ HEADLINE = [
     "embedding_int8_ranking",         # r8: int8 retrieval fidelity eval
     "dedup_savings_report",           # r8: token savings per dedup policy
     "quality_classifier_gd",          # r8: exact-GD quality classifier
+    "stream_hourly_cms",              # r8: exact twin of the count-min kernel
 ]
 
 

@@ -1336,3 +1336,130 @@ def stream_user_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_window"),
         )
     )
+
+
+CMS_D = 4  # count-min sketch depth (hash rows)
+CMS_W = 64  # count-min sketch width (buckets per row)
+CMS_MONITORED = 8  # point-query set: user ids 0..7
+
+
+def _cms_bucket_sql(d_expr: str, u_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({d_expr} AS VARCHAR) || ':' || "
+        f"CAST({u_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {CMS_W}"
+    )
+
+
+@register(
+    "stream_hourly_cms",
+    oracle=f"""
+WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+hrs AS (SELECT DISTINCT hour FROM c),
+mu AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(u)),
+dd AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(d)),
+hb AS (SELECT c.hour, dd.d,
+              {_cms_bucket_sql('dd.d', 'c.user_id')} AS b,
+              sum(c.c) AS s
+       FROM c CROSS JOIN dd GROUP BY 1, 2, 3),
+g AS (SELECT hrs.hour, mu.u, dd.d,
+             {_cms_bucket_sql('dd.d', 'mu.u')} AS b
+      FROM hrs CROSS JOIN mu CROSS JOIN dd),
+est AS (SELECT g.hour, g.u, CAST(min(coalesce(hb.s, 0)) AS BIGINT) AS cms_est
+        FROM g LEFT JOIN hb
+          ON hb.hour = g.hour AND hb.d = g.d AND hb.b = g.b
+        GROUP BY 1, 2)
+SELECT est.hour, CAST(est.u AS BIGINT) AS user_id,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS n_true,
+       est.cms_est,
+       CAST(est.cms_est - coalesce(c.c, 0) AS BIGINT) AS overcount
+FROM est LEFT JOIN c ON c.hour = est.hour AND c.user_id = est.u
+""",
+)
+def stream_hourly_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour count-min sketch point queries (Cormode & Muthukrishnan
+    2005), computed EXACTLY in batch: for each hour and each monitored
+    user id (0..{CMS_MONITORED-1}), the true event count, the CMS
+    estimate min_d(counter[d][h_d(u)]), and the collision overcount
+    (always >= 0 — the one-sided CMS guarantee, visible as a column).
+    Counter cells are reconstructed as grouped sums over the bucket
+    assignment h_d(u) = md5("d:u")[0:8] mod {CMS_W} — the same
+    engine-shared hash the streaming kernel folds — so this batch twin IS
+    the sketch's ground truth, not an approximation of it.
+
+    Batch twin of the bounded-state ``streaming/jobs.py:
+    freq_cms_stream`` kernel ({CMS_D}x{CMS_W} longs per hour bucket,
+    O(1) per event), which the streaming tests pin EQUAL to this query —
+    CMS counters are plain sums of increments, fully order-, chunking-
+    and duplication-commutative, so equality holds at every scale with no
+    under-budget caveat (unlike KMV/space-saving).
+
+    Scale: one (hour, user) partial aggregate — the only event-wide
+    shuffle — then bucket sums over {CMS_D} small rows and a broadcast
+    grid join of hours x {CMS_MONITORED} monitored keys x depths; at
+    100 TB the streaming twin replaces the per-user aggregate with the
+    fixed {CMS_D}x{CMS_W} counter array per hour."""
+    t = Catalog(spark, sf_dir)
+    c = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def bucket(d_col, u_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d_col.cast("string"), F.lit(":"), u_col.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    dd = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    hb = (
+        c.crossJoin(F.broadcast(dd))
+        .groupBy("hour", "d", bucket(F.col("d"), F.col("user_id")).alias("b"))
+        .agg(F.sum("c").alias("s"))
+    )
+    hrs = c.select("hour").distinct()
+    mu = spark.range(CMS_MONITORED).select(F.col("id").alias("u"))
+    g = hrs.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(dd)).select(
+        "hour", "u", "d", bucket(F.col("d"), F.col("u")).alias("b")
+    )
+    est = (
+        g.join(hb, ["hour", "d", "b"], "left")
+        .groupBy("hour", "u")
+        .agg(
+            F.min(F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("cms_est")
+        )
+    )
+    return (
+        est.join(
+            c, (c.hour == est.hour) & (c.user_id == est.u), "left"
+        )
+        .select(
+            est.hour,
+            F.col("u").cast("long").alias("user_id"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_true"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+stream_hourly_cms.__doc__ = (
+    stream_hourly_cms.__doc__.replace("{CMS_MONITORED-1}", str(CMS_MONITORED - 1))
+    .replace("{CMS_W}", str(CMS_W))
+    .replace("{CMS_D}", str(CMS_D))
+    .replace("{CMS_MONITORED}", str(CMS_MONITORED))
+)

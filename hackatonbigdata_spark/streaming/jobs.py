@@ -1597,3 +1597,122 @@ def trailing_count_dgim_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- count-min sketch: per-hour frequency point queries ---------------------
+
+CMS_D = 4  # sketch depth — must match the oracled batch twin
+CMS_W = 64  # sketch width
+CMS_MONITORED = tuple(range(8))  # point-query keys: user ids 0..7
+
+
+def cms_hash(d: int, x: int, w: int = CMS_W) -> int:
+    """Engine-shared CMS bucket hash: first 8 hex chars of md5("d:x") mod
+    w — the exact construction the oracled batch twin
+    (``operators/streaming_batch.py: stream_hourly_cms``) computes in SQL
+    on both engines, so the streamed counter cells and the batch-
+    reconstructed ones are the same integers by definition."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    return int(hashlib.md5(f"{d}:{x}".encode()).hexdigest()[:8], 16) % w
+
+
+def cms_update(counters: list, items, d: int = CMS_D, w: int = CMS_W) -> list:
+    """Fold ``items`` into a flat row-major d*w counter array (mutates and
+    returns it).  The state transition is pure integer addition, so the
+    sketch is fully ORDER-, CHUNKING- and MERGE-commutative: folding any
+    permutation in any batch split yields the identical array, and two
+    arrays merge by elementwise sum — the property the stream == batch
+    equality pin relies on, with no under-budget caveat.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): every row
+    d sums to the number of items folded; cell (d, b) equals the number
+    of items hashing to b under h_d — the defining CMS property, from
+    which est >= true and est <= n follow."""
+    for u in items:
+        for di in range(d):
+            counters[di * w + cms_hash(di, u, w)] += 1
+    return counters
+
+
+def cms_query(counters: list, u: int, d: int = CMS_D, w: int = CMS_W) -> int:
+    """CMS point estimate for key ``u``: min over depths of the cell the
+    key hashes to — an upper bound on the true count (one-sided error)."""
+    return min(counters[di * w + cms_hash(di, u, w)] for di in range(d))
+
+
+def freq_cms_stream(
+    events: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    monitored: tuple = CMS_MONITORED,
+) -> DataFrame:
+    """Per-hour frequency point queries with BOUNDED state: each hour
+    bucket holds one d x w count-min sketch (Cormode & Muthukrishnan
+    2005) — d*w longs no matter how many distinct users the hour sees,
+    the frequency-estimation member of the bounded-state sketch family
+    (space-saving top-k, KMV distinct, bottom-k sample, DGIM trailing
+    count).  Every event increments d cells; each micro-batch re-emits
+    the current estimate for the fixed monitored key set stamped with
+    ``n_total`` events absorbed, so the final row set per hour is the one
+    with the maximum n_total.
+
+    CMS state is a plain sum of per-event increments — fully order-,
+    chunking- and duplication-commutative — so no out-of-order buffer is
+    needed and the final estimates equal the oracled batch twin
+    ``stream_hourly_cms`` EXACTLY at every scale (the twin reconstructs
+    the same counter cells as grouped sums over the same md5 bucket
+    hash).  State evicts by event-time timeout once the watermark passes
+    the hour end, mirroring the other sketch kernels."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = "hour timestamp, n_total long, user_id long, est long"
+    state_schema = "cnts array<long>, n long"
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            cnts, n = state.get
+            counters = list(cnts)
+        else:
+            counters, n = [0] * (d * w), 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(int(u) for u in pdf["user_id"])
+        if not items:
+            return
+        n += len(items)
+        cms_update(counters, items, d, w)
+        state.update((counters, n))
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "user_id": u,
+                    "est": cms_query(counters, u, d, w),
+                }
+                for u in monitored
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

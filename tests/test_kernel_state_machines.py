@@ -403,3 +403,44 @@ def test_dgim_machine_matches_one_shot_fold_and_bounds(tape, cuts):
             assert abs(est - true) <= oldest / 2
         else:
             assert est == 0 and true == 0
+
+
+@given(
+    st.lists(st.integers(0, 12), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_cms_sketch_invariants_under_any_chunking(tape, cuts):
+    """Count-min sketch invariants after every chunk boundary, for any
+    item order, duplication, and chunking: cell (d, b) equals the number
+    of items hashing to b under h_d (the DEFINING CMS property — the
+    chunked fold therefore equals the one-shot fold and arrays merge by
+    elementwise sum), every depth row sums to the items folded, and for
+    every key true <= estimate <= n (one-sided error)."""
+    from collections import Counter
+
+    from hackatonbigdata_spark.streaming.jobs import (
+        cms_hash,
+        cms_query,
+        cms_update,
+    )
+
+    d, w = 2, 4  # tiny grid so collisions are routine
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    counters = [0] * (d * w)
+    done = 0
+    for b in bounds:
+        cms_update(counters, tape[done:b], d, w)
+        done = b
+        seen = tape[:done]
+        true = Counter(seen)
+        for di in range(d):
+            row = counters[di * w : (di + 1) * w]
+            assert sum(row) == len(seen)
+            for bk in range(w):
+                assert row[bk] == sum(
+                    c for x, c in true.items() if cms_hash(di, x, w) == bk
+                )
+        for x in set(seen):
+            assert true[x] <= cms_query(counters, x, d, w) <= len(seen)
+    # merge-commutativity: the chunked array equals the one-shot fold
+    assert counters == cms_update([0] * (d * w), tape, d, w)

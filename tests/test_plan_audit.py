@@ -325,5 +325,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "embedding_int8_ranking",
         "dedup_savings_report",
         "quality_classifier_gd",
+        "stream_hourly_cms",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -1053,3 +1053,69 @@ def test_dgim_kernel_repairs_late_event_across_batches(spark, tmp_path):
     assert int(row["n_total"]) == 8
     assert int(row["n_window_est"]) == want_est
     assert int(row["n_buckets"]) == want_kept
+
+
+def test_cms_stream_matches_batch_twin(spark, events_stream):
+    """The count-min sketch kernel's final per-hour point estimates must
+    equal the oracled batch twin ``stream_hourly_cms`` EXACTLY — CMS
+    counters are plain sums of increments (order/chunking/duplication
+    commutative), so equality holds at every scale with no under-budget
+    caveat, and the twin reconstructs the very same counter cells as
+    grouped sums over the shared md5 bucket hash."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_cms,
+    )
+
+    jobs.run_to_memory(jobs.freq_cms_stream(events_stream), "t_cms", "update")
+    emitted = spark.table("t_cms").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    f = (
+        final[["hour", "user_id", "est"]]
+        .sort_values(["hour", "user_id"])
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(
+        stream_hourly_cms(spark, SF_DIR)
+        .withColumnRenamed("cms_est", "est")
+        .select("hour", "user_id", "est"),
+        ["hour", "user_id"],
+    )
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_cms_kernel_collisions_across_batches(spark, tmp_path):
+    """3-file stream, 2x4 grid, 9 distinct users (> width, so collisions
+    are structural): the final counter-derived estimates must equal the
+    pure-Python fold over the full multiset, every estimate must respect
+    true <= est <= n in-stream, and the scenario must actually produce an
+    overcount — pinning the Spark state plumbing in the collision regime
+    the sf-data twin test never reaches."""
+    from collections import Counter
+
+    files = [
+        [(0, 0), (0, 1), (1, 2), (1, 3), (2, 0)],
+        [(3, 4), (3, 5), (4, 6), (4, 0), (5, 1)],
+        [(6, 7), (6, 8), (7, 2), (7, 0)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.freq_cms_stream(stream, d=2, w=4, monitored=tuple(range(9))),
+        "t_cms_mb",
+        "update",
+    )
+    emitted = spark.table("t_cms_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    all_users = [u for rows in files for _, u in rows]
+    true = Counter(all_users)
+    n = len(all_users)
+    assert int(final["n_total"].max()) == n == 14
+    assert len(final) == 9
+    counters = jobs.cms_update([0] * 8, all_users, 2, 4)
+    overcounted = False
+    for r in final.itertuples():
+        u, est = int(r.user_id), int(r.est)
+        assert est == jobs.cms_query(counters, u, 2, 4)
+        assert true[u] <= est <= n
+        overcounted = overcounted or est > true[u]
+    assert overcounted
