@@ -185,6 +185,7 @@ HEADLINE = [
     "dedup_savings_report",           # r8: token savings per dedup policy
     "quality_classifier_gd",          # r8: exact-GD quality classifier
     "stream_hourly_cms",              # r8: exact twin of the count-min kernel
+    "dedup_bloom_gate",               # r8: Bloom-filter ingestion gate
 ]
 
 

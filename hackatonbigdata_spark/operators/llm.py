@@ -5401,3 +5401,148 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_classifier_gd.__doc__ = quality_classifier_gd.__doc__.replace(
     "{iters}", str(_QC_ITERS)
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_gate: Bloom-filter ingestion gate (Bloom 1970) — the classic
+# bounded-memory membership screen a 100 TB pipeline puts in front of exact
+# dedup.  Like stream_hourly_cms, the filter is reconstructed EXACTLY in
+# SQL: the m-bit array is the distinct set of bit positions the stored half
+# lights, so the gate's verdicts (including its false positives) are
+# value-verified cross-engine rather than approximated.
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(j_expr: str, dg_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || ':' || "
+        f"{dg_expr}), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "dedup_bloom_gate",
+    oracle=f"""
+WITH d AS (SELECT doc_id, md5({_DUCK_NORM}) AS dg FROM documents),
+stored AS (SELECT dg FROM d WHERE doc_id % 2 = 0),
+jj AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+bits AS (SELECT DISTINCT {_bloom_pos_sql('jj.j', 's.dg')} AS b
+         FROM stored s CROSS JOIN jj),
+inc AS (SELECT doc_id, dg FROM d),
+probe AS (SELECT i.doc_id, i.dg, jj.j,
+                 {_bloom_pos_sql('jj.j', 'i.dg')} AS b
+          FROM inc i CROSS JOIN jj),
+hits AS (SELECT p.doc_id,
+                CAST(sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hits
+         FROM probe p LEFT JOIN bits ON bits.b = p.b
+         GROUP BY 1),
+tru AS (SELECT i.doc_id,
+               CAST(CASE WHEN i.dg IN (SELECT dg FROM stored)
+                         THEN 1 ELSE 0 END AS BIGINT) AS true_dup
+        FROM inc i)
+SELECT h.doc_id, h.n_hits,
+       CAST(CASE WHEN h.n_hits = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS bloom_dup,
+       t.true_dup,
+       CAST(CASE WHEN h.n_hits = {_BLOOM_K} AND t.true_dup = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+FROM hits h JOIN tru t ON t.doc_id = h.doc_id
+""",
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion gate (Bloom 1970): the stored half of the
+    corpus (even doc_ids) lights a {m}-bit filter with {k} hash functions
+    over its exact content digests; the FULL feed is then replayed
+    through the gate (every doc probed, flagged ``bloom_dup`` iff all
+    {k} of its bit positions are set), so the stored half exercises the
+    guaranteed-hit path and the new half measures the collision rate — the bounded-memory membership screen curation pipelines put
+    in FRONT of exact dedup at ingest (the companion of the exact-index
+    gate ``dedup_chunk_incremental``).  The exact verdict is computed
+    alongside, so the output exposes the filter's one-sided contract per
+    document: no false negatives ever (every stored/duplicate digest MUST
+    re-flag — 0 misses by construction, pinned by tests), false positives
+    visible as a column with their measured rate tracking the
+    (1 - e^(-kn/m))^k fill-rate theory.
+
+    Like ``stream_hourly_cms``, the sketch is reconstructed EXACTLY in
+    SQL: the bit array IS the distinct set of positions
+    md5("j:digest") mod {m} over the stored half, so Spark and DuckDB
+    compute identical verdicts — the filter is value-verified, not
+    approximated.
+
+    Scale (100 TB): the lit-bit table is bounded by m = {m} rows
+    regardless of corpus size, so it broadcasts to every probe task by
+    construction; the probe side is a narrow {k}-way generate over
+    digests and the exact-verdict join is digest-keyed (the same shuffle
+    exact dedup already pays).  In production m scales with expected n
+    (bits-per-key), still broadcast-sized."""
+    t = Catalog(spark, sf_dir)
+    d = t.documents.select("doc_id", F.md5(_norm_text()).alias("dg"))
+    jj = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def pos(j_col, dg_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), dg_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    stored = d.filter(F.col("doc_id") % 2 == 0)
+    # bounded by m rows no matter the corpus size -> broadcast is safe by
+    # construction (not a statistics gamble)
+    bits = (
+        stored.crossJoin(F.broadcast(jj))
+        .select(pos(F.col("j"), F.col("dg")).alias("b"))
+        .distinct()
+    )
+    inc = d
+    probe = inc.crossJoin(F.broadcast(jj)).select(
+        "doc_id", "dg", pos(F.col("j"), F.col("dg")).alias("b")
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    tru = inc.join(
+        stored.select("dg").distinct().withColumn("seen", F.lit(1)),
+        "dg",
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("seen").isNotNull(), 1).otherwise(0)
+        .cast("long")
+        .alias("true_dup"),
+    )
+    return hits.join(tru, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        F.when(F.col("n_hits") == _BLOOM_K, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("bloom_dup"),
+        "true_dup",
+        F.when((F.col("n_hits") == _BLOOM_K) & (F.col("true_dup") == 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("false_positive"),
+    )
+
+
+dedup_bloom_gate.__doc__ = dedup_bloom_gate.__doc__.replace(
+    "{m}", str(_BLOOM_M)
+).replace("{k}", str(_BLOOM_K))

@@ -326,5 +326,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "dedup_savings_report",
         "quality_classifier_gd",
         "stream_hourly_cms",
+        "dedup_bloom_gate",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

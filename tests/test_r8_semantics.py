@@ -418,3 +418,55 @@ def test_quality_classifier_gd_matches_python_gd(spark):
         assert r.mean_p == math.floor(
             sp8 / (n * 100000000.0) * 10000 + 0.5
         ) / 10000.0
+
+
+def test_dedup_bloom_gate_matches_python_filter(spark):
+    """Re-build the m-bit Bloom filter and all probe verdicts in pure
+    Python (hashlib digests, no DuckDB) and require identical per-doc
+    rows — plus the one-sided contract: every stored digest re-flags
+    (zero false negatives, exercised by the full-feed replay) while
+    false positives exist and match exactly."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    M, K = 1024, 4
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?)",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+
+    def digest(text):
+        norm = re.sub(
+            " +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())
+        ).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    dg = {d: digest(t) for d, t in docs}
+    stored = {v for d, v in dg.items() if d % 2 == 0}
+
+    def pos(j, g):
+        return int(hashlib.md5(f"{j}:{g}".encode()).hexdigest()[:8], 16) % M
+
+    bits = {pos(j, g) for g in stored for j in range(K)}
+    want = {}
+    for d, g in dg.items():
+        n_hits = sum(1 for j in range(K) if pos(j, g) in bits)
+        bloom = 1 if n_hits == K else 0
+        true = 1 if g in stored else 0
+        want[d] = (n_hits, bloom, true, 1 if bloom and not true else 0)
+    got = QUERIES["dedup_bloom_gate"](spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (
+            r.n_hits,
+            r.bloom_dup,
+            r.true_dup,
+            r.false_positive,
+        ) == want[r.doc_id], r.doc_id
+    n_true = sum(1 for v in want.values() if v[2])
+    assert n_true >= len(docs) // 2  # every stored doc replays as a dup
+    assert all(v[1] == 1 for v in want.values() if v[2])  # no false negatives
+    assert any(v[3] for v in want.values())  # collisions actually occur
