@@ -186,6 +186,7 @@ HEADLINE = [
     "quality_classifier_gd",          # r8: exact-GD quality classifier
     "stream_hourly_cms",              # r8: exact twin of the count-min kernel
     "dedup_bloom_gate",               # r8: Bloom-filter ingestion gate
+    "stream_hourly_value_quantiles",  # r8: exact twin of the histogram kernel
 ]
 
 

@@ -1463,3 +1463,83 @@ stream_hourly_cms.__doc__ = (
     .replace("{CMS_D}", str(CMS_D))
     .replace("{CMS_MONITORED}", str(CMS_MONITORED))
 )
+
+
+QUANT_PCTS = (50, 90, 99)  # per-hour percentiles the histogram kernel serves
+
+
+@register(
+    "stream_hourly_value_quantiles",
+    oracle=f"""
+WITH e AS (SELECT date_trunc('hour', ts) AS hour,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+           FROM events),
+h AS (SELECT hour, cent, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+tot AS (SELECT hour, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+cum AS (SELECT hour, cent,
+               CAST(sum(c) OVER (PARTITION BY hour ORDER BY cent)
+                    AS BIGINT) AS cum
+        FROM h),
+q AS (SELECT * FROM (VALUES {', '.join(f'({p})' for p in QUANT_PCTS)}) t(pct)),
+need AS (SELECT tot.hour, q.pct, tot.n,
+                CAST((tot.n * q.pct + 99) // 100 AS BIGINT) AS k
+         FROM tot CROSS JOIN q)
+SELECT need.hour, CAST(need.pct AS INTEGER) AS pct, need.n AS n_events,
+       CAST(min(cum.cent) AS BIGINT) AS cent,
+       CAST(min(cum.cent) AS BIGINT) / 100.0 AS value
+FROM need JOIN cum ON cum.hour = need.hour AND cum.cum >= need.k
+GROUP BY 1, 2, 3
+""",
+)
+def stream_hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour value percentiles (p50/p90/p99) through an integer
+    fixed-grid histogram: values land on the cent grid (floor(100v+0.5)),
+    the percentile is DEFINED as the smallest grid point whose cumulative
+    count reaches ceil(n*q) — the k-th order statistic, a pure integer
+    rule with no interpolation and therefore no cross-engine float
+    hazard.  Batch twin of the bounded-state ``streaming/jobs.py:
+    value_quantiles_histogram_stream`` kernel, which the streaming tests
+    pin EQUAL to this query: histogram state is a plain sum of per-cent
+    increments (order/chunking/duplication commutative), so equality
+    holds at every scale — the quantile analogue of the CMS twin above.
+
+    Scale: one (hour, cent) partial aggregate is the only event-wide
+    shuffle — the histogram bounds all later work by the grid size, not
+    the event count (the reason production systems sketch quantiles as
+    histograms/t-digests); the cumulative window runs per hour over grid
+    rows only."""
+    t = Catalog(spark, sf_dir)
+    e = t.events.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cent"),
+    )
+    h = e.groupBy("hour", "cent").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = h.groupBy("hour").agg(F.sum("c").cast("long").alias("n"))
+    cum = h.withColumn(
+        "cum",
+        F.sum("c").over(W.partitionBy("hour").orderBy("cent")).cast("long"),
+    )
+    q = spark.createDataFrame(
+        [(p,) for p in QUANT_PCTS], "pct int"
+    )
+    need = tot.crossJoin(F.broadcast(q)).select(
+        "hour",
+        "pct",
+        "n",
+        F.expr("(n * pct + 99) div 100").cast("long").alias("k"),
+    )
+    return (
+        need.join(cum, "hour")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("hour", "pct", F.col("n").alias("n_events"))
+        .agg(F.min("cent").cast("long").alias("cent"))
+        .select(
+            "hour",
+            "pct",
+            "n_events",
+            "cent",
+            (F.col("cent") / F.lit(100.0)).alias("value"),
+        )
+    )

@@ -1716,3 +1716,118 @@ def freq_cms_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- fixed-grid histogram: per-hour exact quantiles -------------------------
+
+QUANT_PCTS = (50, 90, 99)  # must match the oracled batch twin
+
+
+def hist_cent(v: float) -> int:
+    """Engine-shared grid assignment: floor(100*v + 0.5) — the same
+    expression the oracled batch twin computes on both engines."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    return int(math.floor(v * 100 + 0.5))
+
+
+def hist_update(counter: dict, cents) -> dict:
+    """Fold grid points into a {cent: count} histogram (mutates and
+    returns it).  Pure integer addition — fully order-, chunking- and
+    merge-commutative, like the CMS counters.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): counts
+    sum to items folded; each count equals the item multiplicity; the
+    derived quantile equals the k-th order statistic of the raw
+    multiset."""
+    for c in cents:
+        counter[c] = counter.get(c, 0) + 1
+    return counter
+
+
+def hist_quantile(counter: dict, pct: int) -> tuple:
+    """(cent, n): the smallest grid point whose cumulative count reaches
+    ceil(n * pct / 100) — the exact k-th order statistic, the same
+    integer rule the batch twin evaluates in SQL."""
+    n = sum(counter.values())
+    k = (n * pct + 99) // 100
+    cum = 0
+    for c in sorted(counter):
+        cum += counter[c]
+        if cum >= k:
+            return c, n
+    return None, n
+
+
+def value_quantiles_histogram_stream(
+    events: DataFrame, pcts: tuple = QUANT_PCTS
+) -> DataFrame:
+    """Per-hour exact value percentiles with GRID-BOUNDED state: each
+    hour bucket holds a {cent: count} histogram — state grows with
+    distinct grid points (the value domain), never with event count, the
+    quantile member of the bounded-state sketch family (space-saving,
+    KMV, bottom-k sample, DGIM, count-min).  Histogram state is a plain
+    sum of increments, so no out-of-order buffer is needed and the final
+    percentiles equal the oracled batch twin
+    ``stream_hourly_value_quantiles`` EXACTLY at every scale.  Each
+    micro-batch re-emits the current p50/p90/p99 stamped with ``n_total``
+    absorbed; final rows per hour are those with the maximum n_total;
+    state evicts by event-time timeout once the watermark passes the
+    hour end."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, pct int, cent long, value double"
+    )
+    state_schema = "cents array<long>, cnts array<long>, n long"
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            cents, cnts, n = state.get
+            counter = dict(zip(cents, cnts))
+        else:
+            counter, n = {}, 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(hist_cent(float(v)) for v in pdf["value"])
+        if not items:
+            return
+        n += len(items)
+        hist_update(counter, items)
+        ks = sorted(counter)
+        state.update((ks, [counter[c] for c in ks], n))
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        rows = []
+        for pct in pcts:
+            cent, _ = hist_quantile(counter, pct)
+            rows.append(
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "pct": pct,
+                    "cent": cent,
+                    "value": cent / 100.0,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -444,3 +444,38 @@ def test_cms_sketch_invariants_under_any_chunking(tape, cuts):
             assert true[x] <= cms_query(counters, x, d, w) <= len(seen)
     # merge-commutativity: the chunked array equals the one-shot fold
     assert counters == cms_update([0] * (d * w), tape, d, w)
+
+
+@given(
+    st.lists(st.integers(0, 40), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_histogram_quantile_invariants_under_any_chunking(tape, cuts):
+    """Fixed-grid histogram invariants after every chunk boundary, for
+    any item order, duplication, and chunking: counts are exact
+    multiplicities (so the chunked fold equals the one-shot fold and
+    histograms merge by summing), and the derived p50/p90/p99 equal the
+    k-th order statistic of the raw multiset under k = ceil(n*pct/100)."""
+    from collections import Counter
+
+    from hackatonbigdata_spark.streaming.jobs import (
+        hist_quantile,
+        hist_update,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    counter: dict = {}
+    done = 0
+    for b in bounds:
+        hist_update(counter, tape[done:b])
+        done = b
+        seen = tape[:done]
+        assert counter == dict(Counter(seen))
+        if seen:
+            srt = sorted(seen)
+            for pct in (50, 90, 99):
+                cent, n = hist_quantile(counter, pct)
+                assert n == len(seen)
+                k = (n * pct + 99) // 100
+                assert cent == srt[k - 1]
+    assert counter == hist_update({}, tape)

@@ -327,5 +327,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "quality_classifier_gd",
         "stream_hourly_cms",
         "dedup_bloom_gate",
+        "stream_hourly_value_quantiles",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -782,7 +782,9 @@ def test_heavyhitters_kernel_exact_across_batches(spark, tmp_path):
                 "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
                 "user_id": [u for _, u in rows],
                 "event_type": "view",
-                "value": 1.0,
+                "value": [
+                    value_fn(m, u) if value_fn else 1.0 for m, u in rows
+                ],
                 "props": "{}",
             }
         )
@@ -807,10 +809,11 @@ def test_heavyhitters_kernel_exact_across_batches(spark, tmp_path):
     assert got == [(1, 1, 6, 0), (2, 2, 2, 0), (3, 3, 1, 0)]
 
 
-def _event_files_stream(spark, tmp_path, files):
+def _event_files_stream(spark, tmp_path, files, value_fn=None):
     """Write one parquet dir per micro-batch (list of (minute, user_id)
     rows each) and return a maxFilesPerTrigger=1 file stream over them —
-    the multi-batch harness the kernel tests share."""
+    the multi-batch harness the kernel tests share.  ``value_fn(minute,
+    user)`` supplies per-event values (default: constant 1.0)."""
     base = pd.Timestamp("2024-03-01 10:00:00")
     src = tmp_path / "src"
     src.mkdir()
@@ -822,7 +825,9 @@ def _event_files_stream(spark, tmp_path, files):
                 "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
                 "user_id": [u for _, u in rows],
                 "event_type": "view",
-                "value": 1.0,
+                "value": [
+                    value_fn(m, u) if value_fn else 1.0 for m, u in rows
+                ],
                 "props": "{}",
             }
         )
@@ -1119,3 +1124,64 @@ def test_cms_kernel_collisions_across_batches(spark, tmp_path):
         assert true[u] <= est <= n
         overcounted = overcounted or est > true[u]
     assert overcounted
+
+
+def test_quantile_histogram_stream_matches_batch_twin(spark, events_stream):
+    """The histogram quantile kernel's final per-hour p50/p90/p99 must
+    equal the oracled batch twin ``stream_hourly_value_quantiles``
+    EXACTLY — histogram state is a plain sum of increments, so equality
+    holds at every scale with no under-budget caveat."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_value_quantiles,
+    )
+
+    jobs.run_to_memory(
+        jobs.value_quantiles_histogram_stream(events_stream), "t_hq", "update"
+    )
+    emitted = spark.table("t_hq").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    f = (
+        final[["hour", "n_total", "pct", "cent", "value"]]
+        .sort_values(["hour", "pct"])
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(
+        stream_hourly_value_quantiles(spark, SF_DIR)
+        .withColumnRenamed("n_events", "n_total")
+        .select("hour", "n_total", "pct", "cent", "value"),
+        ["hour", "pct"],
+    )
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_quantile_histogram_kernel_across_batches(spark, tmp_path):
+    """3-file stream: the final per-hour percentiles must equal the
+    pure-Python fold over all events — cross-batch histogram
+    accumulation under maxFilesPerTrigger=1, over a spread value
+    distribution so each percentile lands on a different grid point."""
+    files = [
+        [(0, 0), (0, 1), (1, 2), (1, 3)],
+        [(2, 2), (2, 3), (3, 4), (3, 5), (4, 6)],
+        [(5, 7), (5, 8), (6, 0), (6, 1)],
+    ]
+    value_fn = lambda m, u: (m * 7 + u * 3) % 11 + 0.25  # noqa: E731
+    stream = _event_files_stream(spark, tmp_path, files, value_fn)
+    jobs.run_to_memory(
+        jobs.value_quantiles_histogram_stream(stream), "t_hq_mb", "update"
+    )
+    emitted = spark.table("t_hq_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    n = sum(len(rows) for rows in files)
+    assert int(final["n_total"].max()) == n == 13
+    assert len(final) == 3
+    cents = [
+        jobs.hist_cent(value_fn(m, u)) for rows in files for m, u in rows
+    ]
+    assert len(set(cents)) >= 5  # the scenario must spread the grid
+    counter = jobs.hist_update({}, cents)
+    want = {pct: jobs.hist_quantile(counter, pct)[0] for pct in (50, 90, 99)}
+    assert len(set(want.values())) >= 2  # percentiles must differ
+    for r in final.itertuples():
+        assert int(r.cent) == want[int(r.pct)]
+        assert float(r.value) == want[int(r.pct)] / 100.0
