@@ -187,6 +187,7 @@ HEADLINE = [
     "stream_hourly_cms",              # r8: exact twin of the count-min kernel
     "dedup_bloom_gate",               # r8: Bloom-filter ingestion gate
     "stream_hourly_value_quantiles",  # r8: exact twin of the histogram kernel
+    "corpus_budget_selection",        # r8: token-budget greedy selection
 ]
 
 

@@ -63,9 +63,9 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 8 BUDGET (50-slot driver window) ============================
-    # Plan: (1) every name whose code is new or edited in r8 leads (26
+    # Plan: (1) every name whose code is new or edited in r8 leads (27
     # names by round end); (2) the ENTIRE 18-name r2-latest backlog (r7
-    # verdict "missing" #1) is retired; (3) the remaining ~6 slots start
+    # verdict "missing" #1) is retired; (3) the remaining ~5 slots start
     # on the 39 r3-latest names (all oracled; the tail queues for r9).
     # Oracled names outrank rows-only names of equal staleness (r7
     # verdict "wrong" #1) — the one rows-only r8 name (corpus_bpe_encode)
@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "stream_hourly_cms",  # r8 NEW: exact twin of the count-min kernel
     "dedup_bloom_gate",  # r8 NEW: Bloom-filter ingestion gate
     "stream_hourly_value_quantiles",  # r8 NEW: exact twin, histogram kernel
+    "corpus_budget_selection",  # r8 NEW: token-budget greedy selection
     "dedup_savings_report",  # r8 NEW: token savings per dedup policy
     "embedding_int8_ranking",  # r8 NEW: int8 retrieval fidelity eval
     "dedup_chunk_incremental",  # r8 NEW: ingestion-gate chunk dedup

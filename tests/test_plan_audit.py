@@ -70,6 +70,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "bucket table (corpus already aggregated away)",
     "search_hybrid_rrf": "two TakeOrdered-limited top-10 rankings plus a "
     "fusion rank over their <= 20-row union",
+    "corpus_budget_selection": "prefix sum over the 1e-4 score grid "
+    "(<= 10001 cells) plus doc-order allocation inside the single "
+    "boundary grid cell",
 }
 
 
@@ -328,5 +331,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "stream_hourly_cms",
         "dedup_bloom_gate",
         "stream_hourly_value_quantiles",
+        "corpus_budget_selection",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

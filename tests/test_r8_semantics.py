@@ -470,3 +470,47 @@ def test_dedup_bloom_gate_matches_python_filter(spark):
     assert n_true >= len(docs) // 2  # every stored doc replays as a dup
     assert all(v[1] == 1 for v in want.values() if v[2])  # no false negatives
     assert any(v[3] for v in want.values())  # collisions actually occur
+
+
+def test_corpus_budget_selection_matches_greedy(spark):
+    """The histogram-decomposed selection must equal the straightforward
+    greedy fill: sort by (score desc, doc_id asc), keep while the
+    cumulative token count stays within the half-corpus budget — the
+    definition the two-level grid form exists to scale."""
+    import math
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?)",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        w = re.sub(
+            " +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())
+        ).strip().split(" ")
+        nc = len(text)
+        score4 = math.floor(
+            (min(len(w) / 100.0, 1.0) * 0.6 + min(nc / 500.0, 1.0) * 0.4)
+            * 10000
+            + 0.5
+        )
+        rows.append((doc_id, score4, len(w)))
+    budget = sum(n for _, _, n in rows) // 2
+    keep = {}
+    cum = 0
+    for doc_id, score4, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += n
+        keep[doc_id] = 1 if cum <= budget else 0
+    got = QUERIES["corpus_budget_selection"](spark, SF_DIR).collect()
+    assert len(got) == len(rows)
+    kept_toks = 0
+    for r in got:
+        assert r.keep == keep[r.doc_id], r.doc_id
+        assert r.token_budget == budget
+        kept_toks += r.n_toks if r.keep else 0
+    assert 0 < kept_toks <= budget
+    assert 0 < sum(keep.values()) < len(rows)  # the budget actually bites
