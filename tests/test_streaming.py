@@ -765,38 +765,12 @@ def test_heavyhitters_kernel_exact_across_batches(spark, tmp_path):
     """3-file stream (maxFilesPerTrigger=1): the sketch accumulates across
     micro-batches and the LAST emission per hour equals the exact counts
     over all three files."""
-    import pandas as pd  # noqa: PLC0415
-
-    base = pd.Timestamp("2024-03-01 10:00:00")
     files = [
         [(0, 1), (1, 1), (2, 2)],
         [(3, 1), (4, 3), (5, 1)],
         [(6, 2), (7, 1), (8, 1)],
     ]
-    src = tmp_path / "src"
-    src.mkdir()
-    for i, rows in enumerate(files):
-        pdf = pd.DataFrame(
-            {
-                "event_id": range(i * 10, i * 10 + len(rows)),
-                "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
-                "user_id": [u for _, u in rows],
-                "event_type": "view",
-                "value": [
-                    value_fn(m, u) if value_fn else 1.0 for m, u in rows
-                ],
-                "props": "{}",
-            }
-        )
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
-            str(src / f"f{i}")
-        )
-    schema = spark.read.parquet(str(src / "f0")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src / "*"))
-    )
+    stream = _event_files_stream(spark, tmp_path, files)
     jobs.run_to_memory(jobs.heavyhitters_topk_stream(stream), "t_hh_mb", "update")
     emitted = spark.table("t_hh_mb").toPandas()
     final = emitted[emitted["n_total"] == emitted["n_total"].max()]
