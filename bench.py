@@ -188,6 +188,7 @@ HEADLINE = [
     "dedup_bloom_gate",               # r8: Bloom-filter ingestion gate
     "stream_hourly_value_quantiles",  # r8: exact twin of the histogram kernel
     "corpus_budget_selection",        # r8: token-budget greedy selection
+    "corpus_ccnet_buckets",           # r8: CCNet per-source LM terciles
 ]
 
 

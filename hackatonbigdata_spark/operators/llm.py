@@ -2143,6 +2143,47 @@ def corpus_resample_ncopies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_nl_scores(t: Catalog) -> DataFrame:
+    """Per-document corpus-bigram LM sufficient statistics: (doc_id,
+    n_bigrams, nl_sum) where nl_sum is the BIGINT sum of each bigram's
+    −log2 p quantized to the 1e4 integer grid — the shared core of
+    ``text_bigram_logprob`` and ``corpus_ccnet_buckets``.  Docs with
+    fewer than two words have no bigrams and are absent by definition."""
+    bigrams = (
+        _doc_words(t)
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    tf = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    cf = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cf"))
+    n = bigrams.agg(F.count(F.lit(1)).alias("total"))
+    q = (
+        tf.join(cf, "bigram")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    return q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+
+
 @register(
     "text_bigram_logprob",
     oracle=f"""
@@ -2187,44 +2228,97 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregates and one join on the bigram key.  The bigram vocabulary
     is larger than the unigram one but still Zipf-compact relative to the
     corpus; the join never materializes anything all-pairs."""
-    t = Catalog(spark, sf_dir)
-    bigrams = (
-        _doc_words(t)
-        .filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w)-2),"
-                    " i -> concat_ws(' ', w[i], w[i+1]))"
-                )
-            ).alias("bigram"),
-        )
-    )
-    tf = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    cf = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cf"))
-    n = bigrams.agg(F.count(F.lit(1)).alias("total"))
-    q = (
-        tf.join(cf, "bigram")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "tf",
-            F.floor(
-                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000 + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("nlq"),
-        )
-    )
-    d = q.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_bigrams"),
-        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
-    )
+    d = _bigram_nl_scores(Catalog(spark, sf_dir))
     return d.select(
         "doc_id",
         "n_bigrams",
         r4(F.col("nl_sum") / (F.col("n_bigrams") * 10000.0)).alias("avg_neg_log2p2"),
+    )
+
+
+@register(
+    "corpus_ccnet_buckets",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+b AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM w, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+       FROM b GROUP BY doc_id, bigram),
+cf AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM b GROUP BY bigram),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b),
+q AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(-log2(cf.cf * 1.0 / n.total) * 10000 + 0.5) AS BIGINT) AS nlq
+  FROM tf JOIN cf ON tf.bigram = cf.bigram CROSS JOIN n
+), d AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+  FROM q GROUP BY doc_id
+), s AS (
+  SELECT d.doc_id, doc.source, d.n_bigrams, d.nl_sum,
+         ntile(3) OVER (PARTITION BY doc.source
+                        ORDER BY d.nl_sum * 1.0 / d.n_bigrams, d.doc_id) AS t
+  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+)
+SELECT doc_id, source,
+       round(nl_sum / (n_bigrams * 10000.0), 4) AS lm_score,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(CASE WHEN t <= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    split each source's documents into head/middle/tail terciles of the
+    corpus-bigram LM score (low score = fluent = head), the classic
+    language-model quality gate — CCNet keeps head+middle and drops the
+    tail, which is the emitted ``keep`` flag.  The per-source (per-language
+    in the paper) split is the point: an absolute score threshold would
+    judge every domain by the majority domain's fluency.
+
+    Reference scope note: the reference has no corpus-curation layer at
+    all (SURVEY §2.13 — this family is the beyond-reference LLM-pipeline
+    surface); the in-engine LM stands in for the paper's external KenLM.
+
+    Cross-engine exactness: the per-doc score reuses
+    ``_bigram_nl_scores`` (integer 1e4-grid BIGINT sums, order-free);
+    the tercile ORDER BY key nl_sum*1.0/n_bigrams is the same IEEE
+    division of identical BIGINTs in both engines with doc_id as the
+    total-order tie-break, and ANSI ntile is deterministic given a total
+    order.  Docs with <2 words have no bigram score and are excluded on
+    both sides by construction.
+
+    Scale: the score is two keyed aggregates + one Zipf-compact join
+    (see ``text_bigram_logprob``); bucketing adds ONE window over
+    one narrow row per document, partitioned by source — never
+    fact-scale rows.  At extreme per-source cardinality the same split
+    comes from two-pass approx percentile cutoffs; ntile is the exact
+    spec."""
+    t = Catalog(spark, sf_dir)
+    d = _bigram_nl_scores(t)
+    s = d.join(t.documents.select("doc_id", "source"), "doc_id").withColumn(
+        "t",
+        F.ntile(3).over(
+            W.partitionBy("source").orderBy(
+                (F.col("nl_sum") * F.lit(1.0) / F.col("n_bigrams")).asc(),
+                F.col("doc_id").asc(),
+            )
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        r4(F.col("nl_sum") / (F.col("n_bigrams") * 10000.0)).alias("lm_score"),
+        F.when(F.col("t") == 1, F.lit("head"))
+        .when(F.col("t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(F.col("t") <= 2, 1).otherwise(0).cast("long").alias("keep"),
     )
 
 

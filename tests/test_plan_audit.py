@@ -332,5 +332,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "dedup_bloom_gate",
         "stream_hourly_value_quantiles",
         "corpus_budget_selection",
+        "corpus_ccnet_buckets",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

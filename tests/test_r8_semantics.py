@@ -514,3 +514,25 @@ def test_corpus_budget_selection_matches_greedy(spark):
         kept_toks += r.n_toks if r.keep else 0
     assert 0 < kept_toks <= budget
     assert 0 < sum(keep.values()) < len(rows)  # the budget actually bites
+
+
+def test_corpus_ccnet_buckets_terciles(spark):
+    """Per-source ntile(3) invariants, independent of the oracle: tercile
+    sizes differ by at most one within a source, keep == (bucket !=
+    'tail'), and the r4-rounded lm_score bands are ordered head <=
+    middle <= tail (rounding is monotone over the sort key)."""
+    rows = QUERIES["corpus_ccnet_buckets"](spark, SF_DIR).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        assert r.keep == (1 if r.bucket != "tail" else 0), r.doc_id
+        by_src.setdefault(r.source, {}).setdefault(r.bucket, []).append(
+            r.lm_score
+        )
+    for src, buckets in by_src.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        if buckets.get("head") and buckets.get("middle"):
+            assert max(buckets["head"]) <= min(buckets["middle"]), src
+        if buckets.get("middle") and buckets.get("tail"):
+            assert max(buckets["middle"]) <= min(buckets["tail"]), src
