@@ -189,6 +189,7 @@ HEADLINE = [
     "stream_hourly_value_quantiles",  # r8: exact twin of the histogram kernel
     "corpus_budget_selection",        # r8: token-budget greedy selection
     "corpus_ccnet_buckets",           # r8: CCNet per-source LM terciles
+    "corpus_cross_source_overlap",    # r8: cross-source leakage matrix
 ]
 
 

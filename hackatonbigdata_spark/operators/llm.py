@@ -1391,6 +1391,99 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_cross_source_overlap",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+ss AS (SELECT DISTINCT d.source, s.shingle
+       FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM ss GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       round(p.n_shared * 1.0
+             / least(sa.n_shingles, sb.n_shingles), 4) AS containment,
+       round(p.n_shared * 1.0
+             / (sa.n_shingles + sb.n_shingles - p.n_shared), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+""",
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: for every unordered pair of sources,
+    the number of distinct word-3-gram shingles present in BOTH, with set
+    containment (shared / smaller vocabulary) and Jaccard — the view a
+    curation team checks before treating one source as a held-out split of
+    another (the source-PAIR generalization of the per-doc
+    ``contamination_ngram_overlap`` screen).  Pairs sharing zero shingles
+    are absent by inner-join semantics.
+
+    Cross-engine exactness: all counts are BIGINTs over the same distinct
+    (source, shingle) set; the two ratios are single IEEE divisions of
+    identical integers, rounded to 4 places on both engines.
+
+    Scale: the corpus collapses to the distinct (source, shingle) table
+    before any pairing — vocabulary-scale, not document-scale.  Instead of
+    a shingle-keyed self-join (which would recompute that table twice),
+    one aggregate collects each shingle's source set — bounded by the
+    source-dimension cardinality — and a higher-order function expands its
+    sorted combinations, at most C(#sources, 2) pair rows per shingle,
+    never all-pairs over documents.  The 20-row size table broadcasts."""
+    t = Catalog(spark, sf_dir)
+    ss = (
+        _doc_shingles(t)
+        .join(t.documents.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per_sh = ss.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = (
+        per_sh.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            r4(F.col("n_shared") * F.lit(1.0) / F.least("n_a", "n_b")).alias(
+                "containment"
+            ),
+            r4(
+                F.col("n_shared")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
 WITH e AS (

@@ -536,3 +536,45 @@ def test_corpus_ccnet_buckets_terciles(spark):
             assert max(buckets["head"]) <= min(buckets["middle"]), src
         if buckets.get("middle") and buckets.get("tail"):
             assert max(buckets["middle"]) <= min(buckets["tail"]), src
+
+
+def test_corpus_cross_source_overlap_matches_python(spark):
+    """Full matrix re-derived in pure Python from DuckDB-extracted word
+    arrays: per-source distinct shingle sets, every unordered pair's
+    shared count, containment, and Jaccard."""
+    import itertools
+    import math
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import _DUCK_WORDS
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.sql(f"SELECT source, {_DUCK_WORDS} FROM documents").fetchall()
+    per_src: dict = {}
+    for src, w in rows:
+        per_src.setdefault(src, set()).update(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        )
+    q4 = lambda x: math.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    expect = {}
+    for a, b in itertools.combinations(sorted(per_src), 2):
+        shared = len(per_src[a] & per_src[b])
+        if shared:
+            na, nb = len(per_src[a]), len(per_src[b])
+            expect[(a, b)] = (
+                shared,
+                q4(shared / min(na, nb)),
+                q4(shared / (na + nb - shared)),
+            )
+    got = QUERIES["corpus_cross_source_overlap"](spark, SF_DIR).collect()
+    assert len(got) == len(expect) > 0
+    for r in got:
+        s, c, j = expect[(r.source_a, r.source_b)]
+        assert r.n_shared == s, (r.source_a, r.source_b)
+        assert abs(r.containment - c) < 1e-9
+        assert abs(r.jaccard - j) < 1e-9
