@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_budget_selection",        # r8: token-budget greedy selection
     "corpus_ccnet_buckets",           # r8: CCNet per-source LM terciles
     "corpus_cross_source_overlap",    # r8: cross-source leakage matrix
+    "text_winnowing_stats",           # r8: robust winnowing fingerprints
 ]
 
 

@@ -1391,6 +1391,107 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing_stats",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_duck_hash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+  FROM w, unnest(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+k AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_kgrams
+  FROM sh
+),
+m AS (
+  SELECT doc_id, n_kgrams, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+  FROM k
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_kgrams, 1048575 - (selkey % 1048576) AS selpos
+  FROM m WHERE pos <= n_kgrams - 4
+)
+SELECT doc_id, n_kgrams,
+       CAST(n_kgrams - 3 AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       round(count(*) * 1.0 / (n_kgrams - 3), 4) AS density
+FROM sel GROUP BY doc_id, n_kgrams
+""",
+)
+def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting"): hash every positioned word-3-gram, slide a w=4
+    window over the hash sequence, and select each window's minimum
+    (rightmost on ties — the robust variant).  Emits per-document
+    fingerprint counts and selection density; the guarantee is that any
+    shared run of >= w+k-1 = 6 words between two documents shares a
+    selected fingerprint, at an expected density of 2/(w+1).  Documents
+    with fewer than w k-grams have no full window and are absent, as in
+    the paper.
+
+    Cross-engine exactness: the (hash, rightmost-position) argmin is ONE
+    BIGINT min — key = h32(shingle) * 2^20 + (2^20-1 - pos) orders by
+    hash then by DESCENDING position, so min(key) IS the robust-winnowing
+    choice; both engines take the same window min over the same integers
+    (positions < 2^20 per document by contract; h32 < 2^32 keeps the key
+    under 2^52).
+
+    Scale: one narrow projection (no shuffle for the hash), one
+    partitioned window per doc_id, one distinct and one keyed aggregate —
+    all doc-keyed, no cross-document traffic at all."""
+    t = Catalog(spark, sf_dir)
+    sh = (
+        _doc_words(t)
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    k = sh.select(
+        "doc_id",
+        "pos",
+        (h32(F.col("shingle")) * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))).alias(
+            "key"
+        ),
+    ).withColumn(
+        "n_kgrams",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")),
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    m = k.withColumn("selkey", F.min("key").over(frame))
+    sel = (
+        m.filter(F.col("pos") <= F.col("n_kgrams") - 4)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            (F.lit(1048575) - F.col("selkey") % F.lit(1048576)).alias("selpos"),
+        )
+        .distinct()
+    )
+    agg = sel.groupBy("doc_id", "n_kgrams").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected")
+    )
+    return agg.select(
+        "doc_id",
+        "n_kgrams",
+        (F.col("n_kgrams") - 3).cast("long").alias("n_windows"),
+        "n_selected",
+        r4(F.col("n_selected") * F.lit(1.0) / (F.col("n_kgrams") - 3)).alias("density"),
+    )
+
+
+@register(
     "corpus_cross_source_overlap",
     oracle=f"""
 WITH {_DUCK_SHINGLES},

@@ -578,3 +578,44 @@ def test_corpus_cross_source_overlap_matches_python(spark):
         assert r.n_shared == s, (r.source_a, r.source_b)
         assert abs(r.containment - c) < 1e-9
         assert abs(r.jaccard - j) < 1e-9
+
+
+def test_text_winnowing_stats_matches_python(spark):
+    """Textbook robust winnowing (w=4 over word-3-gram hashes, rightmost
+    minimum per window) re-implemented in pure Python over
+    DuckDB-extracted word arrays, compared per document."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import _DUCK_WORDS
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.sql(f"SELECT doc_id, {_DUCK_WORDS} FROM documents").fetchall()
+    expect = {}
+    for doc_id, w in rows:
+        hs = [
+            int(hashlib.md5(" ".join(w[i : i + 3]).encode()).hexdigest()[:8], 16)
+            for i in range(len(w) - 2)
+        ]
+        n = len(hs)
+        if n < 4:
+            continue
+        sel = set()
+        for j in range(n - 3):
+            win = hs[j : j + 4]
+            m = min(win)
+            # rightmost index attaining the min (robust winnowing)
+            sel.add(j + max(i for i, h in enumerate(win) if h == m))
+        expect[doc_id] = (n, n - 3, len(sel), math.floor(len(sel) / (n - 3) * 10000 + 0.5) / 10000.0)
+    got = QUERIES["text_winnowing_stats"](spark, SF_DIR).collect()
+    assert len(got) == len(expect) > 0
+    for r in got:
+        n, nw, ns, d = expect[r.doc_id]
+        assert (r.n_kgrams, r.n_windows, r.n_selected) == (n, nw, ns), r.doc_id
+        assert abs(r.density - d) < 1e-9, r.doc_id
