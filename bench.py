@@ -191,6 +191,7 @@ HEADLINE = [
     "corpus_ccnet_buckets",           # r8: CCNet per-source LM terciles
     "corpus_cross_source_overlap",    # r8: cross-source leakage matrix
     "text_winnowing_stats",           # r8: robust winnowing fingerprints
+    "corpus_novelty_curve",           # r8: first-occurrence novelty curve
 ]
 
 

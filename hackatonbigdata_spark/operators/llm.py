@@ -1391,6 +1391,62 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_novelty_curve",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+fo AS (SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM sh GROUP BY shingle),
+d AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh s JOIN fo f ON s.shingle = f.shingle
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel * 1.0 / n_shingles, 4) AS novelty_rate
+FROM d
+""",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty under ingestion order (doc_id as the
+    arrival sequence): the fraction of a document's distinct word-3-gram
+    shingles whose FIRST corpus occurrence is that document.  This is the
+    marginal-information curve behind every "when does more data stop
+    helping" plot — dedup policies (keep-first) and the Heaps-law
+    ``corpus_vocab_growth`` query are its two projections, and a document
+    with novelty_rate 0 is exactly one the keep-first chunk/shingle dedup
+    would drop as all-seen.
+
+    Cross-engine exactness: min(doc_id) per shingle and BIGINT counts
+    only; the single ratio is one IEEE division of identical integers.
+
+    Scale: one aggregate on the shingle key (the same shuffle the dedup
+    family pays — shareable), one shingle-keyed join back, one doc-keyed
+    aggregate.  Nothing all-pairs, nothing collected."""
+    t = Catalog(spark, sf_dir)
+    sh = _doc_shingles(t)
+    fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    d = (
+        sh.join(fo, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        r4(F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")).alias("novelty_rate"),
+    )
+
+
+@register(
     "text_winnowing_stats",
     oracle=f"""
 WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),

@@ -335,5 +335,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_ccnet_buckets",
         "corpus_cross_source_overlap",
         "text_winnowing_stats",
+        "corpus_novelty_curve",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

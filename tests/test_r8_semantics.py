@@ -619,3 +619,44 @@ def test_text_winnowing_stats_matches_python(spark):
         n, nw, ns, d = expect[r.doc_id]
         assert (r.n_kgrams, r.n_windows, r.n_selected) == (n, nw, ns), r.doc_id
         assert abs(r.density - d) < 1e-9, r.doc_id
+
+
+def test_corpus_novelty_curve_matches_python(spark):
+    """First-occurrence novelty re-derived in pure Python: walk documents
+    in doc_id order accumulating the seen-shingle set."""
+    import math
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import _DUCK_WORDS
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.sql(
+        f"SELECT doc_id, {_DUCK_WORDS} FROM documents ORDER BY doc_id"
+    ).fetchall()
+    seen: set = set()
+    expect = {}
+    for doc_id, w in rows:
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if not sh:
+            continue
+        novel = len(sh - seen)
+        seen |= sh
+        expect[doc_id] = (
+            len(sh),
+            novel,
+            math.floor(novel / len(sh) * 10000 + 0.5) / 10000.0,
+        )
+    got = QUERIES["corpus_novelty_curve"](spark, SF_DIR).collect()
+    assert len(got) == len(expect) > 0
+    n_zero = 0
+    for r in got:
+        n, nv, rate = expect[r.doc_id]
+        assert (r.n_shingles, r.n_novel) == (n, nv), r.doc_id
+        assert abs(r.novelty_rate - rate) < 1e-9, r.doc_id
+        n_zero += rate < 1.0
+    assert n_zero > 0  # the corpus actually repeats shingles
