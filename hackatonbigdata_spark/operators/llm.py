@@ -4115,22 +4115,52 @@ def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e = e.select(*sel)
     a, b = e.alias("a"), e.alias("b")
-    # one evaluation per unordered pair, both directions emitted from the
-    # same row (cosine is symmetric) — the similarity_topk_cosine pattern
-    raw = [
-        (
-            _dot(f"slice(a.emb, 1, {d})", f"slice(b.emb, 1, {d})")
-            / (F.col(f"a.n{d}") * F.col(f"b.n{d}"))
-        ).alias(f"_c{d}")
-        for d in dims
-    ] + [(_dot("a.emb", "b.emb") / (F.col("a.n64") * F.col("b.n64"))).alias("_c64")]
+    # One evaluation per unordered pair, both directions emitted from the
+    # same row (cosine is symmetric) — the similarity_topk_cosine pattern.
+    # The four prefix dot products come from ONE product array with
+    # chained partial sums at 8/16/32/64: a left fold of the next slice
+    # seeded with the previous checkpoint IS the longer prefix fold's
+    # intermediate accumulator, so every cosine stays bit-identical to the
+    # oracle's independent per-slice folds at half the multiply-add count.
+    # Each checkpoint is referenced twice (next checkpoint + its cosine),
+    # which keeps CollapseProject from inlining the non-cheap aggregates —
+    # each partial sum is evaluated once per pair row.
+    norms = [
+        F.col(f"a.n{d}").alias(f"an{d}") for d in dims + [64]
+    ] + [F.col(f"b.n{d}").alias(f"bn{d}") for d in dims + [64]]
     half = (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_lo"), F.col("b.vec_id").alias("id_hi"), *raw)
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            F.expr("zip_with(a.emb, b.emb, (x,y) -> x*y)").alias("prods"),
+            *norms,
+        )
+        .withColumn(
+            "s8",
+            F.expr(
+                "aggregate(slice(prods, 1, 8),"
+                " cast(0.0 as double), (acc,v) -> acc+v)"
+            ),
+        )
+        .withColumn(
+            "s16", F.expr("aggregate(slice(prods, 9, 8), s8, (acc,v) -> acc+v)")
+        )
+        .withColumn(
+            "s32", F.expr("aggregate(slice(prods, 17, 16), s16, (acc,v) -> acc+v)")
+        )
+        .withColumn(
+            "s64", F.expr("aggregate(slice(prods, 33, 32), s32, (acc,v) -> acc+v)")
+        )
         .select(
             "id_lo",
             "id_hi",
-            *[r4(f"_c{d}").alias(f"c{d}") for d in dims + [64]],
+            *[
+                r4(F.col(f"s{d}") / (F.col(f"an{d}") * F.col(f"bn{d}"))).alias(
+                    f"c{d}"
+                )
+                for d in dims + [64]
+            ],
         )
     )
     cs = [F.col(f"c{d}").alias(f"c{d}") for d in dims + [64]]
