@@ -192,6 +192,7 @@ HEADLINE = [
     "corpus_cross_source_overlap",    # r8: cross-source leakage matrix
     "text_winnowing_stats",           # r8: robust winnowing fingerprints
     "corpus_novelty_curve",           # r8: first-occurrence novelty curve
+    "corpus_vocab_coverage",          # r8: top-K vocab coverage sizing
 ]
 
 

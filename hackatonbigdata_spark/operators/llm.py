@@ -2573,6 +2573,104 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+       FROM w WHERE word <> '' GROUP BY word),
+fr AS (SELECT cf, CAST(count(*) AS BIGINT) AS nw FROM cf GROUP BY cf),
+lv AS (
+  SELECT cf, nw,
+         CAST(coalesce(sum(cf * nw) OVER (ORDER BY cf DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_hi,
+         CAST(coalesce(sum(nw) OVER (ORDER BY cf DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS words_hi
+  FROM fr),
+tot AS (SELECT CAST(sum(cf * nw) AS BIGINT) AS total FROM fr),
+tg AS (SELECT unnest([90, 95, 99]) AS target_pct),
+req AS (SELECT target_pct, total,
+               (target_pct * total + 99) // 100 AS required
+        FROM tg CROSS JOIN tot),
+pick AS (
+  SELECT r.target_pct, r.total, l.cf, l.cum_hi, l.words_hi,
+         (r.required - l.cum_hi + l.cf - 1) // l.cf AS m
+  FROM req r JOIN lv l
+    ON l.cum_hi < r.required AND l.cum_hi + l.cf * l.nw >= r.required)
+SELECT CAST(target_pct AS BIGINT) AS target_pct,
+       total AS n_tokens,
+       CAST(words_hi + m AS BIGINT) AS vocab_size,
+       CAST(cum_hi + m * cf AS BIGINT) AS covered_tokens,
+       round((cum_hi + m * cf) * 1.0 / total, 4) AS coverage
+FROM pick
+""",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing report: the smallest top-K vocabulary (words
+    ranked by corpus frequency, lexicographic tie-break) covering 90, 95,
+    and 99 percent of all token occurrences — the number a tokenizer team
+    reads off before fixing a vocab size, and the coverage twin of the
+    Heaps-law growth curve (``corpus_vocab_growth``) and the Zipf fit
+    (``text_zipf_slope``).
+
+    Cross-engine exactness: pure BIGINT arithmetic end to end — the
+    required token mass is ceil(pct*total/100) in integers, the boundary
+    frequency level is found by integer prefix-sum comparison, and the
+    words taken inside that level are an integer ceiling division (both
+    engines' floor-division semantics agree on the non-negative
+    operands).  No floats anywhere except the final r4 coverage ratio.
+
+    Scale: words with equal frequency are interchangeable for coverage,
+    so the corpus collapses to DISTINCT (frequency, word-count) levels —
+    O(sqrt(total tokens)) rows for any Zipf-like corpus (the
+    ``text_zipf_slope`` collapse) — before the unpartitioned prefix-sum
+    window; the 3-row target table joins by broadcast nested loop."""
+    t = Catalog(spark, sf_dir)
+    words = _doc_words(t).select(F.explode("w").alias("word")).filter(
+        F.col("word") != ""
+    )
+    cf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    fr = cf.groupBy("cf").agg(F.count(F.lit(1)).alias("nw"))
+    win = W.orderBy(F.col("cf").desc()).rowsBetween(W.unboundedPreceding, -1)
+    lv = fr.select(
+        "cf",
+        "nw",
+        F.coalesce(F.sum(F.col("cf") * F.col("nw")).over(win), F.lit(0)).alias(
+            "cum_hi"
+        ),
+        F.coalesce(F.sum("nw").over(win), F.lit(0)).alias("words_hi"),
+    )
+    tot = fr.agg(F.sum(F.col("cf") * F.col("nw")).alias("total"))
+    req = (
+        tot.select(
+            F.explode(
+                F.array(*[F.lit(x).cast("long") for x in (90, 95, 99)])
+            ).alias("target_pct"),
+            "total",
+        )
+        .withColumn("required", F.expr("(target_pct * total + 99) div 100"))
+    )
+    pick = F.broadcast(req).join(
+        lv,
+        (F.col("cum_hi") < F.col("required"))
+        & (F.col("cum_hi") + F.col("cf") * F.col("nw") >= F.col("required")),
+    ).withColumn("m", F.expr("(required - cum_hi + cf - 1) div cf"))
+    return pick.select(
+        "target_pct",
+        F.col("total").alias("n_tokens"),
+        (F.col("words_hi") + F.col("m")).cast("long").alias("vocab_size"),
+        (F.col("cum_hi") + F.col("m") * F.col("cf")).cast("long").alias(
+            "covered_tokens"
+        ),
+        r4(
+            (F.col("cum_hi") + F.col("m") * F.col("cf")) * F.lit(1.0)
+            / F.col("total")
+        ).alias("coverage"),
+    )
+
+
+@register(
     "text_zipf_slope",
     oracle=f"""
 WITH w AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),

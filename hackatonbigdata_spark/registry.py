@@ -63,14 +63,15 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 8 BUDGET (50-slot driver window) ============================
-    # Plan: (1) every name whose code is new or edited in r8 leads (31
+    # Plan: (1) every name whose code is new or edited in r8 leads (32
     # names by round end); (2) the ENTIRE 18-name r2-latest backlog (r7
-    # verdict "missing" #1) is retired; (3) the remaining ~1 slot starts
-    # on the 39 r3-latest names (all oracled; the tail queues for r9).
+    # verdict "missing" #1) is retired — that fills the window exactly;
+    # the 39 r3-latest names (all oracled) queue for the r9 rotation.
     # Oracled names outrank rows-only names of equal staleness (r7
     # verdict "wrong" #1) — the one rows-only r8 name (corpus_bpe_encode)
     # sits last in the r8-edited block for exactly that reason.
     # --- round 8: new queries and edited-after-r7-check code --------------
+    "corpus_vocab_coverage",  # r8 NEW: top-K vocab coverage sizing report
     "corpus_novelty_curve",  # r8 NEW: first-occurrence novelty by doc order
     "text_winnowing_stats",  # r8 NEW: robust winnowing fingerprints
     "corpus_cross_source_overlap",  # r8 NEW: cross-source leakage matrix

@@ -73,6 +73,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "corpus_budget_selection": "prefix sum over the 1e-4 score grid "
     "(<= 10001 cells) plus doc-order allocation inside the single "
     "boundary grid cell",
+    "corpus_vocab_coverage": "prefix sums over DISTINCT frequencies — "
+    "O(sqrt(total tokens)) rows for any corpus (the text_zipf_slope "
+    "collapse)",
 }
 
 
@@ -336,5 +339,6 @@ def test_round8_ops_stay_jvm_side(spark):
         "corpus_cross_source_overlap",
         "text_winnowing_stats",
         "corpus_novelty_curve",
+        "corpus_vocab_coverage",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

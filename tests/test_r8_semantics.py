@@ -660,3 +660,51 @@ def test_corpus_novelty_curve_matches_python(spark):
         assert abs(r.novelty_rate - rate) < 1e-9, r.doc_id
         n_zero += rate < 1.0
     assert n_zero > 0  # the corpus actually repeats shingles
+
+
+def test_corpus_vocab_coverage_matches_python(spark):
+    """Greedy top-K coverage re-derived in pure Python: sort the word
+    frequency table by (count desc, word), walk the prefix until each
+    target token mass is reached."""
+    import math
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import _DUCK_WORDS
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.sql(f"SELECT {_DUCK_WORDS} FROM documents").fetchall()
+    freq: dict = {}
+    for (w,) in rows:
+        for word in w:
+            if word:
+                freq[word] = freq.get(word, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    expect = {}
+    for pct in (90, 95, 99):
+        required = -(-pct * total // 100)  # ceil
+        cum = k = 0
+        for _, c in ordered:
+            if cum >= required:
+                break
+            cum += c
+            k += 1
+        expect[pct] = (
+            total,
+            k,
+            cum,
+            math.floor(cum / total * 10000 + 0.5) / 10000.0,
+        )
+    got = QUERIES["corpus_vocab_coverage"](spark, SF_DIR).collect()
+    assert len(got) == 3
+    for r in got:
+        n, k, cov, ratio = expect[r.target_pct]
+        assert (r.n_tokens, r.vocab_size, r.covered_tokens) == (n, k, cov), (
+            r.target_pct
+        )
+        assert abs(r.coverage - ratio) < 1e-9
