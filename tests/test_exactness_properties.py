@@ -107,3 +107,72 @@ def test_quantized_sum_is_order_free(xs):
         [xs],
     ).fetchone()[0]
     assert sum(q) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=4, max_size=40
+    )
+)
+def test_winnowing_key_encoding_picks_rightmost_min(hs):
+    """The text_winnowing_stats contract: min over the encoded key
+    h*2^20 + (2^20-1-pos) within any window equals robust winnowing's
+    choice (minimum hash, rightmost position on ties) — for arbitrary
+    hash sequences including adversarial all-equal windows."""
+    w = 4
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        want = j + max(i for i, h in enumerate(win) if h == m)
+        key = min(
+            h * 1048576 + (1048575 - (j + i)) for i, h in enumerate(win)
+        )
+        got = 1048575 - (key % 1048576)
+        assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=102),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([90, 95, 99]),
+)
+def test_vocab_coverage_level_formula_equals_greedy(freq, pct):
+    """The corpus_vocab_coverage contract: the distinct-frequency-level
+    boundary formula (integer prefix sums + ceiling division) equals the
+    straightforward greedy walk of the (count desc, word) ordering — in
+    particular at adversarial tie boundaries where the required mass
+    lands exactly on a level edge."""
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    required = -(-pct * total // 100)
+    cum = k = 0
+    for _, c in ordered:
+        if cum >= required:
+            break
+        cum += c
+        k += 1
+    # level formula: collapse to (cf, nw), find the boundary level
+    levels: dict = {}
+    for _, c in freq.items():
+        levels[c] = levels.get(c, 0) + 1
+    cum_hi = words_hi = 0
+    got = None
+    for cf in sorted(levels, reverse=True):
+        nw = levels[cf]
+        if cum_hi < required <= cum_hi + cf * nw:
+            m = (required - cum_hi + cf - 1) // cf
+            got = (words_hi + m, cum_hi + m * cf)
+            break
+        cum_hi += cf * nw
+        words_hi += nw
+    assert got == (k, cum)
