@@ -4611,37 +4611,36 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions) count as true Jaccard 0 on both engines.
 
     Scale (100 TB): candidates come from the banded equi-join (never
-    all-pairs); true Jaccard is computed ONLY for candidate pairs via the
-    shingle co-occurrence join; the report is one 9-row aggregate."""
+    all-pairs); true Jaccard is computed ONLY for candidate pairs, by
+    joining each pair to the two docs' distinct-shingle sets (bounded by
+    document length) and intersecting — a hot shingle shared by k
+    non-candidate docs costs nothing here, unlike a shingle-keyed
+    co-occurrence self-join which would emit k²/2 pair rows regardless of
+    candidacy.  The report is one 9-row aggregate."""
     t = Catalog(spark, sf_dir)
     # ONE shingle pass (text scan + normalize + 3-gram explode),
     # checkpointed, feeds BOTH the banded candidate generation (min() is
     # duplicate-insensitive, so the non-distinct table is fine there) and
-    # the distinct-shingle true-Jaccard scoring below
+    # the per-doc distinct-shingle sets scored below
     sh_all = _doc_shingles(t, distinct=False).localCheckpoint()
     cand = _minhash_candidates(sh_all)
-    sh = sh_all.distinct()
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    cp = (
-        sa.join(sb, "shingle")
-        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    arr = sh_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
     tj = (
-        cand.join(cp, ["doc_a", "doc_b"], "left")
-        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")).cast("long"))
         .select(
             "est_jaccard",
-            F.coalesce(
+            (
                 F.col("n_common")
                 * F.lit(1.0)
-                / (F.col("sza") + F.col("szb") - F.col("n_common")),
-                F.lit(0.0),
+                / (F.size("sha") + F.size("shb") - F.col("n_common"))
             ).alias("jac"),
         )
     )
