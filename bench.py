@@ -193,6 +193,8 @@ HEADLINE = [
     "text_winnowing_stats",           # r8: robust winnowing fingerprints
     "corpus_novelty_curve",           # r8: first-occurrence novelty curve
     "corpus_vocab_coverage",          # r8: top-K vocab coverage sizing
+    # round-9 operators:
+    "dedup_lines_ccnet",              # r9: CCNet/C4 line-level dedup
 ]
 
 

@@ -4059,6 +4059,115 @@ def dedup_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_LEN = 16  # words per "line" (the corpus text carries no newlines)
+
+
+@register(
+    "dedup_lines_ccnet",
+    oracle=f"""
+WITH w0 AS (SELECT doc_id, list_filter({_DUCK_WORDS}, x -> x <> '') AS w
+            FROM documents),
+wn AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+       FROM w0 WHERE len(w) >= 1),
+l AS (
+  SELECT doc_id, CAST(li AS BIGINT) AS line_idx,
+         CAST(least({_LINE_LEN}, n - li * {_LINE_LEN}) AS BIGINT) AS n_toks,
+         md5(array_to_string(
+           w[li * {_LINE_LEN} + 1 : li * {_LINE_LEN} + least({_LINE_LEN}, n - li * {_LINE_LEN})],
+           ' ')) AS lh
+  FROM wn, unnest(range(0, (n - 1) // {_LINE_LEN} + 1)) AS u(li)),
+r AS (SELECT doc_id, n_toks,
+             row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_idx)
+               AS rn
+      FROM l)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_lines,
+       floor(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+             + 0.5) / 10000 AS removed_line_frac,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM r GROUP BY doc_id
+""",
+)
+def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet / C4-style line-level dedup — the first pass a
+    CommonCrawl-scale pipeline actually runs (Wenzek et al. 2020 §2.1
+    dedups paragraph hashes; C4 keeps one copy of any repeated
+    three-sentence span): hash every normalized line, keep only the
+    corpus-wide FIRST occurrence of each line hash (order (doc_id,
+    line_idx)), and report per document how much of it was removed —
+    line count, removed-line count and fraction, token count, and tokens
+    surviving.  The synthetic corpus carries no newlines, so a "line" is
+    a consecutive non-overlapping {_LINE_LEN}-word segment (the final
+    partial segment counts) — unlike ``text_chunk_windows``'s overlapping
+    64/48 windows, these tile the document exactly, so token accounting
+    is exact.  This completes the dedup-granularity ladder: whole-doc
+    digest → line → 64/48 chunk → substring span → semantic.
+
+    Exactness: line hashes are full md5 over the identical sliced-words
+    string on both engines (birthday-safe as a dedup key, unlike the
+    32-bit h32); keep-first order is the deterministic (doc_id,
+    line_idx); all counts integers; the one fraction quantizes to the
+    1e-4 grid.
+
+    Scale (100 TB): one narrow corpus scan → bounded explode (one row
+    per {_LINE_LEN} input words, carrying a hash + a token count, never
+    line text) → ONE hash-keyed window (the same shuffle exact dedup
+    pays) → per-doc rollup.  No self-join, no all-pairs anywhere; hot
+    boilerplate lines cost one window partition each."""
+    t = Catalog(spark, sf_dir)
+    L = _LINE_LEN
+    wn = (
+        _doc_words(t)
+        .select("doc_id", F.expr("filter(w, x -> x <> '')").alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "w", F.size("w").cast("long").alias("n"))
+    )
+    inst = wn.select(
+        "doc_id",
+        "n",
+        "w",
+        F.explode(F.expr(f"sequence(0, cast((n - 1) div {L} as int))")).alias(
+            "li"
+        ),
+    ).select(
+        "doc_id",
+        F.col("li").cast("long").alias("line_idx"),
+        F.least(F.lit(L), F.col("n") - F.col("li") * L)
+        .cast("long")
+        .alias("n_toks"),
+        F.md5(
+            F.expr(f"concat_ws(' ', slice(w, li * {L} + 1, {L}))")
+        ).alias("lh"),
+    )
+    r = inst.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("lh").orderBy("doc_id", "line_idx")),
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                * 10000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("removed_line_frac"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
 @register("corpus_bpe_encode")
 def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION — encode the corpus with the merge table
@@ -5440,9 +5549,25 @@ chr AS (SELECT n_toks,
 chk AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
                CAST(COALESCE(sum(n_toks), 0) AS BIGINT) AS tokens_removed
         FROM chr WHERE rn > 1),
+ln AS (
+  SELECT doc_id, CAST(li AS BIGINT) AS line_idx,
+         CAST(least({_LINE_LEN}, n - li * {_LINE_LEN}) AS BIGINT) AS n_toks,
+         md5(array_to_string(
+           w[li * {_LINE_LEN} + 1 : li * {_LINE_LEN} + least({_LINE_LEN}, n - li * {_LINE_LEN})],
+           ' ')) AS lh
+  FROM wn, unnest(range(0, (n - 1) // {_LINE_LEN} + 1)) AS u(li)),
+lnr AS (SELECT n_toks,
+               row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_idx)
+                 AS rn
+        FROM ln),
+lnk AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+               CAST(COALESCE(sum(n_toks), 0) AS BIGINT) AS tokens_removed
+        FROM lnr WHERE rn > 1),
 u AS (
   SELECT 'exact_doc' AS policy, 'docs' AS unit, n_removed, tokens_removed
   FROM ex
+  UNION ALL
+  SELECT 'line_first_seen', 'lines', n_removed, tokens_removed FROM lnk
   UNION ALL
   SELECT 'lsh_pair_greedy', 'docs', n_removed, tokens_removed FROM lsh
   UNION ALL
@@ -5454,18 +5579,21 @@ FROM u, tot
 """,
 )
 def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-savings accounting across three dedup policies — the number
+    """Token-savings accounting across four dedup policies — the number
     a curation lead actually budgets by ("how many training tokens does
     each policy buy back"): exact whole-doc keep-first (drop every
-    non-canonical copy of an identical normalized text), greedy LSH-pair
-    keep (drop any doc with a near-dup candidate partner of smaller id at
-    est Jaccard >= 0.5 — the one-pass approximation of the
-    connected-components keep rule, whose transitive form is
+    non-canonical copy of an identical normalized text), line-level
+    first-seen (drop every non-overlapping {_LINE_LEN}-word line instance
+    whose hash already appeared — ``dedup_lines_ccnet``'s corpus total),
+    greedy LSH-pair keep (drop any doc with a near-dup candidate partner
+    of smaller id at est Jaccard >= 0.5 — the one-pass approximation of
+    the connected-components keep rule, whose transitive form is
     ``dedup_cluster_components``), and chunk-level first-seen (drop every
     64/48 chunk instance whose content hash already appeared at an
-    earlier (doc, position)).  Chunk savings count chunk tokens, which
-    overlap by 16 tokens per stride — the standard accounting for
-    chunk-granular dedup, stated per chunk instance.
+    earlier (doc, position)).  Line savings tile the document exactly;
+    chunk savings count chunk tokens, which overlap by 16 tokens per
+    stride — the standard accounting for chunk-granular dedup, stated per
+    chunk instance.
 
     Exactness: all counts integers; keep-first orders are deterministic
     (doc_id / (doc_id, chunk_idx)); est_jaccard compares the same exact
@@ -5488,6 +5616,14 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = exr.join(d, "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_removed"),
         F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("tokens_removed"),
+    )
+    lns = dedup_lines_ccnet(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_removed_lines"), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.sum(F.col("n_tokens") - F.col("tokens_kept")), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
     )
     lshdrop = (
         dedup_minhash_lsh(spark, sf_dir)
@@ -5522,6 +5658,14 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("docs").alias("unit"),
             "n_removed",
             "tokens_removed",
+        )
+        .unionAll(
+            lns.select(
+                F.lit("line_first_seen").alias("policy"),
+                F.lit("lines").alias("unit"),
+                "n_removed",
+                "tokens_removed",
+            )
         )
         .unionAll(
             lsh.select(

@@ -361,3 +361,12 @@ def test_lsh_calibration_scores_candidates_only(spark):
         if "Exchange hashpartitioning" in line:
             key = line.split("hashpartitioning(", 1)[1]
             assert not key.startswith("shingle"), line
+
+
+def test_round9_ops_stay_jvm_side(spark):
+    """r9 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere."""
+    for name in [
+        "dedup_lines_ccnet",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
