@@ -195,6 +195,7 @@ HEADLINE = [
     "corpus_vocab_coverage",          # r8: top-K vocab coverage sizing
     # round-9 operators:
     "dedup_lines_ccnet",              # r9: CCNet/C4 line-level dedup
+    "embedding_pq_eval",              # r9: product-quantization ADC eval
 ]
 
 

@@ -4101,7 +4101,7 @@ def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_idx)), and report per document how much of it was removed —
     line count, removed-line count and fraction, token count, and tokens
     surviving.  The synthetic corpus carries no newlines, so a "line" is
-    a consecutive non-overlapping {_LINE_LEN}-word segment (the final
+    a consecutive non-overlapping 16-word segment (the final
     partial segment counts) — unlike ``text_chunk_windows``'s overlapping
     64/48 windows, these tile the document exactly, so token accounting
     is exact.  This completes the dedup-granularity ladder: whole-doc
@@ -4114,7 +4114,7 @@ def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 grid.
 
     Scale (100 TB): one narrow corpus scan → bounded explode (one row
-    per {_LINE_LEN} input words, carrying a hash + a token count, never
+    per 16 input words, carrying a hash + a token count, never
     line text) → ONE hash-keyed window (the same shuffle exact dedup
     pays) → per-doc rollup.  No self-join, no all-pairs anywhere; hot
     boilerplate lines cost one window partition each."""
@@ -5500,6 +5500,245 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims/subspace × codebook size
+
+
+@register(
+    "embedding_pq_eval",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qq,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT vec_id AS k, emb AS cemb
+  FROM (SELECT vec_id, emb,
+               {_duck_hash("CAST(vec_id AS VARCHAR)")} AS hk
+        FROM e)
+  ORDER BY hk, vec_id LIMIT {_PQ_K}),
+cb AS (SELECT k, s, cemb[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS c
+       FROM seeds, unnest(range(0, {_PQ_M})) AS u(s)),
+sub AS (SELECT vec_id, s, emb[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sub
+        FROM e, unnest(range(0, {_PQ_M})) AS u(s)),
+dists AS (
+  SELECT vec_id, s, k, c,
+         list_dot_product(sub, sub) - 2 * list_dot_product(sub, c)
+           + list_dot_product(c, c) AS d
+  FROM sub JOIN cb USING (s)),
+asn AS (SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k)
+                   AS rn
+          FROM dists) WHERE rn = 1),
+recs AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS rec
+         FROM asn GROUP BY vec_id),
+r AS (SELECT e.vec_id, emb, qq, nrm, rec, list_dot_product(rec, rec) AS rr
+      FROM e JOIN recs USING (vec_id)),
+mse AS (SELECT vec_id,
+               CAST(floor((qq - 2 * list_dot_product(emb, rec) + rr)
+                          / {_PQ_M * _PQ_D} * 10000 + 0.5) AS BIGINT) AS mseq
+        FROM r),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS co,
+             round(a.qq - 2 * list_dot_product(a.emb, b.rec) + b.rr, 4) AS adc
+      FROM r a JOIN r b ON a.vec_id <> b.vec_id),
+rk AS (SELECT vec_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY co DESC, nb)
+                AS ro,
+              row_number() OVER (PARTITION BY vec_id ORDER BY adc, nb) AS ra
+       FROM p),
+h AS (SELECT vec_id,
+             sum(CASE WHEN ro <= 5 AND ra <= 5 THEN 1 ELSE 0 END) AS hits
+      FROM rk GROUP BY vec_id)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       floor(sum(hits) * 10000.0 / (5 * count(*)) + 0.5) / 10000
+         AS mean_recall5,
+       floor(sum(CASE WHEN hits = 5 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+             + 0.5) / 10000 AS frac_perfect,
+       floor(sum(mseq) * 1.0 / count(*) + 0.5) / 10000 AS mean_sq_err
+FROM h JOIN mse USING (vec_id)
+""",
+)
+def embedding_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval fidelity — the fourth standard
+    embedding-compression axis beside int8 scalar
+    (``embedding_int8_ranking``), sign-bit binary
+    (``similarity_hamming_binary``), and Matryoshka truncation
+    (``similarity_matryoshka_eval``): split each 64-dim vector into
+    m=8 subspaces of 8 dims, encode every subvector as its nearest of
+    K=16 codewords, and score asymmetric-distance top-5 retrieval
+    (full-precision query vs reconstructed database vectors, the ADC
+    regime every IVF-PQ index serves) against exact cosine top-5, plus
+    the mean squared reconstruction error.  The codebook per subspace is
+    the subvectors of the K lowest-hash vectors — the deterministic
+    stand-in for a k-means++ seeding pass that keeps the whole eval
+    oracle-able (reference precedent for the SVD/cosine retrieval eval
+    shape: /root/reference/src/models/cold_start_solutions.py:95-205).
+
+    Exactness: squared L2 is everywhere the dot-product identity
+    ||a||² - 2a·b + ||b||² over the shared sequential fold, so both
+    engines derive codes, reconstructions, and distances from identical
+    doubles; argmin tie-breaks on the codeword's seed id; ADC and cosine
+    quantize to 4dp with id tie-breaks before ranking; the two summary
+    rates and the MSE quantize to the 1e-4 grid per term.
+
+    Scale (100 TB): encoding is a broadcast join of the m·K=128-row
+    codebook against one bounded explode (m rows per vector) — map-side,
+    no shuffle beyond the per-(vector, subspace) argmin window; codes are
+    m bytes per vector.  The exact-cosine side and the all-pairs ADC scan
+    are the documented sampled-oracle regime every retrieval eval here
+    runs; a production index probes IVF buckets first
+    (``similarity_ivf_buckets``) and pays ADC only inside them."""
+    t = Catalog(spark, sf_dir)
+    e = (
+        _embeddings(t)
+        .withColumn("qq", _dot("emb", "emb"))
+        .localCheckpoint()
+    )
+    seeds = (
+        e.select(
+            F.col("vec_id").alias("k"),
+            F.col("emb").alias("cemb"),
+            _h(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "k")
+        .limit(_PQ_K)
+    )
+    cb = seeds.select(
+        "k",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
+                f" slice(cemb, s * {_PQ_D} + 1, {_PQ_D}) as c))"
+            )
+        ).alias("x"),
+    ).select("k", "x.s", "x.c")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
+                f" slice(emb, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sub")
+    dists = sub.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "k",
+        "c",
+        (_dot("sub", "sub") - 2 * _dot("sub", "c") + _dot("c", "c")).alias("d"),
+    )
+    asn = dists.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "k")),
+    ).filter(F.col("rn") == 1)
+    recs = asn.groupBy("vec_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(s, c))),"
+            " x -> x.c))"
+        ).alias("rec")
+    )
+    # re-spread after the join: AQE coalesces the tiny join output to few
+    # partitions, which would serialize the O(n²) probe scan below into a
+    # single task (the _embeddings docstring trap, post-join edition)
+    r = (
+        e.join(recs, "vec_id")
+        .withColumn("rr", _dot("rec", "rec"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    mse = r.select(
+        "vec_id",
+        F.floor(
+            (F.col("qq") - 2 * _dot("emb", "rec") + F.col("rr"))
+            / F.lit(_PQ_M * _PQ_D)
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mseq"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    # raw dots in one projection, r4 in the next: r4 references its input
+    # three times (isnan/signum/abs) and CollapseProject would re-evaluate
+    # an inlined interpreted fold each time (the int8 twin's pattern)
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+            (
+                F.col("a.qq") - 2 * _dot("a.emb", "b.rec") + F.col("b.rr")
+            ).alias("_adc_ab"),
+            (
+                F.col("b.qq") - 2 * _dot("b.emb", "a.rec") + F.col("a.rr")
+            ).alias("_adc_ba"),
+        )
+        .select(
+            "id_lo",
+            "id_hi",
+            r4("_co").alias("co"),
+            r4("_adc_ab").alias("adc_ab"),
+            r4("_adc_ba").alias("adc_ba"),
+        )
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("nb"),
+                    F.col("co").alias("co"),
+                    F.col("adc_ab").alias("adc"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("nb"),
+                    F.col("co").alias("co"),
+                    F.col("adc_ba").alias("adc"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ranked = pairs.select(
+        "vec_id",
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb"))
+        .alias("ro"),
+        F.row_number()
+        .over(W.partitionBy("vec_id").orderBy("adc", "nb"))
+        .alias("ra"),
+    )
+    h = ranked.groupBy("vec_id").agg(
+        F.sum(F.when((F.col("ro") <= 5) & (F.col("ra") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("hits")
+    )
+    n = F.count(F.lit(1))
+    return h.join(mse, "vec_id").agg(
+        n.cast("long").alias("n_vectors"),
+        (
+            F.floor(F.sum("hits") * 10000.0 / (5 * n) + F.lit(0.5)) / 10000.0
+        ).alias("mean_recall5"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("hits") == 5, 1).otherwise(0)) * 10000.0 / n
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_perfect"),
+        (F.floor(F.sum("mseq") * F.lit(1.0) / n + F.lit(0.5)) / 10000.0).alias(
+            "mean_sq_err"
+        ),
+    )
+
+
 @register(
     "dedup_savings_report",
     oracle=f"""
@@ -5583,7 +5822,7 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curation lead actually budgets by ("how many training tokens does
     each policy buy back"): exact whole-doc keep-first (drop every
     non-canonical copy of an identical normalized text), line-level
-    first-seen (drop every non-overlapping {_LINE_LEN}-word line instance
+    first-seen (drop every non-overlapping 16-word line instance
     whose hash already appeared — ``dedup_lines_ccnet``'s corpus total),
     greedy LSH-pair keep (drop any doc with a near-dup candidate partner
     of smaller id at est Jaccard >= 0.5 — the one-pass approximation of

@@ -368,5 +368,6 @@ def test_round9_ops_stay_jvm_side(spark):
     no Python UDF anywhere."""
     for name in [
         "dedup_lines_ccnet",
+        "embedding_pq_eval",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
