@@ -196,6 +196,7 @@ HEADLINE = [
     # round-9 operators:
     "dedup_lines_ccnet",              # r9: CCNet/C4 line-level dedup
     "embedding_pq_eval",              # r9: product-quantization ADC eval
+    "mm_ppm_pixel_stats",             # r9: SQL-domain PPM image decode
 ]
 
 

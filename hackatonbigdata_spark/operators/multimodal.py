@@ -727,3 +727,266 @@ def decode_wav_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " bits int, n_samples long, min_s long, max_s long, ssq long"
         ),
     )
+
+
+_PPM_BASE_W = 16  # widths 16/24/32/40, hash-decorrelated from doc_id
+
+
+def _duck_channel(c: int) -> str:
+    """DuckDB: per-channel byte list of an interleaved-RGB pixel string."""
+    return (
+        f"list_transform(range(0, npx),"
+        f" k -> ascii(substr(px, CAST(3 * k + {c + 1} AS BIGINT), 1)))"
+    )
+
+
+@register(
+    "mm_ppm_pixel_stats",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         {_PPM_BASE_W} + CAST(doc_id * 2654435761 % 4294967296 % 4 AS BIGINT)
+           * 8 AS w,
+         (n_chars // 3) AS npx_avail
+  FROM documents
+), dim AS (
+  SELECT doc_id, w, npx_avail // w AS h
+  FROM src WHERE npx_avail // w >= 1
+), pay AS (
+  SELECT d.doc_id,
+         'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+           || chr(10) || '255' || chr(10)
+           || substr(text, 1, CAST(3 * w * h AS BIGINT)) AS payload
+  FROM dim d JOIN documents USING (doc_id)
+), hdr AS (
+  SELECT doc_id, payload,
+         substr(payload, 1, 3) = 'P6' || chr(10) AS is_ppm,
+         split_part(payload, chr(10), 2) AS dims,
+         split_part(payload, chr(10), 3) AS ms
+  FROM pay
+), par AS (
+  SELECT doc_id, payload, is_ppm,
+         CAST(split_part(dims, ' ', 1) AS BIGINT) AS width,
+         CAST(split_part(dims, ' ', 2) AS BIGINT) AS height,
+         CAST(ms AS INTEGER) AS maxval,
+         3 + length(dims) + 1 + length(ms) + 1 AS hdr_len
+  FROM hdr
+), px AS (
+  SELECT doc_id, is_ppm, width, height, maxval,
+         width * height AS npx,
+         substr(payload, CAST(hdr_len + 1 AS BIGINT),
+                CAST(3 * width * height AS BIGINT)) AS px
+  FROM par
+), ch AS (
+  SELECT doc_id, is_ppm, width, height, maxval, npx,
+         {_duck_channel(0)} AS ra,
+         {_duck_channel(1)} AS ga,
+         {_duck_channel(2)} AS ba
+  FROM px
+)
+SELECT doc_id, is_ppm, width, height, maxval,
+       CAST(npx AS BIGINT) AS n_pixels,
+       CAST(list_min(ra) AS BIGINT) AS r_min,
+       CAST(list_max(ra) AS BIGINT) AS r_max,
+       round(CAST(list_sum(ra) AS BIGINT) * 1.0 / npx, 4) AS r_mean,
+       CAST(list_min(ga) AS BIGINT) AS g_min,
+       CAST(list_max(ga) AS BIGINT) AS g_max,
+       round(CAST(list_sum(ga) AS BIGINT) * 1.0 / npx, 4) AS g_mean,
+       CAST(list_min(ba) AS BIGINT) AS b_min,
+       CAST(list_max(ba) AS BIGINT) AS b_max,
+       round(CAST(list_sum(ba) AS BIGINT) * 1.0 / npx, 4) AS b_mean
+FROM ch
+""",
+)
+def mm_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode without any codec library — the second modality
+    of the honest decode boundary beside ``mm_wav_pcm_stats``: synthesize
+    a canonical binary PPM (P6) payload — ASCII header ``P6\\n<w> <h>\\n
+    255\\n`` + the doc bytes as interleaved 8-bit RGB — then DECODE it:
+    parse magic / width / height / maxval from the header the way a real
+    PPM reader does (the header is the bytes up to the third newline,
+    whatever the pixel data contains), address the pixel block at the
+    parsed header length, and compute per-channel min / max / mean over
+    the parsed ``width*height`` pixels.  The per-image pixel-stats pass
+    is the standard ingest QA a vision-data lake runs before any
+    transcode tier.  Widths vary 16/24/32/40 via the decorrelated doc_id
+    hash (same scheme as the WAV sample rates); images shorter than one
+    row are dropped on both engines.
+
+    Exactness: header fields and pixel bytes are integers parsed from
+    identical strings; per-channel sums are BIGINT; each mean is one
+    identical integer-ratio division quantized to 4dp.
+
+    Scale: a rowwise header parse + three bounded higher-order transforms
+    (each pixel byte read exactly once, by its own channel) — one output
+    row per asset straight out of the scan stage, no shuffle, no
+    explode.  The struct-level twin ``decode_ppm_kernel`` (mapInPandas)
+    is pinned equal by tests, completing the two-modality proof that the
+    codec stub is a library boundary only for COMPRESSED formats."""
+    t = Catalog(spark, sf_dir)
+    w = (
+        F.lit(_PPM_BASE_W)
+        + (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296) % 4) * 8
+    ).cast("long")
+    src = t.documents.select(
+        "doc_id",
+        "text",
+        w.alias("w"),
+        (F.col("n_chars") / 3).cast("long").alias("npx_avail"),
+    )
+    dim = src.select(
+        "doc_id",
+        "text",
+        "w",
+        F.expr("npx_avail div w").alias("h"),
+    ).filter(F.col("h") >= 1)
+    payload = F.concat(
+        F.lit("P6\n"),
+        F.col("w").cast("string"),
+        F.lit(" "),
+        F.col("h").cast("string"),
+        F.lit("\n255\n"),
+        F.expr("substr(text, 1, cast(3 * w * h as int))"),
+    )
+    pay = dim.select("doc_id", payload.alias("payload"))
+    hdr = pay.select(
+        "doc_id",
+        "payload",
+        (F.expr("substr(payload, 1, 3)") == "P6\n").alias("is_ppm"),
+        F.expr("split_part(payload, '\n', 2)").alias("dims"),
+        F.expr("split_part(payload, '\n', 3)").alias("ms"),
+    )
+    par = hdr.select(
+        "doc_id",
+        "payload",
+        "is_ppm",
+        F.expr("cast(split_part(dims, ' ', 1) as bigint)").alias("width"),
+        F.expr("cast(split_part(dims, ' ', 2) as bigint)").alias("height"),
+        F.col("ms").cast("int").alias("maxval"),
+        (F.lit(3) + F.length("dims") + 1 + F.length("ms") + 1).alias(
+            "hdr_len"
+        ),
+    )
+    px = par.select(
+        "doc_id",
+        "is_ppm",
+        "width",
+        "height",
+        "maxval",
+        (F.col("width") * F.col("height")).alias("npx"),
+        F.expr(
+            "substr(payload, cast(hdr_len + 1 as int),"
+            " cast(3 * width * height as int))"
+        ).alias("px"),
+    )
+
+    def channel(c: int):
+        return F.expr(
+            "transform(sequence(0, cast(npx as int) - 1),"
+            f" k -> cast(ascii(substr(px, 3 * k + {c + 1}, 1)) as bigint))"
+        )
+
+    ch = px.select(
+        "doc_id",
+        "is_ppm",
+        "width",
+        "height",
+        "maxval",
+        "npx",
+        channel(0).alias("ra"),
+        channel(1).alias("ga"),
+        channel(2).alias("ba"),
+    )
+    cols = ["doc_id", "is_ppm", "width", "height", "maxval"]
+    out = [F.col(c) for c in cols] + [F.col("npx").cast("long").alias("n_pixels")]
+    for nm, arr in [("r", "ra"), ("g", "ga"), ("b", "ba")]:
+        out += [
+            F.array_min(arr).cast("long").alias(f"{nm}_min"),
+            F.array_max(arr).cast("long").alias(f"{nm}_max"),
+        ]
+    raw = ch.select(
+        *out,
+        *[
+            F.expr(f"aggregate({arr}, cast(0 as bigint), (a, v) -> a + v)").alias(
+                f"_{nm}_sum"
+            )
+            for nm, arr in [("r", "ra"), ("g", "ga"), ("b", "ba")]
+        ],
+    )
+    return raw.select(
+        "doc_id",
+        "is_ppm",
+        "width",
+        "height",
+        "maxval",
+        "n_pixels",
+        "r_min",
+        "r_max",
+        r4(F.col("_r_sum") * F.lit(1.0) / F.col("n_pixels")).alias("r_mean"),
+        "g_min",
+        "g_max",
+        r4(F.col("_g_sum") * F.lit(1.0) / F.col("n_pixels")).alias("g_mean"),
+        "b_min",
+        "b_max",
+        r4(F.col("_b_sum") * F.lit(1.0) / F.col("n_pixels")).alias("b_mean"),
+    )
+
+
+def decode_ppm_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same PPM decode as a REAL Python decoder: byte-level header
+    parse + pixel iteration over the binary payload in an Arrow-batched
+    ``mapInPandas`` kernel.  tests pin its output equal to the oracled
+    pure-SQL decode ``mm_ppm_pixel_stats`` (same two-sided construction
+    as ``decode_wav_kernel`` / ``mm_wav_pcm_stats``)."""
+    t = Catalog(spark, sf_dir)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                w = 16 + (int(doc_id) * 2654435761 % 2**32 % 4) * 8
+                h = (len(body) // 3) // w
+                if h < 1:
+                    continue
+                payload = (
+                    b"P6\n" + f"{w} {h}".encode() + b"\n255\n"
+                    + body[: 3 * w * h]
+                )
+                # --- the decoder: header up to the 3rd newline, then RGB --
+                assert payload[:3] == b"P6\n"
+                nl2 = payload.index(b"\n", 3)
+                nl3 = payload.index(b"\n", nl2 + 1)
+                dims = payload[3:nl2].split(b" ")
+                width, height = int(dims[0]), int(dims[1])
+                maxval = int(payload[nl2 + 1 : nl3])
+                npx = width * height
+                pix = payload[nl3 + 1 : nl3 + 1 + 3 * npx]
+                chans = [pix[c::3] for c in range(3)]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "is_ppm": True,
+                        "width": width,
+                        "height": height,
+                        "maxval": maxval,
+                        "n_pixels": npx,
+                        "r_min": min(chans[0]), "r_max": max(chans[0]),
+                        "r_sum": sum(chans[0]),
+                        "g_min": min(chans[1]), "g_max": max(chans[1]),
+                        "g_sum": sum(chans[1]),
+                        "b_min": min(chans[2]), "b_max": max(chans[2]),
+                        "b_sum": sum(chans[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return t.documents.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, is_ppm boolean, width long, height long,"
+            " maxval int, n_pixels long, r_min long, r_max long, r_sum long,"
+            " g_min long, g_max long, g_sum long, b_min long, b_max long,"
+            " b_sum long"
+        ),
+    )

@@ -175,3 +175,35 @@ def test_wav_kernel_decode_equals_sql_decode(spark):
     rms = (got["ssq"] / got["n_samples"]).apply(math.sqrt)
     r4 = rms.apply(lambda x: math.floor(x * 10000 + 0.5) / 10000.0)
     assert (r4 == want["rms"]).all()
+
+
+def test_ppm_kernel_decode_equals_sql_decode(spark):
+    """The REAL Python PPM decoder (byte-level header parse + pixel
+    iteration, mapInPandas) must agree with the oracled pure-SQL decode
+    on every header field and channel statistic — the second modality of
+    the honest decode boundary."""
+    import math
+
+    from hackatonbigdata_spark.operators.multimodal import decode_ppm_kernel
+    from hackatonbigdata_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        decode_ppm_kernel(spark, sf).toPandas().set_index("doc_id").sort_index()
+    )
+    want = (
+        all_queries()["mm_ppm_pixel_stats"](spark, sf)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(want) > 0
+    for col in ["is_ppm", "width", "height", "maxval", "n_pixels",
+                "r_min", "r_max", "g_min", "g_max", "b_min", "b_max"]:
+        assert (got[col] == want[col]).all(), col
+    # channel means from the kernel's integer sums must reproduce exactly
+    for c in "rgb":
+        mean = (got[f"{c}_sum"] / got["n_pixels"]).apply(
+            lambda x: math.floor(x * 10000 + 0.5) / 10000.0
+        )
+        assert (mean == want[f"{c}_mean"]).all(), c

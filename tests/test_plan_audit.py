@@ -298,6 +298,7 @@ def test_multimodal_byte_kernels_have_no_byte_explode(spark):
         ("mm_payload_entropy", 0),
         ("mm_wav_pcm_stats", 0),
         ("mm_patch_byte_stats", 1),
+        ("mm_ppm_pixel_stats", 0),
     ]:
         plan = (
             QUERIES[name](spark, SF_DIR)
@@ -369,5 +370,6 @@ def test_round9_ops_stay_jvm_side(spark):
     for name in [
         "dedup_lines_ccnet",
         "embedding_pq_eval",
+        "mm_ppm_pixel_stats",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
