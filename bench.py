@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_lines_ccnet",              # r9: CCNet/C4 line-level dedup
     "embedding_pq_eval",              # r9: product-quantization ADC eval
     "mm_ppm_pixel_stats",             # r9: SQL-domain PPM image decode
+    "stream_hourly_bloom",            # r9: exact twin of the Bloom kernel
 ]
 
 

@@ -1543,3 +1543,120 @@ def stream_hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("cent") / F.lit(100.0)).alias("value"),
         )
     )
+
+
+BLOOM_M = 1024  # Bloom bits (== streaming/jobs.py kernel and llm gate)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(j_expr: str, u_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || ':' || "
+        f"CAST({u_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@register(
+    "stream_hourly_bloom",
+    oracle=f"""
+WITH c AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id
+           FROM events),
+jj AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+bits AS (SELECT DISTINCT hour, {_bloom_pos_sql('jj.j', 'c.user_id')} AS b
+         FROM c CROSS JOIN jj),
+bc AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_bits_set
+       FROM bits GROUP BY 1),
+nt AS (SELECT date_trunc('hour', ts) AS hour,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1)
+SELECT nt.hour, nt.n_total, bc.n_bits_set,
+       CASE WHEN bc.n_bits_set >= {BLOOM_M} THEN NULL
+            ELSE floor((-({BLOOM_M}.0 / {BLOOM_K}))
+                       * ln(1 - bc.n_bits_set * 1.0 / {BLOOM_M})
+                       * 10000 + 0.5) / 10000 END AS est_users,
+       nt.n_users
+FROM nt JOIN bc USING (hour)
+""",
+)
+def stream_hourly_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour Bloom-filter membership state, computed EXACTLY in batch:
+    for each hour, the number of bits the hour's user ids light in a
+    1024-bit / 4-hash Bloom filter (Bloom 1970), the Swamidass-Baldi
+    fill-rate cardinality estimate -(m/k)·ln(1 - b/m), and the exact
+    distinct-user count the estimate approximates.  The lit-bit set is
+    reconstructed as a DISTINCT over the engine-shared md5 positions
+    md5("j:user") mod m — the same rule ``dedup_bloom_gate`` uses for
+    its document-digest gate — so this twin IS the sketch's ground
+    truth, not an approximation of it.
+
+    Batch twin of the bounded-state ``streaming/jobs.py:
+    bloom_membership_stream`` kernel (<= 1024 bits per hour bucket,
+    O(k) per event), which the streaming tests pin EQUAL to this query —
+    Bloom state is a pure OR-fold (idempotent set union), the strongest
+    commutativity class in the sketch family, so equality holds at every
+    scale with no under-budget caveat.
+
+    Exactness: bit positions and counts are integers; b/m is a dyadic
+    ratio (m = 1024), so the ln argument is bit-identical cross-engine
+    and the one estimate quantizes to the 1e-4 grid.
+
+    Scale: one (hour, user) distinct — the only event-wide shuffle —
+    then a bounded (hour, 4·distinct) position explode and per-hour
+    counts; at 100 TB the streaming twin replaces the distinct with the
+    fixed m-bit array per hour."""
+    t = Catalog(spark, sf_dir)
+    c = t.events.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).distinct()
+    jj = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def pos(j_col, u_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j_col.cast("string"),
+                            F.lit(":"),
+                            u_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+
+    bits = (
+        c.crossJoin(F.broadcast(jj))
+        .select("hour", pos(F.col("j"), F.col("user_id")).alias("b"))
+        .distinct()
+    )
+    bc = bits.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits_set")
+    )
+    nt = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return nt.join(bc, "hour").select(
+        "hour",
+        "n_total",
+        "n_bits_set",
+        F.when(F.col("n_bits_set") >= BLOOM_M, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                (-(float(BLOOM_M) / BLOOM_K))
+                * F.log(1 - F.col("n_bits_set") * F.lit(1.0) / BLOOM_M)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        )
+        .alias("est_users"),
+        "n_users",
+    )

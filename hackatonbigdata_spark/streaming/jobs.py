@@ -1831,3 +1831,130 @@ def value_quantiles_histogram_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- Bloom filter: per-hour bounded-memory membership gate ------------------
+
+BLOOM_M = 1024  # bits (== dedup_bloom_gate's batch grid)
+BLOOM_K = 4  # hash functions
+
+
+def bloom_pos(j: int, key, m: int = BLOOM_M) -> int:
+    """Engine-shared bit position: first 8 md5 hex chars of ``"j:key"``
+    mod m — the identical expression the oracled batch twin
+    ``stream_hourly_bloom`` and the batch gate ``dedup_bloom_gate``
+    evaluate in SQL, so stream and batch light the same bits."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    return int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:8], 16) % m
+
+
+def bloom_update(bits: set, items, m: int = BLOOM_M, k: int = BLOOM_K) -> set:
+    """Fold ``items`` into the lit-bit set (mutates and returns it).
+    The state transition is pure set union of per-item bit positions —
+    IDEMPOTENT, MONOTONE, and fully order-, chunking-, duplication- and
+    merge-commutative: the strongest invariance class in the sketch
+    family (even replays change nothing), which is what makes a Bloom
+    gate safe to shard and replay at ingest.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): the
+    state IS the union of the k positions of every distinct key seen;
+    |bits| <= min(m, k * n_distinct); folding a key twice equals folding
+    it once; any chunking/permutation yields the identical set."""
+    for key in items:
+        for j in range(k):
+            bits.add(bloom_pos(j, key, m))
+    return bits
+
+
+def bloom_estimate(bits: set, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Swamidass-Baldi cardinality estimate from the fill rate:
+    -(m/k) * ln(1 - b/m), quantized to the engine's 1e-4 grid — the
+    same double expression the batch twin evaluates in SQL.  None once
+    the filter is saturated (every bit lit)."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    b = len(bits)
+    if b >= m:
+        return None
+    return (
+        math.floor((-(m / k)) * math.log(1.0 - b / float(m)) * 10000 + 0.5)
+        / 10000.0
+    )
+
+
+def bloom_membership_stream(
+    events: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Per-hour Bloom membership gate with BOUNDED state: each hour
+    bucket holds one m-bit Bloom filter (Bloom 1970) over the hour's
+    user ids — at most m bits no matter how many distinct users arrive,
+    the membership member of the bounded-state sketch family
+    (space-saving top-k, KMV distinct, bottom-k sample, DGIM trailing
+    count, count-min, grid histogram) and the live counterpart of the
+    batch ingestion gate ``dedup_bloom_gate``.  Each micro-batch
+    re-emits the bucket's current lit-bit count and fill-rate cardinality
+    estimate stamped with ``n_total`` events absorbed, so the final row
+    per hour is the one with the maximum n_total.
+
+    Bloom state is a pure OR-fold (set union of bit positions) —
+    idempotent and fully order-, chunking-, duplication- and
+    merge-commutative — so no out-of-order buffer is needed and the
+    final n_bits_set / est_users equal the oracled batch twin
+    ``stream_hourly_bloom`` EXACTLY at every scale (the twin
+    reconstructs the same lit-bit set as a DISTINCT over the same md5
+    positions).  State evicts by event-time timeout once the watermark
+    passes the hour end, mirroring the other sketch kernels."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, n_bits_set long, est_users double"
+    )
+    state_schema = "bits array<long>, n long"
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            stored, n = state.get
+            bits = set(stored)
+        else:
+            bits, n = set(), 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(int(u) for u in pdf["user_id"])
+        if not items:
+            return
+        n += len(items)
+        bloom_update(bits, items, m, k)
+        state.update((sorted(bits), n))
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "n_bits_set": len(bits),
+                    "est_users": bloom_estimate(bits, m, k),
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

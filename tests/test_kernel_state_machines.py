@@ -479,3 +479,37 @@ def test_histogram_quantile_invariants_under_any_chunking(tape, cuts):
                 k = (n * pct + 99) // 100
                 assert cent == srt[k - 1]
     assert counter == hist_update({}, tape)
+
+
+@given(
+    st.lists(st.integers(0, 30), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_bloom_bits_invariants_under_any_chunking(tape, cuts):
+    """Bloom-fold invariants after every chunk boundary, for any item
+    order, duplication, and chunking: the state IS the union of the k
+    bit positions of every distinct key seen so far (a pure idempotent
+    set-union property — the strongest commutativity class in the sketch
+    family), it never exceeds min(m, k*n_distinct) bits, replays change
+    nothing, and merging two independently-folded tapes equals folding
+    the concatenation."""
+    from hackatonbigdata_spark.streaming.jobs import bloom_pos, bloom_update
+
+    m, k = 16, 2
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    bits: set = set()
+    done = 0
+    for b in bounds:
+        bloom_update(bits, tape[done:b], m, k)
+        done = b
+        seen = set(tape[:done])
+        want = {bloom_pos(j, x, m) for x in seen for j in range(k)}
+        assert bits == want
+        assert len(bits) <= min(m, k * len(seen))
+        # idempotence: replaying everything seen so far changes nothing
+        assert bloom_update(set(bits), tape[:done], m, k) == bits
+    # merge-commutativity: independent halves union to the full fold
+    half = len(tape) // 2
+    a = bloom_update(set(), tape[:half], m, k)
+    c = bloom_update(set(), tape[half:], m, k)
+    assert a | c == bloom_update(set(), tape, m, k)

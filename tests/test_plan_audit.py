@@ -371,5 +371,6 @@ def test_round9_ops_stay_jvm_side(spark):
         "dedup_lines_ccnet",
         "embedding_pq_eval",
         "mm_ppm_pixel_stats",
+        "stream_hourly_bloom",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -1159,3 +1159,69 @@ def test_quantile_histogram_kernel_across_batches(spark, tmp_path):
     for r in final.itertuples():
         assert int(r.cent) == want[int(r.pct)]
         assert float(r.value) == want[int(r.pct)] / 100.0
+
+
+def test_bloom_stream_matches_batch_twin(spark, events_stream):
+    """The Bloom membership kernel's final per-hour lit-bit count and
+    fill-rate estimate must equal the oracled batch twin
+    ``stream_hourly_bloom`` EXACTLY — Bloom state is a pure OR-fold
+    (idempotent set union, order/chunking/duplication/merge
+    commutative), so equality holds at every scale with no under-budget
+    caveat, and the twin reconstructs the very same lit-bit set as a
+    DISTINCT over the shared md5 positions."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_bloom,
+    )
+
+    jobs.run_to_memory(
+        jobs.bloom_membership_stream(events_stream), "t_bloom", "update"
+    )
+    emitted = spark.table("t_bloom").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    f = (
+        final[["hour", "n_total", "n_bits_set", "est_users"]]
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    e = _sorted_pdf(
+        stream_hourly_bloom(spark, SF_DIR).select(
+            "hour", "n_total", "n_bits_set", "est_users"
+        ),
+        ["hour"],
+    )
+    pd.testing.assert_frame_equal(f, e, check_dtype=False, check_names=False)
+
+
+def test_bloom_kernel_saturation_across_batches(spark, tmp_path):
+    """3-file stream with a TINY m=16/k=2 filter and 12 distinct users
+    (including replays): the final lit-bit set must equal the pure-Python
+    fold over the full multiset, replayed users must not move it, the
+    estimate must match bloom_estimate on the same bits, and the scenario
+    must light enough bits that the estimator visibly overcounts a
+    fresh-key probe regime — pinning the Spark state plumbing in the
+    high-fill regime the sf-data twin test never reaches."""
+    files = [
+        [(0, 0), (0, 1), (1, 2), (1, 3), (2, 0)],
+        [(3, 4), (3, 5), (4, 6), (4, 0), (5, 7)],
+        [(6, 8), (6, 9), (7, 10), (7, 11), (8, 1)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.bloom_membership_stream(stream, m=16, k=2), "t_bloom_mb", "update"
+    )
+    emitted = spark.table("t_bloom_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    assert len(final) == 1
+    all_users = [u for rows in files for _, u in rows]
+    bits = jobs.bloom_update(set(), all_users, m=16, k=2)
+    assert int(final["n_total"].iloc[0]) == len(all_users) == 15
+    assert int(final["n_bits_set"].iloc[0]) == len(bits)
+    want = jobs.bloom_estimate(bits, m=16, k=2)
+    got = final["est_users"].iloc[0]
+    if want is None:
+        assert pd.isna(got)
+    else:
+        assert float(got) == want
+    # high-fill regime reached: >= half the bits lit by 12 distinct keys
+    assert len(bits) >= 8
