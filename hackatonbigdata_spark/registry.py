@@ -62,68 +62,36 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 8 BUDGET (50-slot driver window) ============================
-    # Plan: (1) every name whose code is new or edited in r8 leads (32
-    # names by round end); (2) the ENTIRE 18-name r2-latest backlog (r7
-    # verdict "missing" #1) is retired — that fills the window exactly;
-    # the 39 r3-latest names (all oracled) queue for the r9 rotation.
-    # Oracled names outrank rows-only names of equal staleness (r7
-    # verdict "wrong" #1) — the one rows-only r8 name (corpus_bpe_encode)
-    # sits last in the r8-edited block for exactly that reason.
-    # --- round 8: new queries and edited-after-r7-check code --------------
-    "corpus_vocab_coverage",  # r8 NEW: top-K vocab coverage sizing report
-    "corpus_novelty_curve",  # r8 NEW: first-occurrence novelty by doc order
-    "text_winnowing_stats",  # r8 NEW: robust winnowing fingerprints
-    "corpus_cross_source_overlap",  # r8 NEW: cross-source leakage matrix
-    "corpus_ccnet_buckets",  # r8 NEW: CCNet per-source LM terciles
-    "text_bigram_logprob",  # r8: score core factored into _bigram_nl_scores
-    "quality_classifier_gd",  # r8 NEW: exact-GD logistic quality classifier
-    "stream_hourly_cms",  # r8 NEW: exact twin of the count-min kernel
-    "dedup_bloom_gate",  # r8 NEW: Bloom-filter ingestion gate
-    "stream_hourly_value_quantiles",  # r8 NEW: exact twin, histogram kernel
-    "corpus_budget_selection",  # r8 NEW: token-budget greedy selection
-    "dedup_savings_report",  # r8 NEW: token savings per dedup policy
-    "embedding_int8_ranking",  # r8 NEW: int8 retrieval fidelity eval
-    "dedup_chunk_incremental",  # r8 NEW: ingestion-gate chunk dedup
-    "corpus_source_kl",  # r8 NEW: per-source KL vs corpus unigrams
-    "corpus_source_report",  # r8 NEW: per-source curation dashboard
-    "search_hybrid_rrf",  # r8 NEW: BM25 + cosine reciprocal-rank fusion
-    "stream_user_trailing_count",  # r8 NEW: exact twin of the DGIM kernel
-    "corpus_vocab_growth",  # r8 NEW: Heaps-law vocabulary growth curve
-    "stream_hourly_sample",  # r8 NEW: exact twin of the bottom-k kernel
-    "dedup_lsh_calibration",  # r8 NEW: MinHash estimator calibration
-    "dedup_minhash_lsh",  # r8: candidate generation split into shared helper
-    "corpus_mixture_temperature",  # r8 NEW: temperature-sampled mixture
-    "similarity_matryoshka_eval",  # r8 NEW: truncation retrieval ablation
-    "similarity_hamming_binary",  # r8 NEW: sign-bit Hamming retrieval eval
-    "corpus_dsir_weights",  # r8 NEW: DSIR importance weighting
-    "stream_hourly_distinct",  # r8 NEW: exact twin of the KMV stream kernel
-    "dedup_chunk_hashes",  # r8 NEW: chunk-level dedup over chunk hashes
-    "mm_payload_entropy",  # r8: order-free 1e-4-grid entropy fold
-    "text_gopher_rules",  # r8: quantized r_symbol band edge
-    "dedup_pipeline_report",  # r8: broadcast hints dropped (AQE decides)
-    "corpus_bpe_encode",  # r8 NEW: BPE application (rows-only, pinned)
-    # --- r2-latest backlog: all 18, retired this round --------------------
-    "union_slices",
-    "topk_orders_by_value",
-    "cooccurrence_pairs",
-    "join_integrity_check",
-    "data_quality_profile",
-    "binning_quantile_ntile",
-    "window_lag_family",
-    "window_rolling_stats",
-    "window_rolling_median_skew",
-    "window_rolling_slope",
-    "window_rank_volume",
-    "window_interarrival",
-    "window_zero_streaks",
-    "window_seasonal_dow",
-    "window_centered_smoothing",
-    "window_growth_cap",
-    "holt_level_trend",
-    "window_rolling_multiscale",
-    # --- oldest remaining evidence: the 39 r3-latest names (~26 fit the
-    #     window; the tail below the cut queues for the r9 rotation) ------
+    # === ROUND 9 BUDGET (50-slot driver window) ============================
+    # Plan: (1) every name whose code is new or edited in r9 leads (6
+    # names — all fully oracled); (2) the ENTIRE 39-name r3-latest backlog
+    # (r8 verdict "missing" #1) is retired; (3) the remaining 5 slots
+    # start on the 39-name r4-latest backlog, oracled names first (the 34
+    # r4 names below the cut — incl. the 9 rows-only MLlib/kernel names,
+    # which rank last at equal staleness — queue for the r10 rotation:
+    # postproc_seasonal_nudge, kpi_quality_bands, error_decomposition_brand,
+    # cv_blocked_folds, kpi_directional_accuracy, meta_features_ensemble,
+    # flagship_weekly_brand_demand, stream_session_windows,
+    # stream_dedup_within_watermark, event_cohort_retention,
+    # event_funnel_conversion, join_asof_view_attribution,
+    # stream_tumbling_hourly, stream_threshold_alerts,
+    # stream_json_props_extract, stream_sliding_1h_30m,
+    # stream_alert_rate_limit, stream_late_data_policy,
+    # io_compact_roundtrip, io_upsert_roundtrip, sample_stratified_split,
+    # contamination_ngram_overlap, seqpack_greedy_bins,
+    # text_repetition_ratio, text_unigram_logprob, then the rows-only
+    # zero_inflated_hurdle_mllib, dedup_minhash_mllib,
+    # similarity_ivf_kmeans, similarity_pca_cosine, calibration_isotonic,
+    # holt_winters_per_series, similarity_brp_lsh_mllib,
+    # sequential_clamp_per_series, rolling_autocorr_per_series.)
+    # --- round 9: new queries and edited-after-r8-check code --------------
+    "dedup_lsh_calibration",  # r9: candidates-only true-Jaccard scoring
+    "dedup_lines_ccnet",  # r9 NEW: CCNet/C4 line-level keep-first dedup
+    "dedup_savings_report",  # r9: + line_first_seen policy row
+    "embedding_pq_eval",  # r9 NEW: product-quantization ADC retrieval eval
+    "mm_ppm_pixel_stats",  # r9 NEW: codec-free PPM (P6) image decode
+    "stream_hourly_bloom",  # r9 NEW: exact twin of the Bloom stream kernel
+    # --- r3-latest backlog: all 39, retired this round ---------------------
     "agg_multistat_product",
     "agg_moments_brand",
     "agg_distinct_counts",
@@ -163,6 +131,12 @@ _PRIORITY: list[str] = [
     "text_token_count",
     "text_fingerprint",
     "multimodal_binary_metadata",
+    # --- oldest remaining evidence: first 5 of the 39 r4-latest names -----
+    "customer_proxy_daily",
+    "agg_salted_skew",
+    "metric_wmape_by_store",
+    "intermittency_classify",
+    "postproc_business_rules",
 ]
 
 
