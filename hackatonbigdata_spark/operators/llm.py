@@ -5590,7 +5590,7 @@ def embedding_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     m bytes per vector.  The exact-cosine side and the all-pairs ADC scan
     are the documented sampled-oracle regime every retrieval eval here
     runs; a production index probes IVF buckets first
-    (``similarity_ivf_buckets``) and pays ADC only inside them."""
+    (``similarity_ivf_bucketed``) and pays ADC only inside them."""
     t = Catalog(spark, sf_dir)
     e = (
         _embeddings(t)
