@@ -198,6 +198,7 @@ HEADLINE = [
     "embedding_pq_eval",              # r9: product-quantization ADC eval
     "mm_ppm_pixel_stats",             # r9: SQL-domain PPM image decode
     "stream_hourly_bloom",            # r9: exact twin of the Bloom kernel
+    "similarity_ivfpq_topk",          # r9: composed IVF-PQ index eval
 ]
 
 

@@ -5503,15 +5503,74 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims/subspace × codebook size
 
 
-@register(
-    "embedding_pq_eval",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qq,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-           AS nrm
-  FROM embeddings),
+def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Product-quantize an ``_embeddings``-shaped table (vec_id, emb, nrm,
+    qq) and return it extended with the PQ reconstruction: per vector,
+    each of the m={_PQ_M} 8-dim subvectors snapped to its nearest of
+    K={_PQ_K} codewords (the subvectors of the K lowest-hash vectors — a
+    deterministic, oracle-able k-means-seeding stand-in), plus
+    rr = <rec, rec>.  Shared by ``embedding_pq_eval`` (compression
+    fidelity) and ``similarity_ivfpq_topk`` (the composed IVF-PQ index
+    eval), so both score the identical codes.
+
+    The output is repartitioned before its checkpoint: AQE coalesces the
+    tiny join output to few partitions, which would serialize any O(n²)
+    probe scan built on top into a single task."""
+    seeds = (
+        e.select(
+            F.col("vec_id").alias("k"),
+            F.col("emb").alias("cemb"),
+            _h(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "k")
+        .limit(_PQ_K)
+    )
+    cb = seeds.select(
+        "k",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
+                f" slice(cemb, s * {_PQ_D} + 1, {_PQ_D}) as c))"
+            )
+        ).alias("x"),
+    ).select("k", "x.s", "x.c")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
+                f" slice(emb, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sub")
+    dists = sub.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "k",
+        "c",
+        (_dot("sub", "sub") - 2 * _dot("sub", "c") + _dot("c", "c")).alias("d"),
+    )
+    asn = dists.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "k")),
+    ).filter(F.col("rn") == 1)
+    recs = asn.groupBy("vec_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(s, c))),"
+            " x -> x.c))"
+        ).alias("rec")
+    )
+    return (
+        e.join(recs, "vec_id")
+        .withColumn("rr", _dot("rec", "rec"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+
+
+# the codebook/encode/reconstruction chain of _pq_reconstructed, as DuckDB
+# CTEs (expects an ``e(vec_id, emb, qq, nrm)`` CTE upstream)
+_DUCK_PQ_RECS = f"""
 seeds AS (
   SELECT vec_id AS k, emb AS cemb
   FROM (SELECT vec_id, emb,
@@ -5535,7 +5594,20 @@ asn AS (SELECT vec_id, s, c FROM (
 recs AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS rec
          FROM asn GROUP BY vec_id),
 r AS (SELECT e.vec_id, emb, qq, nrm, rec, list_dot_product(rec, rec) AS rr
-      FROM e JOIN recs USING (vec_id)),
+      FROM e JOIN recs USING (vec_id))
+"""
+
+
+@register(
+    "embedding_pq_eval",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qq,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+{_DUCK_PQ_RECS},
 mse AS (SELECT vec_id,
                CAST(floor((qq - 2 * list_dot_product(emb, rec) + rr)
                           / {_PQ_M * _PQ_D} * 10000 + 0.5) AS BIGINT) AS mseq
@@ -5597,59 +5669,7 @@ def embedding_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qq", _dot("emb", "emb"))
         .localCheckpoint()
     )
-    seeds = (
-        e.select(
-            F.col("vec_id").alias("k"),
-            F.col("emb").alias("cemb"),
-            _h(F.col("vec_id").cast("string")).alias("hk"),
-        )
-        .orderBy("hk", "k")
-        .limit(_PQ_K)
-    )
-    cb = seeds.select(
-        "k",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
-                f" slice(cemb, s * {_PQ_D} + 1, {_PQ_D}) as c))"
-            )
-        ).alias("x"),
-    ).select("k", "x.s", "x.c")
-    sub = e.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
-                f" slice(emb, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
-            )
-        ).alias("x"),
-    ).select("vec_id", "x.s", "x.sub")
-    dists = sub.join(F.broadcast(cb), "s").select(
-        "vec_id",
-        "s",
-        "k",
-        "c",
-        (_dot("sub", "sub") - 2 * _dot("sub", "c") + _dot("c", "c")).alias("d"),
-    )
-    asn = dists.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "k")),
-    ).filter(F.col("rn") == 1)
-    recs = asn.groupBy("vec_id").agg(
-        F.expr(
-            "flatten(transform(array_sort(collect_list(struct(s, c))),"
-            " x -> x.c))"
-        ).alias("rec")
-    )
-    # re-spread after the join: AQE coalesces the tiny join output to few
-    # partitions, which would serialize the O(n²) probe scan below into a
-    # single task (the _embeddings docstring trap, post-join edition)
-    r = (
-        e.join(recs, "vec_id")
-        .withColumn("rr", _dot("rec", "rec"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint()
-    )
+    r = _pq_reconstructed(spark, e)
     mse = r.select(
         "vec_id",
         F.floor(
@@ -5736,6 +5756,234 @@ def embedding_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sum("mseq") * F.lit(1.0) / n + F.lit(0.5)) / 10000.0).alias(
             "mean_sq_err"
         ),
+    )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qq,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+{_DUCK_PQ_RECS},
+c AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.cemb)
+                                           / (e.nrm * c.cnrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+buckets AS (SELECT vec_id, centroid_id AS bucket_id FROM assign0
+            WHERE rn = 1),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS co
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ex3 AS (SELECT vec_id, nb FROM (
+          SELECT vec_id, nb,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY co DESC, nb) AS ro
+          FROM p) WHERE ro <= 3),
+bp AS (SELECT ra.vec_id AS vec_id, rb.vec_id AS nb,
+              round(ra.qq - 2 * list_dot_product(ra.emb, rb.rec) + rb.rr, 4)
+                AS adc
+       FROM r ra
+       JOIN buckets ba ON ba.vec_id = ra.vec_id
+       JOIN buckets bb ON bb.bucket_id = ba.bucket_id
+                      AND bb.vec_id <> ra.vec_id
+       JOIN r rb ON rb.vec_id = bb.vec_id),
+pq3 AS (SELECT vec_id, nb FROM (
+          SELECT vec_id, nb,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY adc, nb) AS rq
+          FROM bp) WHERE rq <= 3),
+h AS (SELECT ex3.vec_id,
+             CAST(sum(CASE WHEN pq3.nb IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN bv.bucket_id = bn.bucket_id THEN 1 ELSE 0
+                      END) AS BIGINT) AS ceil_hits
+      FROM ex3
+      LEFT JOIN pq3 ON pq3.vec_id = ex3.vec_id AND pq3.nb = ex3.nb
+      JOIN buckets bv ON bv.vec_id = ex3.vec_id
+      JOIN buckets bn ON bn.vec_id = ex3.nb
+      GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       floor(sum(hits) * 10000.0 / (3 * count(*)) + 0.5) / 10000
+         AS mean_recall3,
+       floor(sum(ceil_hits) * 10000.0 / (3 * count(*)) + 0.5) / 10000
+         AS bucket_ceiling3,
+       floor(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+             + 0.5) / 10000 AS frac_perfect
+FROM h
+""",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index — the FAISS-default production ANN
+    layout, assembled from the engine's two proven pieces: coarse IVF
+    assignment (nearest of {_N_IVF_CENTROIDS} deterministic centroids by
+    cosine, ``similarity_ivf_bucketed``'s rule) selects the probe bucket,
+    and PQ asymmetric distance (``embedding_pq_eval``'s codes via the
+    shared ``_pq_reconstructed`` helper) ranks inside it.  Reports
+    recall@3 of the composed index against exact cosine top-3 over the
+    WHOLE corpus, next to the bucket CEILING (the fraction of exact
+    neighbors that share the query's bucket at all) — so the index
+    owner reads exactly how much recall each stage costs: ceiling - 1 is
+    the IVF loss, recall - ceiling is the additional quantization loss.
+    Completes the retrieval ladder exact → IVF → PQ → IVF-PQ.
+
+    Exactness: every building block reuses its already-oracled
+    construction — r4-quantized cosine with id tie-breaks for the
+    assignment and the exact ranking, exact-double argmin codes, ADC via
+    the dot-product identity quantized to 4dp; the three summary rates
+    quantize to the 1e-4 grid.
+
+    Scale: the exact-top-3 side is the documented sampled-oracle regime
+    (it exists to measure the index); the INDEX side is the 100 TB
+    path — assignment is a broadcast join against {_N_IVF_CENTROIDS}
+    centroids, ADC pairs come from the bucket equi-join only (n²/buckets,
+    never all-pairs), and codes are m bytes per vector."""
+    t = Catalog(spark, sf_dir)
+    e = (
+        _embeddings(t)
+        .withColumn("qq", _dot("emb", "emb"))
+        .localCheckpoint()
+    )
+    r = _pq_reconstructed(spark, e)
+    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias(
+                "_ccos_raw"
+            ),
+        )
+        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), "centroid_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("bucket_id"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ex3 = (
+        pairs.withColumn(
+            "ro",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
+            ),
+        )
+        .filter(F.col("ro") <= 3)
+        .select("vec_id", "nb")
+    )
+    ea = r.join(assign, "vec_id")
+    qa, xb = ea.alias("qa"), ea.alias("xb")
+    bp = (
+        qa.join(
+            xb,
+            (F.col("qa.bucket_id") == F.col("xb.bucket_id"))
+            & (F.col("qa.vec_id") != F.col("xb.vec_id")),
+        )
+        .select(
+            F.col("qa.vec_id").alias("vec_id"),
+            F.col("xb.vec_id").alias("nb"),
+            (
+                F.col("qa.qq")
+                - 2 * _dot("qa.emb", "xb.rec")
+                + F.col("xb.rr")
+            ).alias("_adc"),
+        )
+        .select("vec_id", "nb", r4("_adc").alias("adc"))
+    )
+    pq3 = (
+        bp.withColumn(
+            "rq",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("adc", "nb")
+            ),
+        )
+        .filter(F.col("rq") <= 3)
+        .select("vec_id", "nb", F.lit(1).alias("hit"))
+    )
+    h = (
+        ex3.join(pq3, ["vec_id", "nb"], "left")
+        .join(assign.select("vec_id", F.col("bucket_id").alias("bv")), "vec_id")
+        .join(
+            assign.select(
+                F.col("vec_id").alias("nb"), F.col("bucket_id").alias("bn")
+            ),
+            "nb",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+            F.sum(F.when(F.col("bv") == F.col("bn"), 1).otherwise(0))
+            .cast("long")
+            .alias("ceil_hits"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return h.agg(
+        n.cast("long").alias("n_vectors"),
+        (
+            F.floor(F.sum("hits") * 10000.0 / (3 * n) + F.lit(0.5)) / 10000.0
+        ).alias("mean_recall3"),
+        (
+            F.floor(F.sum("ceil_hits") * 10000.0 / (3 * n) + F.lit(0.5))
+            / 10000.0
+        ).alias("bucket_ceiling3"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("hits") == 3, 1).otherwise(0))
+                * 10000.0
+                / n
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("frac_perfect"),
     )
 
 

@@ -63,13 +63,13 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 9 BUDGET (50-slot driver window) ============================
-    # Plan: (1) every name whose code is new or edited in r9 leads (6
+    # Plan: (1) every name whose code is new or edited in r9 leads (7
     # names — all fully oracled); (2) the ENTIRE 39-name r3-latest backlog
     # (r8 verdict "missing" #1) is retired; (3) the remaining 5 slots
-    # start on the 39-name r4-latest backlog, oracled names first (the 34
+    # start on the 39-name r4-latest backlog, oracled names first (the 35
     # r4 names below the cut — incl. the 9 rows-only MLlib/kernel names,
     # which rank last at equal staleness — queue for the r10 rotation:
-    # postproc_seasonal_nudge, kpi_quality_bands, error_decomposition_brand,
+    # postproc_business_rules, postproc_seasonal_nudge, kpi_quality_bands, error_decomposition_brand,
     # cv_blocked_folds, kpi_directional_accuracy, meta_features_ensemble,
     # flagship_weekly_brand_demand, stream_session_windows,
     # stream_dedup_within_watermark, event_cohort_retention,
@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "embedding_pq_eval",  # r9 NEW: product-quantization ADC retrieval eval
     "mm_ppm_pixel_stats",  # r9 NEW: codec-free PPM (P6) image decode
     "stream_hourly_bloom",  # r9 NEW: exact twin of the Bloom stream kernel
+    "similarity_ivfpq_topk",  # r9 NEW: composed IVF-PQ index recall eval
     # --- r3-latest backlog: all 39, retired this round ---------------------
     "agg_multistat_product",
     "agg_moments_brand",
@@ -136,7 +137,6 @@ _PRIORITY: list[str] = [
     "agg_salted_skew",
     "metric_wmape_by_store",
     "intermittency_classify",
-    "postproc_business_rules",
 ]
 
 

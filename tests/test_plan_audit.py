@@ -372,5 +372,6 @@ def test_round9_ops_stay_jvm_side(spark):
         "embedding_pq_eval",
         "mm_ppm_pixel_stats",
         "stream_hourly_bloom",
+        "similarity_ivfpq_topk",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

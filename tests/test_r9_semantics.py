@@ -304,3 +304,15 @@ def test_dedup_lsh_calibration_matches_python(spark):
         assert row.n_true_dups == dups, row.est_jaccard
     # the calibration must span estimate levels (planted near-dups exist)
     assert len(got) >= 2
+
+
+def test_similarity_ivfpq_recall_bounded_by_bucket_ceiling(spark):
+    """Structural invariants of the composed index: PQ candidates come
+    only from the query's own bucket, so the composed recall can never
+    exceed the bucket ceiling; with 8 buckets over random embeddings and
+    nprobe=1 both losses must actually show (ceiling < 1, recall <
+    ceiling), and every rate lives on the 1e-4 grid."""
+    row = QUERIES["similarity_ivfpq_topk"](spark, SF_DIR).collect()[0]
+    assert row.n_vectors > 0
+    assert 0.0 < row.mean_recall3 <= row.bucket_ceiling3 < 1.0
+    assert row.frac_perfect <= row.mean_recall3
