@@ -5525,6 +5525,11 @@ def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
         .orderBy("hk", "k")
         .limit(_PQ_K)
     )
+    # ss (= <sub,sub>) and cc (= <c,c>) are constant per (vector, subspace)
+    # and per codeword respectively — hoisting them out of the argmin join
+    # evaluates each once instead of once per (vector, codeword) pair; the
+    # distances are the same doubles (the identical dot values, combined in
+    # the identical order), so codes and the oracle are unchanged
     cb = seeds.select(
         "k",
         F.explode(
@@ -5533,7 +5538,7 @@ def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
                 f" slice(cemb, s * {_PQ_D} + 1, {_PQ_D}) as c))"
             )
         ).alias("x"),
-    ).select("k", "x.s", "x.c")
+    ).select("k", "x.s", "x.c", _dot("x.c", "x.c").alias("cc"))
     sub = e.select(
         "vec_id",
         F.explode(
@@ -5542,13 +5547,13 @@ def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
                 f" slice(emb, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sub")
+    ).select("vec_id", "x.s", "x.sub", _dot("x.sub", "x.sub").alias("ss"))
     dists = sub.join(F.broadcast(cb), "s").select(
         "vec_id",
         "s",
         "k",
         "c",
-        (_dot("sub", "sub") - 2 * _dot("sub", "c") + _dot("c", "c")).alias("d"),
+        (F.col("ss") - 2 * _dot("sub", "c") + F.col("cc")).alias("d"),
     )
     asn = dists.withColumn(
         "rn",
