@@ -316,3 +316,75 @@ def test_similarity_ivfpq_recall_bounded_by_bucket_ceiling(spark):
     assert row.n_vectors > 0
     assert 0.0 < row.mean_recall3 <= row.bucket_ceiling3 < 1.0
     assert row.frac_perfect <= row.mean_recall3
+
+
+def test_similarity_ivfpq_matches_python(spark):
+    """Full composed-index reimplementation in plain Python: the hash-
+    seeded PQ codebook and codes, the 8-centroid cosine bucket
+    assignment with (cosine desc, id) tie-break, exact whole-corpus
+    top-3, within-bucket ADC top-3, and the three summary rates."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM read_parquet(?)"
+        " ORDER BY vec_id",
+        [f"{SF_DIR}/embeddings.parquet"],
+    ).fetchall()
+    emb = {vid: list(e) for vid, e in rows}
+    M, D, K, NC = 8, 8, 16, 8
+    seeds = sorted(emb, key=lambda v: (_h32(str(v)), v))[:K]
+    cb = {
+        (k, s): emb[k][s * D : (s + 1) * D] for k in seeds for s in range(M)
+    }
+
+    def l2(a, b):
+        return _seq_dot(a, a) - 2 * _seq_dot(a, b) + _seq_dot(b, b)
+
+    rec, qq, rr, nrm = {}, {}, {}, {}
+    for vid, e in emb.items():
+        out = []
+        for s in range(M):
+            sub = e[s * D : (s + 1) * D]
+            best = min((l2(sub, cb[(k, s)]), k) for k in seeds)
+            out.extend(cb[(best[1], s)])
+        rec[vid], qq[vid] = out, _seq_dot(e, e)
+        rr[vid], nrm[vid] = _seq_dot(out, out), math.sqrt(_seq_dot(e, e))
+    bucket = {}
+    for vid, e in emb.items():
+        best = min(
+            (-_r4(_seq_dot(e, emb[c]) / (nrm[vid] * nrm[c])), c)
+            for c in range(NC)
+        )
+        bucket[vid] = best[1]
+    ids = sorted(emb)
+    hits = ceil_hits = perfect = 0
+    for a in ids:
+        co = sorted(
+            (-_r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b])), b)
+            for b in ids
+            if b != a
+        )
+        ex3 = [b for _, b in co[:3]]
+        mates = [b for b in ids if b != a and bucket[b] == bucket[a]]
+        adc = sorted(
+            (_r4(qq[a] - 2 * _seq_dot(emb[a], rec[b]) + rr[b]), b)
+            for b in mates
+        )
+        pq3 = {b for _, b in adc[:3]}
+        h = sum(1 for b in ex3 if b in pq3)
+        hits += h
+        ceil_hits += sum(1 for b in ex3 if bucket[b] == bucket[a])
+        perfect += h == 3
+    n = len(ids)
+    got = QUERIES["similarity_ivfpq_topk"](spark, SF_DIR).collect()[0]
+    assert got.n_vectors == n
+    assert got.mean_recall3 == math.floor(
+        hits * 10000.0 / (3 * n) + 0.5
+    ) / 10000.0
+    assert got.bucket_ceiling3 == math.floor(
+        ceil_hits * 10000.0 / (3 * n) + 0.5
+    ) / 10000.0
+    assert got.frac_perfect == math.floor(
+        perfect * 10000.0 / n + 0.5
+    ) / 10000.0
