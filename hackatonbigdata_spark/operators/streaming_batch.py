@@ -1561,7 +1561,7 @@ def _bloom_pos_sql(j_expr: str, u_expr: str) -> str:
     oracle=f"""
 WITH c AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id
            FROM events),
-jj AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+jj AS (SELECT * FROM (VALUES {', '.join(f'({j})' for j in range(BLOOM_K))}) t(j)),
 bits AS (SELECT DISTINCT hour, {_bloom_pos_sql('jj.j', 'c.user_id')} AS b
          FROM c CROSS JOIN jj),
 bc AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_bits_set

@@ -243,8 +243,8 @@ def test_stream_hourly_bloom_matches_python_fold(spark):
             assert row.est_users is None, key
         else:
             assert row.est_users == want_est, key
-        # estimate quality in the sparse regime: within 25% + 1 of truth
-        assert abs(row.est_users - row.n_users) <= 0.25 * row.n_users + 1
+            # estimate quality in the sparse regime: within 25% + 1 of truth
+            assert abs(row.est_users - row.n_users) <= 0.25 * row.n_users + 1
 
 
 N_MINHASH = 8
