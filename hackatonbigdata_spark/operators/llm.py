@@ -5503,23 +5503,18 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims/subspace × codebook size
 
 
-def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """Product-quantize an ``_embeddings``-shaped table (vec_id, emb, nrm,
-    qq) and return it extended with the PQ reconstruction: per vector,
-    each of the m={_PQ_M} 8-dim subvectors snapped to its nearest of
-    K={_PQ_K} codewords (the subvectors of the K lowest-hash vectors — a
-    deterministic, oracle-able k-means-seeding stand-in), plus
-    rr = <rec, rec>.  Shared by ``embedding_pq_eval`` (compression
-    fidelity) and ``similarity_ivfpq_topk`` (the composed IVF-PQ index
-    eval), so both score the identical codes.
-
-    The output is repartitioned before its checkpoint: AQE coalesces the
-    tiny join output to few partitions, which would serialize any O(n²)
-    probe scan built on top into a single task."""
+def _pq_codes(vecs: DataFrame, vcol: str) -> DataFrame:
+    """(vec_id, rec): the PQ reconstruction of ``vecs[vcol]`` — each of
+    the m={_PQ_M} 8-dim subvectors snapped to its nearest of K={_PQ_K}
+    codewords, the codebook per subspace being the same-position
+    subvectors of the K lowest-hash vectors (a deterministic, oracle-able
+    k-means-seeding stand-in).  One encoder serves both inputs the
+    composed index needs: raw embeddings and IVF residuals
+    x − centroid(x)."""
     seeds = (
-        e.select(
+        vecs.select(
             F.col("vec_id").alias("k"),
-            F.col("emb").alias("cemb"),
+            F.col(vcol).alias("cemb"),
             _h(F.col("vec_id").cast("string")).alias("hk"),
         )
         .orderBy("hk", "k")
@@ -5539,12 +5534,12 @@ def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
             )
         ).alias("x"),
     ).select("k", "x.s", "x.c", _dot("x.c", "x.c").alias("cc"))
-    sub = e.select(
+    sub = vecs.select(
         "vec_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
-                f" slice(emb, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
+                f" slice({vcol}, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
             )
         ).alias("x"),
     ).select("vec_id", "x.s", "x.sub", _dot("x.sub", "x.sub").alias("ss"))
@@ -5559,45 +5554,67 @@ def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
         "rn",
         F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "k")),
     ).filter(F.col("rn") == 1)
-    recs = asn.groupBy("vec_id").agg(
+    return asn.groupBy("vec_id").agg(
         F.expr(
             "flatten(transform(array_sort(collect_list(struct(s, c))),"
             " x -> x.c))"
         ).alias("rec")
     )
+
+
+def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Product-quantize an ``_embeddings``-shaped table (vec_id, emb, nrm,
+    qq) and return it extended with the PQ reconstruction of the RAW
+    vectors (see ``_pq_codes``), plus rr = <rec, rec>.  Shared by
+    ``embedding_pq_eval`` (compression fidelity) and
+    ``similarity_ivfpq_topk`` (the composed IVF-PQ index eval), so both
+    score the identical codes.
+
+    The output is repartitioned before its checkpoint: AQE coalesces the
+    tiny join output to few partitions, which would serialize any O(n²)
+    probe scan built on top into a single task."""
     return (
-        e.join(recs, "vec_id")
+        e.join(_pq_codes(e, "emb"), "vec_id")
         .withColumn("rr", _dot("rec", "rec"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint()
     )
 
 
-# the codebook/encode/reconstruction chain of _pq_reconstructed, as DuckDB
-# CTEs (expects an ``e(vec_id, emb, qq, nrm)`` CTE upstream)
-_DUCK_PQ_RECS = f"""
-seeds AS (
-  SELECT vec_id AS k, emb AS cemb
-  FROM (SELECT vec_id, emb,
+def _duck_pq_codes(src: str, vcol: str, p: str) -> str:
+    """The ``_pq_codes`` codebook/encode/reconstruction chain as DuckDB
+    CTEs over ``{src}(vec_id, {vcol}, ...)``, each CTE name prefixed with
+    ``p`` so the raw and residual chains can coexist in one oracle.
+    Ends with ``{p}recs(vec_id, rec)``."""
+    return f"""
+{p}seeds AS (
+  SELECT vec_id AS k, {vcol} AS cemb
+  FROM (SELECT vec_id, {vcol},
                {_duck_hash("CAST(vec_id AS VARCHAR)")} AS hk
-        FROM e)
+        FROM {src})
   ORDER BY hk, vec_id LIMIT {_PQ_K}),
-cb AS (SELECT k, s, cemb[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS c
-       FROM seeds, unnest(range(0, {_PQ_M})) AS u(s)),
-sub AS (SELECT vec_id, s, emb[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sub
-        FROM e, unnest(range(0, {_PQ_M})) AS u(s)),
-dists AS (
+{p}cb AS (SELECT k, s, cemb[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS c
+       FROM {p}seeds, unnest(range(0, {_PQ_M})) AS u(s)),
+{p}sub AS (SELECT vec_id, s,
+                  {vcol}[s * {_PQ_D} + 1 : s * {_PQ_D} + {_PQ_D}] AS sub
+        FROM {src}, unnest(range(0, {_PQ_M})) AS u(s)),
+{p}dists AS (
   SELECT vec_id, s, k, c,
          list_dot_product(sub, sub) - 2 * list_dot_product(sub, c)
            + list_dot_product(c, c) AS d
-  FROM sub JOIN cb USING (s)),
-asn AS (SELECT vec_id, s, c FROM (
+  FROM {p}sub JOIN {p}cb USING (s)),
+{p}asn AS (SELECT vec_id, s, c FROM (
           SELECT vec_id, s, c,
                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k)
                    AS rn
-          FROM dists) WHERE rn = 1),
-recs AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS rec
-         FROM asn GROUP BY vec_id),
+          FROM {p}dists) WHERE rn = 1),
+{p}recs AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS rec
+         FROM {p}asn GROUP BY vec_id)"""
+
+
+# the raw-vector chain of _pq_reconstructed, as DuckDB CTEs (expects an
+# ``e(vec_id, emb, qq, nrm)`` CTE upstream)
+_DUCK_PQ_RECS = f"""{_duck_pq_codes("e", "emb", "")},
 r AS (SELECT e.vec_id, emb, qq, nrm, rec, list_dot_product(rec, rec) AS rr
       FROM e JOIN recs USING (vec_id))
 """
@@ -5793,64 +5810,128 @@ ex3 AS (SELECT vec_id, nb FROM (
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY co DESC, nb) AS ro
           FROM p) WHERE ro <= 3),
+bcnt AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS n
+         FROM buckets GROUP BY 1),
+msum AS (SELECT b.bucket_id, u.i,
+                sum(floor(e.emb[u.i] * 1000000000 + 0.5)) AS s9
+         FROM e JOIN buckets b ON b.vec_id = e.vec_id,
+              unnest(range(1, {_PQ_M * _PQ_D + 1})) AS u(i)
+         GROUP BY 1, 2),
+mu AS (SELECT m.bucket_id,
+              list(m.s9 / (c.n * 1000000000.0) ORDER BY m.i) AS mu
+       FROM msum m JOIN bcnt c ON c.bucket_id = m.bucket_id
+       GROUP BY 1),
+er AS (SELECT e.vec_id, mu.mu AS cemb,
+              list_transform(range(1, {_PQ_M * _PQ_D + 1}),
+                             i -> e.emb[i] - mu.mu[i]) AS res
+       FROM e
+       JOIN buckets b ON b.vec_id = e.vec_id
+       JOIN mu ON mu.bucket_id = b.bucket_id),
+{_duck_pq_codes("er", "res", "rs_")},
+r2 AS (SELECT r.vec_id, r.emb, r.qq, r.nrm, r.rec, r.rr,
+              list_transform(range(1, {_PQ_M * _PQ_D + 1}),
+                             i -> er.cemb[i] + rs.rec[i]) AS recf
+       FROM r
+       JOIN er ON er.vec_id = r.vec_id
+       JOIN rs_recs rs ON rs.vec_id = r.vec_id),
+r3 AS (SELECT vec_id, emb, qq, nrm, rec, rr, recf,
+              list_dot_product(recf, recf) AS rf
+       FROM r2),
 bp AS (SELECT ra.vec_id AS vec_id, rb.vec_id AS nb,
               round(ra.qq - 2 * list_dot_product(ra.emb, rb.rec) + rb.rr, 4)
-                AS adc
-       FROM r ra
+                AS adc,
+              round(ra.qq - 2 * list_dot_product(ra.emb, rb.recf) + rb.rf, 4)
+                AS adcr
+       FROM r3 ra
        JOIN buckets ba ON ba.vec_id = ra.vec_id
        JOIN buckets bb ON bb.bucket_id = ba.bucket_id
                       AND bb.vec_id <> ra.vec_id
-       JOIN r rb ON rb.vec_id = bb.vec_id),
+       JOIN r3 rb ON rb.vec_id = bb.vec_id),
 pq3 AS (SELECT vec_id, nb FROM (
           SELECT vec_id, nb,
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY adc, nb) AS rq
           FROM bp) WHERE rq <= 3),
+pq3r AS (SELECT vec_id, nb FROM (
+          SELECT vec_id, nb,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY adcr, nb) AS rq
+          FROM bp) WHERE rq <= 3),
 h AS (SELECT ex3.vec_id,
              CAST(sum(CASE WHEN pq3.nb IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN pq3r.nb IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_r,
              CAST(sum(CASE WHEN bv.bucket_id = bn.bucket_id THEN 1 ELSE 0
                       END) AS BIGINT) AS ceil_hits
       FROM ex3
       LEFT JOIN pq3 ON pq3.vec_id = ex3.vec_id AND pq3.nb = ex3.nb
+      LEFT JOIN pq3r ON pq3r.vec_id = ex3.vec_id AND pq3r.nb = ex3.nb
       JOIN buckets bv ON bv.vec_id = ex3.vec_id
       JOIN buckets bn ON bn.vec_id = ex3.nb
-      GROUP BY 1)
+      GROUP BY 1),
+rq AS (SELECT CAST(sum(CAST(floor(sqrt(list_dot_product(res, res)) * 10000
+                                  + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+              CAST(count(*) AS BIGINT) AS cn
+       FROM er)
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        floor(sum(hits) * 10000.0 / (3 * count(*)) + 0.5) / 10000
          AS mean_recall3,
+       floor(sum(hits_r) * 10000.0 / (3 * count(*)) + 0.5) / 10000
+         AS mean_recall3_residual,
        floor(sum(ceil_hits) * 10000.0 / (3 * count(*)) + 0.5) / 10000
          AS bucket_ceiling3,
        floor(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) * 10000.0 / count(*)
-             + 0.5) / 10000 AS frac_perfect
-FROM h
+             + 0.5) / 10000 AS frac_perfect,
+       floor(any_value(rq.sq) * 1.0 / any_value(rq.cn) + 0.5) / 10000
+         AS mean_res_norm
+FROM h CROSS JOIN rq
 """,
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed IVF-PQ index — the FAISS-default production ANN
-    layout, assembled from the engine's two proven pieces: coarse IVF
-    assignment (nearest of {_N_IVF_CENTROIDS} deterministic centroids by
-    cosine, ``similarity_ivf_bucketed``'s rule) selects the probe bucket,
-    and PQ asymmetric distance (``embedding_pq_eval``'s codes via the
-    shared ``_pq_reconstructed`` helper) ranks inside it.  Reports
-    recall@3 of the composed index against exact cosine top-3 over the
-    WHOLE corpus, next to the bucket CEILING (the fraction of exact
-    neighbors that share the query's bucket at all) — so the index
-    owner reads exactly how much recall each stage costs: ceiling - 1 is
-    the IVF loss, recall - ceiling is the additional quantization loss.
-    Completes the retrieval ladder exact → IVF → PQ → IVF-PQ.
+    """The composed IVF-PQ index, assembled from the engine's two proven
+    pieces: coarse IVF assignment (nearest of {_N_IVF_CENTROIDS}
+    deterministic centroids by cosine, ``similarity_ivf_bucketed``'s
+    rule) selects the probe bucket, and PQ asymmetric distance
+    (``embedding_pq_eval``'s codes via the shared encoder) ranks inside
+    it — in BOTH standard encodings side by side: raw-vector codes
+    (FAISS ``IndexIVFPQ`` with ``by_residual=false``) and RESIDUAL codes
+    (the FAISS default, ``by_residual=true``): x − μ(bucket(x)), where μ
+    is the REFINED centroid — one Lloyd update of the coarse quantizer,
+    i.e. the elementwise bucket mean, exactly the centroid a
+    k-means-trained FAISS quantizer would hold.  Σ‖x − μ‖² ≤ Σ‖x‖² by
+    the mean's optimality, so the same m×K codebook budget quantizes
+    residuals at least as finely on average; the emitted
+    ``mean_res_norm`` shows how much tighter (on this near-isotropic
+    unit-norm synthetic corpus ≈ 0.97 vs 1.0, so the raw/residual recall
+    gap is marginal and can sit inside ranking noise at small n — on a
+    clustered corpus the gap widens with ‖μ‖).  Reports recall@3 of each
+    variant against exact cosine top-3 over the WHOLE corpus, next to
+    the bucket CEILING (the fraction of exact neighbors that share the
+    query's bucket at all) — so the index owner reads exactly how much
+    recall each stage costs: ceiling − 1 is the IVF loss,
+    recall − ceiling is the additional quantization loss, and the
+    raw/residual gap is what residual encoding buys back.  Completes the
+    retrieval ladder exact → IVF → PQ → IVF-PQ.
 
     Exactness: every building block reuses its already-oracled
     construction — r4-quantized cosine with id tie-breaks for the
-    assignment and the exact ranking, exact-double argmin codes, ADC via
-    the dot-product identity quantized to 4dp; the three summary rates
-    quantize to the 1e-4 grid.
+    assignment and the exact ranking, exact-double argmin codes, ADC
+    via the dot-product identity quantized to 4dp; the refined centroid
+    is a ratio of a partition-order-free BIGINT coordinate sum (each
+    coordinate quantized to the 1e-9 grid before summing) over the
+    bucket count, and the residual x − μ and reconstruction μ + decoded
+    residual are elementwise IEEE ops on those identical doubles in both
+    engines; the five summary figures quantize to the 1e-4 grid.
 
     Scale: the exact-top-3 side is the documented sampled-oracle regime
     (it exists to measure the index); the INDEX side is the 100 TB
     path — assignment is a broadcast join against {_N_IVF_CENTROIDS}
-    centroids, ADC pairs come from the bucket equi-join only (n²/buckets,
-    never all-pairs), and codes are m bytes per vector."""
+    centroids, residual encode/decode is one broadcast of those same
+    centroids, ADC pairs come from the bucket equi-join only
+    (n²/buckets, never all-pairs), both rankings share one
+    vec_id-partitioned exchange, and codes are m bytes per vector per
+    variant."""
     t = Catalog(spark, sf_dir)
     e = (
         _embeddings(t)
@@ -5883,6 +5964,69 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("bucket_id"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    # refined centroids: one Lloyd update of the coarse quantizer — the
+    # elementwise bucket mean over a 1e-9 BIGINT coordinate grid, so the
+    # mean (a sum of integers) is partition-order-free in both engines
+    bcnt = assign.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    msum = (
+        e.join(assign, "vec_id")
+        .select("bucket_id", F.posexplode("emb").alias("i", "x"))
+        .groupBy("bucket_id", "i")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1000000000 + F.lit(0.5)))
+            .cast("long")
+            .alias("s9")
+        )
+    )
+    mu = (
+        msum.join(bcnt, "bucket_id")
+        .groupBy("bucket_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s9, n))),"
+                " t -> t.s9 / (t.n * 1000000000.0))"
+            ).alias("mu")
+        )
+    )
+    # residual chain: PQ-encode x - mu(bucket(x)) with the same encoder,
+    # reconstruct as mu + decoded residual (recf), rf = <recf, recf>
+    er = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(mu), "bucket_id")
+        .withColumn("res", F.expr("zip_with(emb, mu, (x, y) -> x - y)"))
+        .select("vec_id", "mu", "res")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    rfull = (
+        er.join(
+            _pq_codes(er.select("vec_id", "res"), "res").select(
+                "vec_id", F.col("rec").alias("recr")
+            ),
+            "vec_id",
+        )
+        .withColumn("recf", F.expr("zip_with(mu, recr, (x, y) -> x + y)"))
+        .select("vec_id", "recf", _dot("recf", "recf").alias("rf"))
+    )
+    r = (
+        r.join(rfull, "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    rq = er.agg(
+        F.sum(
+            F.floor(
+                F.sqrt(_dot("res", "res")) * 10000 + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cn"),
     )
     a, b = e.alias("a"), e.alias("b")
     half = (
@@ -5938,9 +6082,15 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 2 * _dot("qa.emb", "xb.rec")
                 + F.col("xb.rr")
             ).alias("_adc"),
+            (
+                F.col("qa.qq")
+                - 2 * _dot("qa.emb", "xb.recf")
+                + F.col("xb.rf")
+            ).alias("_adcr"),
         )
-        .select("vec_id", "nb", r4("_adc").alias("adc"))
+        .select("vec_id", "nb", r4("_adc").alias("adc"), r4("_adcr").alias("adcr"))
     )
+    # both rankings partition on vec_id → one shared hash exchange
     pq3 = (
         bp.withColumn(
             "rq",
@@ -5951,8 +6101,19 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rq") <= 3)
         .select("vec_id", "nb", F.lit(1).alias("hit"))
     )
+    pq3r = (
+        bp.withColumn(
+            "rq",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("adcr", "nb")
+            ),
+        )
+        .filter(F.col("rq") <= 3)
+        .select("vec_id", "nb", F.lit(1).alias("hit_r"))
+    )
     h = (
         ex3.join(pq3, ["vec_id", "nb"], "left")
+        .join(pq3r, ["vec_id", "nb"], "left")
         .join(assign.select("vec_id", F.col("bucket_id").alias("bv")), "vec_id")
         .join(
             assign.select(
@@ -5965,17 +6126,24 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias("hits"),
+            F.sum(F.when(F.col("hit_r").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits_r"),
             F.sum(F.when(F.col("bv") == F.col("bn"), 1).otherwise(0))
             .cast("long")
             .alias("ceil_hits"),
         )
     )
     n = F.count(F.lit(1))
-    return h.agg(
+    return h.crossJoin(F.broadcast(rq)).agg(
         n.cast("long").alias("n_vectors"),
         (
             F.floor(F.sum("hits") * 10000.0 / (3 * n) + F.lit(0.5)) / 10000.0
         ).alias("mean_recall3"),
+        (
+            F.floor(F.sum("hits_r") * 10000.0 / (3 * n) + F.lit(0.5))
+            / 10000.0
+        ).alias("mean_recall3_residual"),
         (
             F.floor(F.sum("ceil_hits") * 10000.0 / (3 * n) + F.lit(0.5))
             / 10000.0
@@ -5989,6 +6157,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0
         ).alias("frac_perfect"),
+        (
+            F.floor(
+                F.first("sq") * F.lit(1.0) / F.first("cn") + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_res_norm"),
     )
 
 

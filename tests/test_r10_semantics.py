@@ -1,0 +1,165 @@
+"""Independent semantic pins for the round-10 operators.
+
+Same contract as test_r7/r8/r9_semantics: the oracle parity suite proves
+Spark == DuckDB; these tests guard against both engines computing the same
+WRONG thing by re-deriving each operator's result independently (pure
+Python, with inputs pulled through DuckDB — never through the Spark code
+under test).
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+from hackatonbigdata_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+M, D, K, NC = 8, 8, 16, 8  # PQ subspaces/dims/codebook, IVF centroids
+
+
+def _seq_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _r4(x):
+    return math.copysign(math.floor(abs(x) * 10000.0 + 0.5) / 10000.0, x)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _load_embeddings():
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM read_parquet(?)"
+        " ORDER BY vec_id",
+        [f"{SF_DIR}/embeddings.parquet"],
+    ).fetchall()
+    return {vid: list(e) for vid, e in rows}
+
+
+def _ivf_state(emb):
+    """(bucket, mu): the r9 cosine bucket assignment and the r10 refined
+    centroids — elementwise bucket means over the 1e-9 BIGINT grid."""
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+    bucket = {}
+    for vid, e in emb.items():
+        best = min(
+            (-_r4(_seq_dot(e, emb[c]) / (nrm[vid] * nrm[c])), c)
+            for c in range(NC)
+        )
+        bucket[vid] = best[1]
+    s9 = collections.defaultdict(lambda: [0] * (M * D))
+    bn = collections.Counter()
+    for vid, e in emb.items():
+        b = bucket[vid]
+        bn[b] += 1
+        for i, x in enumerate(e):
+            s9[b][i] += int(math.floor(x * 1000000000 + 0.5))
+    mu = {b: [s / (bn[b] * 1000000000.0) for s in s9[b]] for b in s9}
+    return bucket, mu
+
+
+def _pq(vec_of, seeds):
+    """PQ-reconstruct every vector of ``vec_of`` against the hash-seeded
+    codebook (the engines' shared deterministic seeding)."""
+    cb = {
+        (k, s): vec_of[k][s * D : (s + 1) * D] for k in seeds for s in range(M)
+    }
+
+    def l2(a, b):
+        return _seq_dot(a, a) - 2 * _seq_dot(a, b) + _seq_dot(b, b)
+
+    out = {}
+    for vid in vec_of:
+        o = []
+        for s in range(M):
+            sub = vec_of[vid][s * D : (s + 1) * D]
+            best = min((l2(sub, cb[(k, s)]), k) for k in seeds)
+            o.extend(cb[(best[1], s)])
+        out[vid] = o
+    return out
+
+
+def test_similarity_ivfpq_residual_matches_python(spark):
+    """Full rederivation of the r10 residual arm of the composed index:
+    refined centroids as integer-grid bucket means, residual PQ codes
+    from the same hash-seeded encoder, reconstruction μ + decoded
+    residual, within-bucket residual-ADC top-3, and the residual recall
+    and mean-residual-norm figures — beside re-pins of the r9 raw
+    columns, proving the rework added a variant without moving the
+    existing ones."""
+    emb = _load_embeddings()
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+    qq = {v: _seq_dot(e, e) for v, e in emb.items()}
+    bucket, mu = _ivf_state(emb)
+    seeds = sorted(emb, key=lambda v: (_h32(str(v)), v))[:K]
+    raw_rec = _pq(emb, seeds)
+    res = {
+        v: [x - y for x, y in zip(emb[v], mu[bucket[v]])] for v in emb
+    }
+    res_dec = _pq(res, seeds)
+    res_rec = {
+        v: [a + b for a, b in zip(mu[bucket[v]], res_dec[v])] for v in emb
+    }
+    ids = sorted(emb)
+    hits = hits_r = ceil_hits = perfect = 0
+    for a in ids:
+        co = sorted(
+            (-_r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b])), b)
+            for b in ids
+            if b != a
+        )
+        ex3 = [b for _, b in co[:3]]
+        mates = [b for b in ids if b != a and bucket[b] == bucket[a]]
+        adc = sorted(
+            (_r4(qq[a] - 2 * _seq_dot(emb[a], raw_rec[b])
+                 + _seq_dot(raw_rec[b], raw_rec[b])), b)
+            for b in mates
+        )
+        adcr = sorted(
+            (_r4(qq[a] - 2 * _seq_dot(emb[a], res_rec[b])
+                 + _seq_dot(res_rec[b], res_rec[b])), b)
+            for b in mates
+        )
+        p3 = {b for _, b in adc[:3]}
+        p3r = {b for _, b in adcr[:3]}
+        h = sum(1 for b in ex3 if b in p3)
+        hits += h
+        hits_r += sum(1 for b in ex3 if b in p3r)
+        ceil_hits += sum(1 for b in ex3 if bucket[b] == bucket[a])
+        perfect += h == 3
+    sq = sum(
+        int(math.floor(math.sqrt(_seq_dot(res[v], res[v])) * 10000 + 0.5))
+        for v in ids
+    )
+    n = len(ids)
+    got = QUERIES["similarity_ivfpq_topk"](spark, SF_DIR).collect()[0]
+    assert got.n_vectors == n
+    assert got.mean_recall3 == math.floor(
+        hits * 10000.0 / (3 * n) + 0.5
+    ) / 10000.0
+    assert got.mean_recall3_residual == math.floor(
+        hits_r * 10000.0 / (3 * n) + 0.5
+    ) / 10000.0
+    assert got.bucket_ceiling3 == math.floor(
+        ceil_hits * 10000.0 / (3 * n) + 0.5
+    ) / 10000.0
+    assert got.frac_perfect == math.floor(
+        perfect * 10000.0 / n + 0.5
+    ) / 10000.0
+    assert got.mean_res_norm == math.floor(sq * 1.0 / n + 0.5) / 10000.0
+    # the refined-centroid residual is tighter than the unit raw vectors
+    # on average (the mean's optimality), and both composed recalls stay
+    # under the bucket ceiling
+    assert got.mean_res_norm < 1.0
+    assert got.mean_recall3_residual <= got.bucket_ceiling3
