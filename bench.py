@@ -199,6 +199,8 @@ HEADLINE = [
     "mm_ppm_pixel_stats",             # r9: SQL-domain PPM image decode
     "stream_hourly_bloom",            # r9: exact twin of the Bloom kernel
     "similarity_ivfpq_topk",          # r9: composed IVF-PQ index eval
+    # round-10 operators:
+    "similarity_ivf_nprobe_sweep",    # r10: multi-probe recall/cost curve
 ]
 
 

@@ -6166,6 +6166,241 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBES = (1, 2, 4)
+
+
+@register(
+    "similarity_ivf_nprobe_sweep",
+    oracle=f"""
+WITH {_DUCK_EMB},
+c AS (SELECT vec_id AS centroid_id, emb, nrm FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+rk AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.emb) / (e.nrm * c.nrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+buckets AS (SELECT vec_id, centroid_id AS bucket_id FROM rk WHERE rn = 1),
+bsz AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS n
+        FROM buckets GROUP BY 1),
+p AS (SELECT a.vec_id, b.vec_id AS nb,
+             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS co
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ex3 AS (SELECT vec_id, nb FROM (
+          SELECT vec_id, nb,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY co DESC, nb) AS ro
+          FROM p) WHERE ro <= 3),
+hx AS (
+  SELECT ex3.vec_id,
+         {", ".join(f"CAST(sum(CASE WHEN rk.rn <= {np} THEN 1 ELSE 0 END) AS BIGINT) AS h{np}" for np in _NPROBES)}
+  FROM ex3
+  JOIN buckets bn ON bn.vec_id = ex3.nb
+  JOIN rk ON rk.vec_id = ex3.vec_id AND rk.centroid_id = bn.bucket_id
+  GROUP BY 1),
+cs AS (
+  SELECT rk.vec_id,
+         {", ".join(f"CAST(sum(CASE WHEN rk.rn <= {np} THEN bsz.n ELSE 0 END) - 1 AS BIGINT) AS c{np}" for np in _NPROBES)}
+  FROM rk JOIN bsz ON bsz.bucket_id = rk.centroid_id
+  GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+             {", ".join(f"CAST(sum(h{np}) AS BIGINT) AS sh{np}, CAST(sum(c{np}) AS BIGINT) AS sc{np}" for np in _NPROBES)}
+      FROM hx JOIN cs USING (vec_id))
+SELECT CAST(np AS BIGINT) AS nprobe,
+       floor(sh * 10000.0 / (3 * nv) + 0.5) / 10000 AS recall3,
+       floor(sc * 10000.0 / nv + 0.5) / 10000 AS mean_candidates
+FROM ({" UNION ALL ".join(f"SELECT {np} AS np, sh{np} AS sh, sc{np} AS sc, nv FROM g" for np in _NPROBES)})
+""",
+)
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: the recall-vs-cost curve an index owner actually
+    tunes.  For nprobe ∈ {_NPROBES}, the query probes its nprobe
+    NEAREST coarse centroids (by the same r4-quantized cosine /
+    centroid-id ranking every IVF query here uses) instead of only the
+    top one, and the row reports (a) recall@3 — the fraction of exact
+    cosine top-3 neighbors whose home bucket is among the probed
+    buckets, i.e. the bucket CEILING of ``similarity_ivfpq_topk``
+    generalized from nprobe=1 to the whole knob — and (b) the mean
+    candidate count — how many database vectors a query at that nprobe
+    must scan (probed bucket sizes summed, minus self).  Recall climbs
+    toward 1.0 as nprobe grows while candidates climb toward n; where to
+    sit on that curve is the owner's tuning decision.
+
+    Exactness: hit and candidate counts are integers (the neighbor's
+    probe rank comes from the shared centroid ranking; candidate mass is
+    a sum of BIGINT bucket sizes), so both summary figures are
+    floor-quantized ratios of exact integers.
+
+    Scale: the index side is the 100 TB path — the ranking is one
+    broadcast join against {_N_IVF_CENTROIDS} centroids and the
+    candidate mass joins that ranking to the {_N_IVF_CENTROIDS}-row
+    bucket-size table, all linear in n; the exact-top-3 side is the
+    documented sampled-oracle regime (it exists to measure the index).
+
+    Reference parity: generalizes the single-probe bucket search of
+    `/root/reference/src/models/cold_start_solutions.py` (nearest-
+    neighbor scoring inside one candidate pool) to the tunable
+    multi-pool production layout."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t).localCheckpoint()
+    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ranks = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias(
+                "_ccos_raw"
+            ),
+        )
+        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), "centroid_id"
+                )
+            ),
+        )
+        .select("vec_id", "centroid_id", "rn")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    assign = ranks.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("centroid_id").alias("bucket_id")
+    )
+    bsz = assign.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ex3 = (
+        pairs.withColumn(
+            "ro",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
+            ),
+        )
+        .filter(F.col("ro") <= 3)
+        .select("vec_id", "nb")
+    )
+    # the probe rank of each exact neighbor's home bucket, per query
+    hx = (
+        ex3.join(
+            assign.select(
+                F.col("vec_id").alias("nb"), F.col("bucket_id").alias("bn")
+            ),
+            "nb",
+        )
+        .join(
+            ranks.select(
+                "vec_id", F.col("centroid_id").alias("bn"), "rn"
+            ),
+            ["vec_id", "bn"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("rn") <= np, 1).otherwise(0))
+                .cast("long")
+                .alias(f"h{np}")
+                for np in _NPROBES
+            ]
+        )
+    )
+    # candidate mass per query: probed bucket sizes summed, minus self
+    cs = (
+        ranks.join(
+            F.broadcast(bsz),
+            ranks["centroid_id"] == bsz["bucket_id"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            *[
+                (
+                    F.sum(F.when(F.col("rn") <= np, F.col("n")).otherwise(0))
+                    - 1
+                )
+                .cast("long")
+                .alias(f"c{np}")
+                for np in _NPROBES
+            ]
+        )
+    )
+    g = hx.join(cs, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        *[
+            x
+            for np in _NPROBES
+            for x in (
+                F.sum(f"h{np}").cast("long").alias(f"sh{np}"),
+                F.sum(f"c{np}").cast("long").alias(f"sc{np}"),
+            )
+        ],
+    )
+    return (
+        g.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(np).cast("long").alias("nprobe"),
+                            F.col(f"sh{np}").alias("sh"),
+                            F.col(f"sc{np}").alias("sc"),
+                            F.col("nv").alias("nv"),
+                        )
+                        for np in _NPROBES
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .select(
+            "nprobe",
+            (
+                F.floor(
+                    F.col("sh") * 10000.0 / (3 * F.col("nv")) + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("recall3"),
+            (
+                F.floor(F.col("sc") * 10000.0 / F.col("nv") + F.lit(0.5))
+                / 10000.0
+            ).alias("mean_candidates"),
+        )
+    )
+
+
 @register(
     "dedup_savings_report",
     oracle=f"""

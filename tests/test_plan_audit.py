@@ -375,3 +375,12 @@ def test_round9_ops_stay_jvm_side(spark):
         "similarity_ivfpq_topk",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round10_ops_stay_jvm_side(spark):
+    """r10 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere."""
+    for name in [
+        "similarity_ivf_nprobe_sweep",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

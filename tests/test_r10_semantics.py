@@ -163,3 +163,61 @@ def test_similarity_ivfpq_residual_matches_python(spark):
     # under the bucket ceiling
     assert got.mean_res_norm < 1.0
     assert got.mean_recall3_residual <= got.bucket_ceiling3
+
+
+def test_similarity_ivf_nprobe_sweep_matches_python(spark):
+    """Full rederivation of the multi-probe sweep: the centroid ranking,
+    the per-query probe sets at nprobe in {1,2,4}, the hit count of exact
+    top-3 neighbors against each probe set, and the candidate mass
+    (probed bucket sizes minus self) — asserting the exact emitted grid
+    values plus the curve's defining monotonicity."""
+    emb = _load_embeddings()
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+    rank = {}  # (vec, centroid) -> probe rank
+    bucket = {}
+    for vid, e in emb.items():
+        order = sorted(
+            (-_r4(_seq_dot(e, emb[c]) / (nrm[vid] * nrm[c])), c)
+            for c in range(NC)
+        )
+        for rn, (_, c) in enumerate(order, start=1):
+            rank[(vid, c)] = rn
+        bucket[vid] = order[0][1]
+    bsz = collections.Counter(bucket.values())
+    ids = sorted(emb)
+    n = len(ids)
+    nprobes = (1, 2, 4)
+    hits = dict.fromkeys(nprobes, 0)
+    cand = dict.fromkeys(nprobes, 0)
+    for a in ids:
+        co = sorted(
+            (-_r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b])), b)
+            for b in ids
+            if b != a
+        )
+        ex3 = [b for _, b in co[:3]]
+        for np_ in nprobes:
+            hits[np_] += sum(
+                1 for b in ex3 if rank[(a, bucket[b])] <= np_
+            )
+            cand[np_] += (
+                sum(bsz[c] for c in range(NC) if rank[(a, c)] <= np_) - 1
+            )
+    got = {
+        r.nprobe: r
+        for r in QUERIES["similarity_ivf_nprobe_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert sorted(got) == list(nprobes)
+    for np_ in nprobes:
+        assert got[np_].recall3 == math.floor(
+            hits[np_] * 10000.0 / (3 * n) + 0.5
+        ) / 10000.0
+        assert got[np_].mean_candidates == math.floor(
+            cand[np_] * 10000.0 / n + 0.5
+        ) / 10000.0
+    # the knob's contract: more probes never lose recall and always cost
+    # more candidates
+    assert got[1].recall3 <= got[2].recall3 <= got[4].recall3
+    assert got[1].mean_candidates < got[2].mean_candidates < got[4].mean_candidates
