@@ -201,6 +201,7 @@ HEADLINE = [
     "similarity_ivfpq_topk",          # r9: composed IVF-PQ index eval
     # round-10 operators:
     "similarity_ivf_nprobe_sweep",    # r10: multi-probe recall/cost curve
+    "stream_hourly_hll",              # r10: exact twin of the HLL kernel
 ]
 
 

@@ -1660,3 +1660,157 @@ def stream_hourly_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_users"),
         "n_users",
     )
+
+
+HLL_M = 64  # HyperLogLog registers (p=6; == streaming/jobs.py kernel)
+HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
+_HLL_POW53 = 9007199254740992  # 2^53: the integer register-sum scale
+
+
+@register(
+    "stream_hourly_hll",
+    oracle=f"""
+WITH hx AS (SELECT date_trunc('hour', ts) AS hour,
+                   md5(CAST(user_id AS VARCHAR)) AS hex
+            FROM events),
+rho AS (
+  SELECT hour,
+         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % {HLL_M} AS j,
+         CASE WHEN regexp_replace(substr(hex, 3, 13), '^0+', '') = ''
+              THEN {HLL_W + 1}
+              ELSE 4 * (13 - length(regexp_replace(substr(hex, 3, 13), '^0+', '')))
+                   + CASE substr(regexp_replace(substr(hex, 3, 13), '^0+', ''), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1 END AS rho
+  FROM hx),
+regs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
+         FROM rho GROUP BY 1, 2),
+grid AS (SELECT h.hour, jj.j
+         FROM (SELECT DISTINCT hour FROM hx) h
+         CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) jj),
+fullr AS (SELECT grid.hour, COALESCE(regs.mj, 0) AS mj
+          FROM grid LEFT JOIN regs
+            ON regs.hour = grid.hour AND regs.j = grid.j),
+s AS (SELECT hour,
+             CAST(sum(1::BIGINT << CAST({HLL_W + 1} - mj AS INTEGER))
+                  AS BIGINT) AS s53,
+             CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullr GROUP BY 1),
+nt AS (SELECT date_trunc('hour', ts) AS hour,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1)
+SELECT nt.hour, nt.n_total, s.v AS n_zero_registers,
+       floor(CASE WHEN s.v > 0
+                   AND CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                       * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
+                  THEN CAST({HLL_M} AS DOUBLE)
+                       * ln(CAST({HLL_M} AS DOUBLE) / s.v)
+                  ELSE CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                       * {_HLL_POW53} / s.s53
+             END * 10000 + 0.5) / 10000 AS est_users,
+       nt.n_users
+FROM nt JOIN s USING (hour)
+""",
+)
+def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour HyperLogLog register state, computed EXACTLY in batch:
+    for each hour, the 64-register HLL sketch (Flajolet et al. 2007,
+    p=6) over the hour's user ids, its cardinality estimate, and the
+    exact distinct-user count the estimate approximates — the EIGHTH
+    member of the bounded-state sketch family and the industry-default
+    distinct counter beside the KMV twin ``stream_hourly_distinct``.
+
+    Register rule shared by both engines and the streaming kernel: for
+    hex = md5(user), the register index j is the first hex byte mod 64
+    and rho is the 1-based position of the first 1-bit in the following
+    52-bit window (4·leading-zero-digits + zero-bits inside the first
+    nonzero digit + 1; 53 when the window is all zero), derived purely
+    in the hex-string domain so no engine ever parses a 64-bit integer.
+    M[j] = max(rho) — an order-free, idempotent, merge-by-max fold, the
+    same commutativity class as the Bloom OR-fold, so the streaming
+    twin equals this query at every scale with no under-budget caveat.
+
+    Estimate: alpha_64·m²/sum(2^-M[j]) with the register sum carried as
+    the INTEGER sum(2^(53-M[j])) (each term an exact BIGINT shift, so
+    the fold is order-free), alpha_64 = 0.709 per the paper, and the
+    standard small-range correction — linear counting m·ln(m/V) when
+    the raw estimate is <= 2.5m and V > 0 registers are zero.  The one
+    float expression is structured identically in both engines and
+    quantizes to the 1e-4 grid.
+
+    Scale: one hash projection of the event stream, a (hour, 64)-max
+    shuffle, and a 64-row-per-hour grid join — register state is 64
+    bytes per hour no matter how many events arrive; the streaming twin
+    (``streaming/jobs.py:hll_distinct_stream``) holds exactly that
+    array per open hour."""
+    t = Catalog(spark, sf_dir)
+    hexc = F.md5(F.col("user_id").cast("string"))
+    tcol = F.regexp_replace(F.substring(hexc, 3, 13), "^0+", "")
+    d = F.substring(tcol, 1, 1)
+    rho = F.when(tcol == "", F.lit(HLL_W + 1)).otherwise(
+        4 * (13 - F.length(tcol))
+        + F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    hx = t.events.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % HLL_M).alias(
+            "j"
+        ),
+        rho.alias("rho"),
+    )
+    regs = hx.groupBy("hour", "j").agg(
+        F.max("rho").cast("long").alias("mj")
+    )
+    jj = spark.range(HLL_M).select(F.col("id").cast("long").alias("j"))
+    grid = hx.select("hour").distinct().crossJoin(F.broadcast(jj))
+    fullr = grid.join(regs, ["hour", "j"], "left").select(
+        "hour", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    s = fullr.groupBy("hour").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({HLL_W + 1} - mj AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("s53"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    )
+    nt = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    raw = (
+        F.lit(0.709)
+        * HLL_M
+        * HLL_M
+        * F.lit(float(_HLL_POW53))
+        / F.col("s53")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v"))
+    return nt.join(s, "hour").select(
+        "hour",
+        "n_total",
+        F.col("v").alias("n_zero_registers"),
+        (
+            F.floor(
+                F.when((F.col("v") > 0) & (raw <= 2.5 * HLL_M), lc)
+                .otherwise(raw)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("est_users"),
+        "n_users",
+    )

@@ -1958,3 +1958,151 @@ def bloom_membership_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- HyperLogLog: per-hour bounded-memory distinct counter -------------------
+
+HLL_M = 64  # registers (p=6; == operators/streaming_batch.py batch twin)
+HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
+
+
+def hll_reg(key, m: int = HLL_M) -> tuple:
+    """Engine-shared register rule: for hex = md5(key), the register
+    index is the first hex byte mod m and rho is the 1-based position of
+    the first 1-bit in the following 52-bit window (W+1 = 53 when the
+    window is all zero) — the identical hex-string-domain expression the
+    oracled batch twin ``stream_hourly_hll`` evaluates in SQL, so stream
+    and batch hold the same registers."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    hx = hashlib.md5(str(key).encode()).hexdigest()
+    j = int(hx[:2], 16) % m
+    t = hx[2:15].lstrip("0")
+    if not t:
+        return j, HLL_W + 1
+    d = int(t[0], 16)
+    zb = 3 if d == 1 else 2 if d < 4 else 1 if d < 8 else 0
+    return j, 4 * (13 - len(t)) + zb + 1
+
+
+def hll_update(regs: list, items, m: int = HLL_M) -> list:
+    """Fold ``items`` into the m-register array (mutates and returns
+    it).  The state transition is an elementwise MAX — idempotent,
+    monotone, and fully order-, chunking-, duplication- and
+    merge-commutative, the same invariance class as the Bloom OR-fold,
+    so shards fold independently and merge by max.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): each
+    register IS the max rho of every distinct key routed to it; folding
+    a key twice equals folding it once; any chunking/permutation yields
+    the identical array; merging two independently-folded tapes by
+    elementwise max equals folding the concatenation."""
+    for key in items:
+        j, rho = hll_reg(key, m)
+        if rho > regs[j]:
+            regs[j] = rho
+    return regs
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constants: fixed values for the small
+    register counts, the closed form above 128."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(regs: list, m: int = HLL_M) -> float:
+    """HLL cardinality estimate with the standard small-range
+    correction, evaluated in the exact shape of the batch twin's SQL:
+    the register sum is the INTEGER sum(2^(53-M[j])) (order-free), the
+    raw estimate alpha*m*m*2^53/S is one left-associated double chain,
+    and linear counting m*ln(m/V) takes over when the raw estimate is
+    <= 2.5m and V > 0 registers are zero; quantized to the 1e-4 grid."""
+    import math  # noqa: PLC0415 — worker-side import
+
+    s = sum(1 << (HLL_W + 1 - r) for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    raw = _hll_alpha(m) * m * m * float(1 << (HLL_W + 1)) / s
+    est = float(m) * math.log(float(m) / v) if v > 0 and raw <= 2.5 * m else raw
+    return math.floor(est * 10000 + 0.5) / 10000.0
+
+
+def hll_distinct_stream(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Per-hour HyperLogLog distinct-user counter with BOUNDED state:
+    each hour bucket holds one m-register HLL sketch (Flajolet et al.
+    2007) — m bytes of max-registers no matter how many distinct users
+    arrive, the EIGHTH member of the bounded-state sketch family
+    (space-saving top-k, KMV distinct, bottom-k sample, DGIM trailing
+    count, count-min, grid histogram, Bloom membership) and the
+    industry-default distinct counter beside the KMV kernel.  Each
+    micro-batch re-emits the bucket's current zero-register count and
+    cardinality estimate stamped with ``n_total`` events absorbed, so
+    the final row per hour is the one with the maximum n_total.
+
+    HLL state is a pure elementwise-MAX fold — idempotent and fully
+    order-, chunking-, duplication- and merge-commutative — so no
+    out-of-order buffer is needed and the final n_zero_registers /
+    est_users equal the oracled batch twin ``stream_hourly_hll``
+    EXACTLY at every scale (the twin reconstructs the same registers as
+    a grouped max over the same md5 hex rule).  State evicts by
+    event-time timeout once the watermark passes the hour end,
+    mirroring the other sketch kernels."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "hour timestamp, n_total long, n_zero_registers long,"
+        " est_users double"
+    )
+    state_schema = "regs array<long>, n long"
+    hour_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        hour = key[0]
+        hour_end_ms = (pd.Timestamp(hour).value // 1_000 + hour_us) // 1000
+        if state.exists:
+            stored, n = state.get
+            regs = list(stored)
+        else:
+            regs, n = [0] * m, 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= hour_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(int(u) for u in pdf["user_id"])
+        if not items:
+            return
+        n += len(items)
+        hll_update(regs, items, m)
+        state.update((regs, n))
+        state.setTimeoutTimestamp(max(hour_end_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": hour,
+                    "n_total": n,
+                    "n_zero_registers": sum(1 for r in regs if r == 0),
+                    "est_users": hll_estimate(regs, m),
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -513,3 +513,41 @@ def test_bloom_bits_invariants_under_any_chunking(tape, cuts):
     a = bloom_update(set(), tape[:half], m, k)
     c = bloom_update(set(), tape[half:], m, k)
     assert a | c == bloom_update(set(), tape, m, k)
+
+
+@given(
+    st.lists(st.integers(0, 40), max_size=60),
+    st.lists(st.integers(0, 59), max_size=4),
+)
+def test_hll_register_invariants_under_any_chunking(tape, cuts):
+    """HLL-fold invariants after every chunk boundary, for any item
+    order, duplication, and chunking: each register IS the max rho of
+    every distinct key routed to it so far (a pure elementwise-max
+    property — the same commutativity class as the Bloom OR-fold),
+    replays change nothing, and merging two independently-folded tapes
+    by elementwise max equals folding the concatenation."""
+    from hackatonbigdata_spark.streaming.jobs import hll_reg, hll_update
+
+    m = 16
+    bounds = sorted({c for c in cuts if c < len(tape)}) + [len(tape)]
+    regs = [0] * m
+    done = 0
+    for b in bounds:
+        hll_update(regs, tape[done:b], m)
+        done = b
+        seen = set(tape[:done])
+        want = [0] * m
+        for x in seen:
+            j, rho = hll_reg(x, m)
+            want[j] = max(want[j], rho)
+        assert regs == want
+        # idempotence: replaying everything seen so far changes nothing
+        assert hll_update(list(regs), tape[:done], m) == regs
+    # merge-commutativity: elementwise max of independent halves equals
+    # the full fold
+    half = len(tape) // 2
+    a = hll_update([0] * m, tape[:half], m)
+    c = hll_update([0] * m, tape[half:], m)
+    assert [max(x, y) for x, y in zip(a, c)] == hll_update(
+        [0] * m, tape, m
+    )

@@ -382,5 +382,6 @@ def test_round10_ops_stay_jvm_side(spark):
     no Python UDF anywhere."""
     for name in [
         "similarity_ivf_nprobe_sweep",
+        "stream_hourly_hll",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

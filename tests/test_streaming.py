@@ -1225,3 +1225,76 @@ def test_bloom_kernel_saturation_across_batches(spark, tmp_path):
         assert float(got) == want
     # high-fill regime reached: >= half the bits lit by 12 distinct keys
     assert len(bits) >= 8
+
+
+def test_hll_stream_matches_batch_twin(spark, events_stream):
+    """The HyperLogLog kernel's final per-hour zero-register count and
+    cardinality estimate must equal the oracled batch twin
+    ``stream_hourly_hll`` EXACTLY — HLL state is a pure elementwise-MAX
+    fold (idempotent, order/chunking/duplication/merge commutative), so
+    equality holds at every scale with no under-budget caveat, and the
+    twin reconstructs the very same registers as a grouped max over the
+    shared md5 hex rule.  Also pins the estimator's accuracy contract on
+    real data: median relative error under 10% (HLL with m=64 promises
+    sigma ~= 1.04/8 = 13%)."""
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        stream_hourly_hll,
+    )
+
+    jobs.run_to_memory(
+        jobs.hll_distinct_stream(events_stream), "t_hll", "update"
+    )
+    emitted = spark.table("t_hll").toPandas()
+    last = emitted.groupby("hour")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    f = (
+        final[["hour", "n_total", "n_zero_registers", "est_users"]]
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    batch = _sorted_pdf(
+        stream_hourly_hll(spark, SF_DIR).select(
+            "hour", "n_total", "n_zero_registers", "est_users", "n_users"
+        ),
+        ["hour"],
+    )
+    pd.testing.assert_frame_equal(
+        f,
+        batch[["hour", "n_total", "n_zero_registers", "est_users"]],
+        check_dtype=False,
+        check_names=False,
+    )
+    relerr = (batch["est_users"] - batch["n_users"]).abs() / batch["n_users"]
+    assert relerr.median() < 0.10
+
+
+def test_hll_kernel_raw_branch_across_batches(spark, tmp_path):
+    """3-file stream with a TINY m=16 sketch and enough distinct users
+    (80, plus replays) that every register fills — V=0 forces the RAW
+    alpha*m^2/sum harmonic estimate, the branch the sf-data twin test
+    never reaches (hourly cardinalities there always leave zero
+    registers).  The final registers must equal the pure-Python fold
+    over the full multiset, replayed users must not move them, and the
+    emitted estimate must match hll_estimate on the same registers."""
+    files = [
+        [(0, u) for u in range(0, 27)] + [(1, 3)],
+        [(2, u) for u in range(27, 54)] + [(3, 0)],
+        [(4, u) for u in range(54, 80)] + [(5, 17)],
+    ]
+    stream = _event_files_stream(spark, tmp_path, files)
+    jobs.run_to_memory(
+        jobs.hll_distinct_stream(stream, m=16), "t_hll_mb", "update"
+    )
+    emitted = spark.table("t_hll_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    assert len(final) == 1
+    all_users = [u for rows in files for _, u in rows]
+    regs = jobs.hll_update([0] * 16, all_users, m=16)
+    assert int(final["n_total"].iloc[0]) == len(all_users) == 83
+    assert int(final["n_zero_registers"].iloc[0]) == sum(
+        1 for r in regs if r == 0
+    )
+    assert float(final["est_users"].iloc[0]) == jobs.hll_estimate(regs, m=16)
+    # the scenario must actually exercise the raw branch: no zero
+    # registers, so linear counting is unavailable
+    assert sum(1 for r in regs if r == 0) == 0
