@@ -202,6 +202,7 @@ HEADLINE = [
     # round-10 operators:
     "similarity_ivf_nprobe_sweep",    # r10: multi-probe recall/cost curve
     "stream_hourly_hll",              # r10: exact twin of the HLL kernel
+    "corpus_doremi_weights",          # r10: learned mixture reweighting
 ]
 
 

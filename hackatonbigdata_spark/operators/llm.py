@@ -1809,6 +1809,40 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_nl_scores(t: Catalog) -> DataFrame:
+    """Per-document corpus-unigram LM sufficient statistics: (doc_id,
+    n_tokens, nl_sum) where nl_sum is the BIGINT sum of each token's
+    −log2 p quantized to the 1e4 integer grid — the first-order sibling
+    of ``_bigram_nl_scores``, shared by ``text_unigram_logprob`` and
+    ``corpus_doremi_weights``."""
+    words = (
+        _doc_words(t)
+        .select("doc_id", F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    cf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    n = words.agg(F.count(F.lit(1)).alias("total"))
+    q = (
+        tf.join(cf, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    return q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle=f"""
@@ -1845,29 +1879,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the term; the corpus term table is Zipf-compact and the join
     shuffles on the term key, never all-pairs."""
     t = Catalog(spark, sf_dir)
-    words = _doc_words(t).select(
-        "doc_id", F.explode("w").alias("word")
-    ).filter(F.col("word") != "")
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    cf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
-    n = words.agg(F.count(F.lit(1)).alias("total"))
-    q = (
-        tf.join(cf, "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "tf",
-            F.floor(
-                -F.log2(F.col("cf") * F.lit(1.0) / F.col("total")) * 10000 + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("nlq"),
-        )
-    )
-    d = q.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
-    )
+    d = _unigram_nl_scores(t)
     return d.select(
         "doc_id",
         "n_tokens",
@@ -4853,6 +4865,269 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0
         ).alias("epochs"),
+    )
+
+
+_DOREMI_STEPS = 8  # exponentiated-gradient rounds
+_DOREMI_SMOOTH = 5_000_000  # c/K in 1e-9 units: c=0.1 over K=20 sources
+_DOREMI_CLIP = 30_000  # excess clip, 1e-4 bits (3 bits): g9 <= 8e9 so
+#                        w*g9 <= 8e18 stays inside BIGINT
+
+
+def _bigram_cond_nl_scores(t: Catalog) -> DataFrame:
+    """Per-document CONDITIONAL bigram LM sufficient statistics:
+    (doc_id, n_bigrams, nl_sum) where nl_sum is the BIGINT sum of each
+    bigram's −log2 p(w2|w1) = −log2(cf(w1 w2) / cf(w1)) quantized to
+    the 1e4 integer grid — the proper next-token LM the DoReMi excess
+    compares against the unigram proxy (``_bigram_nl_scores``'s JOINT
+    surprisal is per-bigram, not per-token, so it is incommensurate
+    with a per-token unigram loss).  cf(w1) counts bigram first
+    positions, so the conditional rows sum to a true probability."""
+    bg = (
+        _doc_words(t)
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> struct(w[i] as w1,"
+                    " concat_ws(' ', w[i], w[i+1]) as bigram))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.w1", "x.bigram")
+    )
+    tf = bg.groupBy("doc_id", "w1", "bigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cf2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cf2"))
+    cf1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cf1"))
+    q = (
+        tf.join(cf2, "bigram")
+        .join(cf1, "w1")
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                -F.log2(F.col("cf2") * F.lit(1.0) / F.col("cf1")) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    return q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+
+
+def _doremi_oracle() -> str:
+    """The full {_DOREMI_STEPS}-step DoReMi trajectory as a DuckDB CTE
+    chain: per-source unigram (proxy) and conditional-bigram (reference)
+    LM losses -> clipped excess -> the static per-step multiplier g9 ->
+    {_DOREMI_STEPS} unrolled multiply/normalize/smooth rounds in BIGINT
+    nano-weights (the quality_classifier_gd discipline).  The 20-row
+    per-source base is MATERIALIZED and every step CTE is referenced
+    exactly once (normalization via a window sum) — a step that
+    re-referenced its predecessor twice would re-inline the corpus
+    scans 2^steps times."""
+    head = f"""
+WITH wds AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+tok AS (SELECT doc_id, word FROM wds WHERE word <> ''),
+utf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+ucf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+unt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+uq AS (SELECT utf.doc_id, utf.tf,
+              CAST(floor(-log2(ucf.cf * 1.0 / unt.total) * 10000 + 0.5)
+                   AS BIGINT) AS nlq
+       FROM utf JOIN ucf USING (word) CROSS JOIN unt),
+ud AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+       FROM uq GROUP BY 1),
+us AS (SELECT d.source, CAST(sum(ud.n_tokens) AS BIGINT) AS n_tokens,
+              CAST(floor(CAST(sum(ud.nl_sum) AS DOUBLE)
+                         / CAST(sum(ud.n_tokens) AS BIGINT) + 0.5)
+                   AS BIGINT) AS u4
+       FROM ud JOIN documents d USING (doc_id) GROUP BY 1),
+bw AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bigram
+       FROM bw, unnest(range(1, len(w))) AS u(i)
+       WHERE len(w) >= 2),
+btf AS (SELECT doc_id, w1, bigram, CAST(count(*) AS BIGINT) AS tf
+        FROM bg GROUP BY 1, 2, 3),
+bcf AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf2 FROM bg GROUP BY 1),
+bc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cf1 FROM bg GROUP BY 1),
+bq AS (SELECT btf.doc_id, btf.tf,
+              CAST(floor(-log2(bcf.cf2 * 1.0 / bc1.cf1) * 10000 + 0.5)
+                   AS BIGINT) AS nlq
+       FROM btf JOIN bcf USING (bigram) JOIN bc1 USING (w1)),
+bd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+              CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+       FROM bq GROUP BY 1),
+bs AS (SELECT d.source,
+              CAST(floor(CAST(sum(bd.nl_sum) AS DOUBLE)
+                         / CAST(sum(bd.n_bigrams) AS BIGINT) + 0.5)
+                   AS BIGINT) AS b4
+       FROM bd JOIN documents d USING (doc_id) GROUP BY 1),
+gt AS MATERIALIZED (
+  SELECT us.source, us.n_tokens, us.u4, bs.b4,
+         greatest(CAST(0 AS BIGINT), us.u4 - bs.b4) AS e4,
+         CAST(floor(pow(CAST(2 AS DOUBLE),
+                        CAST(least(greatest(CAST(0 AS BIGINT),
+                                            us.u4 - bs.b4),
+                                   {_DOREMI_CLIP}) AS DOUBLE)
+                        / 10000) * 1000000000 + 0.5)
+              AS BIGINT) AS g9
+  FROM us JOIN bs USING (source)),
+dw0 AS (SELECT source, g9, CAST(50000000 AS BIGINT) AS w FROM gt)"""
+    step = """,
+dw{i} AS (SELECT source, g9,
+                 CAST(floor(CAST(900000000 AS DOUBLE) * u
+                            / (sum(u) OVER ()) + 0.5)
+                      AS BIGINT) + {smooth} AS w
+          FROM (SELECT source, g9,
+                       CAST((w * g9 + 500000000) // 1000000000
+                            AS BIGINT) AS u
+                FROM dw{prev}) q{i})"""
+    sql = head
+    for i in range(1, _DOREMI_STEPS + 1):
+        sql += step.format(i=i, prev=i - 1, smooth=_DOREMI_SMOOTH)
+    sql += f"""
+SELECT gt.source, gt.n_tokens,
+       round(gt.u4 / 10000.0, 4) AS uni_bits,
+       round(gt.b4 / 10000.0, 4) AS bi_bits,
+       round(gt.e4 / 10000.0, 4) AS excess_bits,
+       CAST(fw.w AS BIGINT) AS w_nano,
+       round(fw.w / 1000000000.0, 4) AS weight
+FROM gt JOIN dw{_DOREMI_STEPS} fw USING (source)
+"""
+    return sql
+
+
+@register("corpus_doremi_weights", oracle=_doremi_oracle())
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style learned source-mixture weights (Xie et al. 2023) —
+    the learned counterpart of the static ``corpus_mixture_temperature``
+    recipe.  Per source, the excess loss of the weaker proxy LM over the
+    stronger reference LM is the engine's own unigram-vs-bigram score
+    gap: mean per-token −log2 p under ``_unigram_nl_scores`` minus the
+    mean per-token CONDITIONAL −log2 p(w2|w1) under
+    ``_bigram_cond_nl_scores`` (both 1e-4-integer-quantized; floored at
+    0 per the paper, clipped at 3 bits as the multiplier's overflow
+    guard) — exactly DoReMi's signal "domains where the reference model
+    beats the proxy hardest are the domains with the most learnable
+    headroom".  Then {_DOREMI_STEPS} rounds of the DoReMi update: w_k <-
+    w_k · 2^excess_k, normalize, and mix 10% uniform smoothing
+    back in (the paper's exp(η·λ) exponentiated-gradient step in base 2
+    with η folded into the exponent, since cross-engine pow-of-2 is the
+    proven primitive here).  Emits per source: token mass, both LM
+    losses, the excess, and the final weight — read next to
+    ``corpus_mixture_temperature``'s temp_share to see where learned
+    reweighting disagrees with size-based temperature sampling.
+
+    Honest stand-in, documented: real DoReMi retrains the proxy under
+    the evolving weights each round, so the excess losses move; with a
+    fixed corpus-statistics LM pair the per-round multiplier is static
+    and only the normalize+smooth recursion evolves the trajectory.
+    The update rule, state discipline, and output contract are the
+    paper's.
+
+    Exactness: the trajectory is the quality_classifier_gd discipline —
+    weights are driver-held BIGINT nano-units; the one transcendental
+    (the per-source multiplier g9 = floor(2^(e4/1e5)·1e9 + 0.5)) is
+    computed ENGINE-SIDE from the integer excess on both sides; each
+    round is then one integer multiply-shift and one identically-
+    structured double normalize, so the whole trajectory is
+    reproducible bit-for-bit in the oracle's unrolled CTE chain.
+
+    Scale: two corpus-term aggregates (Zipf-compact term tables, term-
+    keyed joins, never all-pairs) collapse to ONE 20-row per-source
+    table; the {_DOREMI_STEPS}-round loop runs on the driver over those
+    20 integers — no per-step Spark job, no fact-scale state.
+
+    Reference parity: the reference's mixture design is static
+    per-category sampling in /root/reference/src/data/loaders.py; this
+    adds the learned-reweighting layer the 100 TB curation stack uses."""
+    t = Catalog(spark, sf_dir)
+    src = t.documents.select("doc_id", "source")
+    us = (
+        _unigram_nl_scores(t)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(
+                F.sum("nl_sum").cast("double") / F.sum("n_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("u4"),
+        )
+    )
+    bs = (
+        _bigram_cond_nl_scores(t)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.floor(
+                F.sum("nl_sum").cast("double") / F.sum("n_bigrams")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("b4"),
+        )
+    )
+    e4 = F.greatest(F.lit(0).cast("long"), F.col("u4") - F.col("b4"))
+    gt = (
+        us.join(bs, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "u4",
+            "b4",
+            e4.alias("e4"),
+            F.floor(
+                F.pow(
+                    F.lit(2.0),
+                    F.least(e4, F.lit(_DOREMI_CLIP).cast("long")).cast(
+                        "double"
+                    )
+                    / 10000,
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("g9"),
+        )
+        .localCheckpoint()
+    )
+    # the trajectory: driver-held BIGINT nano-weights over the bounded
+    # 20-row source table (the quality_classifier_gd state discipline)
+    g9 = {r["source"]: r["g9"] for r in gt.select("source", "g9").collect()}
+    w = {k: 50_000_000 for k in g9}
+    for _ in range(_DOREMI_STEPS):
+        u = {k: (w[k] * g9[k] + 500_000_000) // 1_000_000_000 for k in w}
+        z = sum(u.values())
+        w = {
+            k: int(math.floor(900000000.0 * u[k] / z + 0.5)) + _DOREMI_SMOOTH
+            for k in w
+        }
+    wmap = F.create_map(
+        *[F.lit(x) for k in sorted(w) for x in (k, w[k])]
+    )
+    wcol = wmap[F.col("source")].cast("long")
+    return gt.select(
+        "source",
+        "n_tokens",
+        r4(F.col("u4") / 10000.0).alias("uni_bits"),
+        r4(F.col("b4") / 10000.0).alias("bi_bits"),
+        r4(F.col("e4") / 10000.0).alias("excess_bits"),
+        wcol.alias("w_nano"),
+        r4(wcol / 1000000000.0).alias("weight"),
     )
 
 

@@ -221,3 +221,98 @@ def test_similarity_ivf_nprobe_sweep_matches_python(spark):
     # more candidates
     assert got[1].recall3 <= got[2].recall3 <= got[4].recall3
     assert got[1].mean_candidates < got[2].mean_candidates < got[4].mean_candidates
+
+
+def test_corpus_doremi_weights_matches_python(spark):
+    """Full rederivation of the DoReMi mixture trajectory: per-source
+    unigram (proxy) and conditional-bigram (reference) losses from raw
+    normalized text pulled through DuckDB, clipped excess, the 2^excess
+    multiplier, and the 8 integer multiply/normalize/smooth rounds —
+    plus the operator's defining monotonicity (more excess never means
+    less weight) and conservation (weights sum to ~1)."""
+    import re
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, source, text FROM read_parquet(?) ORDER BY doc_id",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    words_of = {}
+    src_of = {}
+    for doc_id, source, text in rows:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower()))
+        words_of[doc_id] = norm.strip().split(" ")
+        src_of[doc_id] = source
+    # unigram proxy loss (tokens exclude empties, as the engine does)
+    toks = {
+        d: [w for w in ws if w != ""] for d, ws in words_of.items()
+    }
+    ucf = collections.Counter(w for ws in toks.values() for w in ws)
+    utot = sum(ucf.values())
+    unl = {
+        w: int(math.floor(-math.log2(c * 1.0 / utot) * 10000 + 0.5))
+        for w, c in ucf.items()
+    }
+    # conditional bigram reference loss (bigrams over the RAW split,
+    # empties included, mirroring _bigram_cond_nl_scores)
+    bgs = {
+        d: [(ws[i], f"{ws[i]} {ws[i + 1]}") for i in range(len(ws) - 1)]
+        for d, ws in words_of.items()
+        if len(ws) >= 2
+    }
+    cf2 = collections.Counter(b for prs in bgs.values() for _, b in prs)
+    cf1 = collections.Counter(w1 for prs in bgs.values() for w1, _ in prs)
+    bnl = {
+        b: int(
+            math.floor(-math.log2(cf2[b] * 1.0 / cf1[w1]) * 10000 + 0.5)
+        )
+        for prs in bgs.values()
+        for w1, b in prs
+    }
+    un = collections.defaultdict(lambda: [0, 0])  # src -> [nl_sum, n_tok]
+    bn = collections.defaultdict(lambda: [0, 0])
+    for d in words_of:
+        s = src_of[d]
+        for w in toks[d]:
+            un[s][0] += unl[w]
+            un[s][1] += 1
+        for _, b in bgs.get(d, []):
+            bn[s][0] += bnl[b]
+            bn[s][1] += 1
+    u4 = {s: int(math.floor(v[0] * 1.0 / v[1] + 0.5)) for s, v in un.items()}
+    b4 = {s: int(math.floor(v[0] * 1.0 / v[1] + 0.5)) for s, v in bn.items()}
+    e4 = {s: max(0, u4[s] - b4[s]) for s in u4}
+    g9 = {
+        s: int(
+            math.floor(
+                math.pow(2.0, min(e4[s], 30000) * 1.0 / 10000)
+                * 1000000000
+                + 0.5
+            )
+        )
+        for s in e4
+    }
+    w = dict.fromkeys(g9, 50_000_000)
+    for _ in range(8):
+        u = {k: (w[k] * g9[k] + 500_000_000) // 1_000_000_000 for k in w}
+        z = sum(u.values())
+        w = {
+            k: int(math.floor(900000000.0 * u[k] / z + 0.5)) + 5_000_000
+            for k in w
+        }
+    got = {
+        r.source: r
+        for r in QUERIES["corpus_doremi_weights"](spark, SF_DIR).collect()
+    }
+    assert sorted(got) == sorted(u4)
+    for s in got:
+        assert got[s].w_nano == w[s], s
+        assert got[s].uni_bits == _r4(u4[s] / 10000.0), s
+        assert got[s].bi_bits == _r4(b4[s] / 10000.0), s
+        assert got[s].excess_bits == _r4(e4[s] / 10000.0), s
+    # conservation and monotonicity of the learned mixture
+    assert abs(sum(r.w_nano for r in got.values()) - 1_000_000_000) <= 20
+    ranked = sorted(got.values(), key=lambda r: r.excess_bits)
+    for a, b in zip(ranked, ranked[1:]):
+        assert a.w_nano <= b.w_nano
