@@ -62,81 +62,84 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 9 BUDGET (50-slot driver window) ============================
-    # Plan: (1) every name whose code is new or edited in r9 leads (7
-    # names — all fully oracled); (2) the ENTIRE 39-name r3-latest backlog
-    # (r8 verdict "missing" #1) is retired; (3) the remaining 5 slots
-    # start on the 39-name r4-latest backlog, oracled names first (the 35
-    # r4 names below the cut — incl. the 9 rows-only MLlib/kernel names,
-    # which rank last at equal staleness — queue for the r10 rotation:
-    # postproc_business_rules, postproc_seasonal_nudge, kpi_quality_bands, error_decomposition_brand,
-    # cv_blocked_folds, kpi_directional_accuracy, meta_features_ensemble,
-    # flagship_weekly_brand_demand, stream_session_windows,
-    # stream_dedup_within_watermark, event_cohort_retention,
-    # event_funnel_conversion, join_asof_view_attribution,
-    # stream_tumbling_hourly, stream_threshold_alerts,
-    # stream_json_props_extract, stream_sliding_1h_30m,
-    # stream_alert_rate_limit, stream_late_data_policy,
-    # io_compact_roundtrip, io_upsert_roundtrip, sample_stratified_split,
-    # contamination_ngram_overlap, seqpack_greedy_bins,
-    # text_repetition_ratio, text_unigram_logprob, then the rows-only
-    # zero_inflated_hurdle_mllib, dedup_minhash_mllib,
-    # similarity_ivf_kmeans, similarity_pca_cosine, calibration_isotonic,
-    # holt_winters_per_series, similarity_brp_lsh_mllib,
-    # sequential_clamp_per_series, rolling_autocorr_per_series.)
-    # --- round 9: new queries and edited-after-r8-check code --------------
-    "dedup_lsh_calibration",  # r9: candidates-only true-Jaccard scoring
-    "dedup_lines_ccnet",  # r9 NEW: CCNet/C4 line-level keep-first dedup
-    "dedup_savings_report",  # r9: + line_first_seen policy row
-    "embedding_pq_eval",  # r9 NEW: product-quantization ADC retrieval eval
-    "mm_ppm_pixel_stats",  # r9 NEW: codec-free PPM (P6) image decode
-    "stream_hourly_bloom",  # r9 NEW: exact twin of the Bloom stream kernel
-    "similarity_ivfpq_topk",  # r9 NEW: composed IVF-PQ index recall eval
-    # --- r3-latest backlog: all 39, retired this round ---------------------
-    "agg_multistat_product",
-    "agg_moments_brand",
-    "agg_distinct_counts",
-    "agg_grouped_quantiles",
-    "market_share_brand",
-    "entropy_store_portfolio",
-    "hhi_by_type",
-    "top5_share_per_store",
-    "mode_share_store",
-    "zero_ratio_per_part",
-    "weekday_profile",
-    "pivot_brand_by_status",
-    "basket_stats",
-    "corr_price_quantity",
-    "rollup_type_brand",
-    "cube_flag_status",
-    "global_describe",
-    "calendar_extract",
-    "cyclical_fourier",
-    "binning_fixed_tiers",
-    "string_normalize",
-    "null_strategies",
-    "frequency_encoding",
-    "label_encode_other",
-    "holiday_proximity",
-    "business_calendar_flags",
-    "window_ffill",
-    "window_group_transform",
-    "window_momentum_accel",
-    "window_decline_indicator",
-    "ewm_daily_store",
-    "cv_walkforward_folds",
-    "postproc_clip_caps",
-    "similarity_topk_cosine",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_metadata",
-    # --- oldest remaining evidence: first 5 of the 39 r4-latest names -----
-    "customer_proxy_daily",
-    "agg_salted_skew",
-    "metric_wmape_by_store",
-    "intermittency_classify",
+    # === ROUND 10 BUDGET (50-slot driver window) ===========================
+    # Plan: (1) every name whose code is new or edited in r10 leads (6
+    # names — 3 new operators + the residual-encoding rework that touched
+    # the shared PQ encoder + the _unigram_nl_scores refactor — all fully
+    # oracled); (2) the ENTIRE 35-name r4-latest backlog (r9 verdict
+    # "missing" #1) is retired — 25 oracled names first, the 9 rows-only
+    # MLlib/kernel names last (text_unigram_logprob, the 35th, already
+    # leads as an r10-edited name); (3) the remaining 10 slots start on
+    # the 45-name r5-latest backlog in registration order, oracled names
+    # first (the 35 r5 names below the cut queue for the r11 rotation:
+    # feature_importance_topk, calibration_temperature,
+    # calibration_quantile_band, calibration_subsample_uncertainty,
+    # eval_confusion_by_store, eval_decile_lift, io_partitioned_prune,
+    # io_bucketed_join, dedup_cluster_largestar, corpus_mixture_weights,
+    # dedup_report_by_source, ann_recall_at_k, text_dupgram_fraction,
+    # dedup_incremental_vs_snapshot, corpus_resample_ncopies,
+    # sample_reservoir_per_group, anomaly_mad_flags, join_salted_skew,
+    # encode_target_oof, seq_event_transitions, interval_merge_coverage,
+    # graph_pagerank_parts, window_rolling_distinct, time_weighted_avg,
+    # attribution_multitouch_linear, survival_km_signup_purchase,
+    # seq_path_trigrams, croston_ses_sql, ar2_yule_walker_sql,
+    # cdc_scd2_user_state, snapshot_table_diff, window_rank_movers, then
+    # the rows-only agg_sketches_only, croston_per_series,
+    # ar2_yule_walker_per_series.)
+    # --- round 10: new queries and edited-after-r9-check code -------------
+    "corpus_doremi_weights",  # r10 NEW: learned mixture reweighting
+    "similarity_ivf_nprobe_sweep",  # r10 NEW: multi-probe recall/cost curve
+    "stream_hourly_hll",  # r10 NEW: exact twin of the HyperLogLog kernel
+    "similarity_ivfpq_topk",  # r10: + residual-encoding variant
+    "embedding_pq_eval",  # r10: shares the reworked _pq_codes encoder
+    "text_unigram_logprob",  # r10: _unigram_nl_scores refactor (also r4)
+    # --- r4-latest backlog: all 35, retired this round (oracled first) ----
+    "postproc_business_rules",
+    "postproc_seasonal_nudge",
+    "kpi_quality_bands",
+    "error_decomposition_brand",
+    "cv_blocked_folds",
+    "kpi_directional_accuracy",
+    "meta_features_ensemble",
+    "io_compact_roundtrip",
+    "io_upsert_roundtrip",
+    "sample_stratified_split",
+    "contamination_ngram_overlap",
+    "seqpack_greedy_bins",
+    "text_repetition_ratio",
+    "flagship_weekly_brand_demand",
+    "stream_tumbling_hourly",
+    "stream_sliding_1h_30m",
+    "stream_session_windows",
+    "stream_threshold_alerts",
+    "stream_alert_rate_limit",
+    "stream_dedup_within_watermark",
+    "stream_late_data_policy",
+    "stream_json_props_extract",
+    "event_cohort_retention",
+    "event_funnel_conversion",
+    "join_asof_view_attribution",
+    # --- r4-latest rows-only MLlib/kernel names (weaker rows-only check) --
+    "zero_inflated_hurdle_mllib",
+    "calibration_isotonic",
+    "dedup_minhash_mllib",
+    "similarity_brp_lsh_mllib",
+    "similarity_ivf_kmeans",
+    "similarity_pca_cosine",
+    "sequential_clamp_per_series",
+    "rolling_autocorr_per_series",
+    "holt_winters_per_series",
+    # --- oldest remaining evidence: first 10 oracled r5-latest names ------
+    "diag_skew_heavy_hitters",
+    "grouping_sets_custom",
+    "ab_test_welch",
+    "corr_spearman_store",
+    "price_elasticity_brand",
+    "ab_test_ks",
+    "audit_benford_digits",
+    "drift_psi_distribution",
+    "calibration_conformal",
+    "ensemble_dynamic_weights",
 ]
 
 
