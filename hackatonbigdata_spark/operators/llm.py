@@ -5778,63 +5778,97 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims/subspace × codebook size
 
 
-def _pq_codes(vecs: DataFrame, vcol: str) -> DataFrame:
+def _pq_codes(vecs: DataFrame, vcol: str, tag: str | None = None) -> DataFrame:
     """(vec_id, rec): the PQ reconstruction of ``vecs[vcol]`` — each of
     the m={_PQ_M} 8-dim subvectors snapped to its nearest of K={_PQ_K}
     codewords, the codebook per subspace being the same-position
     subvectors of the K lowest-hash vectors (a deterministic, oracle-able
     k-means-seeding stand-in).  One encoder serves both inputs the
     composed index needs: raw embeddings and IVF residuals
-    x − centroid(x)."""
-    seeds = (
-        vecs.select(
+    x − centroid(x) — pass ``tag`` to encode several variants in one
+    pass (every tag shares the identical lowest-hash seed-ID table, the
+    seeding hashes vec_id only; each tag's codebook is cut from its own
+    tag's vectors; the output carries the tag column).
+
+    The K-way argmin runs as a HOF fold over the collected 16-codeword
+    array INSIDE each (vector, subspace) row — never as a K-fold row
+    explode + window, which would shuffle n·m·K rows (the 100 TB killer
+    shape for an encoder that should stream).  The fold compares the
+    identical doubles (same dot order, ties broken by ascending codeword
+    id via keep-first-minimum over the k-sorted array), so codes match
+    the row_number-over-distances construction bit-for-bit — the DuckDB
+    oracle keeps that spelled-out shape."""
+    tg = tag if tag is not None else "_pqtag"
+    if tag is None:
+        vecs = vecs.withColumn(tg, F.lit(0))
+    sid = (
+        vecs.select("vec_id")
+        .distinct()
+        .select(
             F.col("vec_id").alias("k"),
-            F.col(vcol).alias("cemb"),
             _h(F.col("vec_id").cast("string")).alias("hk"),
         )
         .orderBy("hk", "k")
         .limit(_PQ_K)
+        .select("k")
     )
-    # ss (= <sub,sub>) and cc (= <c,c>) are constant per (vector, subspace)
-    # and per codeword respectively — hoisting them out of the argmin join
-    # evaluates each once instead of once per (vector, codeword) pair; the
-    # distances are the same doubles (the identical dot values, combined in
-    # the identical order), so codes and the oracle are unchanged
-    cb = seeds.select(
-        "k",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
-                f" slice(cemb, s * {_PQ_D} + 1, {_PQ_D}) as c))"
-            )
-        ).alias("x"),
-    ).select("k", "x.s", "x.c", _dot("x.c", "x.c").alias("cc"))
+    # per (tag, s): the k-sorted 16-codeword array with hoisted <c,c>
+    cba = (
+        vecs.join(F.broadcast(sid), vecs["vec_id"] == sid["k"])
+        .select(
+            tg,
+            "k",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}),"
+                    f" s -> struct(s as s,"
+                    f" slice({vcol}, s * {_PQ_D} + 1, {_PQ_D}) as c))"
+                )
+            ).alias("x"),
+        )
+        .select(tg, "k", "x.s", "x.c", _dot("x.c", "x.c").alias("cc"))
+        .groupBy(tg, "s")
+        .agg(
+            F.expr("array_sort(collect_list(struct(k, c, cc)))").alias("cba")
+        )
+    )
     sub = vecs.select(
+        tg,
         "vec_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s as s,"
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> struct(s as s,"
                 f" slice({vcol}, s * {_PQ_D} + 1, {_PQ_D}) as sub))"
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sub", _dot("x.sub", "x.sub").alias("ss"))
-    dists = sub.join(F.broadcast(cb), "s").select(
+    ).select(
+        tg, "vec_id", "x.s", "x.sub", _dot("x.sub", "x.sub").alias("ss")
+    )
+    # distances nested in a transform so each dot evaluates once (CSE does
+    # not reach inside lambdas), then a keep-first-minimum fold over the
+    # k-ascending array == row_number ordered by (d, k)
+    best = sub.join(F.broadcast(cba), [tg, "s"]).select(
+        tg,
         "vec_id",
         "s",
-        "k",
-        "c",
-        (F.col("ss") - 2 * _dot("sub", "c") + F.col("cc")).alias("d"),
+        F.expr(
+            "aggregate("
+            " transform(cba, x -> struct(x.c as c,"
+            "   ss - 2 * aggregate(zip_with(sub, x.c, (p, q) -> p * q),"
+            "     cast(0.0 as double), (a, v) -> a + v) + x.cc as d)),"
+            " struct(cast(array() as array<double>) as c,"
+            "        cast('Infinity' as double) as d),"
+            " (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).c"
+        ).alias("c"),
     )
-    asn = dists.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("vec_id", "s").orderBy("d", "k")),
-    ).filter(F.col("rn") == 1)
-    return asn.groupBy("vec_id").agg(
+    out = best.groupBy(tg, "vec_id").agg(
         F.expr(
             "flatten(transform(array_sort(collect_list(struct(s, c))),"
             " x -> x.c))"
         ).alias("rec")
     )
+    return out.drop(tg) if tag is None else out
 
 
 def _pq_reconstructed(spark: SparkSession, e: DataFrame) -> DataFrame:
@@ -6203,17 +6237,17 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it exists to measure the index); the INDEX side is the 100 TB
     path — assignment is a broadcast join against {_N_IVF_CENTROIDS}
     centroids, residual encode/decode is one broadcast of those same
-    centroids, ADC pairs come from the bucket equi-join only
-    (n²/buckets, never all-pairs), both rankings share one
-    vec_id-partitioned exchange, and codes are m bytes per vector per
-    variant."""
+    centroids, the raw and residual PQ encodings run through ONE fused
+    tagged argmin pass (see ``_pq_codes``), ADC pairs come from the
+    bucket equi-join only (n²/buckets, never all-pairs), both rankings
+    share one vec_id-partitioned exchange, and codes are m bytes per
+    vector per variant."""
     t = Catalog(spark, sf_dir)
     e = (
         _embeddings(t)
         .withColumn("qq", _dot("emb", "emb"))
         .localCheckpoint()
     )
-    r = _pq_reconstructed(spark, e)
     c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("emb").alias("cemb"),
@@ -6268,39 +6302,57 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mu")
         )
     )
-    # residual chain: PQ-encode x - mu(bucket(x)) with the same encoder,
-    # reconstruct as mu + decoded residual (recf), rf = <recf, recf>
+    # residual chain: PQ-encode x - mu(bucket(x)) with the same encoder as
+    # the raw vectors — ONE fused tagged pass (see _pq_codes), so both
+    # codebooks and both argmins share a single exchange; reconstruct the
+    # residual side as mu + decoded residual (recf), rf = <recf, recf>.
+    # Only the 8-row mu table checkpoints here: er rebuilds from the two
+    # checkpointed inputs with broadcast joins, so it stays a cheap view
+    # (its residual norm folds into the r checkpoint below instead of
+    # paying a separate scan)
+    mu = mu.localCheckpoint()
     er = (
         e.join(assign, "vec_id")
         .join(F.broadcast(mu), "bucket_id")
         .withColumn("res", F.expr("zip_with(emb, mu, (x, y) -> x - y)"))
         .select("vec_id", "mu", "res")
+    )
+    inp = e.select(
+        "vec_id", F.lit(0).alias("tg"), F.col("emb").alias("v")
+    ).unionByName(
+        er.select("vec_id", F.lit(1).alias("tg"), F.col("res").alias("v"))
+    )
+    recs = (
+        _pq_codes(inp, "v", tag="tg")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint()
     )
     rfull = (
         er.join(
-            _pq_codes(er.select("vec_id", "res"), "res").select(
+            recs.filter(F.col("tg") == 1).select(
                 "vec_id", F.col("rec").alias("recr")
             ),
             "vec_id",
         )
         .withColumn("recf", F.expr("zip_with(mu, recr, (x, y) -> x + y)"))
-        .select("vec_id", "recf", _dot("recf", "recf").alias("rf"))
+        .select(
+            "vec_id",
+            "recf",
+            _dot("recf", "recf").alias("rf"),
+            F.floor(F.sqrt(_dot("res", "res")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("rnorm4"),
+        )
     )
     r = (
-        r.join(rfull, "vec_id")
+        e.join(recs.filter(F.col("tg") == 0).select("vec_id", "rec"), "vec_id")
+        .withColumn("rr", _dot("rec", "rec"))
+        .join(rfull, "vec_id")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint()
     )
-    rq = er.agg(
-        F.sum(
-            F.floor(
-                F.sqrt(_dot("res", "res")) * 10000 + F.lit(0.5)
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("sq"),
+    rq = r.agg(
+        F.sum("rnorm4").cast("long").alias("sq"),
         F.count(F.lit(1)).cast("long").alias("cn"),
     )
     a, b = e.alias("a"), e.alias("b")
