@@ -203,6 +203,7 @@ HEADLINE = [
     "similarity_ivf_nprobe_sweep",    # r10: multi-probe recall/cost curve
     "stream_hourly_hll",              # r10: exact twin of the HLL kernel
     "corpus_doremi_weights",          # r10: learned mixture reweighting
+    "stream_hll_daily_merge",         # r10: cross-window HLL sketch merge
 ]
 
 

@@ -1748,6 +1748,21 @@ def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``streaming/jobs.py:hll_distinct_stream``) holds exactly that
     array per open hour."""
     t = Catalog(spark, sf_dir)
+    regs = _hll_hour_regs(t)
+    summ = _hll_summary(spark, regs, "hour")
+    nt = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return nt.join(summ, "hour").select(
+        "hour", "n_total", "n_zero_registers", "est_users", "n_users"
+    )
+
+
+def _hll_hour_regs(t: Catalog) -> DataFrame:
+    """Sparse per-hour HLL registers (hour, j, mj) under the shared md5
+    hex rule — the core both ``stream_hourly_hll`` and the daily merge
+    rollup reconstruct from."""
     hexc = F.md5(F.col("user_id").cast("string"))
     tcol = F.regexp_replace(F.substring(hexc, 3, 13), "^0+", "")
     d = F.substring(tcol, 1, 1)
@@ -1766,15 +1781,22 @@ def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rho.alias("rho"),
     )
-    regs = hx.groupBy("hour", "j").agg(
-        F.max("rho").cast("long").alias("mj")
-    )
+    return hx.groupBy("hour", "j").agg(F.max("rho").cast("long").alias("mj"))
+
+
+def _hll_summary(spark: SparkSession, regs: DataFrame, key: str) -> DataFrame:
+    """(key, n_zero_registers, est_users) from sparse registers keyed by
+    ``key``: fill the {HLL_M}-register grid, carry the harmonic register
+    sum as the integer sum(2^(53-M[j])), and apply the alpha_64 estimate
+    with the standard linear-counting small-range correction — one
+    identically-structured float expression per the batch-twin
+    contract."""
     jj = spark.range(HLL_M).select(F.col("id").cast("long").alias("j"))
-    grid = hx.select("hour").distinct().crossJoin(F.broadcast(jj))
-    fullr = grid.join(regs, ["hour", "j"], "left").select(
-        "hour", F.coalesce("mj", F.lit(0)).alias("mj")
+    grid = regs.select(key).distinct().crossJoin(F.broadcast(jj))
+    fullr = grid.join(regs, [key, "j"], "left").select(
+        key, F.coalesce("mj", F.lit(0)).alias("mj")
     )
-    s = fullr.groupBy("hour").agg(
+    s = fullr.groupBy(key).agg(
         F.sum(
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT),"
@@ -1787,10 +1809,6 @@ def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    nt = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
     raw = (
         F.lit(0.709)
         * HLL_M
@@ -1799,9 +1817,8 @@ def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("s53")
     )
     lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v"))
-    return nt.join(s, "hour").select(
-        "hour",
-        "n_total",
+    return s.select(
+        key,
         F.col("v").alias("n_zero_registers"),
         (
             F.floor(
@@ -1812,5 +1829,116 @@ def stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0
         ).alias("est_users"),
-        "n_users",
+    )
+
+
+@register(
+    "stream_hll_daily_merge",
+    oracle=f"""
+WITH hx AS (SELECT date_trunc('hour', ts) AS hour, user_id,
+                   md5(CAST(user_id AS VARCHAR)) AS hex
+            FROM events),
+rho AS (
+  SELECT hour,
+         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % {HLL_M} AS j,
+         CASE WHEN regexp_replace(substr(hex, 3, 13), '^0+', '') = ''
+              THEN {HLL_W + 1}
+              ELSE 4 * (13 - length(regexp_replace(substr(hex, 3, 13), '^0+', '')))
+                   + CASE substr(regexp_replace(substr(hex, 3, 13), '^0+', ''), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1 END AS rho
+  FROM hx),
+hregs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
+          FROM rho GROUP BY 1, 2),
+dregs AS (SELECT date_trunc('day', hour) AS day, j,
+                 CAST(max(mj) AS BIGINT) AS mj
+          FROM hregs GROUP BY 1, 2),
+grid AS (SELECT d.day, jj.j
+         FROM (SELECT DISTINCT day FROM dregs) d
+         CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) jj),
+fullr AS (SELECT grid.day, COALESCE(dregs.mj, 0) AS mj
+          FROM grid LEFT JOIN dregs
+            ON dregs.day = grid.day AND dregs.j = grid.j),
+s AS (SELECT day,
+             CAST(sum(1::BIGINT << CAST({HLL_W + 1} - mj AS INTEGER))
+                  AS BIGINT) AS s53,
+             CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullr GROUP BY 1),
+hh AS (SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS du
+       FROM hx GROUP BY 1),
+shu AS (SELECT date_trunc('day', hour) AS day,
+               CAST(sum(du) AS BIGINT) AS sum_hourly_users
+        FROM hh GROUP BY 1),
+nt AS (SELECT date_trunc('day', ts) AS day,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1)
+SELECT nt.day, nt.n_total, s.v AS n_zero_registers,
+       floor(CASE WHEN s.v > 0
+                   AND CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                       * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
+                  THEN CAST({HLL_M} AS DOUBLE)
+                       * ln(CAST({HLL_M} AS DOUBLE) / s.v)
+                  ELSE CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                       * {_HLL_POW53} / s.s53
+             END * 10000 + 0.5) / 10000 AS est_users,
+       nt.n_users, shu.sum_hourly_users
+FROM nt JOIN s ON s.day = nt.day JOIN shu ON shu.day = nt.day
+""",
+)
+def stream_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user rollup by MERGING the per-hour HyperLogLog
+    sketches — the property that makes HLL the industry default at
+    100 TB: register arrays merge by elementwise max, so the daily
+    estimate comes from 24 already-computed 64-byte hourly states with
+    NO rescan of the event stream (and no risk of the classic
+    sum-of-hourly-distincts overcount, emitted alongside as
+    ``sum_hourly_users`` for contrast with the exact daily
+    ``n_users``).  max is associative, so merging hourly registers is
+    definitionally equal to folding the day's events directly — the
+    twin reconstructs the merge itself: per-hour grouped-max registers
+    (``_hll_hour_regs``, the ``stream_hourly_hll`` core), merged by a
+    second grouped max onto days, then the shared estimator
+    (``_hll_summary``).
+
+    Exactness: registers and both distinct counts are integers; the
+    estimate follows the hourly twin's contract (integer register sum,
+    identically-structured float expression, 1e-4 grid).
+
+    Scale: the event stream is touched once for the hourly registers
+    (the state the streaming kernel already holds); the merge is a
+    (days x 64)-row grouped max.  This is the cross-shard / cross-
+    window reduce pattern every production HLL deployment runs."""
+    t = Catalog(spark, sf_dir)
+    hregs = _hll_hour_regs(t)
+    dregs = (
+        hregs.groupBy(
+            F.date_trunc("day", "hour").alias("day"), F.col("j")
+        ).agg(F.max("mj").cast("long").alias("mj"))
+    )
+    summ = _hll_summary(spark, dregs, "day")
+    hh = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.countDistinct("user_id").cast("long").alias("du")
+    )
+    shu = hh.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.sum("du").cast("long").alias("sum_hourly_users")
+    )
+    nt = t.events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        nt.join(summ, "day")
+        .join(shu, "day")
+        .select(
+            "day",
+            "n_total",
+            "n_zero_registers",
+            "est_users",
+            "n_users",
+            "sum_hourly_users",
+        )
     )

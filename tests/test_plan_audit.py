@@ -384,5 +384,6 @@ def test_round10_ops_stay_jvm_side(spark):
         "similarity_ivf_nprobe_sweep",
         "stream_hourly_hll",
         "corpus_doremi_weights",
+        "stream_hll_daily_merge",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -316,3 +316,72 @@ def test_corpus_doremi_weights_matches_python(spark):
     ranked = sorted(got.values(), key=lambda r: r.excess_bits)
     for a, b in zip(ranked, ranked[1:]):
         assert a.w_nano <= b.w_nano
+
+
+def test_stream_hll_daily_merge_matches_python(spark):
+    """Full rederivation of the daily HLL merge from raw events: hourly
+    64-register folds under the shared md5 hex rule, merged onto days by
+    elementwise max, the integer-register-sum estimator with the
+    linear-counting branch — plus the rollup's defining inequality
+    (summing hourly distinct counts overcounts returning users; the
+    merged sketch does not)."""
+    import datetime
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT date_trunc('hour', ts) AS hour, user_id"
+        " FROM read_parquet(?)",
+        [f"{SF_DIR}/events.parquet"],
+    ).fetchall()
+
+    def reg(u):
+        hx = hashlib.md5(str(u).encode()).hexdigest()
+        j = int(hx[:2], 16) % 64
+        t = hx[2:15].lstrip("0")
+        if not t:
+            return j, 53
+        d = int(t[0], 16)
+        zb = 3 if d == 1 else 2 if d < 4 else 1 if d < 8 else 0
+        return j, 4 * (13 - len(t)) + zb + 1
+
+    hregs = collections.defaultdict(lambda: [0] * 64)
+    husers = collections.defaultdict(set)
+    dusers = collections.defaultdict(set)
+    for hour, u in rows:
+        j, rho = reg(u)
+        day = datetime.datetime(hour.year, hour.month, hour.day)
+        if rho > hregs[hour][j]:
+            hregs[hour][j] = rho
+        husers[hour].add(u)
+        dusers[day].add(u)
+    dregs = collections.defaultdict(lambda: [0] * 64)
+    shu = collections.Counter()
+    for hour, regs in hregs.items():
+        day = datetime.datetime(hour.year, hour.month, hour.day)
+        dregs[day] = [max(a, b) for a, b in zip(dregs[day], regs)]
+    for hour, us in husers.items():
+        day = datetime.datetime(hour.year, hour.month, hour.day)
+        shu[day] += len(us)
+
+    def est(regs):
+        s = sum(1 << (53 - r) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = 0.709 * 64 * 64 * float(1 << 53) / s
+        e = 64.0 * math.log(64.0 / v) if v > 0 and raw <= 160.0 else raw
+        return math.floor(e * 10000 + 0.5) / 10000.0
+
+    got = {
+        r.day.replace(tzinfo=None): r
+        for r in QUERIES["stream_hll_daily_merge"](spark, SF_DIR).collect()
+    }
+    assert sorted(got) == sorted(dregs)
+    strict = 0
+    for day, r in got.items():
+        assert r.est_users == est(dregs[day]), day
+        assert r.n_users == len(dusers[day]), day
+        assert r.sum_hourly_users == shu[day], day
+        assert r.sum_hourly_users >= r.n_users
+        strict += r.sum_hourly_users > r.n_users
+    # the overcount the merge avoids must actually appear in the data
+    assert strict >= 1
