@@ -204,6 +204,7 @@ HEADLINE = [
     "stream_hourly_hll",              # r10: exact twin of the HLL kernel
     "corpus_doremi_weights",          # r10: learned mixture reweighting
     "stream_hll_daily_merge",         # r10: cross-window HLL sketch merge
+    "mm_phash_dedup",                 # r10: perceptual-hash image dedup
 ]
 
 

@@ -990,3 +990,343 @@ def decode_ppm_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " b_sum long"
         ),
     )
+
+
+_PH_G = 8  # aHash grid (G x G = 64 bits, stored as 4 x 16-bit bands)
+_PH_T = 3  # near-dup Hamming threshold; with 4 bands of 16 bits the
+#            banded join is a TRUE LSH for it: <= 3 differing bits cannot
+#            touch all 4 bands, so every true near-dup shares a band
+_PH_SHIFT = 16  # planted variant: per-channel brightness lift, clipped
+_PH_NOISE = 48  # planted variant: extra channel-1 lift on sparse pixels
+_PH_NOISE_EVERY = 61  # ... every 61st pixel (~1.6% corrupted)
+
+
+def _ph_bands_sql(gc: str, tot: str) -> str:
+    """Spark SQL: the 4 x 16-bit aHash bands of the gray array ``gc``
+    (length w*h, 1-indexed) with global gray sum ``tot``.  Cell (gy, gx)
+    covers x in [gx*w/8, (gx+1)*w/8) (w is divisible by 8) and y in
+    [floor(gy*h/8), floor((gy+1)*h/8)) (non-empty for h >= 8); its bit is
+    the exact integer cross-multiplication cellsum * (w*h) >
+    totalsum * npx_cell, i.e. cell mean > image mean with no division.
+    Band value accumulates MSB-first via a*2 + bit."""
+    cellsum = (
+        f"aggregate(sequence(cast(((c div 8) * h) div 8 as int),"
+        f" cast((((c div 8) + 1) * h) div 8 - 1 as int)),"
+        f" cast(0 as bigint),"
+        f" (ay, y) -> ay + aggregate(sequence(cast((c % 8) * (w div 8) as int),"
+        f" cast(((c % 8) + 1) * (w div 8) - 1 as int)),"
+        f" cast(0 as bigint),"
+        f" (ax, x) -> ax + element_at({gc}, cast(y * w + x + 1 as int))))"
+    )
+    npxc = (
+        "((((c div 8) + 1) * h) div 8 - ((c div 8) * h) div 8)"
+        " * (w div 8)"
+    )
+    return (
+        f"transform(sequence(0, 3), i ->"
+        f" aggregate(sequence(cast(16 * i as int), cast(16 * i + 15 as int)),"
+        f" cast(0 as bigint),"
+        f" (a, c) -> a * 2 + (CASE WHEN {cellsum} * (w * h)"
+        f" > {tot} * {npxc} THEN 1 ELSE 0 END)))"
+    )
+
+
+def _duck_ph_bands(gc: str, tot: str) -> str:
+    """DuckDB mirror of ``_ph_bands_sql`` (identical integer arithmetic;
+    band value as a sum of 16-bit shifts, which equals the MSB-first
+    a*2+bit fold exactly)."""
+    c = "(16 * i + j)"
+    cellsum = (
+        f"list_sum(list_transform(range((({c} // 8) * h) // 8,"
+        f" ((({c} // 8) + 1) * h) // 8), y ->"
+        f" list_sum(list_transform(range(({c} % 8) * (w // 8),"
+        f" (({c} % 8) + 1) * (w // 8)), x ->"
+        f" {gc}[y * w + x + 1]))))"
+    )
+    npxc = (
+        f"(((({c} // 8) + 1) * h) // 8 - (({c} // 8) * h) // 8)"
+        f" * (w // 8)"
+    )
+    return (
+        f"list_transform(range(0, 4), i -> CAST(list_sum("
+        f"list_transform(range(0, 16), j ->"
+        f" CASE WHEN {cellsum} * (w * h) > {tot} * {npxc}"
+        f" THEN (1::BIGINT << CAST(15 - j AS INTEGER))"
+        f" ELSE 0 END)) AS BIGINT))"
+    )
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         {_PPM_BASE_W} + CAST(doc_id * 2654435761 % 4294967296 % 4 AS BIGINT)
+           * 8 AS w,
+         (n_chars // 3) AS npx_avail
+  FROM documents
+), dim AS (
+  SELECT doc_id, w, npx_avail // w AS h
+  FROM src WHERE npx_avail // w >= {_PH_G}
+), px AS (
+  SELECT doc_id, w, h,
+         substr(text, 1, CAST(3 * w * h AS BIGINT)) AS p
+  FROM dim JOIN documents USING (doc_id)
+), gray AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h), k ->
+           CAST(ascii(substr(p, CAST(3 * k + 1 AS BIGINT), 1))
+              + ascii(substr(p, CAST(3 * k + 2 AS BIGINT), 1))
+              + ascii(substr(p, CAST(3 * k + 3 AS BIGINT), 1))
+             AS BIGINT)) AS g0,
+         list_transform(range(0, w * h), k ->
+           CAST(least(ascii(substr(p, CAST(3 * k + 1 AS BIGINT), 1))
+                      + {_PH_SHIFT}
+                      + CASE WHEN k % {_PH_NOISE_EVERY} = 0
+                             THEN {_PH_NOISE} ELSE 0 END, 255)
+              + least(ascii(substr(p, CAST(3 * k + 2 AS BIGINT), 1))
+                      + {_PH_SHIFT}, 255)
+              + least(ascii(substr(p, CAST(3 * k + 3 AS BIGINT), 1))
+                      + {_PH_SHIFT}, 255)
+             AS BIGINT)) AS g1
+  FROM px
+), tots AS (
+  SELECT doc_id, w, h, g0, g1,
+         CAST(list_sum(g0) AS BIGINT) AS t0,
+         CAST(list_sum(g1) AS BIGINT) AS t1
+  FROM gray
+), hset AS (
+  SELECT doc_id, w, h,
+         {_duck_ph_bands("g0", "t0")} AS b0,
+         {_duck_ph_bands("g1", "t1")} AS b1
+  FROM tots
+), hashes AS (
+  SELECT doc_id, 0 AS v, b0 AS b FROM hset
+  UNION ALL
+  SELECT doc_id, 1 AS v, b1 AS b FROM hset
+), items AS (
+  SELECT doc_id, v, i AS band_idx, b[i + 1] AS val
+  FROM hashes, unnest(range(0, 4)) AS u(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.v AS va,
+                  b.doc_id AS doc_b, b.v AS vb
+  FROM items a JOIN items b
+    ON a.band_idx = b.band_idx AND a.val = b.val
+   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.v < b.v))
+), ham AS (
+  SELECT c.doc_a, c.va, c.doc_b, c.vb,
+         CAST(list_sum(list_transform(range(0, 4), i ->
+           bit_count(xor(ha.b[i + 1], hb.b[i + 1])))) AS BIGINT) AS d
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.doc_a AND ha.v = c.va
+  JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.v = c.vb
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(sum(CASE WHEN d <= {_PH_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_pairs,
+         CAST(sum(CASE WHEN d <= {_PH_T} AND doc_a = doc_b
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_self_recovered,
+         CAST(sum(CASE WHEN d <= {_PH_T} AND doc_a <> doc_b
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dups,
+         CAST(sum(CASE WHEN doc_a = doc_b THEN d ELSE 0 END) AS BIGINT)
+           AS self_d_sum,
+         CAST(sum(CASE WHEN doc_a = doc_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_self_cand
+  FROM ham
+), ni AS (SELECT CAST(count(*) AS BIGINT) AS n_images FROM hset)
+SELECT ni.n_images, agg.n_candidate_pairs, agg.n_dup_pairs,
+       agg.n_self_recovered, agg.n_cross_dups,
+       CASE WHEN agg.n_self_cand = 0 THEN NULL
+            ELSE floor(agg.self_d_sum * 10000.0 / agg.n_self_cand + 0.5)
+                 / 10000 END AS mean_self_hamming
+FROM ni CROSS JOIN agg
+""",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup — the multimodal member of the dedup
+    family: aHash (average hash) each decoded PPM image onto a
+    {_PH_G}x{_PH_G} grid (bit = cell gray mean > image gray mean, the
+    classic perceptual fingerprint), store the 64 bits as 4 x 16-bit
+    bands, and find near-duplicates with the SAME banded-LSH discipline
+    the text dedup uses — here the band join is a TRUE LSH for the
+    {_PH_T}-bit Hamming radius (<= {_PH_T} differing bits cannot touch
+    all 4 bands), never all-pairs.  Each image also plants its own
+    near-dup: a brightness-lifted variant (+{_PH_SHIFT} per channel —
+    aHash is invariant to unclipped brightness shifts, and ASCII source
+    bytes never clip) PLUS sparse corruption (+{_PH_NOISE} on channel 1
+    of every {_PH_NOISE_EVERY}th pixel, ~1.6%), which nudges corrupted
+    cells above the shifted global mean and flips a small,
+    image-dependent number of bits — so the planted pairs spread over
+    small Hamming distances and the report reads the detector's recall
+    at radius {_PH_T} on them (misses are true LSH/threshold behavior,
+    not bugs) next to its cross-image match count (images of
+    byte-similar text ARE perceptually alike; matches there are the
+    detector doing its job on this corpus, read as its false-positive
+    propensity).
+
+    Exactness: every quantity is an exact integer — gray sums, the
+    bit rule as a cross-multiplied mean comparison (no division), band
+    values, XOR popcount Hamming; the one emitted ratio quantizes to
+    the 1e-4 grid.
+
+    Scale: hashing is one rowwise pass (each pixel byte read exactly
+    once across the 64 cell folds — no explode, no shuffle); the
+    candidate join is banded (4 rows per image) and verification runs
+    only on candidates.  This is the image-side twin of
+    ``dedup_minhash_lsh``'s 100 TB shape.
+
+    Reference parity: extends the reference's text-only duplicate
+    screens (/root/reference/src/data/preprocessors.py) to the image
+    modality the multimodal column carries."""
+    t = Catalog(spark, sf_dir)
+    w = (
+        F.lit(_PPM_BASE_W)
+        + (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296) % 4) * 8
+    ).cast("long")
+    src = t.documents.select(
+        "doc_id",
+        "text",
+        w.alias("w"),
+        (F.col("n_chars") / 3).cast("long").alias("npx_avail"),
+    )
+    dim = src.select(
+        "doc_id", "text", "w", F.expr("npx_avail div w").alias("h")
+    ).filter(F.col("h") >= _PH_G)
+    px = dim.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr("substr(text, 1, cast(3 * w * h as int))").alias("p"),
+    )
+    gray = px.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(
+            "transform(sequence(0, cast(w * h as int) - 1), k ->"
+            " cast(ascii(substr(p, 3 * k + 1, 1))"
+            " + ascii(substr(p, 3 * k + 2, 1))"
+            " + ascii(substr(p, 3 * k + 3, 1)) as bigint))"
+        ).alias("g0"),
+        F.expr(
+            f"transform(sequence(0, cast(w * h as int) - 1), k ->"
+            f" cast(least(ascii(substr(p, 3 * k + 1, 1)) + {_PH_SHIFT}"
+            f" + (CASE WHEN k % {_PH_NOISE_EVERY} = 0"
+            f" THEN {_PH_NOISE} ELSE 0 END), 255)"
+            f" + least(ascii(substr(p, 3 * k + 2, 1)) + {_PH_SHIFT}, 255)"
+            f" + least(ascii(substr(p, 3 * k + 3, 1)) + {_PH_SHIFT}, 255)"
+            f" as bigint))"
+        ).alias("g1"),
+    )
+    tots = gray.withColumn(
+        "t0", F.expr("aggregate(g0, cast(0 as bigint), (a, v) -> a + v)")
+    ).withColumn(
+        "t1", F.expr("aggregate(g1, cast(0 as bigint), (a, v) -> a + v)")
+    )
+    hset = tots.select(
+        "doc_id",
+        F.expr(_ph_bands_sql("g0", "t0")).alias("b0"),
+        F.expr(_ph_bands_sql("g1", "t1")).alias("b1"),
+    ).localCheckpoint()
+    hashes = hset.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("v"), F.col("b0").alias("b")),
+                F.struct(F.lit(1).alias("v"), F.col("b1").alias("b")),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.v", "x.b")
+    items = hashes.select(
+        "doc_id", "v", F.posexplode("b").alias("band_idx", "val")
+    )
+    ia, ib = items.alias("a"), items.alias("b")
+    cand = (
+        ia.join(
+            ib,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                | (
+                    (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.v") < F.col("b.v"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.v").alias("va"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("b").alias("ba"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("b").alias("bb"),
+    )
+    ham = (
+        cand.join(ha, ["doc_a", "va"])
+        .join(hb, ["doc_b", "vb"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "aggregate(zip_with(ba, bb, (x, y) ->"
+                " cast(bit_count(x ^ y) as bigint)),"
+                " cast(0 as bigint), (a, v) -> a + v)"
+            ).alias("d"),
+        )
+    )
+    agg = ham.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("d") <= _PH_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_pairs"),
+        F.sum(
+            F.when(
+                (F.col("d") <= _PH_T) & (F.col("doc_a") == F.col("doc_b")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_self_recovered"),
+        F.sum(
+            F.when(
+                (F.col("d") <= _PH_T) & (F.col("doc_a") != F.col("doc_b")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cross_dups"),
+        F.sum(
+            F.when(F.col("doc_a") == F.col("doc_b"), F.col("d")).otherwise(0)
+        )
+        .cast("long")
+        .alias("self_d_sum"),
+        F.sum(F.when(F.col("doc_a") == F.col("doc_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_cand"),
+    )
+    ni = hset.agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    return ni.crossJoin(F.broadcast(agg)).select(
+        "n_images",
+        "n_candidate_pairs",
+        "n_dup_pairs",
+        "n_self_recovered",
+        "n_cross_dups",
+        F.when(F.col("n_self_cand") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                F.col("self_d_sum") * 10000.0 / F.col("n_self_cand")
+                + F.lit(0.5)
+            )
+            / 10000.0
+        )
+        .alias("mean_self_hamming"),
+    )

@@ -385,5 +385,6 @@ def test_round10_ops_stay_jvm_side(spark):
         "stream_hourly_hll",
         "corpus_doremi_weights",
         "stream_hll_daily_merge",
+        "mm_phash_dedup",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

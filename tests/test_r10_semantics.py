@@ -385,3 +385,85 @@ def test_stream_hll_daily_merge_matches_python(spark):
         strict += r.sum_hourly_users > r.n_users
     # the overcount the merge avoids must actually appear in the data
     assert strict >= 1
+
+
+def test_mm_phash_dedup_matches_python(spark):
+    """Full rederivation of the perceptual-hash image dedup: image
+    synthesis (hash-decorrelated widths, h >= 8 cut), the two gray
+    variants (brightness lift + sparse channel-1 corruption), the 8x8
+    aHash with cross-multiplied mean bits, banded candidate generation,
+    XOR-popcount Hamming, and every summary figure."""
+    import itertools
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text, n_chars FROM read_parquet(?) ORDER BY doc_id",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    hashes = {}  # (doc_id, v) -> [b0..b3]
+    for doc_id, text, n_chars in rows:
+        w = 16 + (doc_id * 2654435761 % 2**32 % 4) * 8
+        h = (n_chars // 3) // w
+        if h < 8:
+            continue
+        p = text[: 3 * w * h]
+        g0, g1 = [], []
+        for k in range(w * h):
+            b1, b2, b3 = (ord(p[3 * k + c]) for c in range(3))
+            g0.append(b1 + b2 + b3)
+            noise = 48 if k % 61 == 0 else 0
+            g1.append(
+                min(b1 + 16 + noise, 255)
+                + min(b2 + 16, 255)
+                + min(b3 + 16, 255)
+            )
+        for v, g in ((0, g0), (1, g1)):
+            tot = sum(g)
+            bands = []
+            for i in range(4):
+                val = 0
+                for j in range(16):
+                    c = 16 * i + j
+                    gy, gx = c // 8, c % 8
+                    y0, y1 = gy * h // 8, (gy + 1) * h // 8
+                    x0, x1 = gx * (w // 8), (gx + 1) * (w // 8)
+                    cs = sum(
+                        g[y * w + x]
+                        for y in range(y0, y1)
+                        for x in range(x0, x1)
+                    )
+                    bit = 1 if cs * (w * h) > tot * (y1 - y0) * (x1 - x0) else 0
+                    val = val * 2 + bit
+                bands.append(val)
+            hashes[(doc_id, v)] = bands
+    keys = sorted(hashes)
+    cand = set()
+    for a, b in itertools.combinations(keys, 2):
+        if any(hashes[a][i] == hashes[b][i] for i in range(4)):
+            cand.add((a, b))
+    ham = {
+        (a, b): sum(bin(x ^ y).count("1")
+                    for x, y in zip(hashes[a], hashes[b]))
+        for a, b in cand
+    }
+    n_dup = sum(1 for d in ham.values() if d <= 3)
+    n_self_rec = sum(
+        1 for (a, b), d in ham.items() if d <= 3 and a[0] == b[0]
+    )
+    n_cross = sum(1 for (a, b), d in ham.items() if d <= 3 and a[0] != b[0])
+    self_cand = [(k, d) for k, d in ham.items() if k[0][0] == k[1][0]]
+    got = QUERIES["mm_phash_dedup"](spark, SF_DIR).collect()[0]
+    assert got.n_images == len(keys) // 2
+    assert got.n_candidate_pairs == len(cand)
+    assert got.n_dup_pairs == n_dup
+    assert got.n_self_recovered == n_self_rec
+    assert got.n_cross_dups == n_cross
+    if self_cand:
+        want = math.floor(
+            sum(d for _, d in self_cand) * 10000.0 / len(self_cand) + 0.5
+        ) / 10000.0
+        assert got.mean_self_hamming == want
+    # the scenario must actually discriminate: some planted pairs
+    # recovered, some beyond the radius
+    assert 0 < got.n_self_recovered < got.n_images
