@@ -205,6 +205,7 @@ HEADLINE = [
     "corpus_doremi_weights",          # r10: learned mixture reweighting
     "stream_hll_daily_merge",         # r10: cross-window HLL sketch merge
     "mm_phash_dedup",                 # r10: perceptual-hash image dedup
+    "io_zorder_prune",                # r10: z-order layout + 2-D skipping
 ]
 
 

@@ -386,5 +386,6 @@ def test_round10_ops_stay_jvm_side(spark):
         "corpus_doremi_weights",
         "stream_hll_daily_merge",
         "mm_phash_dedup",
+        "io_zorder_prune",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

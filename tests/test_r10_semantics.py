@@ -467,3 +467,33 @@ def test_mm_phash_dedup_matches_python(spark):
     # the scenario must actually discriminate: some planted pairs
     # recovered, some beyond the radius
     assert 0 < got.n_self_recovered < got.n_images
+
+
+def test_io_zorder_prune_skips_files(spark):
+    """The z-ordered layout must actually skip files for the 2-D box
+    (losslessness is what the oracle parity proves; this pins the
+    LAYOUT): after the query's own write, fewer files overlap the box
+    than exist, and the date dimension's mean per-file extent sits far
+    below its full span."""
+    from hackatonbigdata_spark.operators.io_queries import (
+        _scratch,
+        io_zorder_prune,
+        zorder_file_stats,
+    )
+
+    io_zorder_prune(spark, SF_DIR).collect()
+    stats = zorder_file_stats(spark, _scratch(SF_DIR, "zorder_shipdate_partkey"))
+    lo, hi, klo, khi = "1995-01-01", "1995-07-01", 0, 64
+    keep = [
+        f
+        for f, mnd, mxd, mnk, mxk in stats
+        if str(mxd)[:10] >= lo
+        and str(mnd)[:10] < hi
+        and mxk >= klo
+        and mnk < khi
+    ]
+    assert len(stats) == 16
+    assert 0 < len(keep) <= len(stats) // 4  # the box reads a small subset
+    span = (max(x[2] for x in stats) - min(x[1] for x in stats)).days
+    mean_ext = sum((x[2] - x[1]).days for x in stats) / len(stats)
+    assert mean_ext < span / 4
