@@ -206,6 +206,7 @@ HEADLINE = [
     "stream_hll_daily_merge",         # r10: cross-window HLL sketch merge
     "mm_phash_dedup",                 # r10: perceptual-hash image dedup
     "io_zorder_prune",                # r10: z-order layout + 2-D skipping
+    "text_kneser_ney_logprob",        # r10: smoothed KN bigram LM scorer
 ]
 
 

