@@ -521,8 +521,10 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)`` move, built from plain
     parquet: interleave the bits of the two query dimensions (days since
     epoch of ``l_shipdate`` and ``l_partkey``, {_Z_BITS} bits each) into
-    one integer z-value, range-cluster the table into 16 files sorted by
-    it, collect per-file min/max stats on BOTH raw columns, and answer a
+    one integer z-value with the shift-or-mask Morton spread (plain
+    integer ops inside whole-stage codegen — the per-row cost a layout
+    pass over 100 TB actually pays), range-cluster the table into 16
+    files sorted by it, collect per-file min/max stats on BOTH raw columns, and answer a
     2-D box query (a half-year AND a part-key slice) by READING ONLY THE
     FILES whose stats overlap the box on both dimensions.  Matching the
     oracle's aggregate over the ORIGINAL table proves the pruned read is
