@@ -534,14 +534,15 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why z-order beats one-column clustering: ``io_clustered_stats_prune``
     makes ONE column's per-file ranges tight and leaves every other
     column's ranges full-width; bit interleaving shrinks BOTH dimensions'
-    per-file ranges together (toward the square root of the file count
-    when both domains fill their bit budget — at tiny scale factors the
-    part-key domain underfills its {_Z_BITS} bits, so the date dimension
-    dominates the top interleaved bits and takes most of the shrink,
-    which is faithful z-order behavior on unbalanced domains).  A
-    dedicated test asserts files are actually skipped for the box and
-    that the date dimension's mean per-file extent is far below its
-    span.
+    per-file ranges together (toward the square root of the file count).
+    Each dimension is DOMAIN-SCALED into its {_Z_BITS}-bit budget first
+    (part key via a 1-row max — the ANALYZE step a real layout pass
+    runs): a modulo mapping would wrap once the domain exceeds the
+    budget, aliasing residue classes into every file and silently
+    degrading the skipping to one dimension at exactly the scales that
+    need it.  A dedicated test asserts files are actually skipped for
+    the box and that BOTH dimensions' mean per-file extents sit well
+    below their spans.
 
     Exactness: the z-value is pure integer bit arithmetic (never seen by
     the oracle — layout only); the emitted aggregate is exact counts +
@@ -553,12 +554,24 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — same layout, same overlap rule."""
     t = Catalog(spark, sf_dir)
     dst = _scratch(sf_dir, "zorder_shipdate_partkey")
+    # domain-scale the part key into the bit budget (1-row bounded
+    # metadata collect, the ANALYZE step a real layout pass runs) — a
+    # modulo mapping would WRAP once the domain exceeds 2^bits, aliasing
+    # residue classes into every file and silently reducing the skipping
+    # to one dimension; the scaled mapping is monotone at any scale
+    maxpk = t.lineitem.agg(F.max("l_partkey").alias("m")).collect()[0]["m"]
     zl = (
         t.lineitem.select("l_shipdate", "l_partkey", "l_quantity")
+        .withColumn("_maxpk", F.lit(int(maxpk)))
         .withColumn(
             "xd", F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
         )
-        .withColumn("yk", F.col("l_partkey") % (1 << _Z_BITS))
+        .withColumn(
+            "yk",
+            F.expr(
+                f"(l_partkey * {1 << _Z_BITS}) div (_maxpk + 1)"
+            ),
+        )
         .withColumn(
             "z",
             F.expr(

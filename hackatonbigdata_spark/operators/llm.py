@@ -5003,9 +5003,12 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOREMI_STEPS = 8  # exponentiated-gradient rounds
-_DOREMI_SMOOTH = 5_000_000  # c/K in 1e-9 units: c=0.1 over K=20 sources
 _DOREMI_CLIP = 30_000  # excess clip, 1e-4 bits (3 bits): g9 <= 8e9 so
 #                        w*g9 <= 8e18 stays inside BIGINT
+# smoothing c = 0.1 and the uniform init both derive from the ACTUAL
+# source count K at run time (1e8 // K and 1e9 // K nano-units), in the
+# Spark driver loop and the oracle's kk CTE alike — hardcoding K would
+# silently denormalize the mixture if the corpus ever changes shape
 
 
 def _bigram_cond_nl_scores(t: Catalog) -> DataFrame:
@@ -5116,19 +5119,22 @@ gt AS MATERIALIZED (
                         / 10000) * 1000000000 + 0.5)
               AS BIGINT) AS g9
   FROM us JOIN bs USING (source)),
-dw0 AS (SELECT source, g9, CAST(50000000 AS BIGINT) AS w FROM gt)"""
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM gt),
+dw0 AS (SELECT source, g9, CAST(1000000000 // kk.k AS BIGINT) AS w
+        FROM gt, kk)"""
     step = """,
 dw{i} AS (SELECT source, g9,
                  CAST(floor(CAST(900000000 AS DOUBLE) * u
                             / (sum(u) OVER ()) + 0.5)
-                      AS BIGINT) + {smooth} AS w
+                      AS BIGINT)
+                 + (SELECT CAST(100000000 // k AS BIGINT) FROM kk) AS w
           FROM (SELECT source, g9,
                        CAST((w * g9 + 500000000) // 1000000000
                             AS BIGINT) AS u
                 FROM dw{prev}) q{i})"""
     sql = head
     for i in range(1, _DOREMI_STEPS + 1):
-        sql += step.format(i=i, prev=i - 1, smooth=_DOREMI_SMOOTH)
+        sql += step.format(i=i, prev=i - 1)
     sql += f"""
 SELECT gt.source, gt.n_tokens,
        round(gt.u4 / 10000.0, 4) AS uni_bits,
@@ -5171,7 +5177,7 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the trajectory is the quality_classifier_gd discipline —
     weights are driver-held BIGINT nano-units; the one transcendental
-    (the per-source multiplier g9 = floor(2^(e4/1e5)·1e9 + 0.5)) is
+    (the per-source multiplier g9 = floor(2^(e4/1e4)·1e9 + 0.5)) is
     computed ENGINE-SIDE from the integer excess on both sides; each
     round is then one integer multiply-shift and one identically-
     structured double normalize, so the whole trajectory is
@@ -5242,12 +5248,14 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trajectory: driver-held BIGINT nano-weights over the bounded
     # 20-row source table (the quality_classifier_gd state discipline)
     g9 = {r["source"]: r["g9"] for r in gt.select("source", "g9").collect()}
-    w = {k: 50_000_000 for k in g9}
+    n_src = len(g9)
+    smooth = 100_000_000 // n_src
+    w = {k: 1_000_000_000 // n_src for k in g9}
     for _ in range(_DOREMI_STEPS):
         u = {k: (w[k] * g9[k] + 500_000_000) // 1_000_000_000 for k in w}
         z = sum(u.values())
         w = {
-            k: int(math.floor(900000000.0 * u[k] / z + 0.5)) + _DOREMI_SMOOTH
+            k: int(math.floor(900000000.0 * u[k] / z + 0.5)) + smooth
             for k in w
         }
     wmap = F.create_map(
@@ -5912,6 +5920,87 @@ def embedding_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims/subspace × codebook size
 
 
+def _ivf_ranks(e: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, rn): every vector's full cosine ranking of
+    the {_N_IVF_CENTROIDS} deterministic coarse centroids (r4-quantized
+    cosine desc, centroid-id tie-break) — ONE definition of the
+    assignment rule shared by ``similarity_ivfpq_topk`` (rn = 1 is the
+    bucket) and ``similarity_ivf_nprobe_sweep`` (rn <= nprobe is the
+    probe set), so a quantization or tie change can never desync
+    them."""
+    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias(
+                "_ccos_raw"
+            ),
+        )
+        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), "centroid_id"
+                )
+            ),
+        )
+        .select("vec_id", "centroid_id", "rn")
+    )
+
+
+def _exact_top3(e: DataFrame) -> DataFrame:
+    """(vec_id, nb): exact cosine top-3 over the whole corpus from ONE
+    half-pair scan (each unordered pair evaluated once, exploded to both
+    directions) — the documented sampled-oracle regime both index evals
+    measure themselves against, extracted so their ground truth is one
+    definition."""
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.withColumn(
+            "ro",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
+            ),
+        )
+        .filter(F.col("ro") <= 3)
+        .select("vec_id", "nb")
+    )
+
+
 def _pq_codes(vecs: DataFrame, vcol: str, tag: str | None = None) -> DataFrame:
     """(vec_id, rec): the PQ reconstruction of ``vecs[vcol]`` — each of
     the m={_PQ_M} 8-dim subvectors snapped to its nearest of K={_PQ_K}
@@ -6382,29 +6471,8 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qq", _dot("emb", "emb"))
         .localCheckpoint()
     )
-    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("emb").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
     assign = (
-        e.crossJoin(F.broadcast(c))
-        .select(
-            "vec_id",
-            "centroid_id",
-            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias(
-                "_ccos_raw"
-            ),
-        )
-        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), "centroid_id"
-                )
-            ),
-        )
+        _ivf_ranks(e)
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("bucket_id"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -6489,44 +6557,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rnorm4").cast("long").alias("sq"),
         F.count(F.lit(1)).cast("long").alias("cn"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    half = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_lo"),
-            F.col("b.vec_id").alias("id_hi"),
-            (
-                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("_co"),
-        )
-        .select("id_lo", "id_hi", r4("_co").alias("co"))
-    )
-    pairs = half.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_lo").alias("vec_id"),
-                    F.col("id_hi").alias("nb"),
-                    F.col("co").alias("co"),
-                ),
-                F.struct(
-                    F.col("id_hi").alias("vec_id"),
-                    F.col("id_lo").alias("nb"),
-                    F.col("co").alias("co"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.*")
-    ex3 = (
-        pairs.withColumn(
-            "ro",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
-            ),
-        )
-        .filter(F.col("ro") <= 3)
-        .select("vec_id", "nb")
-    )
+    ex3 = _exact_top3(e)
     ea = r.join(assign, "vec_id")
     qa, xb = ea.alias("qa"), ea.alias("xb")
     bp = (
@@ -6704,30 +6735,8 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-pool production layout."""
     t = Catalog(spark, sf_dir)
     e = _embeddings(t).localCheckpoint()
-    c = e.filter(F.col("vec_id") < _N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("emb").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
     ranks = (
-        e.crossJoin(F.broadcast(c))
-        .select(
-            "vec_id",
-            "centroid_id",
-            (_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias(
-                "_ccos_raw"
-            ),
-        )
-        .select("vec_id", "centroid_id", r4("_ccos_raw").alias("ccos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), "centroid_id"
-                )
-            ),
-        )
-        .select("vec_id", "centroid_id", "rn")
+        _ivf_ranks(e)
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint()
     )
@@ -6737,44 +6746,7 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsz = assign.groupBy("bucket_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    a, b = e.alias("a"), e.alias("b")
-    half = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_lo"),
-            F.col("b.vec_id").alias("id_hi"),
-            (
-                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("_co"),
-        )
-        .select("id_lo", "id_hi", r4("_co").alias("co"))
-    )
-    pairs = half.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_lo").alias("vec_id"),
-                    F.col("id_hi").alias("nb"),
-                    F.col("co").alias("co"),
-                ),
-                F.struct(
-                    F.col("id_hi").alias("vec_id"),
-                    F.col("id_lo").alias("nb"),
-                    F.col("co").alias("co"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.*")
-    ex3 = (
-        pairs.withColumn(
-            "ro",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
-            ),
-        )
-        .filter(F.col("ro") <= 3)
-        .select("vec_id", "nb")
-    )
+    ex3 = _exact_top3(e)
     # the probe rank of each exact neighbor's home bucket, per query
     hx = (
         ex3.join(

@@ -1666,13 +1666,13 @@ HLL_M = 64  # HyperLogLog registers (p=6; == streaming/jobs.py kernel)
 HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
 _HLL_POW53 = 9007199254740992  # 2^53: the integer register-sum scale
 
-
-@register(
-    "stream_hourly_hll",
-    oracle=f"""
-WITH hx AS (SELECT date_trunc('hour', ts) AS hour,
-                   md5(CAST(user_id AS VARCHAR)) AS hex
-            FROM events),
+# Shared oracle fragments — ONE definition of the register rule and of the
+# estimator for every HLL oracle (hourly twin + daily merge), so a rho or
+# estimator fix can never desync them (the _duck_pq_codes discipline).
+_DUCK_HLL_HREGS = f"""
+hx AS (SELECT date_trunc('hour', ts) AS hour, user_id,
+              md5(CAST(user_id AS VARCHAR)) AS hex
+       FROM events),
 rho AS (
   SELECT hour,
          CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % {HLL_M} AS j,
@@ -1686,32 +1686,48 @@ rho AS (
                        WHEN '6' THEN 1 WHEN '7' THEN 1
                        ELSE 0 END + 1 END AS rho
   FROM hx),
-regs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
-         FROM rho GROUP BY 1, 2),
-grid AS (SELECT h.hour, jj.j
-         FROM (SELECT DISTINCT hour FROM hx) h
+hregs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
+          FROM rho GROUP BY 1, 2)"""
+
+
+def _duck_hll_summary(src: str, key: str) -> str:
+    """Grid-fill + integer register sum + zero count over sparse
+    registers ``src(key, j, mj)`` — ends with ``s({key}, s53, v)``."""
+    return f"""
+grid AS (SELECT kk.{key}, jj.j
+         FROM (SELECT DISTINCT {key} FROM {src}) kk
          CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) jj),
-fullr AS (SELECT grid.hour, COALESCE(regs.mj, 0) AS mj
-          FROM grid LEFT JOIN regs
-            ON regs.hour = grid.hour AND regs.j = grid.j),
-s AS (SELECT hour,
+fullr AS (SELECT grid.{key}, COALESCE({src}.mj, 0) AS mj
+          FROM grid LEFT JOIN {src}
+            ON {src}.{key} = grid.{key} AND {src}.j = grid.j),
+s AS (SELECT {key},
              CAST(sum(1::BIGINT << CAST({HLL_W + 1} - mj AS INTEGER))
                   AS BIGINT) AS s53,
              CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-      FROM fullr GROUP BY 1),
-nt AS (SELECT date_trunc('hour', ts) AS hour,
-              CAST(count(*) AS BIGINT) AS n_total,
-              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-       FROM events GROUP BY 1)
-SELECT nt.hour, nt.n_total, s.v AS n_zero_registers,
-       floor(CASE WHEN s.v > 0
+      FROM fullr GROUP BY 1)"""
+
+
+_DUCK_HLL_EST = f"""floor(CASE WHEN s.v > 0
                    AND CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
                        * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
                   THEN CAST({HLL_M} AS DOUBLE)
                        * ln(CAST({HLL_M} AS DOUBLE) / s.v)
                   ELSE CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
                        * {_HLL_POW53} / s.s53
-             END * 10000 + 0.5) / 10000 AS est_users,
+             END * 10000 + 0.5) / 10000"""
+
+
+@register(
+    "stream_hourly_hll",
+    oracle=f"""
+WITH {_DUCK_HLL_HREGS},
+{_duck_hll_summary("hregs", "hour")},
+nt AS (SELECT date_trunc('hour', ts) AS hour,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1)
+SELECT nt.hour, nt.n_total, s.v AS n_zero_registers,
+       {_DUCK_HLL_EST} AS est_users,
        nt.n_users
 FROM nt JOIN s USING (hour)
 """,
@@ -1835,38 +1851,11 @@ def _hll_summary(spark: SparkSession, regs: DataFrame, key: str) -> DataFrame:
 @register(
     "stream_hll_daily_merge",
     oracle=f"""
-WITH hx AS (SELECT date_trunc('hour', ts) AS hour, user_id,
-                   md5(CAST(user_id AS VARCHAR)) AS hex
-            FROM events),
-rho AS (
-  SELECT hour,
-         CAST(('0x' || substr(hex, 1, 2)) AS BIGINT) % {HLL_M} AS j,
-         CASE WHEN regexp_replace(substr(hex, 3, 13), '^0+', '') = ''
-              THEN {HLL_W + 1}
-              ELSE 4 * (13 - length(regexp_replace(substr(hex, 3, 13), '^0+', '')))
-                   + CASE substr(regexp_replace(substr(hex, 3, 13), '^0+', ''), 1, 1)
-                       WHEN '1' THEN 3
-                       WHEN '2' THEN 2 WHEN '3' THEN 2
-                       WHEN '4' THEN 1 WHEN '5' THEN 1
-                       WHEN '6' THEN 1 WHEN '7' THEN 1
-                       ELSE 0 END + 1 END AS rho
-  FROM hx),
-hregs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
-          FROM rho GROUP BY 1, 2),
+WITH {_DUCK_HLL_HREGS},
 dregs AS (SELECT date_trunc('day', hour) AS day, j,
                  CAST(max(mj) AS BIGINT) AS mj
           FROM hregs GROUP BY 1, 2),
-grid AS (SELECT d.day, jj.j
-         FROM (SELECT DISTINCT day FROM dregs) d
-         CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) jj),
-fullr AS (SELECT grid.day, COALESCE(dregs.mj, 0) AS mj
-          FROM grid LEFT JOIN dregs
-            ON dregs.day = grid.day AND dregs.j = grid.j),
-s AS (SELECT day,
-             CAST(sum(1::BIGINT << CAST({HLL_W + 1} - mj AS INTEGER))
-                  AS BIGINT) AS s53,
-             CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-      FROM fullr GROUP BY 1),
+{_duck_hll_summary("dregs", "day")},
 hh AS (SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS du
        FROM hx GROUP BY 1),
 shu AS (SELECT date_trunc('day', hour) AS day,
@@ -1877,14 +1866,7 @@ nt AS (SELECT date_trunc('day', ts) AS day,
               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
        FROM events GROUP BY 1)
 SELECT nt.day, nt.n_total, s.v AS n_zero_registers,
-       floor(CASE WHEN s.v > 0
-                   AND CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
-                       * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
-                  THEN CAST({HLL_M} AS DOUBLE)
-                       * ln(CAST({HLL_M} AS DOUBLE) / s.v)
-                  ELSE CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
-                       * {_HLL_POW53} / s.s53
-             END * 10000 + 0.5) / 10000 AS est_users,
+       {_DUCK_HLL_EST} AS est_users,
        nt.n_users, shu.sum_hourly_users
 FROM nt JOIN s ON s.day = nt.day JOIN shu ON shu.day = nt.day
 """,

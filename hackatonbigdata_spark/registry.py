@@ -135,7 +135,7 @@ _PRIORITY: list[str] = [
     "sequential_clamp_per_series",
     "rolling_autocorr_per_series",
     "holt_winters_per_series",
-    # --- oldest remaining evidence: first 10 oracled r5-latest names ------
+    # --- oldest remaining evidence: first 6 oracled r5-latest names -------
     "diag_skew_heavy_hitters",
     "grouping_sets_custom",
     "ab_test_welch",

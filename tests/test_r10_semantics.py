@@ -473,8 +473,8 @@ def test_io_zorder_prune_skips_files(spark):
     """The z-ordered layout must actually skip files for the 2-D box
     (losslessness is what the oracle parity proves; this pins the
     LAYOUT): after the query's own write, fewer files overlap the box
-    than exist, and the date dimension's mean per-file extent sits far
-    below its full span."""
+    than exist, and BOTH domain-scaled dimensions' mean per-file extents
+    sit well below their spans."""
     from hackatonbigdata_spark.operators.io_queries import (
         _scratch,
         io_zorder_prune,
@@ -494,9 +494,14 @@ def test_io_zorder_prune_skips_files(spark):
     ]
     assert len(stats) == 16
     assert 0 < len(keep) <= len(stats) // 4  # the box reads a small subset
-    span = (max(x[2] for x in stats) - min(x[1] for x in stats)).days
-    mean_ext = sum((x[2] - x[1]).days for x in stats) / len(stats)
-    assert mean_ext < span / 4
+    # balanced z-order: BOTH domain-scaled dimensions' mean per-file
+    # extents sit well below their spans
+    span_d = (max(x[2] for x in stats) - min(x[1] for x in stats)).days
+    mean_d = sum((x[2] - x[1]).days for x in stats) / len(stats)
+    assert mean_d < span_d / 2
+    span_k = max(x[4] for x in stats) - min(x[3] for x in stats)
+    mean_k = sum(x[4] - x[3] for x in stats) / len(stats)
+    assert mean_k < span_k / 2
 
 
 def test_text_kneser_ney_matches_python(spark):
