@@ -566,3 +566,20 @@ def test_text_kneser_ney_matches_python(spark):
             max(c2[(w1, w2)] - D, 0.0) + D * n1f[w1] * (n1b[w2] / T)
         ) / c1[w1]
     assert 0 < min(mass.values()) and max(mass.values()) <= 1.0 + 1e-9
+
+
+def test_nprobe1_recall_equals_ivfpq_bucket_ceiling(spark):
+    """Cross-operator consistency: the multi-probe sweep's recall@3 at
+    nprobe=1 and the composed index eval's bucket_ceiling3 are the SAME
+    quantity by definition (fraction of exact top-3 neighbors whose home
+    bucket is the query's top-1 bucket, floor-quantized the same way) —
+    both now derive from the shared _ivf_ranks/_exact_top3 helpers, and
+    this pin keeps any future divergence loud."""
+    sweep = {
+        r.nprobe: r
+        for r in QUERIES["similarity_ivf_nprobe_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ivfpq = QUERIES["similarity_ivfpq_topk"](spark, SF_DIR).collect()[0]
+    assert sweep[1].recall3 == ivfpq.bucket_ceiling3
