@@ -482,6 +482,17 @@ def io_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 12  # bits per dimension in the interleaved z-value
 
 
+def _morton_spread(col: str) -> str:
+    """SQL expression spreading the low 16 bits of ``col`` so bit i lands
+    at position 2i — the classic shift-or-mask Morton spread (4 rounds of
+    ``x = (x | x << s) & mask``), plain integer ops inside whole-stage
+    codegen.  Interleave two dimensions as ``spread(x) * 2 | spread(y)``."""
+    x = f"cast({col} as bigint)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"(({x} | shiftleft({x}, {shift})) & {mask})"
+    return x
+
+
 def zorder_file_stats(spark: SparkSession, path: str):
     """Per-file (min, max) statistics of BOTH z-ordered dimensions over a
     clustered parquet directory — the two-column ANALYZE step for
@@ -519,8 +530,9 @@ GROUP BY 1
 def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered layout + two-dimensional file skipping — the
     Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)`` move, built from plain
-    parquet: interleave the bits of the two query dimensions (days since
-    epoch of ``l_shipdate`` and ``l_partkey``, {_Z_BITS} bits each) into
+    parquet: interleave the bits of the two query dimensions
+    (domain-scaled days-since-table-min of ``l_shipdate`` and
+    ``l_partkey``, {_Z_BITS} bits each) into
     one integer z-value with the shift-or-mask Morton spread (plain
     integer ops inside whole-stage codegen — the per-row cost a layout
     pass over 100 TB actually pays), range-cluster the table into 16
@@ -535,14 +547,14 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes ONE column's per-file ranges tight and leaves every other
     column's ranges full-width; bit interleaving shrinks BOTH dimensions'
     per-file ranges together (toward the square root of the file count).
-    Each dimension is DOMAIN-SCALED into its {_Z_BITS}-bit budget first
-    (part key via a 1-row max — the ANALYZE step a real layout pass
-    runs): a modulo mapping would wrap once the domain exceeds the
-    budget, aliasing residue classes into every file and silently
-    degrading the skipping to one dimension at exactly the scales that
-    need it.  A dedicated test asserts files are actually skipped for
-    the box and that BOTH dimensions' mean per-file extents sit well
-    below their spans.
+    BOTH dimensions are DOMAIN-SCALED into their {_Z_BITS}-bit budgets
+    first (part key via a 1-row max, ship date via a 1-row min/max span —
+    the ANALYZE step a real layout pass runs): a modulo or fixed-epoch
+    mapping would wrap once the domain exceeds the budget, aliasing
+    residue classes into every file and silently degrading the skipping
+    to one dimension at exactly the scales that need it.  A dedicated
+    test asserts files are actually skipped for the box and that BOTH
+    dimensions' mean per-file extents sit well below their spans.
 
     Exactness: the z-value is pure integer bit arithmetic (never seen by
     the oracle — layout only); the emitted aggregate is exact counts +
@@ -554,34 +566,43 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — same layout, same overlap rule."""
     t = Catalog(spark, sf_dir)
     dst = _scratch(sf_dir, "zorder_shipdate_partkey")
-    # domain-scale the part key into the bit budget (1-row bounded
+    # domain-scale BOTH dimensions into the bit budget (1-row bounded
     # metadata collect, the ANALYZE step a real layout pass runs) — a
-    # modulo mapping would WRAP once the domain exceeds 2^bits, aliasing
-    # residue classes into every file and silently reducing the skipping
-    # to one dimension; the scaled mapping is monotone at any scale
-    maxpk = t.lineitem.agg(F.max("l_partkey").alias("m")).collect()[0]["m"]
+    # modulo or fixed-epoch mapping would WRAP once the domain exceeds
+    # 2^bits, aliasing residue classes into every file and silently
+    # reducing the skipping to one dimension; the scaled mapping is
+    # monotone at any scale
+    dom = t.lineitem.agg(
+        F.max("l_partkey").alias("maxpk"),
+        F.min("l_shipdate").alias("mind"),
+        F.max("l_shipdate").alias("maxd"),
+    ).collect()[0]
+    mind = str(dom["mind"])[:10]
+    span_days = (dom["maxd"] - dom["mind"]).days
     zl = (
         t.lineitem.select("l_shipdate", "l_partkey", "l_quantity")
-        .withColumn("_maxpk", F.lit(int(maxpk)))
         .withColumn(
-            "xd", F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+            "xd",
+            F.expr(
+                f"(datediff(l_shipdate, date '{mind}')"
+                f" * {1 << _Z_BITS}) div {span_days + 1}"
+            ),
         )
         .withColumn(
             "yk",
             F.expr(
-                f"(l_partkey * {1 << _Z_BITS}) div (_maxpk + 1)"
+                f"(l_partkey * {1 << _Z_BITS}) div {int(dom['maxpk']) + 1}"
             ),
         )
+        # interleave with xd in the odd bit positions, yk in the even —
+        # the shift-or-mask Morton spread (plain integer ops inside
+        # whole-stage codegen; the per-bit HOF fold it replaces paid 12
+        # interpreted lambda evaluations per row)
         .withColumn(
             "z",
             F.expr(
-                f"aggregate(sequence(0, {_Z_BITS - 1}),"
-                " cast(0 as bigint),"
-                " (a, i) -> a"
-                " + ((xd div shiftleft(1, i)) % 2)"
-                "   * shiftleft(cast(1 as bigint), 2 * i + 1)"
-                " + ((yk div shiftleft(1, i)) % 2)"
-                "   * shiftleft(cast(1 as bigint), 2 * i))"
+                f"shiftleft({_morton_spread('xd')}, 1)"
+                f" | {_morton_spread('yk')}"
             ),
         )
         .select("l_shipdate", "l_partkey", "l_quantity", "z")

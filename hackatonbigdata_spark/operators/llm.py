@@ -7360,8 +7360,12 @@ quality_classifier_gd.__doc__ = quality_classifier_gd.__doc__.replace(
 # lights, so the gate's verdicts (including its false positives) are
 # value-verified cross-engine rather than approximated.
 
-_BLOOM_M = 1024  # bits
-_BLOOM_K = 4  # hash functions
+# the package-shared Bloom grid (sketch_params) — ONE definition with the
+# stream kernel and its oracled batch twin
+from hackatonbigdata_spark.sketch_params import (  # noqa: E402
+    BLOOM_K as _BLOOM_K,
+    BLOOM_M as _BLOOM_M,
+)
 
 
 def _bloom_pos_sql(j_expr: str, dg_expr: str) -> str:

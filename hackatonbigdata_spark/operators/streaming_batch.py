@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 from hackatonbigdata_spark.catalog import Catalog
 from hackatonbigdata_spark.functions.core import r4
 from hackatonbigdata_spark.registry import register
+from hackatonbigdata_spark.sketch_params import (
+    BLOOM_K,
+    BLOOM_M,
+    HLL_ALPHA64,
+    HLL_M,
+    HLL_W,
+)
 
 
 @register(
@@ -1545,8 +1552,9 @@ def stream_hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-BLOOM_M = 1024  # Bloom bits (== streaming/jobs.py kernel and llm gate)
-BLOOM_K = 4  # hash functions
+# BLOOM_M / BLOOM_K are the package-shared grid (sketch_params): the
+# byte-identical oracle SQL below derives from them, so the kernel and
+# this twin can never desync.
 
 
 def _bloom_pos_sql(j_expr: str, u_expr: str) -> str:
@@ -1662,8 +1670,8 @@ def stream_hourly_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_M = 64  # HyperLogLog registers (p=6; == streaming/jobs.py kernel)
-HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
+# HLL_M / HLL_W / HLL_ALPHA64 are the package-shared parameters
+# (sketch_params); the oracle SQL derives from them byte-for-byte.
 _HLL_POW53 = 9007199254740992  # 2^53: the integer register-sum scale
 
 # Shared oracle fragments — ONE definition of the register rule and of the
@@ -1708,11 +1716,11 @@ s AS (SELECT {key},
 
 
 _DUCK_HLL_EST = f"""floor(CASE WHEN s.v > 0
-                   AND CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                   AND CAST({HLL_ALPHA64} AS DOUBLE) * {HLL_M} * {HLL_M}
                        * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
                   THEN CAST({HLL_M} AS DOUBLE)
                        * ln(CAST({HLL_M} AS DOUBLE) / s.v)
-                  ELSE CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M}
+                  ELSE CAST({HLL_ALPHA64} AS DOUBLE) * {HLL_M} * {HLL_M}
                        * {_HLL_POW53} / s.s53
              END * 10000 + 0.5) / 10000"""
 
@@ -1826,7 +1834,7 @@ def _hll_summary(spark: SparkSession, regs: DataFrame, key: str) -> DataFrame:
         .alias("v"),
     )
     raw = (
-        F.lit(0.709)
+        F.lit(HLL_ALPHA64)
         * HLL_M
         * HLL_M
         * F.lit(float(_HLL_POW53))

@@ -36,6 +36,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from hackatonbigdata_spark.catalog import events_ts_is_nanos
+from hackatonbigdata_spark.sketch_params import (
+    BLOOM_K,
+    BLOOM_M,
+    HLL_ALPHA64,
+    HLL_M,
+    HLL_W,
+)
 
 WATERMARK = "10 minutes"
 
@@ -1835,8 +1842,8 @@ def value_quantiles_histogram_stream(
 
 # --- Bloom filter: per-hour bounded-memory membership gate ------------------
 
-BLOOM_M = 1024  # bits (== dedup_bloom_gate's batch grid)
-BLOOM_K = 4  # hash functions
+# BLOOM_M / BLOOM_K come from hackatonbigdata_spark.sketch_params (one
+# shared definition with the oracled batch twin and the llm batch gate).
 
 
 def bloom_pos(j: int, key, m: int = BLOOM_M) -> int:
@@ -1962,8 +1969,8 @@ def bloom_membership_stream(
 
 # --- HyperLogLog: per-hour bounded-memory distinct counter -------------------
 
-HLL_M = 64  # registers (p=6; == operators/streaming_batch.py batch twin)
-HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
+# HLL_M / HLL_W / HLL_ALPHA64 come from hackatonbigdata_spark.sketch_params
+# (one shared definition with the oracled batch twins).
 
 
 def hll_reg(key, m: int = HLL_M) -> tuple:
@@ -2012,7 +2019,7 @@ def _hll_alpha(m: int) -> float:
     if m == 32:
         return 0.697
     if m == 64:
-        return 0.709
+        return HLL_ALPHA64
     return 0.7213 / (1 + 1.079 / m)
 
 
