@@ -207,6 +207,8 @@ HEADLINE = [
     "mm_phash_dedup",                 # r10: perceptual-hash image dedup
     "io_zorder_prune",                # r10: z-order layout + 2-D skipping
     "text_kneser_ney_logprob",        # r10: smoothed KN bigram LM scorer
+    # round-11 operators:
+    "similarity_ivfpq_nprobe",        # r11: multi-probe composed IVF-PQ
 ]
 
 

@@ -6835,6 +6835,232 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_nprobe",
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qq,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+{_DUCK_PQ_RECS},
+rm AS MATERIALIZED (SELECT * FROM r),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id < {_N_IVF_CENTROIDS}),
+rk AS MATERIALIZED (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.emb, c.cemb)
+                                           / (e.nrm * c.cnrm), 4) DESC,
+                                     c.centroid_id) AS rn
+  FROM e, c),
+buckets AS (SELECT vec_id, centroid_id AS bucket_id FROM rk WHERE rn = 1),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS co
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ex3 AS (SELECT vec_id, nb FROM (
+          SELECT vec_id, nb,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY co DESC, nb) AS ro
+          FROM p) WHERE ro <= 3),
+cand AS MATERIALIZED (
+  SELECT rk.vec_id, db.vec_id AS nb, rk.rn AS prank,
+         round(q.qq - 2 * list_dot_product(q.emb, db.rec) + db.rr, 4) AS adc
+  FROM rk
+  JOIN rm q ON q.vec_id = rk.vec_id
+  JOIN buckets b ON b.bucket_id = rk.centroid_id AND b.vec_id <> rk.vec_id
+  JOIN rm db ON db.vec_id = b.vec_id
+  WHERE rk.rn <= {max(_NPROBES)}),
+{", ".join(
+    f'''t{np} AS (SELECT vec_id, nb FROM (
+      SELECT vec_id, nb,
+             row_number() OVER (PARTITION BY vec_id ORDER BY adc, nb) AS rq
+      FROM cand WHERE prank <= {np}) WHERE rq <= 3),
+h{np} AS (SELECT CAST(count(*) AS BIGINT) AS sh,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cand
+                  WHERE prank <= {np}) AS sc
+          FROM ex3 JOIN t{np} USING (vec_id, nb))'''
+    for np in _NPROBES)},
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+SELECT CAST(np AS BIGINT) AS nprobe,
+       floor(sh * 10000.0 / (3 * nv.n) + 0.5) / 10000 AS recall3_adc,
+       floor(sc * 10000.0 / nv.n + 0.5) / 10000 AS mean_candidates
+FROM ({" UNION ALL ".join(
+    f"SELECT {np} AS np, sh, sc FROM h{np}" for np in _NPROBES)})
+CROSS JOIN nv
+""",
+)
+def similarity_ivfpq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ SEARCH at nprobe > 1 — the joint (nprobe,
+    encoding) operating point a FAISS ``IndexIVFPQ`` user actually
+    ships, closing the retrieval ladder exact → IVF → PQ → IVF-PQ →
+    multi-probe IVF-PQ.  ``similarity_ivfpq_topk`` scores the composed
+    index inside exactly one bucket and ``similarity_ivf_nprobe_sweep``
+    reports the recall CEILING of probing nprobe buckets; this query
+    runs the real search: for nprobe ∈ {_NPROBES}, rank PQ asymmetric
+    distance over the candidates pooled from the query's nprobe nearest
+    coarse centroids (the bucket equi-join of the composed index
+    generalized from rn = 1 to rn <= nprobe through the shared
+    ``_ivf_ranks`` ranking) and read recall@3 against exact cosine
+    top-3, beside the candidate cost that bought it.  Each row is
+    bounded above by the sweep's ceiling at the same nprobe (an exact
+    neighbor the ADC ranking returns must live in a probed bucket) —
+    a cross-operator test pins that, and recall3_adc(nprobe) climbing
+    toward ``embedding_pq_eval``-grade recall while mean_candidates
+    climbs toward n is the trade the knob tunes.
+
+    Exactness: the probe ranking and the exact top-3 reuse their
+    oracled constructions (r4-quantized cosine, id tie-breaks); ADC is
+    the dot-product identity over the shared sequential fold, quantized
+    to 4dp with id tie-breaks before ranking; hits and candidate counts
+    are exact integers and the two summary figures are floor-quantized
+    integer ratios.
+
+    Scale: the index side is the 100 TB path — one broadcast-centroid
+    ranking (linear in n), PQ codes at m bytes/vector through the shared
+    encoder, and the candidate pool from the rn <= nprobe bucket
+    equi-join only (nprobe/buckets of the corpus per query, never
+    all-pairs); the exact-top-3 side is the documented sampled-oracle
+    regime.  Kept SEPARATE from ``similarity_ivfpq_topk`` by design so
+    neither query outgrows the bench bar.
+
+    Reference parity: the tunable generalization of the single
+    candidate-pool nearest-neighbor scoring in
+    /root/reference/src/models/cold_start_solutions.py:95-205."""
+    t = Catalog(spark, sf_dir)
+    e = (
+        _embeddings(t)
+        .withColumn("qq", _dot("emb", "emb"))
+        .localCheckpoint()
+    )
+    r = _pq_reconstructed(spark, e)
+    ranks = (
+        _ivf_ranks(e)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    assign = ranks.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("centroid_id").alias("bucket_id")
+    )
+    # checkpointed: the O(n²) sampled-oracle scan is read by one hits
+    # join per probe level and must not recompute per branch
+    ex3 = (
+        _exact_top3(e)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    # BROADCAST the coded database side: the bucket equi-join has only
+    # {_N_IVF_CENTROIDS} distinct keys, so a shuffled hash join would
+    # collapse the whole pair scan onto {_N_IVF_CENTROIDS} tasks; with
+    # the build side broadcast, parallelism follows the repartitioned
+    # query side and every core computes its share of the ADC dots (at
+    # 100 TB the same shape holds per bucket-partition of the index)
+    db = r.join(assign, "vec_id").select(
+        F.col("vec_id").alias("nb"),
+        F.col("bucket_id").alias("bn"),
+        "rec",
+        "rr",
+    )
+    cand = (
+        ranks.filter(F.col("rn") <= max(_NPROBES))
+        .select("vec_id", "centroid_id", F.col("rn").alias("prank"))
+        .join(r.select("vec_id", "emb", "qq"), "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(
+            F.broadcast(db),
+            (F.col("centroid_id") == F.col("bn"))
+            & (F.col("vec_id") != F.col("nb")),
+        )
+        .select(
+            "vec_id",
+            "nb",
+            "prank",
+            (F.col("qq") - 2 * _dot("emb", "rec") + F.col("rr")).alias("_adc"),
+        )
+        .select("vec_id", "nb", "prank", r4("_adc").alias("adc"))
+    )
+    # ONE window prunes the pair table before the per-probe re-ranks:
+    # the top-3 of a union of probe levels must come from the top-3 of
+    # each level, so keeping 3 rows per (query, prank) — <= 12 rows per
+    # query — is lossless, and the candidate masses fold into the same
+    # pass (sums are one scan, not one per probe level)
+    pruned = (
+        cand.withColumn(
+            "rq",
+            F.row_number().over(
+                W.partitionBy("vec_id", "prank").orderBy("adc", "nb")
+            ),
+        )
+        .withColumn("keep", F.col("rq") <= 3)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "collect_list(CASE WHEN keep THEN"
+                " struct(prank, adc, nb) END)"
+            ).alias("top"),
+            *[
+                F.sum(F.when(F.col("prank") <= np, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{np}")
+                for np in _NPROBES
+            ],
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    tops = pruned.select(
+        "vec_id", F.explode(F.expr("filter(top, x -> x is not null)")).alias("x")
+    ).select("vec_id", "x.prank", "x.adc", "x.nb")
+    per_np = [
+        tops.filter(F.col("prank") <= np)
+        .withColumn(
+            "rq2",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("adc", "nb")),
+        )
+        .filter(F.col("rq2") <= 3)
+        .select(
+            F.lit(np).cast("long").alias("nprobe"), "vec_id", "nb"
+        )
+        for np in _NPROBES
+    ]
+    all_tops = per_np[0]
+    for x in per_np[1:]:
+        all_tops = all_tops.unionByName(x)
+    hits = all_tops.join(ex3, ["vec_id", "nb"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("sh")
+    )
+    nv = e.count()
+    cnts = pruned.agg(
+        *[F.sum(f"c{np}").cast("long").alias(f"sc{np}") for np in _NPROBES]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(np).cast("long").alias("nprobe"),
+                        F.col(f"sc{np}").alias("sc"),
+                    )
+                    for np in _NPROBES
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    return cnts.join(hits, "nprobe", "left").select(
+        "nprobe",
+        (
+            F.floor(
+                F.coalesce(F.col("sh"), F.lit(0)) * 10000.0 / (3 * nv)
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall3_adc"),
+        (
+            F.floor(F.col("sc") * 10000.0 / nv + F.lit(0.5)) / 10000.0
+        ).alias("mean_candidates"),
+    )
+
+
+@register(
     "dedup_savings_report",
     oracle=f"""
 WITH d AS (SELECT doc_id,

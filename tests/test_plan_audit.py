@@ -390,3 +390,12 @@ def test_round10_ops_stay_jvm_side(spark):
         "text_kneser_ney_logprob",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round11_ops_stay_jvm_side(spark):
+    """r11 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere."""
+    for name in [
+        "similarity_ivfpq_nprobe",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
