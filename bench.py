@@ -209,6 +209,7 @@ HEADLINE = [
     "text_kneser_ney_logprob",        # r10: smoothed KN bigram LM scorer
     # round-11 operators:
     "similarity_ivfpq_nprobe",        # r11: multi-probe composed IVF-PQ
+    "stream_interval_join_outer",     # r11: left-outer interval join
 ]
 
 

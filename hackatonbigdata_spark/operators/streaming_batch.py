@@ -756,6 +756,91 @@ def stream_interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    oracle="""
+SELECT v.event_id AS view_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds,
+       round(p.value, 4) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view') v
+LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time LEFT OUTER interval join: every view paired with each
+    same-user purchase inside its 30-minute window, AND every view with
+    no such purchase emitted once with null purchase columns — the
+    attribution join that also surfaces the non-converting touches (the
+    numerator AND denominator of a conversion rate in one pass).
+
+    This is the batch-checkable form of Structured Streaming's
+    stream-stream LEFT OUTER join (live twin
+    ``streaming/jobs.py:interval_join_outer_stream``): in the stream the
+    interval bounds are what let the state store evict a buffered view,
+    and eviction is exactly when the unmatched-null row may emit — a
+    multi-batch test pins that the null arrives once the watermark
+    passes ``view_ts + 30min``, never twice, and that a late in-window
+    purchase converts the would-be-null row into a pair.  The left
+    filter sits in a subquery, NOT the ON clause: an ON-clause filter on
+    the preserved side of a left join would stop filtering and instead
+    null-extend every non-view event (the classic outer-join rewrite
+    trap — both engines spell it identically here).
+
+    Scale: one shuffle keyed on user_id for both sides, same as the
+    inner twin; the null extension adds no state, and at 100 TB the
+    stream form holds ~watermark + interval width per side.
+
+    Reference parity: the orphan set-difference check
+    (/root/reference/src/data/clean_data.py:303-322) generalized from
+    an anti-join count to the full outer-extended pair table."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("interval 30 minutes")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        # truncate-then-diff: DuckDB date_diff semantics, session-tz-free;
+        # null-propagating for unmatched views
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
+        ).cast("long").alias("lag_seconds"),
+        r4("value").alias("purchase_value"),
+    )
+
+
+@register(
     "cdc_scd2_user_state",
     oracle="""
 WITH o AS (

@@ -458,6 +458,71 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_outer_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the inner join above plus
+    the eviction semantics Structured Streaming users actually hit: a
+    view with NO purchase within its 30-minute window must still emit,
+    exactly once, with null purchase columns, and it can only do so when
+    the watermark passes ``view_ts + 30 minutes`` (before that a matching
+    purchase could still arrive, so the row sits in the state store).
+    Matched pairs emit as they join; unmatched views emit on expiry; a
+    late-arriving in-window purchase CONVERTS a would-be-null row into a
+    real pair (the multi-batch test pins all three behaviors).  Live twin
+    of the oracled batch query ``stream_interval_join_outer`` (a plain
+    LEFT JOIN with the same interval predicate — withWatermark is a no-op
+    in batch, so this one body serves both modes).
+
+    State held: ~watermark + interval width per side, keyed by user_id —
+    the same bound as the inner join; the outer variant adds no state,
+    only the null emission on eviction.
+
+    Reference semantic precedent: the orphan set-difference check
+    (/root/reference/src/data/clean_data.py:303-322) as a continuous
+    query — rows of the left table that never find a partner, produced
+    incrementally instead of by a full-table anti-join."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts"
+            " AND purchase_ts <= view_ts + interval 30 minutes"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        # same truncate-then-diff expression as the oracled batch twin;
+        # null-propagating for unmatched views
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
+        ).cast("long").alias("lag_seconds"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 def upsert_serving_table_stream(
     spark: SparkSession, sf_dir: str, target_path: str
 ) -> None:

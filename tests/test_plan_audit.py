@@ -397,5 +397,6 @@ def test_round11_ops_stay_jvm_side(spark):
     no Python UDF anywhere."""
     for name in [
         "similarity_ivfpq_nprobe",
+        "stream_interval_join_outer",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -235,6 +235,159 @@ def test_interval_join_stream_matches_batch(spark, events_stream, events_batch):
     assert got.count() > 0, "corpus should contain view->purchase pairs"
 
 
+def test_interval_join_outer_stream_matches_batch(
+    spark, events_batch, tmp_path
+):
+    """Stream-stream LEFT OUTER interval join over the corpus: every
+    emitted row must be a row of the batch left join; the matched pairs
+    must ALL emit (same guarantee as the inner join); an unmatched view
+    emits its null row exactly once, and every view whose window closed
+    safely before the final watermark MUST have its null row.  The
+    corpus is restreamed via tmp_path with a far sentinel file on BOTH
+    sides (the global watermark is the MIN across the view-side and
+    purchase-side watermark nodes, so it only advances when both sides
+    see late events) plus a trigger file, because evicted state flushes
+    in the batch AFTER the watermark advances."""
+    import time
+
+    src = str(tmp_path / "ivjoin_outer_corpus")
+    ev = events_batch.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.1)
+    max_ts = pd.Timestamp(events_batch.agg(F.max("ts")).first()[0])
+    far = max_ts + pd.Timedelta(hours=2)
+    sentinel = [
+        (10**9 + 1, far.to_pydatetime(), 10**9, "view", 1.0),
+        (10**9 + 2, far.to_pydatetime(), 10**9 + 1, "purchase", 1.0),
+    ]
+    spark.createDataFrame(
+        sentinel,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.1)
+    # pure trigger batch: filtered out of both join inputs, but it makes
+    # the engine run one more micro-batch with the advanced watermark
+    spark.createDataFrame(
+        [(10**9 + 3, far.to_pydatetime(), 10**9 + 2, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.interval_join_outer_stream(stream), "t_ivjoin_outer", "append"
+    )
+    got = _sorted_pdf(
+        spark.table("t_ivjoin_outer"), ["view_id", "purchase_id"]
+    )
+    got = got[got["view_id"] < 10**9].reset_index(drop=True)
+    batch = _sorted_pdf(
+        jobs.interval_join_outer_stream(events_batch),
+        ["view_id", "purchase_id"],
+    )
+    # matched pairs: exactly the batch inner pairs
+    gm = got[got["purchase_id"].notna()].reset_index(drop=True)
+    bm = batch[batch["purchase_id"].notna()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(gm, bm, rtol=1e-9)
+    # null rows: a subset of the batch null views, each exactly once, and
+    # complete — the sentinel watermark (far - 10min) passed every corpus
+    # view's 30-minute window, so EVERY batch-null view must be present
+    gn = got[got["purchase_id"].isna()]
+    bn = batch[batch["purchase_id"].isna()]
+    assert gn["view_id"].is_unique
+    assert set(gn["view_id"]) == set(bn["view_id"])
+    # no view emits both a null row and a matched row
+    assert not (set(gn["view_id"]) & set(gm["view_id"]))
+    assert len(gn) > 0 and len(gm) > 0
+
+
+def test_interval_join_outer_null_emission_and_late_match(spark, tmp_path):
+    """The eviction semantics themselves, on a crafted 4-batch stream
+    (maxFilesPerTrigger=1): an unmatched view's null row emits exactly
+    once, only AFTER the watermark passes view_ts + 30min; a purchase
+    arriving in a LATER batch but inside the window converts the
+    would-be-null row into a real pair (and no null row ever appears for
+    it); a view whose window the watermark never passes stays withheld."""
+    import time
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def m(minutes):
+        return base + pd.Timedelta(minutes=minutes)
+
+    batches = [
+        # b1: three views — V1 will match now-ish, V2 never matches,
+        # V3 matches only in a later batch
+        [
+            (1, m(0), 1, "view"),
+            (2, m(0), 2, "view"),
+            (3, m(2), 3, "view"),
+        ],
+        # b2: V1's purchase, inside its window
+        [(10, m(10), 1, "purchase")],
+        # b3: V3's LATE purchase — a later batch, but still inside V3's
+        # window and inside the watermark → converts the would-be-null row
+        [(11, m(25), 3, "purchase")],
+        # b4: far events on BOTH sides push the watermark past V1/V2/V3's
+        # windows (the global watermark is the MIN across the view-side
+        # and purchase-side nodes: wm = 90 - 10 = 80 > 32) so V2 becomes
+        # evictable; the far view's own window never closes → withheld,
+        # and the far purchase matches nothing (non-preserved side emits
+        # nothing unmatched in a left join)
+        [(12, m(90), 9, "view"), (13, m(90), 8, "purchase")],
+        # b5: pure trigger — filtered from both inputs, but eviction
+        # flushes in the batch AFTER the watermark advanced
+        [(14, m(91), 7, "click")],
+    ]
+    src = str(tmp_path / "ivjoin_outer_src")
+    for rows in batches:
+        pdf = spark.createDataFrame(
+            [
+                (eid, ts.to_pydatetime(), uid, et, 1.0)
+                for eid, ts, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct mtimes → deterministic batch order
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.interval_join_outer_stream(stream), "t_ivjoin_outer_nulls", "append"
+    )
+    got = spark.table("t_ivjoin_outer_nulls").toPandas()
+    per_view = got.groupby("view_id").size().to_dict()
+    # V1: matched in the next batch — one pair row, no null row
+    v1 = got[got["view_id"] == 1]
+    assert per_view[1] == 1 and v1["purchase_id"].iloc[0] == 10
+    # V2: never matched — exactly ONE null row, flushed after the
+    # watermark passed its window
+    v2 = got[got["view_id"] == 2]
+    assert per_view[2] == 1 and pd.isna(v2["purchase_id"].iloc[0])
+    assert pd.isna(v2["lag_seconds"].iloc[0])
+    # V3: the late in-window purchase converted it — one pair, never a null
+    v3 = got[got["view_id"] == 3]
+    assert per_view[3] == 1 and v3["purchase_id"].iloc[0] == 11
+    # the far view's window never closed → still withheld in the state store
+    assert 12 not in per_view
+
+
 def test_transition_counts_stream_matches_batch(spark, events_stream, events_batch):
     """Stateful streaming transition extraction aggregates to exactly the
     batch seq_event_transitions counts."""
