@@ -1783,31 +1783,39 @@ hregs AS (SELECT hour, j, CAST(max(rho) AS BIGINT) AS mj
           FROM rho GROUP BY 1, 2)"""
 
 
-def _duck_hll_summary(src: str, key: str) -> str:
+def _duck_hll_summary(src: str, key: str, p: str = "") -> str:
     """Grid-fill + integer register sum + zero count over sparse
-    registers ``src(key, j, mj)`` — ends with ``s({key}, s53, v)``."""
+    registers ``src(key, j, mj)`` — ends with ``{p}s({key}, s53, v)``.
+    ``p`` prefixes the CTE names so two summaries (e.g. per-hour and
+    merged-union) can coexist in one oracle."""
     return f"""
-grid AS (SELECT kk.{key}, jj.j
+{p}grid AS (SELECT kk.{key}, jj.j
          FROM (SELECT DISTINCT {key} FROM {src}) kk
          CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) jj),
-fullr AS (SELECT grid.{key}, COALESCE({src}.mj, 0) AS mj
-          FROM grid LEFT JOIN {src}
-            ON {src}.{key} = grid.{key} AND {src}.j = grid.j),
-s AS (SELECT {key},
+{p}fullr AS (SELECT {p}grid.{key}, COALESCE({src}.mj, 0) AS mj
+          FROM {p}grid LEFT JOIN {src}
+            ON {src}.{key} = {p}grid.{key} AND {src}.j = {p}grid.j),
+{p}s AS (SELECT {key},
              CAST(sum(1::BIGINT << CAST({HLL_W + 1} - mj AS INTEGER))
                   AS BIGINT) AS s53,
              CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-      FROM fullr GROUP BY 1)"""
+      FROM {p}fullr GROUP BY 1)"""
 
 
-_DUCK_HLL_EST = f"""floor(CASE WHEN s.v > 0
+def _duck_hll_est(a: str = "s") -> str:
+    """The alpha_64 + linear-counting estimate over a summary aliased
+    ``a(s53, v)`` — one definition for every HLL oracle."""
+    return f"""floor(CASE WHEN {a}.v > 0
                    AND CAST({HLL_ALPHA64} AS DOUBLE) * {HLL_M} * {HLL_M}
-                       * {_HLL_POW53} / s.s53 <= 2.5 * {HLL_M}
+                       * {_HLL_POW53} / {a}.s53 <= 2.5 * {HLL_M}
                   THEN CAST({HLL_M} AS DOUBLE)
-                       * ln(CAST({HLL_M} AS DOUBLE) / s.v)
+                       * ln(CAST({HLL_M} AS DOUBLE) / {a}.v)
                   ELSE CAST({HLL_ALPHA64} AS DOUBLE) * {HLL_M} * {HLL_M}
-                       * {_HLL_POW53} / s.s53
+                       * {_HLL_POW53} / {a}.s53
              END * 10000 + 0.5) / 10000"""
+
+
+_DUCK_HLL_EST = _duck_hll_est()
 
 
 @register(
@@ -2015,5 +2023,138 @@ def stream_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_users",
             "n_users",
             "sum_hourly_users",
+        )
+    )
+
+
+@register(
+    "stream_hll_returning_users",
+    oracle=f"""
+WITH {_DUCK_HLL_HREGS},
+prev AS (SELECT hour + INTERVAL 1 HOUR AS hour, j, mj FROM hregs),
+mregs AS (SELECT hour, j, CAST(max(mj) AS BIGINT) AS mj
+          FROM (SELECT * FROM hregs UNION ALL SELECT * FROM prev)
+          GROUP BY 1, 2),
+{_duck_hll_summary("hregs", "hour")},
+{_duck_hll_summary("mregs", "hour", "u")},
+hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events),
+hrs AS (SELECT DISTINCT hour FROM hu),
+bh AS (SELECT b.hour FROM hrs a JOIN hrs b
+         ON b.hour = a.hour + INTERVAL 1 HOUR),
+ret AS (SELECT b.hour, CAST(count(*) AS BIGINT) AS n_returning
+        FROM hu a JOIN hu b
+          ON b.user_id = a.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+        GROUP BY 1),
+nu AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_users FROM hu GROUP BY 1),
+est AS (SELECT bh.hour,
+               {_duck_hll_est("sa")} AS est_prev,
+               {_duck_hll_est("sb")} AS est_curr,
+               {_duck_hll_est("us")} AS est_union
+        FROM bh
+        JOIN s sa ON sa.hour = bh.hour - INTERVAL 1 HOUR
+        JOIN s sb ON sb.hour = bh.hour
+        JOIN us ON us.hour = bh.hour)
+SELECT est.hour, est.est_prev, est.est_curr, est.est_union,
+       est.est_prev + est.est_curr - est.est_union AS est_returning,
+       COALESCE(ret.n_returning, 0) AS n_returning,
+       nu.n_users
+FROM est
+LEFT JOIN ret ON ret.hour = est.hour
+JOIN nu ON nu.hour = est.hour
+""",
+)
+def stream_hll_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET INTERSECTION via inclusion-exclusion — the sketch set
+    operation a real dashboard computes from stored register state:
+    hour-over-hour RETURNING users, |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    where the union estimate comes from the elementwise MAX merge of the
+    two hours' registers (``stream_hll_daily_merge``'s mergeability,
+    pointed at a set operation instead of a rollup), emitted beside the
+    EXACT returning-user count so the estimate's error is readable per
+    row.  No event rescan: everything derives from the same per-hour
+    registers the streaming kernel (``hll_distinct_stream``) already
+    holds — intersection is the one set op HLL cannot answer from a
+    single sketch, and inclusion-exclusion over merged registers is the
+    standard production answer (exact-under-budget KMV is the engine's
+    other path, ``stream_hourly_distinct``).
+
+    Exactness: registers and both exact counts are integers; the three
+    estimates use the shared identically-structured float expression
+    (integer register sum, 1e-4 grid), and the inclusion-exclusion
+    combination is one IEEE add/subtract of those already-quantized
+    doubles in both engines.  The estimate may be negative for tiny
+    overlaps — that is honest HLL behavior and is left unclamped.
+
+    Scale: one event pass for the registers (already held as kernel
+    state), then a (hours × 64) shifted-union grouped max and three
+    64-row-per-hour summaries — independent of event volume.  This is
+    the cross-segment-overlap pattern (audiences, cohorts, A∩B of any
+    two stored sketches) at 64 bytes per segment."""
+    t = Catalog(spark, sf_dir)
+    hregs = _hll_hour_regs(t).localCheckpoint()
+    prev = hregs.select(
+        (F.col("hour") + F.expr("interval 1 hour")).alias("hour"), "j", "mj"
+    )
+    mregs = (
+        hregs.unionByName(prev)
+        .groupBy("hour", "j")
+        .agg(F.max("mj").cast("long").alias("mj"))
+    )
+    s = _hll_summary(spark, hregs, "hour")
+    us = _hll_summary(spark, mregs, "hour")
+    hu = t.events.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).distinct()
+    hrs = hu.select("hour").distinct()
+    both = hrs.alias("a").join(
+        hrs.alias("b"),
+        F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour"),
+    ).select(F.col("b.hour").alias("hour"))
+    ret = (
+        hu.alias("a")
+        .join(
+            hu.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (
+                F.col("b.hour")
+                == F.col("a.hour") + F.expr("interval 1 hour")
+            ),
+        )
+        .groupBy(F.col("b.hour").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_returning"))
+    )
+    nu = hu.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    est = (
+        both.join(
+            s.select(
+                (F.col("hour") + F.expr("interval 1 hour")).alias("hour"),
+                F.col("est_users").alias("est_prev"),
+            ),
+            "hour",
+        )
+        .join(
+            s.select("hour", F.col("est_users").alias("est_curr")), "hour"
+        )
+        .join(
+            us.select("hour", F.col("est_users").alias("est_union")), "hour"
+        )
+    )
+    return (
+        est.join(ret, "hour", "left")
+        .join(nu, "hour")
+        .select(
+            "hour",
+            "est_prev",
+            "est_curr",
+            "est_union",
+            (
+                F.col("est_prev") + F.col("est_curr") - F.col("est_union")
+            ).alias("est_returning"),
+            F.coalesce("n_returning", F.lit(0)).cast("long").alias(
+                "n_returning"
+            ),
+            "n_users",
         )
     )

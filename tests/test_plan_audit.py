@@ -398,5 +398,6 @@ def test_round11_ops_stay_jvm_side(spark):
     for name in [
         "similarity_ivfpq_nprobe",
         "stream_interval_join_outer",
+        "stream_hll_returning_users",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

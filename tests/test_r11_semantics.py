@@ -96,6 +96,85 @@ def test_similarity_ivfpq_nprobe_matches_python(spark):
         assert got[np_].mean_candidates == want[np_][1], np_
 
 
+def test_hll_intersection_identity_and_accuracy_m16():
+    """Kernel-level pin of the inclusion-exclusion set operation in the
+    forced-raw m=16 regime: (a) the union estimate from the elementwise
+    MAX merge equals the estimate of the concatenated tape EXACTLY (the
+    max-fold mergeability the daily rollup proves, reused as a set op);
+    (b) est(A) + est(B) − est(merge) lands within the combined 3-sigma
+    HLL error band of the true intersection (sigma = 1.04/sqrt(16) per
+    estimate)."""
+    from hackatonbigdata_spark.streaming import jobs
+
+    m = 16
+    a_users = [f"u{i}" for i in range(200)]
+    b_users = [f"u{i}" for i in range(120, 420)]  # true overlap = 80
+    ra = jobs.hll_update([0] * m, a_users, m)
+    rb = jobs.hll_update([0] * m, b_users, m)
+    merged = [max(x, y) for x, y in zip(ra, rb)]
+    assert merged == jobs.hll_update([0] * m, a_users + b_users, m)
+    est_a = jobs.hll_estimate(ra, m)
+    est_b = jobs.hll_estimate(rb, m)
+    est_u = jobs.hll_estimate(merged, m)
+    est_inter = est_a + est_b - est_u
+    true_union = len(set(a_users) | set(b_users))
+    sigma = 1.04 / math.sqrt(m)
+    assert abs(est_inter - 80) <= 3 * sigma * (len(a_users) + len(b_users) + true_union)
+
+
+def test_stream_hll_returning_users_matches_python(spark):
+    """Full rederivation of the HLL intersection query: per-hour
+    registers under the shared md5 rule (via the streaming kernel's own
+    hll_reg/hll_update, themselves pinned against the batch twin),
+    elementwise-max merged registers per consecutive-hour pair, the
+    three estimates, the inclusion-exclusion combination, and both
+    exact counts."""
+    import duckdb
+
+    from hackatonbigdata_spark.registry import all_queries
+    from hackatonbigdata_spark.sketch_params import HLL_M
+    from hackatonbigdata_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    rows = duckdb.connect().execute(
+        "SELECT date_trunc('hour', ts), user_id FROM read_parquet(?)",
+        [f"{SF_DIR}/events.parquet"],
+    ).fetchall()
+    by_hour = {}
+    users = {}
+    for hour, uid in rows:
+        by_hour.setdefault(hour, []).append(uid)
+        users.setdefault(hour, set()).add(uid)
+    regs = {
+        h: jobs.hll_update([0] * HLL_M, us, HLL_M)
+        for h, us in by_hour.items()
+    }
+    import datetime
+
+    one_h = datetime.timedelta(hours=1)
+    got = {
+        r.hour: r
+        for r in all_queries()["stream_hll_returning_users"](
+            spark, SF_DIR
+        ).collect()
+    }
+    want_hours = {h for h in regs if h - one_h in regs}
+    assert set(got) == want_hours and len(want_hours) > 0
+    for h in want_hours:
+        prev = h - one_h
+        merged = [max(x, y) for x, y in zip(regs[prev], regs[h])]
+        est_prev = jobs.hll_estimate(regs[prev], HLL_M)
+        est_curr = jobs.hll_estimate(regs[h], HLL_M)
+        est_union = jobs.hll_estimate(merged, HLL_M)
+        r = got[h]
+        assert r.est_prev == est_prev, h
+        assert r.est_curr == est_curr, h
+        assert r.est_union == est_union, h
+        assert r.est_returning == est_prev + est_curr - est_union, h
+        assert r.n_returning == len(users[prev] & users[h]), h
+        assert r.n_users == len(users[h]), h
+
+
 def test_ivfpq_nprobe_pins_against_sweep_and_topk(spark):
     """Cross-operator consistency for the retrieval-ladder closers:
 
