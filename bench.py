@@ -211,6 +211,7 @@ HEADLINE = [
     "similarity_ivfpq_nprobe",        # r11: multi-probe composed IVF-PQ
     "stream_interval_join_outer",     # r11: left-outer interval join
     "stream_hll_returning_users",     # r11: HLL intersection set op
+    "search_mmr_rerank",              # r11: MMR diversified re-rank
 ]
 
 

@@ -5494,6 +5494,284 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+_MMR_TOPC = 10  # candidate pool per query (the cosine top-10)
+_MMR_K = 5  # greedy selections per query
+
+
+def _duck_mmr_steps() -> str:
+    """The {_MMR_K}-step greedy MMR chain as DuckDB CTEs over
+    ``cand(vec_id, nb, rel)`` and ``ps(vec_id, d, s, sim)`` — step 1
+    picks on 0.7·rel − 0.3·0, each later step anti-joins the running
+    selection, takes max sim to it, and re-picks; every step CTE is
+    MATERIALIZED (each is referenced twice downstream, and DuckDB
+    re-inlines non-materialized CTEs exponentially)."""
+    parts = [
+        f"""pick1 AS MATERIALIZED (
+  SELECT vec_id, nb, rel,
+         CAST({_MMR_LAMBDA} AS DOUBLE) * rel
+           - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE) * CAST(0 AS DOUBLE)
+           AS score, 1 AS mmr_rank
+  FROM (SELECT vec_id, nb, rel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY rel DESC, nb) AS rn
+        FROM cand) WHERE rn = 1),
+sel1 AS MATERIALIZED (SELECT vec_id, nb, rel, score, mmr_rank FROM pick1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.nb, c.rel, max(ps.sim) AS maxsel
+  FROM cand c
+  LEFT JOIN sel{k - 1} x ON x.vec_id = c.vec_id AND x.nb = c.nb
+  JOIN ps ON ps.vec_id = c.vec_id AND ps.d = c.nb
+  JOIN sel{k - 1} s ON s.vec_id = ps.vec_id AND s.nb = ps.s
+  WHERE x.nb IS NULL
+  GROUP BY 1, 2, 3),
+pick{k} AS MATERIALIZED (
+  SELECT vec_id, nb, rel, score, {k} AS mmr_rank
+  FROM (SELECT vec_id, nb, rel,
+               CAST({_MMR_LAMBDA} AS DOUBLE) * rel
+                 - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE) * maxsel AS score,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY CAST({_MMR_LAMBDA} AS DOUBLE) * rel
+                                           - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE)
+                                             * maxsel DESC, nb) AS rn
+        FROM m{k}) WHERE rn = 1),
+sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1}
+        UNION ALL SELECT vec_id, nb, rel, score, mmr_rank FROM pick{k})"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+p AS MATERIALIZED (
+  SELECT a.vec_id, b.vec_id AS nb,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS co
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+cand AS MATERIALIZED (
+  SELECT vec_id, nb, co AS rel FROM (
+    SELECT vec_id, nb, co,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY co DESC, nb) AS rn
+    FROM p) WHERE rn <= {_MMR_TOPC}),
+ps AS MATERIALIZED (
+  SELECT c1.vec_id, c1.nb AS d, c2.nb AS s, p.co AS sim
+  FROM cand c1
+  JOIN cand c2 ON c2.vec_id = c1.vec_id AND c2.nb <> c1.nb
+  JOIN p ON p.vec_id = c1.nb AND p.nb = c2.nb),
+{_duck_mmr_steps()}
+SELECT vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, nb,
+       rel, round(score, 4) AS score
+FROM sel{_MMR_K}
+""",
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    Goldstein 1998) — the standard RAG read-path step after retrieval:
+    from each query's cosine top-{_MMR_TOPC} candidate pool, greedily
+    select {_MMR_K} documents maximizing λ·sim(q, d) − (1−λ)·max_{{s ∈
+    selected}} sim(d, s) with λ = {_MMR_LAMBDA}, so the context window
+    gets relevant-but-non-redundant passages instead of five copies of
+    the same near-duplicate.  Completes the read path ladder
+    ``text_bm25_topk`` → ``search_hybrid_rrf`` → diversified re-rank.
+
+    Exactness: all similarities live on the r4 grid with doc-id
+    tie-breaks (``similarity_topk_cosine``'s contract); each greedy step
+    scores with one identically-structured float expression over those
+    quantized doubles; step 1's penalty term is an explicit 0 so the
+    emitted score column is the same definition at every rank.
+
+    Scale: the greedy loop is {_MMR_K} bounded driver-side iterations
+    (the ``quality_classifier_gd`` discipline) over a CANDIDATES-ONLY
+    state table — {_MMR_TOPC} rows per query with all pairwise
+    candidate sims precomputed from one lookup join, so each step is a
+    per-query window + broadcast-size join, never a corpus rescan.  The
+    all-pairs cosine feeding the pool is the documented sampled-oracle
+    regime (production pools come from the IVF/LSH/BM25 paths).
+
+    Reference parity: the diversified top-k selection a user of
+    /root/reference/src/models/cold_start_solutions.py's candidate-pool
+    ranking composes downstream of retrieval."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t).localCheckpoint()
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("vec_id"),
+                    F.col("id_hi").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("vec_id"),
+                    F.col("id_lo").alias("nb"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    cand = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("co").desc(), "nb")
+            ),
+        )
+        .filter(F.col("rn") <= _MMR_TOPC)
+        .select("vec_id", "nb", F.col("co").alias("rel"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    # candidate-pair sims recomputed from the broadcast embedding table
+    # ({_MMR_TOPC}²-ish rows per query), NOT by re-joining the O(n²) pair
+    # table on a new key — the dot/divide commutes elementwise, so these
+    # are the identical r4 doubles the pool ranking used
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    ps = (
+        c1.join(
+            c2,
+            (F.col("c2.vec_id") == F.col("c1.vec_id"))
+            & (F.col("c2.nb") != F.col("c1.nb")),
+        )
+        .select(
+            F.col("c1.vec_id").alias("vec_id"),
+            F.col("c1.nb").alias("d"),
+            F.col("c2.nb").alias("s"),
+        )
+        .join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("d"),
+                    F.col("emb").alias("demb"),
+                    F.col("nrm").alias("dnrm"),
+                )
+            ),
+            "d",
+        )
+        .join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("s"),
+                    F.col("emb").alias("semb"),
+                    F.col("nrm").alias("snrm"),
+                )
+            ),
+            "s",
+        )
+        .select(
+            "vec_id",
+            "d",
+            "s",
+            (
+                _dot("demb", "semb") / (F.col("dnrm") * F.col("snrm"))
+            ).alias("_sim"),
+        )
+        .select("vec_id", "d", "s", r4("_sim").alias("sim"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(round(1 - _MMR_LAMBDA, 1))
+    # maxsel starts NULL (not 0.0): cosine can be negative, and the true
+    # MMR penalty is the max over the selected set — a zero seed would
+    # silently floor it and under-penalize nothing / over-penalize
+    # anti-correlated candidates
+    state = cand.select(
+        "vec_id",
+        "nb",
+        "rel",
+        F.lit(None).cast("double").alias("maxsel"),
+        F.lit(None).cast("int").alias("mmr_rank"),
+        F.lit(None).cast("double").alias("score"),
+    ).localCheckpoint()
+    for k in range(1, _MMR_K + 1):
+        pick = (
+            state.filter(F.col("mmr_rank").isNull())
+            .withColumn(
+                "_sc",
+                lam * F.col("rel")
+                - mu * F.coalesce("maxsel", F.lit(0.0)),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.col("_sc").desc(), "nb")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("nb").alias("sel_nb"))
+        )
+        upd = (
+            state.join(pick, "vec_id")
+            .join(
+                ps.select(
+                    "vec_id",
+                    F.col("d").alias("nb"),
+                    F.col("s").alias("sel_nb"),
+                    "sim",
+                ),
+                ["vec_id", "nb", "sel_nb"],
+                "left",
+            )
+            .select(
+                "vec_id",
+                "nb",
+                "rel",
+                # remaining candidates absorb the new selection into
+                # their running redundancy max; rows already ranked (and
+                # the fresh pick) keep their state frozen
+                F.when(
+                    F.col("mmr_rank").isNull() & (F.col("nb") != F.col("sel_nb")),
+                    F.when(
+                        F.col("maxsel").isNull(), F.col("sim")
+                    ).otherwise(F.greatest("maxsel", "sim")),
+                )
+                .otherwise(F.col("maxsel"))
+                .alias("maxsel"),
+                F.when(
+                    F.col("mmr_rank").isNull() & (F.col("nb") == F.col("sel_nb")),
+                    F.lit(k),
+                )
+                .otherwise(F.col("mmr_rank"))
+                .alias("mmr_rank"),
+                F.when(
+                    F.col("mmr_rank").isNull() & (F.col("nb") == F.col("sel_nb")),
+                    lam * F.col("rel")
+                    - mu * F.coalesce("maxsel", F.lit(0.0)),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+        state = upd.localCheckpoint()
+    return state.filter(F.col("mmr_rank").isNotNull()).select(
+        "vec_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "nb",
+        "rel",
+        r4("score").alias("score"),
+    )
+
+
 @register(
     "corpus_source_report",
     oracle=f"""

@@ -399,5 +399,6 @@ def test_round11_ops_stay_jvm_side(spark):
         "similarity_ivfpq_nprobe",
         "stream_interval_join_outer",
         "stream_hll_returning_users",
+        "search_mmr_rerank",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -175,6 +175,52 @@ def test_stream_hll_returning_users_matches_python(spark):
         assert r.n_users == len(users[h]), h
 
 
+def test_search_mmr_rerank_matches_python(spark):
+    """Full rederivation of the greedy MMR re-rank: the r4 cosine pair
+    grid, each query's top-10 pool, and the 5 greedy selections with
+    score λ·rel − (1−λ)·max sim(d, selected) — where the redundancy max
+    is the TRUE max over the selected set (it can be negative for
+    anti-correlated candidates; a zero-seeded running max would floor it
+    — exactly the bug this independent pin exists to catch)."""
+    from tests.conftest import SF_DIR
+
+    emb = _load_embeddings()
+    ids = sorted(emb)
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+    sim = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            s = _r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b]))
+            sim[(a, b)] = s
+            sim[(b, a)] = s
+    lam, mu = 0.7, 0.3
+    want = {}
+    for q in ids:
+        pool = sorted(((-sim[(q, b)], b) for b in ids if b != q))[:10]
+        rels = {b: -negs for negs, b in pool}
+        remaining = sorted(rels)
+        maxsel: dict = {b: None for b in remaining}
+        for k in range(1, 6):
+            scored = sorted(
+                (
+                    -(lam * rels[b] - mu * (maxsel[b] or 0.0)),
+                    b,
+                )
+                for b in remaining
+            )
+            negsc, bb = scored[0]
+            want[(q, k)] = (bb, rels[bb], _r4(-negsc))
+            remaining.remove(bb)
+            for b in remaining:
+                s = sim[(b, bb)]
+                maxsel[b] = s if maxsel[b] is None else max(maxsel[b], s)
+    got = QUERIES["search_mmr_rerank"](spark, SF_DIR).collect()
+    assert len(got) == len(ids) * 5
+    for r in got:
+        bb, rel, sc = want[(r.vec_id, r.mmr_rank)]
+        assert (r.nb, r.rel, r.score) == (bb, rel, sc), (r.vec_id, r.mmr_rank)
+
+
 def test_ivfpq_nprobe_pins_against_sweep_and_topk(spark):
     """Cross-operator consistency for the retrieval-ladder closers:
 
