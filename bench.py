@@ -212,6 +212,7 @@ HEADLINE = [
     "stream_interval_join_outer",     # r11: left-outer interval join
     "stream_hll_returning_users",     # r11: HLL intersection set op
     "search_mmr_rerank",              # r11: MMR diversified re-rank
+    "sketch_kmv_overlap",             # r11: exact-under-budget KMV overlap
 ]
 
 

@@ -1336,6 +1336,220 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_OVERLAP_K = 32  # bottom-k budget (== streaming/jobs.py KMV_K)
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle=f"""
+WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id
+            FROM events),
+hd AS (SELECT DISTINCT hour,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS h
+       FROM hu),
+sk AS (SELECT hour, h FROM (
+         SELECT hour, h, row_number() OVER (PARTITION BY hour ORDER BY h)
+                AS rn
+         FROM hd) WHERE rn <= {KMV_OVERLAP_K}),
+bh AS (SELECT b.hour FROM (SELECT DISTINCT hour FROM hu) a
+       JOIN (SELECT DISTINCT hour FROM hu) b
+         ON b.hour = a.hour + INTERVAL 1 HOUR),
+uni AS (SELECT hour, h, mn FROM (
+          SELECT u.hour, u.h, row_number() OVER (PARTITION BY u.hour
+                                                 ORDER BY u.h) AS mn
+          FROM (SELECT bh.hour, sk.h FROM bh
+                JOIN sk ON sk.hour = bh.hour - INTERVAL 1 HOUR
+                UNION
+                SELECT bh.hour, sk.h FROM bh
+                JOIN sk ON sk.hour = bh.hour) u)
+        WHERE mn <= {KMV_OVERLAP_K}),
+st AS (SELECT uni.hour,
+              CAST(count(*) AS BIGINT) AS n_merged,
+              CAST(max(uni.h) AS BIGINT) AS kth,
+              CAST(sum(CASE WHEN pa.h IS NOT NULL AND pb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+       FROM uni
+       LEFT JOIN sk pa ON pa.hour = uni.hour - INTERVAL 1 HOUR
+                      AND pa.h = uni.h
+       LEFT JOIN sk pb ON pb.hour = uni.hour AND pb.h = uni.h
+       GROUP BY 1),
+est AS (SELECT hour, n_merged, n_matches,
+               n_merged < {KMV_OVERLAP_K} AS is_exact,
+               CASE WHEN n_merged < {KMV_OVERLAP_K} THEN n_merged
+                    ELSE CAST(floor(({KMV_OVERLAP_K} - 1)
+                              * CAST({1 << 52} AS DOUBLE) / (kth + 1)
+                              + 0.5) AS BIGINT) END AS est_union
+        FROM st),
+ret AS (SELECT b.hour, CAST(count(*) AS BIGINT) AS n_returning
+        FROM hu a JOIN hu b
+          ON b.user_id = a.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+        GROUP BY 1)
+SELECT est.hour, est.n_merged, est.n_matches, est.est_union,
+       CAST(floor(est.n_matches * CAST(est.est_union AS DOUBLE)
+                  / est.n_merged + 0.5) AS BIGINT) AS est_returning,
+       est.is_exact,
+       COALESCE(ret.n_returning, 0) AS n_returning
+FROM est LEFT JOIN ret ON ret.hour = est.hour
+""",
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) SET INTERSECTION — the exact-under-budget
+    companion to ``stream_hll_returning_users``'s inclusion-exclusion:
+    hour-over-hour returning users from each hour's {KMV_OVERLAP_K}
+    smallest user-id hashes.  The union sketch of two bottom-k sets is
+    the bottom-k of their union (a pure set-of-minima merge); every
+    union-sketch member that lies in BOTH input sketches is a certified
+    intersection element (h ≤ the union's kth-min ≤ each input's
+    kth-min), so est_inter = matches/|K| × est_union — and while the
+    union is under budget the sketch holds EVERY distinct hash, making
+    the intersection count EXACT, the guarantee HLL can never give.
+    ``is_exact`` tells the reader which regime each row is in; the exact
+    ``n_returning`` sits beside it (equal wherever ``is_exact`` holds,
+    up to md5-prefix hash collisions).
+
+    Hash domain: the engine-shared md5-hex rule (first 13 hex chars →
+    52-bit integer), the same cross-engine-parseable domain as the HLL
+    and Bloom twins — the streaming kernel's splitmix64 needs mod-2⁶⁴
+    wraparound that signed-BIGINT SQL engines reject, so the oracled
+    twin pins the SAME bottom-k/merge/estimate ALGEBRA on the SQL-safe
+    hash (``tests/test_r11_semantics.py`` re-derives it in pure Python,
+    and the kernel's own invariants stay fuzzed in
+    ``tests/test_kernel_state_machines.py``).
+
+    Exactness: sketches, merges, matches, and the budget flag are pure
+    integer/set operations; the at-budget estimator is
+    floor((k−1)·2⁵²/(kth+1) + 0.5) and the combination
+    floor(matches·est_union/|K| + 0.5) — single identically-structured
+    float expressions on exact integers.
+
+    Scale: state is {KMV_OVERLAP_K} longs per hour (the kernel already
+    holds it); the query shuffles one row per (hour, user) for the
+    distinct, then everything is ≤{KMV_OVERLAP_K}-rows-per-hour —
+    the audience-overlap readout every sketch store serves."""
+    t = Catalog(spark, sf_dir)
+    k = KMV_OVERLAP_K
+    hu = (
+        t.events.select(
+            F.date_trunc("hour", "ts").alias("hour"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    hd = hu.select(
+        "hour",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sk = (
+        hd.withColumn(
+            "rn", F.row_number().over(W.partitionBy("hour").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .select("hour", "h")
+        .localCheckpoint()
+    )
+    hrs = hu.select("hour").distinct()
+    bh = (
+        hrs.alias("a")
+        .join(
+            hrs.alias("b"),
+            F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour"),
+        )
+        .select(F.col("b.hour").alias("hour"))
+    )
+    ua = bh.join(
+        sk.select(
+            (F.col("hour") + F.expr("interval 1 hour")).alias("hour"), "h"
+        ),
+        "hour",
+    )
+    ub = bh.join(sk, "hour")
+    uni = (
+        ua.unionByName(ub)
+        .distinct()
+        .withColumn(
+            "mn", F.row_number().over(W.partitionBy("hour").orderBy("h"))
+        )
+        .filter(F.col("mn") <= k)
+    )
+    pa = sk.select(
+        (F.col("hour") + F.expr("interval 1 hour")).alias("hour"),
+        F.col("h").alias("h"),
+        F.lit(1).alias("in_a"),
+    )
+    pb = sk.select("hour", "h", F.lit(1).alias("in_b"))
+    st = (
+        uni.join(pa, ["hour", "h"], "left")
+        .join(pb, ["hour", "h"], "left")
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.max("h").cast("long").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )
+    est = st.select(
+        "hour",
+        "n_merged",
+        "n_matches",
+        (F.col("n_merged") < k).alias("is_exact"),
+        F.when(F.col("n_merged") < k, F.col("n_merged"))
+        .otherwise(
+            F.floor(
+                (k - 1)
+                * F.lit(float(1 << 52))
+                / (F.col("kth") + 1)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+    )
+    ret = (
+        hu.alias("a")
+        .join(
+            hu.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (
+                F.col("b.hour")
+                == F.col("a.hour") + F.expr("interval 1 hour")
+            ),
+        )
+        .groupBy(F.col("b.hour").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_returning"))
+    )
+    return est.join(ret, "hour", "left").select(
+        "hour",
+        "n_merged",
+        "n_matches",
+        "est_union",
+        F.floor(
+            F.col("n_matches")
+            * F.col("est_union").cast("double")
+            / F.col("n_merged")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_returning"),
+        "is_exact",
+        F.coalesce("n_returning", F.lit(0)).cast("long").alias(
+            "n_returning"
+        ),
+    )
+
+
 SAMPLE_K = 8  # bottom-k uniform sample size per hour
 
 

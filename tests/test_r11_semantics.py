@@ -221,6 +221,67 @@ def test_search_mmr_rerank_matches_python(spark):
         assert (r.nb, r.rel, r.score) == (bb, rel, sc), (r.vec_id, r.mmr_rank)
 
 
+def test_sketch_kmv_overlap_matches_python(spark):
+    """Full rederivation of the bottom-k overlap sketch: 52-bit md5
+    hashes, per-hour bottom-32 sketches, set-of-minima union merge,
+    certified-intersection matches, the at-budget estimator, and the
+    exact-under-budget guarantee (est_returning == n_returning wherever
+    is_exact, barring md5-prefix collisions — none in this corpus)."""
+    import duckdb
+    import hashlib
+
+    from hackatonbigdata_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    K = 32
+    rows = duckdb.connect().execute(
+        "SELECT DISTINCT date_trunc('hour', ts), user_id"
+        " FROM read_parquet(?)",
+        [f"{SF_DIR}/events.parquet"],
+    ).fetchall()
+    users: dict = {}
+    for hour, uid in rows:
+        users.setdefault(hour, set()).add(uid)
+
+    def h52(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+
+    sk = {
+        h: set(sorted({h52(u) for u in us})[:K]) for h, us in users.items()
+    }
+    import datetime
+
+    one_h = datetime.timedelta(hours=1)
+    got = {
+        r.hour: r
+        for r in all_queries()["sketch_kmv_overlap"](spark, SF_DIR).collect()
+    }
+    want_hours = {h for h in users if h - one_h in users}
+    assert set(got) == want_hours and len(want_hours) > 0
+    for h in want_hours:
+        a, b = sk[h - one_h], sk[h]
+        merged = set(sorted(a | b)[:K])
+        n_merged = len(merged)
+        matches = len(merged & a & b)
+        if n_merged < K:
+            est_union = n_merged
+        else:
+            est_union = math.floor(
+                (K - 1) * float(1 << 52) / (max(merged) + 1) + 0.5
+            )
+        est_ret = math.floor(matches * float(est_union) / n_merged + 0.5)
+        r = got[h]
+        assert r.n_merged == n_merged, h
+        assert r.n_matches == matches, h
+        assert r.est_union == est_union, h
+        assert r.est_returning == est_ret, h
+        assert r.is_exact == (n_merged < K), h
+        true_ret = len(users[h - one_h] & users[h])
+        assert r.n_returning == true_ret, h
+        if r.is_exact:
+            assert r.est_returning == true_ret, h
+
+
 def test_ivfpq_nprobe_pins_against_sweep_and_topk(spark):
     """Cross-operator consistency for the retrieval-ladder closers:
 
