@@ -213,6 +213,7 @@ HEADLINE = [
     "stream_hll_returning_users",     # r11: HLL intersection set op
     "search_mmr_rerank",              # r11: MMR diversified re-rank
     "sketch_kmv_overlap",             # r11: exact-under-budget KMV overlap
+    "io_mor_deletes",                 # r11: merge-on-read positional deletes
 ]
 
 

@@ -640,3 +640,121 @@ def io_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("l_quantity")).alias("sum_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
+
+
+_MOR_FILES = 8  # base data files in the merge-on-read layout
+_MOR_DEL_QTY = 48  # rows with l_quantity >= this get positional deletes
+
+
+@register(
+    "io_mor_deletes",
+    oracle=f"""
+WITH live AS (
+  SELECT month(l_shipdate) AS m,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price
+  FROM lineitem WHERE l_quantity < {_MOR_DEL_QTY} GROUP BY 1),
+dead AS (
+  SELECT month(l_shipdate) AS m, CAST(count(*) AS BIGINT) AS n_deleted
+  FROM lineitem WHERE l_quantity >= {_MOR_DEL_QTY} GROUP BY 1)
+SELECT CAST(live.m AS INTEGER) AS ship_month, live.n_rows, live.sum_qty,
+       live.sum_price, COALESCE(dead.n_deleted, 0) AS n_deleted
+FROM live LEFT JOIN dead ON dead.m = live.m
+""",
+)
+def io_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ positional deletes — the Iceberg/Delta deletion-
+    vector pattern, built from plain parquet: the base table is written
+    ONCE into {_MOR_FILES} hive-partitioned data files with an explicit
+    (file_id, pos) row identity; a DELETE lands as a separate tiny
+    delete file holding only (file_id, pos) pairs — the base files are
+    NEVER rewritten (``io_upsert_roundtrip`` is the copy-on-write
+    alternative; this is the O(deletes) write path a GDPR erasure or CDC
+    delete takes at 100 TB); the READ applies the delete file with one
+    anti-join on the row identity, no data predicate re-evaluated
+    (exactly how an Iceberg reader applies positional delete files).
+    Matching the oracle's aggregate over ``WHERE NOT deleted`` proves
+    the position assignment, the delete-file indirection, and the
+    anti-join read are collectively lossless; the per-month
+    ``n_deleted`` column applies the same delete file through the
+    opposite (semi) join.
+
+    Exactness: positions are a deterministic row_number over the unique
+    lineitem key within each file; deletes/aggregates are exact counts
+    plus 4dp sums.
+
+    Scale: the delete write is O(matching rows) — never a base rewrite;
+    the read is one (file_id, pos)-keyed anti-join, which at 100 TB an
+    engine pushes down per data file (each task streams its own file's
+    sorted positions); compaction that folds delete files back into data
+    files is ``io_compact_roundtrip``'s move applied to the anti-joined
+    read.
+
+    Reference parity: the delete/refresh half of the reference's
+    keyed-upsert store (/root/reference/src/data/database.py family),
+    re-expressed as the modern warehouse's merge-on-read layout."""
+    from pyspark.sql import Window as W
+
+    t = Catalog(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "mor_base")
+    del_dst = _scratch(sf_dir, "mor_deletes")
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    stamped = li.withColumn(
+        "file_id", (F.col("l_orderkey") % _MOR_FILES).cast("int")
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(
+            W.partitionBy("file_id").orderBy(
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+            )
+        )
+        .cast("long"),
+    )
+    (
+        stamped.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    # the DELETE: predicate evaluated ONCE at delete-write time; the
+    # delete file stores row positions only
+    (
+        base.filter(F.col("l_quantity") >= _MOR_DEL_QTY)
+        .select("file_id", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    dels = spark.read.parquet(del_dst)
+    live = base.join(dels, ["file_id", "pos"], "left_anti")
+    dead = base.join(dels, ["file_id", "pos"], "left_semi")
+    dm = dead.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    return (
+        live.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+        .join(dm, "ship_month", "left")
+        .select(
+            "ship_month",
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias(
+                "n_deleted"
+            ),
+        )
+    )

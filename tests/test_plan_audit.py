@@ -401,5 +401,6 @@ def test_round11_ops_stay_jvm_side(spark):
         "stream_hll_returning_users",
         "search_mmr_rerank",
         "sketch_kmv_overlap",
+        "io_mor_deletes",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

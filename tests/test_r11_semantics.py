@@ -282,6 +282,42 @@ def test_sketch_kmv_overlap_matches_python(spark):
             assert r.est_returning == true_ret, h
 
 
+def test_io_mor_deletes_layout(spark):
+    """The merge-on-read LAYOUT contract (losslessness is what the
+    oracle parity proves): the delete file holds ONLY (file_id, pos) row
+    identities — never data columns or a predicate; its row count is
+    exactly the delete predicate's match count; and the base files still
+    hold every source row — nothing was rewritten."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _MOR_DEL_QTY,
+        _scratch,
+        io_mor_deletes,
+    )
+    from hackatonbigdata_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    all_queries()  # ensure registration
+    io_mor_deletes(spark, SF_DIR).collect()
+    con = duckdb.connect()
+    n_src, n_del_true = con.execute(
+        f"SELECT count(*), sum(CASE WHEN l_quantity >= {_MOR_DEL_QTY}"
+        " THEN 1 ELSE 0 END) FROM read_parquet(?)",
+        [f"{SF_DIR}/lineitem.parquet"],
+    ).fetchone()
+    base = spark.read.parquet(_scratch(SF_DIR, "mor_base"))
+    dels = spark.read.parquet(_scratch(SF_DIR, "mor_deletes"))
+    assert sorted(dels.columns) == ["file_id", "pos"]
+    assert dels.count() == n_del_true > 0
+    assert base.count() == n_src  # base untouched by the delete
+    # row identity is unique — a positional delete can never over-delete
+    assert (
+        dels.distinct().count() == dels.count()
+        and base.select("file_id", "pos").distinct().count() == n_src
+    )
+
+
 def test_ivfpq_nprobe_pins_against_sweep_and_topk(spark):
     """Cross-operator consistency for the retrieval-ladder closers:
 
