@@ -62,86 +62,74 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 10 BUDGET (50-slot driver window) ===========================
-    # Plan: (1) every name whose code is new or edited in r10 leads (10
-    # names — 7 new operators + the residual-encoding rework that touched
-    # the shared PQ encoder + the _unigram_nl_scores refactor — all fully
-    # oracled); (2) the ENTIRE 35-name r4-latest backlog (r9 verdict
-    # "missing" #1) is retired — 25 oracled names first, the 9 rows-only
-    # MLlib/kernel names last (text_unigram_logprob, the 35th, already
-    # leads as an r10-edited name); (3) the remaining 6 slots start on
-    # the 45-name r5-latest backlog in registration order, oracled names
-    # first (the 39 r5 names below the cut queue for the r11 rotation:
-    # audit_benford_digits, drift_psi_distribution, calibration_conformal,
-    # ensemble_dynamic_weights,
-    # feature_importance_topk, calibration_temperature,
-    # calibration_quantile_band, calibration_subsample_uncertainty,
-    # eval_confusion_by_store, eval_decile_lift, io_partitioned_prune,
-    # io_bucketed_join, dedup_cluster_largestar, corpus_mixture_weights,
-    # dedup_report_by_source, ann_recall_at_k, text_dupgram_fraction,
-    # dedup_incremental_vs_snapshot, corpus_resample_ncopies,
-    # sample_reservoir_per_group, anomaly_mad_flags, join_salted_skew,
-    # encode_target_oof, seq_event_transitions, interval_merge_coverage,
-    # graph_pagerank_parts, window_rolling_distinct, time_weighted_avg,
-    # attribution_multitouch_linear, survival_km_signup_purchase,
-    # seq_path_trigrams, croston_ses_sql, ar2_yule_walker_sql,
-    # cdc_scd2_user_state, snapshot_table_diff, window_rank_movers, then
-    # the rows-only agg_sketches_only, croston_per_series,
-    # ar2_yule_walker_per_series.)
-    # --- round 10: new queries and edited-after-r9-check code -------------
-    "corpus_doremi_weights",  # r10 NEW: learned mixture reweighting
-    "similarity_ivf_nprobe_sweep",  # r10 NEW: multi-probe recall/cost curve
-    "stream_hourly_hll",  # r10 NEW: exact twin of the HyperLogLog kernel
-    "stream_hll_daily_merge",  # r10 NEW: cross-window HLL register merge
-    "mm_phash_dedup",  # r10 NEW: perceptual-hash (aHash) image dedup
-    "io_zorder_prune",  # r10 NEW: z-order clustering + 2-D file skipping
-    "text_kneser_ney_logprob",  # r10 NEW: interpolated KN bigram scorer
-    "similarity_ivfpq_topk",  # r10: + residual-encoding variant
-    "embedding_pq_eval",  # r10: shares the reworked _pq_codes encoder
-    "text_unigram_logprob",  # r10: _unigram_nl_scores refactor (also r4)
-    # --- r4-latest backlog: all 35, retired this round (oracled first) ----
-    "postproc_business_rules",
-    "postproc_seasonal_nudge",
-    "kpi_quality_bands",
-    "error_decomposition_brand",
-    "cv_blocked_folds",
-    "kpi_directional_accuracy",
-    "meta_features_ensemble",
-    "io_compact_roundtrip",
-    "io_upsert_roundtrip",
-    "sample_stratified_split",
-    "contamination_ngram_overlap",
-    "seqpack_greedy_bins",
-    "text_repetition_ratio",
-    "flagship_weekly_brand_demand",
-    "stream_tumbling_hourly",
-    "stream_sliding_1h_30m",
-    "stream_session_windows",
-    "stream_threshold_alerts",
-    "stream_alert_rate_limit",
-    "stream_dedup_within_watermark",
-    "stream_late_data_policy",
-    "stream_json_props_extract",
-    "event_cohort_retention",
-    "event_funnel_conversion",
-    "join_asof_view_attribution",
-    # --- r4-latest rows-only MLlib/kernel names (weaker rows-only check) --
-    "zero_inflated_hurdle_mllib",
-    "calibration_isotonic",
-    "dedup_minhash_mllib",
-    "similarity_brp_lsh_mllib",
-    "similarity_ivf_kmeans",
-    "similarity_pca_cosine",
-    "sequential_clamp_per_series",
-    "rolling_autocorr_per_series",
-    "holt_winters_per_series",
-    # --- oldest remaining evidence: first 6 oracled r5-latest names -------
-    "diag_skew_heavy_hitters",
-    "grouping_sets_custom",
-    "ab_test_welch",
-    "corr_spearman_store",
-    "price_elasticity_brand",
-    "ab_test_ks",
+    # === ROUND 11 BUDGET (50-slot driver window) ===========================
+    # Plan: (1) every name whose code is new or edited in r11 leads — 6 new
+    # operators (all fully oracled) + 5 edited-after-check names (the
+    # z-order Morton-spread/date-scaling fix, and the four sketch twins
+    # whose constants/oracle fragments moved into sketch_params.py /
+    # gained prefix parameters — all re-verified byte-identical or
+    # re-parity-checked this round); (2) the ENTIRE 39-name r5-latest
+    # backlog (r10 verdict "missing" #1) is retired — 36 oracled names in
+    # registration order, the 3 kernel names last (agg_sketches_only is
+    # rows-only by design; the croston/AR(2) per-series kernels carry
+    # oracles).  11 + 39 fills
+    # the window exactly.  After this rotation the oldest driver evidence
+    # is r6; the r12 window should lead with r12-new/edited names and then
+    # burn the r6-latest backlog in registration order (oracled first).
+    # --- round 11: new queries -------------------------------------------
+    "similarity_ivfpq_nprobe",  # r11 NEW: multi-probe composed IVF-PQ search
+    "stream_interval_join_outer",  # r11 NEW: left-outer interval join twin
+    "stream_hll_returning_users",  # r11 NEW: HLL inclusion-exclusion set op
+    "search_mmr_rerank",  # r11 NEW: greedy MMR diversified re-rank
+    "sketch_kmv_overlap",  # r11 NEW: exact-under-budget bottom-k overlap
+    "io_mor_deletes",  # r11 NEW: merge-on-read positional delete files
+    # --- round 11: edited-after-check code --------------------------------
+    "io_zorder_prune",  # r11: Morton spread landed + date domain scaling
+    "stream_hourly_hll",  # r11: constants hoisted to sketch_params
+    "stream_hll_daily_merge",  # r11: constants hoisted to sketch_params
+    "stream_hourly_bloom",  # r11: constants hoisted to sketch_params
+    "dedup_bloom_gate",  # r11: constants hoisted to sketch_params
+    # --- r5-latest backlog: all 39, retired this round (oracled first) ----
+    "audit_benford_digits",
+    "drift_psi_distribution",
+    "calibration_conformal",
+    "ensemble_dynamic_weights",
+    "feature_importance_topk",
+    "calibration_temperature",
+    "calibration_quantile_band",
+    "calibration_subsample_uncertainty",
+    "eval_confusion_by_store",
+    "eval_decile_lift",
+    "io_partitioned_prune",
+    "io_bucketed_join",
+    "dedup_cluster_largestar",
+    "corpus_mixture_weights",
+    "dedup_report_by_source",
+    "ann_recall_at_k",
+    "text_dupgram_fraction",
+    "dedup_incremental_vs_snapshot",
+    "corpus_resample_ncopies",
+    "sample_reservoir_per_group",
+    "anomaly_mad_flags",
+    "join_salted_skew",
+    "encode_target_oof",
+    "seq_event_transitions",
+    "interval_merge_coverage",
+    "graph_pagerank_parts",
+    "window_rolling_distinct",
+    "time_weighted_avg",
+    "attribution_multitouch_linear",
+    "survival_km_signup_purchase",
+    "seq_path_trigrams",
+    "croston_ses_sql",
+    "ar2_yule_walker_sql",
+    "cdc_scd2_user_state",
+    "snapshot_table_diff",
+    "window_rank_movers",
+    # --- r5-latest kernel names (agg_sketches_only: rows-only check) ------
+    "agg_sketches_only",
+    "croston_per_series",
+    "ar2_yule_walker_per_series",
 ]
 
 
