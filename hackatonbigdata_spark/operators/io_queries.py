@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from hackatonbigdata_spark.catalog import Catalog
@@ -694,8 +695,6 @@ def io_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the delete/refresh half of the reference's
     keyed-upsert store (/root/reference/src/data/database.py family),
     re-expressed as the modern warehouse's merge-on-read layout."""
-    from pyspark.sql import Window as W
-
     t = Catalog(spark, sf_dir)
     base_dst = _scratch(sf_dir, "mor_base")
     del_dst = _scratch(sf_dir, "mor_deletes")

@@ -5494,7 +5494,11 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_MU = 0.3  # redundancy penalty weight (lambda + mu = 1; kept as an
+# explicit literal so BOTH engines interpolate the exact same double —
+# deriving it as 1 - lambda quantized to one decimal would silently
+# mis-weight any two-decimal lambda in both engines at once)
 _MMR_TOPC = 10  # candidate pool per query (the cosine top-10)
 _MMR_K = 5  # greedy selections per query
 
@@ -5510,7 +5514,7 @@ def _duck_mmr_steps() -> str:
         f"""pick1 AS MATERIALIZED (
   SELECT vec_id, nb, rel,
          CAST({_MMR_LAMBDA} AS DOUBLE) * rel
-           - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE) * CAST(0 AS DOUBLE)
+           - CAST({_MMR_MU} AS DOUBLE) * CAST(0 AS DOUBLE)
            AS score, 1 AS mmr_rank
   FROM (SELECT vec_id, nb, rel,
                row_number() OVER (PARTITION BY vec_id
@@ -5532,10 +5536,10 @@ pick{k} AS MATERIALIZED (
   SELECT vec_id, nb, rel, score, {k} AS mmr_rank
   FROM (SELECT vec_id, nb, rel,
                CAST({_MMR_LAMBDA} AS DOUBLE) * rel
-                 - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE) * maxsel AS score,
+                 - CAST({_MMR_MU} AS DOUBLE) * maxsel AS score,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY CAST({_MMR_LAMBDA} AS DOUBLE) * rel
-                                           - CAST({1 - _MMR_LAMBDA:.1f} AS DOUBLE)
+                                           - CAST({_MMR_MU} AS DOUBLE)
                                              * maxsel DESC, nb) AS rn
         FROM m{k}) WHERE rn = 1),
 sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1}
@@ -5690,7 +5694,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint()
     )
-    lam, mu = F.lit(_MMR_LAMBDA), F.lit(round(1 - _MMR_LAMBDA, 1))
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
     # maxsel starts NULL (not 0.0): cosine can be negative, and the true
     # MMR penalty is the max over the selected set — a zero seed would
     # silently floor it and under-penalize nothing / over-penalize
@@ -5720,8 +5724,12 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("nb").alias("sel_nb"))
         )
+        # LEFT join: a query whose candidate pool is exhausted before
+        # _MMR_K steps has no pick this round — its already-ranked rows
+        # must persist (the oracle keeps partial selections), not vanish
+        # through an inner join
         upd = (
-            state.join(pick, "vec_id")
+            state.join(pick, "vec_id", "left")
             .join(
                 ps.select(
                     "vec_id",

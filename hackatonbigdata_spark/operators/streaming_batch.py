@@ -1336,14 +1336,69 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared consecutive-hour scaffolding for the sketch SET-OPERATION queries
+# (HLL inclusion-exclusion + KMV overlap): ONE definition of the distinct
+# (hour, user) table, the hours-with-a-predecessor pair set, and the exact
+# hour-over-hour returning-user count, in both engines — so the two
+# operators' exact columns can never desync (the _duck_hll_summary
+# discipline applied to the scaffolding).
+
+_DUCK_HOURLY_PAIRS = """
+hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events),
+hrs AS (SELECT DISTINCT hour FROM hu),
+bh AS (SELECT b.hour FROM hrs a JOIN hrs b
+       ON b.hour = a.hour + INTERVAL 1 HOUR),
+ret AS (SELECT b.hour, CAST(count(*) AS BIGINT) AS n_returning
+        FROM hu a JOIN hu b
+          ON b.user_id = a.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
+        GROUP BY 1)"""
+
+
+def _hourly_users(t: Catalog) -> DataFrame:
+    """Distinct (hour, user_id) over events — checkpointed, since every
+    consumer reads it several times (sketch build + exact columns)."""
+    return (
+        t.events.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _consecutive_hours(hu: DataFrame) -> DataFrame:
+    """(hour,) for every hour whose predecessor hour also has events."""
+    hrs = hu.select("hour").distinct()
+    return (
+        hrs.alias("a")
+        .join(
+            hrs.alias("b"),
+            F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour"),
+        )
+        .select(F.col("b.hour").alias("hour"))
+    )
+
+
+def _returning_exact(hu: DataFrame) -> DataFrame:
+    """(hour, n_returning): exact count of users active in hour-1 AND
+    hour — the ground truth both sketch set-operations sit beside."""
+    return (
+        hu.alias("a")
+        .join(
+            hu.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour")),
+        )
+        .groupBy(F.col("b.hour").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_returning"))
+    )
+
+
 KMV_OVERLAP_K = 32  # bottom-k budget (== streaming/jobs.py KMV_K)
 
 
 @register(
     "sketch_kmv_overlap",
     oracle=f"""
-WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id
-            FROM events),
+WITH {_DUCK_HOURLY_PAIRS},
 hd AS (SELECT DISTINCT hour,
               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
                    AS BIGINT) AS h
@@ -1352,9 +1407,6 @@ sk AS (SELECT hour, h FROM (
          SELECT hour, h, row_number() OVER (PARTITION BY hour ORDER BY h)
                 AS rn
          FROM hd) WHERE rn <= {KMV_OVERLAP_K}),
-bh AS (SELECT b.hour FROM (SELECT DISTINCT hour FROM hu) a
-       JOIN (SELECT DISTINCT hour FROM hu) b
-         ON b.hour = a.hour + INTERVAL 1 HOUR),
 uni AS (SELECT hour, h, mn FROM (
           SELECT u.hour, u.h, row_number() OVER (PARTITION BY u.hour
                                                  ORDER BY u.h) AS mn
@@ -1380,11 +1432,7 @@ est AS (SELECT hour, n_merged, n_matches,
                     ELSE CAST(floor(({KMV_OVERLAP_K} - 1)
                               * CAST({1 << 52} AS DOUBLE) / (kth + 1)
                               + 0.5) AS BIGINT) END AS est_union
-        FROM st),
-ret AS (SELECT b.hour, CAST(count(*) AS BIGINT) AS n_returning
-        FROM hu a JOIN hu b
-          ON b.user_id = a.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
-        GROUP BY 1)
+        FROM st)
 SELECT est.hour, est.n_merged, est.n_matches, est.est_union,
        CAST(floor(est.n_matches * CAST(est.est_union AS DOUBLE)
                   / est.n_merged + 0.5) AS BIGINT) AS est_returning,
@@ -1429,13 +1477,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audience-overlap readout every sketch store serves."""
     t = Catalog(spark, sf_dir)
     k = KMV_OVERLAP_K
-    hu = (
-        t.events.select(
-            F.date_trunc("hour", "ts").alias("hour"), "user_id"
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    hu = _hourly_users(t)
     hd = hu.select(
         "hour",
         F.conv(
@@ -1454,15 +1496,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", "h")
         .localCheckpoint()
     )
-    hrs = hu.select("hour").distinct()
-    bh = (
-        hrs.alias("a")
-        .join(
-            hrs.alias("b"),
-            F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour"),
-        )
-        .select(F.col("b.hour").alias("hour"))
-    )
+    bh = _consecutive_hours(hu)
     ua = bh.join(
         sk.select(
             (F.col("hour") + F.expr("interval 1 hour")).alias("hour"), "h"
@@ -1517,19 +1551,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_union"),
     )
-    ret = (
-        hu.alias("a")
-        .join(
-            hu.alias("b"),
-            (F.col("b.user_id") == F.col("a.user_id"))
-            & (
-                F.col("b.hour")
-                == F.col("a.hour") + F.expr("interval 1 hour")
-            ),
-        )
-        .groupBy(F.col("b.hour").alias("hour"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_returning"))
-    )
+    ret = _returning_exact(hu)
     return est.join(ret, "hour", "left").select(
         "hour",
         "n_merged",
@@ -2251,14 +2273,7 @@ mregs AS (SELECT hour, j, CAST(max(mj) AS BIGINT) AS mj
           GROUP BY 1, 2),
 {_duck_hll_summary("hregs", "hour")},
 {_duck_hll_summary("mregs", "hour", "u")},
-hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events),
-hrs AS (SELECT DISTINCT hour FROM hu),
-bh AS (SELECT b.hour FROM hrs a JOIN hrs b
-         ON b.hour = a.hour + INTERVAL 1 HOUR),
-ret AS (SELECT b.hour, CAST(count(*) AS BIGINT) AS n_returning
-        FROM hu a JOIN hu b
-          ON b.user_id = a.user_id AND b.hour = a.hour + INTERVAL 1 HOUR
-        GROUP BY 1),
+{_DUCK_HOURLY_PAIRS},
 nu AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_users FROM hu GROUP BY 1),
 est AS (SELECT bh.hour,
                {_duck_hll_est("sa")} AS est_prev,
@@ -2316,27 +2331,9 @@ def stream_hll_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _hll_summary(spark, hregs, "hour")
     us = _hll_summary(spark, mregs, "hour")
-    hu = t.events.select(
-        F.date_trunc("hour", "ts").alias("hour"), "user_id"
-    ).distinct()
-    hrs = hu.select("hour").distinct()
-    both = hrs.alias("a").join(
-        hrs.alias("b"),
-        F.col("b.hour") == F.col("a.hour") + F.expr("interval 1 hour"),
-    ).select(F.col("b.hour").alias("hour"))
-    ret = (
-        hu.alias("a")
-        .join(
-            hu.alias("b"),
-            (F.col("b.user_id") == F.col("a.user_id"))
-            & (
-                F.col("b.hour")
-                == F.col("a.hour") + F.expr("interval 1 hour")
-            ),
-        )
-        .groupBy(F.col("b.hour").alias("hour"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_returning"))
-    )
+    hu = _hourly_users(t)
+    both = _consecutive_hours(hu)
+    ret = _returning_exact(hu)
     nu = hu.groupBy("hour").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )

@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from hackatonbigdata_spark.catalog import events_ts_is_nanos
+from hackatonbigdata_spark.functions.core import r4
 from hackatonbigdata_spark.sketch_params import (
     BLOOM_K,
     BLOOM_M,
@@ -454,7 +455,7 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
             "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
             " date_trunc('SECOND', purchase_ts))"
         ).cast("long").alias("lag_seconds"),
-        F.round("value", 4).alias("purchase_value"),
+        r4("value").alias("purchase_value"),
     )
 
 
@@ -519,7 +520,7 @@ def interval_join_outer_stream(events: DataFrame) -> DataFrame:
             "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
             " date_trunc('SECOND', purchase_ts))"
         ).cast("long").alias("lag_seconds"),
-        F.round("value", 4).alias("purchase_value"),
+        r4("value").alias("purchase_value"),
     )
 
 

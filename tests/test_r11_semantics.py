@@ -318,6 +318,52 @@ def test_io_mor_deletes_layout(spark):
     )
 
 
+def test_search_mmr_rerank_partial_pool(spark, tmp_path):
+    """A query whose candidate pool is exhausted before K=5 picks must
+    keep its PARTIAL selection (the greedy loop's state join is a left
+    join — an inner join would silently erase the already-ranked rows of
+    any query with no pick left).  4 vectors → every pool has 3
+    candidates → exactly 3 ranked rows per query, matching the oracle's
+    partial-selection semantics and the pure-Python greedy."""
+    import duckdb
+
+    sf = str(tmp_path / "tiny_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0] * 16),
+        (1, [0.9, 0.1, 0.0, 0.0] * 16),
+        (2, [0.0, 1.0, 0.0, 0.0] * 16),
+        (3, [-0.5, 0.2, 0.7, 0.0] * 16),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = QUERIES["search_mmr_rerank"](spark, sf).collect()
+    assert len(got) == 4 * 3
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append(r.mmr_rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    # and the oracle agrees on the tiny corpus too
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob the part files for DuckDB
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    oro = con.execute(E.oracle_sql()["search_mmr_rerank"]).fetchall()
+    want = {
+        (r[0], int(r[1])): (r[2], r[3], r[4]) for r in oro
+    }
+    assert len(want) == 12
+    for r in got:
+        assert want[(r.vec_id, r.mmr_rank)] == (r.nb, r.rel, r.score)
+
+
 def test_ivfpq_nprobe_pins_against_sweep_and_topk(spark):
     """Cross-operator consistency for the retrieval-ladder closers:
 
