@@ -219,6 +219,53 @@ def test_search_mmr_rerank_matches_python(spark):
     for r in got:
         bb, rel, sc = want[(r.vec_id, r.mmr_rank)]
         assert (r.nb, r.rel, r.score) == (bb, rel, sc), (r.vec_id, r.mmr_rank)
+    # greedy invariant: from rank 2 on, each step picks the argmax over
+    # a subset with weakly larger penalties (maxsel is a max over a
+    # growing set), so the selected score never increases with rank.
+    # Rank 1 is excluded: its penalty term is 0 by definition while a
+    # NEGATIVE sim to the first pick can lift rank 2's score above it.
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append((r.mmr_rank, r.score))
+    for q, pairs in by_q.items():
+        scores = [s for _, s in sorted(pairs)][1:]
+        assert all(a >= b - 1e-12 for a, b in zip(scores, scores[1:])), q
+
+
+def test_kmv_overlap_algebra_fuzzed():
+    """Hypothesis fuzz of the bottom-k overlap algebra on arbitrary hash
+    sets: (a) the union sketch (bottom-k of the two sketches' union)
+    equals the bottom-k of the TRUE union — set-of-minima merge loses
+    nothing; (b) every union-sketch member present in both input
+    sketches is a true intersection element and vice versa under the
+    kth-min bound (the certification rule); (c) under budget the match
+    count IS the exact intersection size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 8
+    hashes = st.sets(st.integers(min_value=0, max_value=10**6), max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(hashes, hashes)
+    def check(a_full, b_full):
+        sk_a = set(sorted(a_full)[:K])
+        sk_b = set(sorted(b_full)[:K])
+        merged = set(sorted(sk_a | sk_b)[:K])
+        assert merged == set(sorted(a_full | b_full)[:K])  # (a)
+        matches = merged & sk_a & sk_b
+        true_inter = a_full & b_full
+        # (b): certified members are true intersection elements...
+        assert matches <= true_inter
+        # ...and every true intersection element under the union's
+        # kth-min is certified
+        if merged:
+            bound = max(merged)
+            assert {h for h in true_inter if h <= bound} == matches
+            if len(merged) < K:  # (c) under budget: exact
+                assert matches == true_inter
+
+    check()
 
 
 def test_sketch_kmv_overlap_matches_python(spark):
