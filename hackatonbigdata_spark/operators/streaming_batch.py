@@ -1474,7 +1474,12 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is {KMV_OVERLAP_K} longs per hour (the kernel already
     holds it); the query shuffles one row per (hour, user) for the
     distinct, then everything is ≤{KMV_OVERLAP_K}-rows-per-hour —
-    the audience-overlap readout every sketch store serves."""
+    the audience-overlap readout every sketch store serves.
+
+    Reference parity: the per-window distinct-actor monitoring shape
+    (/root/reference/src/monitoring/alerts.py:399), answered from
+    bounded sketch state with an exactness certificate instead of a
+    full recount."""
     t = Catalog(spark, sf_dir)
     k = KMV_OVERLAP_K
     hu = _hourly_users(t)
@@ -2318,7 +2323,11 @@ def stream_hll_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), then a (hours × 64) shifted-union grouped max and three
     64-row-per-hour summaries — independent of event volume.  This is
     the cross-segment-overlap pattern (audiences, cohorts, A∩B of any
-    two stored sketches) at 64 bytes per segment."""
+    two stored sketches) at 64 bytes per segment.
+
+    Reference parity: the per-window distinct-actor monitoring shape
+    (/root/reference/src/monitoring/alerts.py:399) extended to the
+    cross-window overlap a retention dashboard reads."""
     t = Catalog(spark, sf_dir)
     hregs = _hll_hour_regs(t).localCheckpoint()
     prev = hregs.select(
