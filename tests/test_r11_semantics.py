@@ -329,6 +329,57 @@ def test_sketch_kmv_overlap_matches_python(spark):
             assert r.est_returning == true_ret, h
 
 
+def test_io_zorder_prune_wide_domains(spark, tmp_path):
+    """The z-order layout must keep BOTH dimensions' per-file extents
+    tight on domains that exceed the 12-bit budget — a 23-year date span
+    (>4096 days) and a 200k part-key domain.  The pre-r11 fixed-epoch
+    date mapping silently dropped high bits past day 4095, aliasing
+    early and late years into the same z-range and degrading the
+    skipping to one dimension; domain scaling (the same 1-row ANALYZE as
+    the part key) keeps the interleave balanced at any width."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _scratch,
+        io_zorder_prune,
+        zorder_file_stats,
+    )
+
+    sf = str(tmp_path / "wide_sf")
+    n = 40000
+    base = datetime.date(1992, 1, 1)
+    (
+        spark.range(n)
+        .select(
+            F.date_add(
+                F.lit(base), ((F.col("id") * 2654435761) % 8400).cast("int")
+            )
+            .cast("timestamp")
+            .alias("l_shipdate"),
+            ((F.col("id") * 40503) % 200000).alias("l_partkey"),
+            (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf}/lineitem.parquet")
+    )
+    io_zorder_prune(spark, sf).collect()
+    stats = zorder_file_stats(spark, _scratch(sf, "zorder_shipdate_partkey"))
+    assert len(stats) == 16
+    span_d = (max(x[2] for x in stats) - min(x[1] for x in stats)).days
+    mean_d = sum((x[2] - x[1]).days for x in stats) / len(stats)
+    span_k = max(x[4] for x in stats) - min(x[3] for x in stats)
+    mean_k = sum(x[4] - x[3] for x in stats) / len(stats)
+    # balanced 2-D interleave over 16 files: each dimension's mean
+    # per-file extent sits well below its span (a wrapped dimension
+    # would show mean ≈ span)
+    assert span_d > 4096  # the domain actually exceeds the bit budget
+    assert mean_d < span_d / 2
+    assert mean_k < span_k / 2
+
+
 def test_io_mor_deletes_layout(spark):
     """The merge-on-read LAYOUT contract (losslessness is what the
     oracle parity proves): the delete file holds ONLY (file_id, pos) row
