@@ -488,7 +488,11 @@ def _morton_spread(col: str) -> str:
     at position 2i — the classic shift-or-mask Morton spread (4 rounds of
     ``x = (x | x << s) & mask``), plain integer ops inside whole-stage
     codegen.  Interleave two dimensions as ``spread(x) * 2 | spread(y)``."""
-    x = f"cast({col} as bigint)"
+    # explicit input mask: the contract is "the low 16 bits", so inputs
+    # past 2^16 (or negative after the bigint cast) must TRUNCATE, not
+    # corrupt the interleave — callers here pre-scale into 12 bits, but
+    # the helper stays safe for any caller
+    x = f"(cast({col} as bigint) & 65535)"
     for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
         x = f"(({x} | shiftleft({x}, {shift})) & {mask})"
     return x

@@ -5509,7 +5509,17 @@ def _duck_mmr_steps() -> str:
     picks on 0.7·rel − 0.3·0, each later step anti-joins the running
     selection, takes max sim to it, and re-picks; every step CTE is
     MATERIALIZED (each is referenced twice downstream, and DuckDB
-    re-inlines non-materialized CTEs exponentially)."""
+    re-inlines non-materialized CTEs exponentially).
+
+    The sim lookup is a LEFT join from the remaining candidates to
+    (ps ⋈ selection): a candidate with NO sim row to any selected doc
+    survives with maxsel NULL and scores with a COALESCE(maxsel, 0)
+    penalty — the same no-contribution convention the Spark loop's
+    null-tolerant ``greatest`` accumulation and coalesce-in-score use.
+    Today ``ps`` is complete over the candidate pool so the join can
+    never miss, but if pool construction ever sparsifies ``ps`` (e.g.
+    thresholded sims) an inner join would become a silent candidate
+    filter in the oracle only — this keeps both engines aligned."""
     parts = [
         f"""pick1 AS MATERIALIZED (
   SELECT vec_id, nb, rel,
@@ -5525,22 +5535,27 @@ sel1 AS MATERIALIZED (SELECT vec_id, nb, rel, score, mmr_rank FROM pick1)"""
     for k in range(2, _MMR_K + 1):
         parts.append(
             f"""m{k} AS MATERIALIZED (
-  SELECT c.vec_id, c.nb, c.rel, max(ps.sim) AS maxsel
+  SELECT c.vec_id, c.nb, c.rel, max(pq.sim) AS maxsel
   FROM cand c
   LEFT JOIN sel{k - 1} x ON x.vec_id = c.vec_id AND x.nb = c.nb
-  JOIN ps ON ps.vec_id = c.vec_id AND ps.d = c.nb
-  JOIN sel{k - 1} s ON s.vec_id = ps.vec_id AND s.nb = ps.s
+  LEFT JOIN (SELECT ps.vec_id, ps.d, ps.sim
+             FROM ps JOIN sel{k - 1} s
+               ON s.vec_id = ps.vec_id AND s.nb = ps.s) pq
+    ON pq.vec_id = c.vec_id AND pq.d = c.nb
   WHERE x.nb IS NULL
   GROUP BY 1, 2, 3),
 pick{k} AS MATERIALIZED (
   SELECT vec_id, nb, rel, score, {k} AS mmr_rank
   FROM (SELECT vec_id, nb, rel,
                CAST({_MMR_LAMBDA} AS DOUBLE) * rel
-                 - CAST({_MMR_MU} AS DOUBLE) * maxsel AS score,
+                 - CAST({_MMR_MU} AS DOUBLE)
+                   * COALESCE(maxsel, CAST(0 AS DOUBLE)) AS score,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY CAST({_MMR_LAMBDA} AS DOUBLE) * rel
                                            - CAST({_MMR_MU} AS DOUBLE)
-                                             * maxsel DESC, nb) AS rn
+                                             * COALESCE(maxsel,
+                                                        CAST(0 AS DOUBLE))
+                                           DESC, nb) AS rn
         FROM m{k}) WHERE rn = 1),
 sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1}
         UNION ALL SELECT vec_id, nb, rel, score, mmr_rank FROM pick{k})"""

@@ -1476,10 +1476,10 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, then everything is ≤{KMV_OVERLAP_K}-rows-per-hour —
     the audience-overlap readout every sketch store serves.
 
-    Reference parity: the per-window distinct-actor monitoring shape
-    (/root/reference/src/monitoring/alerts.py:399), answered from
-    bounded sketch state with an exactness certificate instead of a
-    full recount."""
+    Reference parity: the per-key windowed monitoring count
+    (/root/reference/src/monitoring/alerts.py:472-502, the
+    window-reset counting loop), answered from bounded sketch state
+    with an exactness certificate instead of a full recount."""
     t = Catalog(spark, sf_dir)
     k = KMV_OVERLAP_K
     hu = _hourly_users(t)
@@ -2325,9 +2325,10 @@ def stream_hll_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-segment-overlap pattern (audiences, cohorts, A∩B of any
     two stored sketches) at 64 bytes per segment.
 
-    Reference parity: the per-window distinct-actor monitoring shape
-    (/root/reference/src/monitoring/alerts.py:399) extended to the
-    cross-window overlap a retention dashboard reads."""
+    Reference parity: the per-key windowed monitoring count
+    (/root/reference/src/monitoring/alerts.py:472-502, the
+    window-reset counting loop) extended to the cross-window overlap
+    a retention dashboard reads."""
     t = Catalog(spark, sf_dir)
     hregs = _hll_hour_regs(t).localCheckpoint()
     prev = hregs.select(
