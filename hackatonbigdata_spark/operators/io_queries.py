@@ -761,3 +761,329 @@ def io_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- merge-on-read COMPACTION + snapshot time-travel (round 12) ----------
+# the two remaining table-format read/maintenance behaviors after file
+# skipping (io_zorder_prune / io_clustered_stats_prune) and merge-on-read
+# (io_mor_deletes): folding delete files back into base files, and reading
+# the table as of an earlier snapshot through a tiny manifest.
+
+_MC_FILES = 8  # base data files in the compaction layout
+_MC_DEL_FIDS = (0, 3)  # only these files receive deletes -> partial rewrite
+_MC_DEL_QTY = 25  # within those files, rows with l_quantity >= this die
+
+
+def _stamp_mor(li: DataFrame, n_files: int) -> DataFrame:
+    """(file_id, pos) row identity over a lineitem projection: file_id from
+    the order key, pos a deterministic row_number over the unique lineitem
+    key within each file — the same identity contract ``io_mor_deletes``
+    establishes, factored for the compaction/time-travel layouts."""
+    return li.withColumn(
+        "file_id", (F.col("l_orderkey") % n_files).cast("int")
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(
+            W.partitionBy("file_id").orderBy(
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+            )
+        )
+        .cast("long"),
+    )
+
+
+def compact_mor_deletes(spark: SparkSession, base_dst: str, del_dst: str) -> dict:
+    """Fold a positional delete file back into its merge-on-read base
+    layout: rewrite ONLY the base files that have deletes (anti-join
+    applied once, at compaction time), leave every other data file
+    physically untouched, and retire the delete file.  The write goes
+    through a staging directory and per-partition-directory swap —
+    ``upsert_parquet``'s crash-safe-swap move scoped to the touched
+    files, so the lazy source read is never overwritten mid-write and an
+    interruption leaves either the old or the new copy of each file.
+
+    Returns {"affected": [file_id...], "n_files_rewritten": int}.
+
+    Scale: compaction cost is O(rows in files-with-deletes), never a
+    table rewrite — exactly Iceberg's rewrite_position_delete_files +
+    rewrite_data_files maintenance pair; at 100 TB each affected file is
+    one task's rewrite and the swap is an atomic metadata commit."""
+    import os
+    import shutil
+
+    dels = spark.read.parquet(del_dst)
+    # bounded metadata collect: one row per file that has deletes (<= the
+    # file count, 8 here) — the documented metadata-to-driver exception
+    affected = sorted(
+        r.file_id for r in dels.select("file_id").distinct().collect()
+    )
+    base = spark.read.option("basePath", base_dst).parquet(base_dst)
+    rewritten = base.filter(F.col("file_id").isin(affected)).join(
+        dels, ["file_id", "pos"], "left_anti"
+    )
+    staging = base_dst.rstrip("/") + "__compact_staging"
+    (
+        rewritten.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(staging)
+    )
+    for fid in affected:
+        live_dir = os.path.join(base_dst, f"file_id={fid}")
+        new_dir = os.path.join(staging, f"file_id={fid}")
+        old_dir = live_dir + "__old"
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(live_dir, old_dir)
+        os.rename(new_dir, live_dir)
+        shutil.rmtree(old_dir)
+    shutil.rmtree(staging)
+    # retire the delete file: post-compaction the layout carries zero
+    # delete rows (readers skip the anti-join entirely)
+    spark.createDataFrame([], "file_id int, pos long").write.mode(
+        "overwrite"
+    ).parquet(del_dst)
+    return {"affected": affected, "n_files_rewritten": len(affected)}
+
+
+@register(
+    "io_mor_compact",
+    oracle=f"""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem
+WHERE NOT (l_orderkey % {_MC_FILES} IN {_MC_DEL_FIDS}
+           AND l_quantity >= {_MC_DEL_QTY})
+GROUP BY 1
+""",
+)
+def io_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete-file COMPACTION — the maintenance half
+    ``io_mor_deletes``'s docstring promises: a positional delete file
+    accumulates against {_MC_FILES} base files (deletes land only in
+    files {_MC_DEL_FIDS}, so the rewrite is PARTIAL by construction),
+    compaction folds it into the base by rewriting ONLY the affected
+    files through a staged per-directory swap, retires the delete file,
+    and the read afterwards is a plain scan — no anti-join, no delete
+    state.  Matching the oracle's ``WHERE NOT deleted`` aggregate from a
+    PLAIN post-compaction scan proves the fold was lossless; the layout
+    test pins that untouched files are byte-identical, the delete file
+    is empty, and reads before/after compaction agree row-for-row.
+
+    Exactness: positions are the deterministic ``io_mor_deletes`` row
+    identity; the aggregate is exact counts plus 4dp sums.
+
+    Scale: write amplification is bounded by the files that actually
+    have deletes ({len(_MC_DEL_FIDS)} of {_MC_FILES} here); everything
+    else is metadata.  This is the Iceberg
+    rewrite_position_delete_files / Delta OPTIMIZE maintenance pass that
+    keeps merge-on-read read costs amortized at 100 TB.
+
+    Reference parity: the delete/refresh maintenance of the reference's
+    keyed store (/root/reference/src/data/database.py family), completed
+    with the compaction pass the reference performs as full-table
+    rewrites (/root/reference/src/data/load_data.py:120-135)."""
+    t = Catalog(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "mc_base")
+    del_dst = _scratch(sf_dir, "mc_deletes")
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    stamped = _stamp_mor(li, _MC_FILES)
+    (
+        stamped.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    (
+        base.filter(
+            F.col("file_id").isin(list(_MC_DEL_FIDS))
+            & (F.col("l_quantity") >= _MC_DEL_QTY)
+        )
+        .select("file_id", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    compact_mor_deletes(spark, base_dst, del_dst)
+    # plain scan: after compaction there is no delete state to apply
+    back = spark.read.parquet(base_dst)
+    return back.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+_TT_FILES = 8  # base data files in the time-travel layout
+_TT_DEL_QTY = 47  # snapshot 2 deletes rows with l_quantity >= this
+_TT_RESTATE_MONTH = 1  # snapshot 3 re-appends month-1 deleted rows
+_TT_APPEND_FID = 100  # file_id of the appended data file (disjoint from base)
+
+
+def read_snapshot(
+    spark: SparkSession, manifest_path: str, base_path: str, snapshot_id: int
+) -> DataFrame:
+    """Read a manifest-versioned merge-on-read table AS OF a snapshot:
+    the manifest is a tiny (snapshot_id, path, kind) table — each
+    snapshot lists its FULL file set, Iceberg-style, so time travel is
+    'read the files that snapshot names' with zero data copied between
+    versions (unchanged files are shared by path).  Data files under the
+    base directory keep their hive partition column via ``basePath``;
+    delete files apply as one (file_id, pos) anti-join."""
+    m = spark.read.parquet(manifest_path).filter(
+        F.col("snapshot_id") == snapshot_id
+    )
+    # bounded metadata collect: a manifest row per file (~10 per snapshot)
+    rows = m.collect()
+    data_in_base = [
+        r.path for r in rows if r.kind == "data" and r.path.startswith(base_path)
+    ]
+    data_outside = [
+        r.path
+        for r in rows
+        if r.kind == "data" and not r.path.startswith(base_path)
+    ]
+    del_paths = [r.path for r in rows if r.kind == "delete"]
+    df = spark.read.option("basePath", base_path).parquet(*data_in_base)
+    for p in data_outside:
+        df = df.unionByName(spark.read.parquet(p).select(*df.columns))
+    if del_paths:
+        dels = spark.read.parquet(*del_paths)
+        df = df.join(dels, ["file_id", "pos"], "left_anti")
+    return df
+
+
+@register(
+    "io_time_travel",
+    oracle=f"""
+WITH live AS (
+  SELECT 1 AS snapshot_id, l_shipdate, l_quantity FROM lineitem
+  UNION ALL
+  SELECT 2, l_shipdate, l_quantity FROM lineitem
+  WHERE l_quantity < {_TT_DEL_QTY}
+  UNION ALL
+  SELECT 3, l_shipdate, l_quantity FROM lineitem
+  WHERE l_quantity < {_TT_DEL_QTY}
+  UNION ALL
+  SELECT 3, l_shipdate, l_quantity FROM lineitem
+  WHERE month(l_shipdate) = {_TT_RESTATE_MONTH}
+    AND l_quantity >= {_TT_DEL_QTY})
+SELECT CAST(snapshot_id AS INTEGER) AS snapshot_id,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM live GROUP BY 1, 2
+""",
+)
+def io_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME-TRAVEL read over a manifest-versioned table — the
+    third modern-table-format read behavior after file skipping
+    (``io_zorder_prune``) and merge-on-read (``io_mor_deletes``).  The
+    table lives through three snapshots: (1) CREATE — {_TT_FILES} base
+    data files; (2) DELETE — a positional delete file kills rows with
+    l_quantity >= {_TT_DEL_QTY} (base files untouched); (3) APPEND — a
+    restatement file re-inserts month-{_TT_RESTATE_MONTH}'s deleted rows
+    as new data (its own file_id, fresh positions).  Each snapshot is a
+    FULL file list in a tiny manifest, so as-of-N reads share unchanged
+    files by path and copy nothing.  The query answers the same monthly
+    aggregate AS OF each snapshot; matching the oracle proves all three
+    read paths — as-of-pre-delete equals the full table, as-of-delete
+    equals the undeleted slice, and as-of-latest (the live read) adds
+    exactly the appended file.
+
+    Exactness: snapshots are explicit manifest rows (no wall-clock
+    anywhere); positions are the deterministic ``io_mor_deletes``
+    identity; aggregates are exact counts plus 4dp sums.
+
+    Scale: time travel costs one manifest scan (KB) plus the scan of the
+    named files — the Iceberg snapshot/manifest-list design; old
+    snapshots pin only files, so storage grows by churn, not by version
+    count.
+
+    Reference parity: reading historical run state by version id from
+    the tracking store (/root/reference/src/experiment_tracking/
+    enhanced_mlflow.py:404-430, get_best_run/get_run_comparison over run
+    history), re-expressed as the warehouse table's snapshot read."""
+    t = Catalog(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "tt_base")
+    del_dst = _scratch(sf_dir, "tt_deletes")
+    app_dst = _scratch(sf_dir, "tt_append")
+    man_dst = _scratch(sf_dir, "tt_manifest")
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    stamped = _stamp_mor(li, _TT_FILES)
+    (
+        stamped.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    # snapshot 2: the DELETE — positions only, base never rewritten
+    (
+        base.filter(F.col("l_quantity") >= _TT_DEL_QTY)
+        .select("file_id", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    # snapshot 3: the APPEND — restate month-1's deleted rows as a new
+    # data file with its own identity (deletes reference base files only)
+    restated = base.filter(
+        (F.month("l_shipdate") == _TT_RESTATE_MONTH)
+        & (F.col("l_quantity") >= _TT_DEL_QTY)
+    ).select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity")
+    app = restated.withColumn(
+        "file_id", F.lit(_TT_APPEND_FID).cast("int")
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(
+            W.partitionBy("file_id").orderBy(
+                "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+            )
+        )
+        .cast("long"),
+    )
+    app.write.mode("overwrite").parquet(app_dst)
+    base_dirs = [
+        (f"{base_dst}/file_id={fid}", "data") for fid in range(_TT_FILES)
+    ]
+    manifest = (
+        [(1, p, k) for p, k in base_dirs]
+        + [(2, p, k) for p, k in base_dirs]
+        + [(2, del_dst, "delete")]
+        + [(3, p, k) for p, k in base_dirs]
+        + [(3, del_dst, "delete"), (3, app_dst, "data")]
+    )
+    spark.createDataFrame(
+        manifest, "snapshot_id int, path string, kind string"
+    ).coalesce(1).write.mode("overwrite").parquet(man_dst)
+    out = None
+    for s in (1, 2, 3):
+        snap = read_snapshot(spark, man_dst, base_dst, s)
+        agg = snap.groupBy(
+            F.month("l_shipdate").cast("int").alias("ship_month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+        ).select(
+            F.lit(s).cast("int").alias("snapshot_id"),
+            "ship_month",
+            "n_rows",
+            "sum_qty",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

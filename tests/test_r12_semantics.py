@@ -1,0 +1,206 @@
+"""Independent semantic pins for the round-12 operators.
+
+Same contract as test_r7..r11_semantics: the oracle parity suite proves
+Spark == DuckDB; these tests guard against both engines computing the
+same WRONG thing by re-deriving each operator's result independently
+(pure Python, with inputs pulled through DuckDB — never through the
+Spark code under test), and pin the LAYOUT contracts (which files were
+rewritten, what a manifest names) that no value aggregate can see.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from hackatonbigdata_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _dir_file_hashes(path: str) -> dict[str, str]:
+    """{relative_path: sha256} over every data file under ``path``."""
+    out = {}
+    for f in sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True)):
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", ".")):
+            with open(f, "rb") as fh:
+                out[os.path.relpath(f, path)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_io_mor_compact_layout(spark):
+    """The compaction LAYOUT contract (losslessness is what the oracle
+    parity proves): only the files that HAVE deletes are rewritten —
+    every untouched base file is byte-identical after compaction; the
+    delete file is retired (zero rows); the anti-joined read before
+    compaction equals the plain read after, row for row."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _MC_DEL_FIDS,
+        _MC_DEL_QTY,
+        _MC_FILES,
+        _scratch,
+        _stamp_mor,
+        compact_mor_deletes,
+    )
+    from hackatonbigdata_spark.catalog import Catalog
+
+    t = Catalog(spark, SF_DIR)
+    base_dst = _scratch(SF_DIR, "test_mc_base")
+    del_dst = _scratch(SF_DIR, "test_mc_deletes")
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    (
+        _stamp_mor(li, _MC_FILES)
+        .repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    (
+        base.filter(
+            F.col("file_id").isin(list(_MC_DEL_FIDS))
+            & (F.col("l_quantity") >= _MC_DEL_QTY)
+        )
+        .select("file_id", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    n_dels = spark.read.parquet(del_dst).count()
+    assert n_dels > 0, "delete predicate matched nothing — test is vacuous"
+    before_hashes = {
+        fid: _dir_file_hashes(os.path.join(base_dst, f"file_id={fid}"))
+        for fid in range(_MC_FILES)
+    }
+    key = ["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"]
+    read_before = sorted(
+        map(
+            tuple,
+            base.join(
+                spark.read.parquet(del_dst), ["file_id", "pos"], "left_anti"
+            )
+            .select(*key, "l_quantity")
+            .collect(),
+        )
+    )
+
+    stats = compact_mor_deletes(spark, base_dst, del_dst)
+
+    assert stats["affected"] == sorted(_MC_DEL_FIDS)
+    assert stats["n_files_rewritten"] == len(_MC_DEL_FIDS)
+    after_hashes = {
+        fid: _dir_file_hashes(os.path.join(base_dst, f"file_id={fid}"))
+        for fid in range(_MC_FILES)
+    }
+    for fid in range(_MC_FILES):
+        if fid in _MC_DEL_FIDS:
+            # rewritten: physically new files
+            assert after_hashes[fid] != before_hashes[fid]
+        else:
+            # untouched: byte-identical, same file names
+            assert after_hashes[fid] == before_hashes[fid]
+    # delete file retired: zero rows, schema intact
+    dels_after = spark.read.parquet(del_dst)
+    assert dels_after.count() == 0
+    assert sorted(dels_after.columns) == ["file_id", "pos"]
+    # the plain post-compaction read equals the pre-compaction
+    # anti-joined read, row for row
+    read_after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(base_dst)
+            .select(*key, "l_quantity")
+            .collect(),
+        )
+    )
+    assert read_after == read_before
+    # and no surviving row in a rewritten file matches the delete predicate
+    assert (
+        spark.read.parquet(base_dst)
+        .filter(
+            F.col("file_id").isin(list(_MC_DEL_FIDS))
+            & (F.col("l_quantity") >= _MC_DEL_QTY)
+        )
+        .count()
+        == 0
+    )
+
+
+def test_io_time_travel_manifest(spark):
+    """The time-travel MANIFEST contract: every snapshot names its FULL
+    file set; the base data files are the SAME paths in all three
+    snapshots (time travel shares unchanged files, copies nothing); the
+    delete file appears from snapshot 2, the append file only in
+    snapshot 3; and the as-of-latest read equals the live read (base ⊕
+    deletes ⊕ append) row for row."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _TT_APPEND_FID,
+        _TT_FILES,
+        _scratch,
+        read_snapshot,
+    )
+
+    QUERIES["io_time_travel"](spark, SF_DIR).collect()
+    base_dst = _scratch(SF_DIR, "tt_base")
+    del_dst = _scratch(SF_DIR, "tt_deletes")
+    app_dst = _scratch(SF_DIR, "tt_append")
+    man_dst = _scratch(SF_DIR, "tt_manifest")
+    man = {
+        s: {(r.path, r.kind) for r in rows}
+        for s, rows in (
+            (
+                s,
+                spark.read.parquet(man_dst)
+                .filter(F.col("snapshot_id") == s)
+                .collect(),
+            )
+            for s in (1, 2, 3)
+        )
+    }
+    base_set = {
+        (f"{base_dst}/file_id={fid}", "data") for fid in range(_TT_FILES)
+    }
+    assert man[1] == base_set
+    assert man[2] == base_set | {(del_dst, "delete")}
+    assert man[3] == base_set | {(del_dst, "delete"), (app_dst, "data")}
+
+    key = ["file_id", "pos"]
+    # as-of-1 == the full base table
+    base = spark.read.parquet(base_dst)
+    s1 = read_snapshot(spark, man_dst, base_dst, 1)
+    assert s1.count() == base.count()
+    # as-of-latest == the live read: base minus deletes plus the append
+    dels = spark.read.parquet(del_dst)
+    app = spark.read.parquet(app_dst)
+    live = base.join(dels, key, "left_anti").select(*key).unionByName(
+        app.select(*key)
+    )
+    s3 = read_snapshot(spark, man_dst, base_dst, 3).select(*key)
+    assert sorted(map(tuple, s3.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+    # the append file's identity is disjoint from base file ids
+    assert app.select("file_id").distinct().collect() == [
+        (int(_TT_APPEND_FID),)
+    ]
+    # snapshot 2 strictly shrinks snapshot 1; snapshot 3 restores the
+    # restated rows
+    n1, n2, n3 = (
+        read_snapshot(spark, man_dst, base_dst, s).count() for s in (1, 2, 3)
+    )
+    assert n1 > n2 and n3 == n2 + app.count()
