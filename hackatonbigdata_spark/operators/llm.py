@@ -8159,3 +8159,330 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("budget").alias("token_budget"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph-based ANN (round 12): the index family the ladder lacked — greedy
+# best-first search over a bounded-degree k-NN neighbor graph (the
+# HNSW/NSG layer-0 read path), deterministic end to end so the whole
+# search is oracle-able.
+
+_GANN_DEG = 16  # out-degree of the k-NN graph (hnswlib's default M)
+_GANN_BEAM = 4  # beam width: best unexpanded nodes expanded per hop
+_GANN_HOPS = 4  # fixed hop budget (bounded driver-side steps)
+
+
+def _duck_gann_hops() -> str:
+    """The {_GANN_HOPS}-hop beam search as DuckDB CTEs over ``p`` (all
+    ordered pairs with r4 cosine), ``g`` (the degree-{_GANN_DEG} graph)
+    and ``f0/v0`` (entry frontier / its scored row): each hop marks the
+    frontier expanded, scores the frontier's out-neighbors against the
+    query, folds them into the visited set, and re-picks the
+    {_GANN_BEAM} best UNEXPANDED visited nodes as the next frontier —
+    the ``search_mmr_rerank`` unrolled-chain discipline."""
+    parts = ["x0 AS (SELECT qid, node FROM f0 WHERE 1 = 0)"]
+    for k in range(1, _GANN_HOPS + 1):
+        parts.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT qid, node FROM x{k - 1} UNION SELECT qid, node FROM f{k - 1}),
+c{k} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, g.nb AS node
+  FROM f{k - 1} f JOIN g ON g.node = f.node WHERE g.nb <> f.qid),
+v{k} AS MATERIALIZED (
+  SELECT DISTINCT qid, node, cos FROM (
+    SELECT qid, node, cos FROM v{k - 1}
+    UNION ALL
+    SELECT c.qid, c.node, p.cos
+    FROM c{k} c JOIN p ON p.vec_id = c.qid AND p.nb = c.node)),
+f{k} AS MATERIALIZED (
+  SELECT qid, node FROM (
+    SELECT v.qid, v.node,
+           row_number() OVER (PARTITION BY v.qid
+                              ORDER BY v.cos DESC, v.node) AS rn
+    FROM v{k} v LEFT JOIN x{k} x ON x.qid = v.qid AND x.node = v.node
+    WHERE x.node IS NULL) WHERE rn <= {_GANN_BEAM})"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "similarity_graph_ann",
+    oracle=f"""
+WITH {_DUCK_EMB},
+p AS MATERIALIZED (
+  SELECT a.vec_id, b.vec_id AS nb,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ranked AS MATERIALIZED (
+  SELECT vec_id, nb, cos, rn FROM (
+    SELECT vec_id, nb, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nb) AS rn
+    FROM p) WHERE rn <= {_GANN_DEG}),
+g AS (SELECT vec_id AS node, nb FROM ranked),
+ms AS (SELECT vec_id, sum(CAST(floor(cos * 10000 + 0.5) AS BIGINT)) AS s
+       FROM ranked GROUP BY vec_id),
+entry AS MATERIALIZED (
+  SELECT vec_id AS enode FROM ms ORDER BY s DESC, vec_id LIMIT 1),
+q AS (SELECT vec_id AS qid FROM e),
+f0 AS MATERIALIZED (SELECT q.qid, en.enode AS node FROM q CROSS JOIN entry en),
+v0 AS MATERIALIZED (
+  SELECT f.qid, f.node, p.cos
+  FROM f0 f JOIN p ON p.vec_id = f.qid AND p.nb = f.node),
+{_duck_gann_hops()},
+exact3 AS (SELECT vec_id, nb FROM ranked WHERE rn <= 3),
+ann3 AS (
+  SELECT qid, node FROM (
+    SELECT qid, node,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, node) AS rn
+    FROM v{_GANN_HOPS}) WHERE rn <= 3),
+ne AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM exact3 GROUP BY vec_id),
+nh AS (SELECT x.vec_id, CAST(count(a.node) AS BIGINT) AS n_hits
+       FROM exact3 x LEFT JOIN ann3 a
+         ON a.qid = x.vec_id AND a.node = x.nb
+       GROUP BY x.vec_id),
+nd AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_dist_evals
+       FROM v{_GANN_HOPS} GROUP BY qid)
+SELECT ne.vec_id, ne.n_exact, nh.n_hits,
+       round(nh.n_hits * 1.0 / ne.n_exact, 4) AS recall_at_3,
+       nd.n_dist_evals
+FROM ne
+JOIN nh ON nh.vec_id = ne.vec_id
+JOIN nd ON nd.qid = ne.vec_id
+""",
+)
+def similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search — the OTHER industry-default index family
+    (HNSW/NSG/DiskANN's read path), closing the ladder next to flat /
+    IVF / PQ / IVF-PQ / LSH: build a deterministic bounded-degree k-NN
+    neighbor graph (each node keeps its {_GANN_DEG} nearest neighbors by
+    r4 cosine with id tie-breaks), then answer every query with a
+    fixed-beam greedy best-first search — start at a deterministic hub
+    entry point, expand the {_GANN_BEAM} best UNEXPANDED visited
+    nodes per hop for {_GANN_HOPS} hops, score only the nodes the graph
+    walk touches — and report per-query recall@3 against the exact
+    neighbors alongside the distance-evaluation count the walk spent
+    (the recall-vs-cost coordinates that place this index beside the
+    IVF-PQ numbers from ``similarity_ivfpq_nprobe``).
+
+    Exactness: all similarities live on the r4 grid with id tie-breaks
+    (``similarity_topk_cosine``'s contract); the entry hub is an argmax
+    over per-node SUMS of its top-{_GANN_DEG} edges' 1e4-quantized
+    cosines held in BIGINT (exact, accumulation-order-free — the
+    float-sum hazard never arises); frontier/visited/expanded evolution
+    is pure set algebra on those quantized scores, so both engines
+    replay the identical walk.
+
+    Scale: the graph build here derives from the all-pairs scan — the
+    documented sampled-oracle regime (production builds the graph with
+    NN-descent or IVF-seeded candidates, never all pairs); the SEARCH
+    side is the 100 TB path: per query it touches <= 1 +
+    {_GANN_BEAM}·{_GANN_DEG}·{_GANN_HOPS} graph rows, every hop is one
+    frontier⋈graph equi-join plus one per-query window over the
+    candidates-only visited set ({_GANN_HOPS} bounded driver-side
+    steps, the ``search_mmr_rerank`` discipline), and the distance
+    evaluations per query are ~{1 + _GANN_DEG + (_GANN_HOPS - 1) * _GANN_BEAM * _GANN_DEG}
+    instead of n — the whole point of the index.
+
+    Reference parity: the candidate-pool similarity ranking of
+    /root/reference/src/models/cold_start_solutions.py:95-205, served
+    from a navigable neighbor graph instead of a full scan."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t).localCheckpoint()
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    p = (
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_lo").alias("vec_id"),
+                        F.col("id_hi").alias("nb"),
+                        F.col("co").alias("cos"),
+                    ),
+                    F.struct(
+                        F.col("id_hi").alias("vec_id"),
+                        F.col("id_lo").alias("nb"),
+                        F.col("co").alias("cos"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+    )
+    # the O(n²) pair stream is consumed by EXACTLY ONE window pass and
+    # never materialized: the ranked-edge table (32k rows at sf0.1) is
+    # the only checkpoint, feeding the graph (rn <= deg), the exact
+    # top-3 ground truth (rn <= 3 — a subset, since deg >= 3), AND the
+    # entry-point aggregate
+    ranked = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nb")
+            ),
+        )
+        .filter(F.col("rn") <= _GANN_DEG)
+        .localCheckpoint()
+    )
+    g = ranked.select(F.col("vec_id").alias("node"), "nb")
+    exact3 = ranked.filter(F.col("rn") <= 3).select("vec_id", "nb")
+    # 1-row entry-point collect (the bounded ANALYZE exception): the hub
+    # whose top-{deg} neighborhood is tightest — argmax of the BIGINT
+    # sum of its ranked edges' 1e4-quantized cosines, id tie-break —
+    # becomes a literal so the walk never re-aggregates anything
+    entry_id = (
+        ranked.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    # hop scoring recomputes the query↔node cosine from the broadcast
+    # embedding table instead of re-joining the O(n²) pair table each
+    # hop (which would reshuffle 4M rows per hop at sf0.1): the dot and
+    # divide commute elementwise, so these are the identical r4 doubles
+    # the pair scan produced — the search_mmr_rerank precedent
+    eq = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    en = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("node"),
+            F.col("emb").alias("nemb"),
+            F.col("nrm").alias("nnrm"),
+        )
+    )
+
+    def _score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(eq, "qid")
+            .join(en, "node")
+            .select(
+                "qid",
+                "node",
+                (
+                    _dot("qemb", "nemb") / (F.col("qnrm") * F.col("nnrm"))
+                ).alias("_co"),
+            )
+            .select("qid", "node", r4("_co").alias("cos"))
+        )
+
+    # ONE state table per hop — (qid, node, cos, expanded) — so each hop
+    # is exactly one checkpointed job: mark the frontier expanded, score
+    # its out-neighbors, fold the new nodes in.  Hop 1 runs unrolled
+    # because its frontier is the entry literal for EVERY query (the
+    # entry node itself has no self-score row, so it can't come from the
+    # visited set like later frontiers do).
+    qids = e.select(F.col("vec_id").alias("qid"))
+    lit_entry = F.lit(entry_id).cast("long")
+    v0 = _score(
+        qids.filter(F.col("qid") != lit_entry).withColumn("node", lit_entry)
+    )
+    cand1 = (
+        qids.withColumn("node", lit_entry)
+        .join(F.broadcast(g), "node")
+        .filter(F.col("nb") != F.col("qid"))
+        .select("qid", F.col("nb").alias("node"))
+    )
+    st = (
+        v0.withColumn("expanded", F.col("node") == lit_entry)
+        .unionByName(
+            _score(cand1.join(v0.select("qid", "node"), ["qid", "node"], "left_anti"))
+            .withColumn("expanded", F.lit(False))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(1, _GANN_HOPS):
+        fr = (
+            st.filter(~F.col("expanded"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(F.col("cos").desc(), "node")
+                ),
+            )
+            .filter(F.col("rn") <= _GANN_BEAM)
+            .select("qid", "node")
+        )
+        cand = (
+            fr.join(F.broadcast(g), "node")
+            .filter(F.col("nb") != F.col("qid"))
+            .select("qid", F.col("nb").alias("node"))
+            .distinct()
+        )
+        scored_new = _score(
+            cand.join(st.select("qid", "node"), ["qid", "node"], "left_anti")
+        ).withColumn("expanded", F.lit(False))
+        st = (
+            st.join(fr.withColumn("_p", F.lit(True)), ["qid", "node"], "left")
+            .select(
+                "qid",
+                "node",
+                "cos",
+                (F.col("expanded") | F.coalesce("_p", F.lit(False))).alias(
+                    "expanded"
+                ),
+            )
+            .unionByName(scored_new)
+            .localCheckpoint()
+        )
+    visited = st.select("qid", "node", "cos")
+    ann3 = (
+        visited.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("cos").desc(), "node")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("qid", "node")
+    )
+    ne = exact3.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    nh = (
+        exact3.join(
+            ann3,
+            (F.col("qid") == F.col("vec_id")) & (F.col("node") == F.col("nb")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("node").cast("long").alias("n_hits"))
+    )
+    nd = visited.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dist_evals")
+    )
+    return (
+        ne.join(nh, "vec_id")
+        .join(nd, F.col("qid") == F.col("vec_id"))
+        .select(
+            "vec_id",
+            "n_exact",
+            "n_hits",
+            r4(F.col("n_hits") * F.lit(1.0) / F.col("n_exact")).alias(
+                "recall_at_3"
+            ),
+            "n_dist_evals",
+        )
+    )

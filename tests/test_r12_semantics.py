@@ -204,3 +204,100 @@ def test_io_time_travel_manifest(spark):
         read_snapshot(spark, man_dst, base_dst, s).count() for s in (1, 2, 3)
     )
     assert n1 > n2 and n3 == n2 + app.count()
+
+
+# --- graph-based ANN ------------------------------------------------------
+
+
+def _gann_python():
+    """Pure-Python rederivation of similarity_graph_ann: the degree-16
+    k-NN graph, the hub entry point, the 4-hop beam-4 best-first walk,
+    and the per-query recall/cost readout."""
+    import math
+
+    from hackatonbigdata_spark.operators.llm import (
+        _GANN_BEAM,
+        _GANN_DEG,
+        _GANN_HOPS,
+    )
+    from tests.test_r10_semantics import _load_embeddings, _r4, _seq_dot
+
+    emb = _load_embeddings()
+    ids = sorted(emb)
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+
+    def cos(a, b):
+        return _r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b]))
+
+    ranked = {
+        a: sorted((b for b in ids if b != a), key=lambda b: (-cos(a, b), b))[
+            :_GANN_DEG
+        ]
+        for a in ids
+    }
+    entry = max(
+        ids,
+        key=lambda a: (
+            sum(int(math.floor(cos(a, b) * 10000 + 0.5)) for b in ranked[a]),
+            -a,
+        ),
+    )
+    out = {}
+    for q in ids:
+        visited = {}  # node -> cos(q, node)
+        expanded = set()
+        if q != entry:
+            visited[entry] = cos(q, entry)
+        frontier = [entry]
+        for _ in range(_GANN_HOPS):
+            expanded.update(frontier)
+            for node in frontier:
+                for nb in ranked[node]:
+                    if nb != q and nb not in visited:
+                        visited[nb] = cos(q, nb)
+            frontier = sorted(
+                (n for n in visited if n not in expanded),
+                key=lambda n: (-visited[n], n),
+            )[:_GANN_BEAM]
+        ann3 = sorted(visited, key=lambda n: (-visited[n], n))[:3]
+        exact3 = ranked[q][:3]
+        n_hits = len(set(ann3) & set(exact3))
+        out[q] = (3, n_hits, _r4(n_hits / 3.0), len(visited))
+    return out
+
+
+def test_similarity_graph_ann_matches_python(spark):
+    expected = _gann_python()
+    rows = QUERIES["similarity_graph_ann"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[r.vec_id]
+        got = (r.n_exact, r.n_hits, r.recall_at_3, r.n_dist_evals)
+        assert got == exp, f"vec {r.vec_id}: {got} != {exp}"
+
+
+def test_graph_ann_on_recall_vs_cost_chart(spark):
+    """Places the graph index on the recall-vs-cost chart beside the
+    deterministic IVF (``ann_recall_at_k``): the walk must beat IVF's
+    recall on this corpus while evaluating a small fraction of it —
+    the property that makes a navigable graph an INDEX rather than a
+    rescan (measured: graph ~0.66 recall@3 at ~149 evals vs IVF ~0.28
+    at ~62 bucket-mate evals, n=500, both engines agreeing)."""
+    import duckdb
+
+    g = QUERIES["similarity_graph_ann"](spark, SF_DIR).collect()
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?)",
+        [f"{SF_DIR}/embeddings.parquet"],
+    ).fetchone()[0]
+    g_recall = sum(r.recall_at_3 for r in g) / len(g)
+    g_cost = sum(r.n_dist_evals for r in g) / len(g)
+    ivf = QUERIES["ann_recall_at_k"](spark, SF_DIR).collect()
+    ivf_recall = sum(r.recall_at_3 for r in ivf) / len(ivf)
+    # cost: the walk touches a bounded neighborhood, never the corpus
+    assert g_cost < 0.5 * (n - 1)
+    assert max(r.n_dist_evals for r in g) < 0.5 * (n - 1)
+    # quality: on this corpus the graph walk dominates the IVF bucket
+    # at the measured operating points
+    assert g_recall > ivf_recall
+    assert g_recall >= 0.5
