@@ -32,6 +32,8 @@ from hackatonbigdata_spark.sketch_params import (
     HLL_ALPHA64,
     HLL_M,
     HLL_W,
+    KLL_K,
+    KLL_LEVELS,
 )
 
 
@@ -2377,5 +2379,195 @@ def stream_hll_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_returning"
             ),
             "n_users",
+        )
+    )
+
+
+# --- KLL-style bounded quantile sketch (round 12) -------------------------
+# the ninth sketch-family member: rank-based compaction quantiles on an
+# UNBOUNDED value domain — where the fixed-grid histogram twin above
+# (stream_hourly_value_quantiles) is exact only because values land on
+# the cent grid, this one's state is bounded by construction (KLL_K
+# items per level) whatever the domain.  Deterministic variant: no
+# random coin — a full level sorts and keeps its odd ranks, so both
+# engines replay the identical cascade (the exactness-over-randomness
+# trade every sketch in this family makes; Karnin-Lall-Liberty 2016 is
+# the randomized original).
+
+
+def _duck_kll_levels() -> str:
+    """The KLL_LEVELS-deep deterministic compaction cascade as DuckDB
+    CTEs over ``vals(d, v, id)``: level l holds items of weight 2^l; a
+    level with more than KLL_K items sorts by (v, id) and promotes its
+    odd ranks to level l+1 (weight doubled), discarding the evens; a
+    level at or under budget is retained as-is.  The top level is
+    retained unconditionally (the level budget covers KLL_K·2^14 items
+    per key)."""
+    parts = ["l0 AS (SELECT d, v, id FROM vals)"]
+    keeps = []
+    for i in range(KLL_LEVELS):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT d, v, id,
+         row_number() OVER (PARTITION BY d ORDER BY v, id) AS rn,
+         count(*) OVER (PARTITION BY d) AS c
+  FROM l{i}),
+k{i} AS (SELECT d, v, id, CAST({2 ** i} AS BIGINT) AS w
+         FROM r{i} WHERE c <= {KLL_K}),
+l{i + 1} AS (SELECT d, v, id FROM r{i}
+             WHERE c > {KLL_K} AND rn % 2 = 1)"""
+        )
+        keeps.append(f"SELECT d, v, id, w FROM k{i}")
+    keeps.append(
+        f"SELECT d, v, id, CAST({2 ** KLL_LEVELS} AS BIGINT) AS w"
+        f" FROM l{KLL_LEVELS}"
+    )
+    parts.append(
+        "ret AS MATERIALIZED (" + "\nUNION ALL\n".join(keeps) + ")"
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "sketch_kll_quantiles",
+    oracle=f"""
+WITH vals AS (
+  SELECT CAST(ts AS DATE) AS d, value AS v, event_id AS id
+  FROM events WHERE value IS NOT NULL),
+{_duck_kll_levels()},
+vw AS (SELECT d, v, CAST(sum(w) AS BIGINT) AS vw FROM ret GROUP BY d, v),
+cum AS (SELECT d, v, CAST(sum(vw) OVER (PARTITION BY d ORDER BY v)
+                          AS BIGINT) AS cum FROM vw),
+tot AS (SELECT d, CAST(sum(w) AS BIGINT) AS w_total,
+               CAST(count(*) AS BIGINT) AS n_retained
+        FROM ret GROUP BY d),
+nev AS (SELECT d, CAST(count(*) AS BIGINT) AS n_events FROM vals GROUP BY d),
+q AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in QUANT_PCTS)}) t(pct)),
+need AS (
+  SELECT tot.d, q.pct, nev.n_events, tot.w_total, tot.n_retained,
+         (q.pct * tot.w_total + 99) // 100 AS tgt
+  FROM tot JOIN nev ON nev.d = tot.d CROSS JOIN q)
+SELECT need.d AS day, CAST(need.pct AS INTEGER) AS pct, need.n_events,
+       need.w_total, need.n_retained,
+       CAST(CASE WHEN need.n_events <= {KLL_K} THEN 1 ELSE 0 END
+            AS INTEGER) AS is_exact,
+       min(cum.v) AS value
+FROM need JOIN cum ON cum.d = need.d AND cum.cum >= need.tgt
+GROUP BY 1, 2, 3, 4, 5, 6
+""",
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded quantile SKETCH on an unbounded value domain — per-day
+    p50/p90/p99 of ``value`` served from O(KLL_K · log n) retained items
+    instead of the day's full value set: all values enter level 0 with
+    weight 1; any level holding more than {KLL_K} items sorts by
+    (value, event_id) and promotes its odd ranks to the next level with
+    doubled weight, discarding the evens (one deterministic compaction
+    per level — the batch form of the KLL/MRL compactor cascade, no
+    random coin); the percentile is the smallest retained value whose
+    cumulative retained weight reaches ceil(q·W) — under budget
+    (n <= {KLL_K}, ``is_exact`` = 1) nothing compacts and that IS the
+    exact order statistic, the KMV exact-under-budget discipline.
+
+    Exactness (cross-engine): the cascade is pure integer set algebra —
+    row_numbers over (value, event_id), parity filters, BIGINT weights —
+    and the readout target uses integer ceil division ((pct·W + 99) //
+    100, non-negative operands so Spark ``div`` == DuckDB ``//``);
+    returned quantiles are raw stored doubles, never arithmetic on them.
+
+    Accuracy (pinned in tests, not assumed): each level-l compaction
+    shifts any rank by at most 2^l, so |rank(answer) − target| <=
+    Σ 2^l over compacted levels — the test re-derives the cascade in
+    pure Python, checks the bound against the EXACT ranks, and fuzzes
+    the invariants (weight drift, subset property, level budgets) with
+    hypothesis.
+
+    Scale: this is the t-digest/KLL role done exactly — state per key is
+    bounded by {KLL_K}·{KLL_LEVELS} items however large the day is (the
+    fixed-grid histogram twin ``stream_hourly_value_quantiles`` needs a
+    bounded DOMAIN; this needs nothing), each level is one partitioned
+    window over a geometrically shrinking frame, and the readout is the
+    same cumulative-weight join the histogram twin uses.  The streaming
+    kernel (``streaming/jobs.py: kll_quantiles_stream``) maintains the
+    same compactor state incrementally with mergeable per-batch updates.
+
+    Reference parity: the reference serves fixed percentiles from full
+    in-memory series (/root/reference/src/evaluation/error_analysis.py
+    quantile readouts); this is that readout made scale-honest."""
+    t = Catalog(spark, sf_dir)
+    vals = (
+        t.events.filter(F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            F.col("value").alias("v"),
+            F.col("event_id").alias("id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "d")
+    )
+    lvl = vals
+    retained: list[DataFrame] = []
+    for i in range(KLL_LEVELS):
+        r = lvl.select(
+            "d",
+            "v",
+            "id",
+            F.row_number()
+            .over(W.partitionBy("d").orderBy("v", "id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("d")).alias("c"),
+        ).localCheckpoint()
+        retained.append(
+            r.filter(F.col("c") <= KLL_K).select(
+                "d", "v", "id", F.lit(2**i).cast("long").alias("w")
+            )
+        )
+        lvl = r.filter((F.col("c") > KLL_K) & (F.col("rn") % 2 == 1)).select(
+            "d", "v", "id"
+        )
+    retained.append(
+        lvl.select(
+            "d", "v", "id", F.lit(2**KLL_LEVELS).cast("long").alias("w")
+        )
+    )
+    ret = retained[0]
+    for part in retained[1:]:
+        ret = ret.unionByName(part)
+    ret = ret.localCheckpoint()
+    vw = ret.groupBy("d", "v").agg(F.sum("w").cast("long").alias("vw"))
+    cum = vw.withColumn(
+        "cum",
+        F.sum("vw").over(W.partitionBy("d").orderBy("v")).cast("long"),
+    )
+    tot = ret.groupBy("d").agg(
+        F.sum("w").cast("long").alias("w_total"),
+        F.count(F.lit(1)).cast("long").alias("n_retained"),
+    )
+    nev = vals.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    pcts = spark.createDataFrame([(p,) for p in QUANT_PCTS], "pct int")
+    need = (
+        tot.join(nev, "d")
+        .crossJoin(F.broadcast(pcts))
+        .withColumn(
+            "tgt", F.expr("(pct * w_total + 99) div 100").cast("long")
+        )
+    )
+    return (
+        need.join(cum, "d")
+        .filter(F.col("cum") >= F.col("tgt"))
+        .groupBy("d", "pct", "n_events", "w_total", "n_retained")
+        .agg(F.min("v").alias("value"))
+        .select(
+            F.col("d").alias("day"),
+            "pct",
+            "n_events",
+            "w_total",
+            "n_retained",
+            F.when(F.col("n_events") <= KLL_K, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_exact"),
+            "value",
         )
     )

@@ -18,3 +18,6 @@ BLOOM_K = 4  # Bloom hash functions
 HLL_M = 64  # HyperLogLog registers (p=6)
 HLL_W = 52  # hash window bits observed per key (13 md5 hex chars)
 HLL_ALPHA64 = 0.709  # Flajolet et al. 2007 bias constant for m=64
+
+KLL_K = 32  # quantile-sketch compactor capacity (items per level)
+KLL_LEVELS = 14  # level budget: covers KLL_K * 2^14 ≈ 524k items per key

@@ -43,6 +43,7 @@ from hackatonbigdata_spark.sketch_params import (
     HLL_ALPHA64,
     HLL_M,
     HLL_W,
+    KLL_K,
 )
 
 WATERMARK = "10 minutes"
@@ -2171,6 +2172,205 @@ def hll_distinct_stream(events: DataFrame, m: int = HLL_M) -> DataFrame:
         events.withWatermark("ts", WATERMARK)
         .withColumn("hour", F.date_trunc("hour", "ts"))
         .groupBy("hour")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- KLL-style compactor: per-day bounded-state quantiles --------------------
+
+# KLL_K comes from hackatonbigdata_spark.sketch_params (one shared
+# definition with the oracled batch twin sketch_kll_quantiles).
+
+
+def kll_update(state: tuple, items, k: int = KLL_K) -> tuple:
+    """Fold (value, id) items into a deterministic KLL/MRL compactor and
+    return the new state ``(levels, err)``: ``levels[l]`` holds items of
+    weight 2^l; whenever a level exceeds ``k`` items it sorts by
+    (value, id), promotes its odd ranks (1-indexed) to level l+1 with
+    doubled weight, and discards the evens; ``err`` accumulates 2^l per
+    compaction performed — the sketch's SELF-CERTIFIED rank-error bound
+    (each compaction shifts the weight below any threshold by at most
+    the compacted level's item weight), the ``is_exact`` discipline of
+    the KMV members: err == 0 means the answer is the exact order
+    statistic.
+
+    Unlike the Bloom/HLL/CMS folds this state is NOT order-commutative —
+    compaction timing depends on arrival order — which is why the batch
+    twin is a separate single-cascade definition and the kernel is
+    pinned by its own error bound, not by twin equality.
+
+    Invariants (fuzzed in tests/test_kernel_state_machines.py): every
+    retained value was an input; every level holds <= k items after the
+    fold; |total retained weight - n| <= err; the rank of the served
+    quantile differs from its target by at most err."""
+    levels = [list(lvl) for lvl in state[0]]
+    err = state[1]
+    if not levels:
+        levels = [[]]
+    levels[0].extend(items)
+    lv = 0
+    while lv < len(levels):
+        if len(levels[lv]) > k:
+            levels[lv].sort()
+            promoted = levels[lv][0::2]
+            levels[lv] = []
+            if lv + 1 == len(levels):
+                levels.append([])
+            levels[lv + 1].extend(promoted)
+            err += 1 << lv
+        lv += 1
+    return levels, err
+
+
+def kll_merge(a: tuple, b: tuple, k: int = KLL_K) -> tuple:
+    """Merge two compactor states: levelwise concatenation followed by
+    the same bottom-up compaction cascade; the merged error bound is the
+    sum of both inputs' bounds plus 2^l per compaction the merge itself
+    performs — sketch stores merge partial days/shards this way."""
+    la, lb = a[0], b[0]
+    levels = [
+        list(la[i] if i < len(la) else [])
+        + list(lb[i] if i < len(lb) else [])
+        for i in range(max(len(la), len(lb), 1))
+    ]
+    err = a[1] + b[1]
+    lv = 0
+    while lv < len(levels):
+        if len(levels[lv]) > k:
+            levels[lv].sort()
+            promoted = levels[lv][0::2]
+            levels[lv] = []
+            if lv + 1 == len(levels):
+                levels.append([])
+            levels[lv + 1].extend(promoted)
+            err += 1 << lv
+        lv += 1
+    return levels, err
+
+
+def kll_quantile(state: tuple, pct: int) -> tuple:
+    """(value, w_total): the smallest retained value whose cumulative
+    retained weight reaches ceil(w_total * pct / 100) — the identical
+    integer readout rule the oracled batch twin evaluates in SQL."""
+    levels = state[0]
+    vw: dict = {}
+    w_total = 0
+    for lv, items in enumerate(levels):
+        w = 1 << lv
+        for v, _ in items:
+            vw[v] = vw.get(v, 0) + w
+            w_total += w
+    if not w_total:
+        return None, 0
+    tgt = (pct * w_total + 99) // 100
+    cum = 0
+    for v in sorted(vw):
+        cum += vw[v]
+        if cum >= tgt:
+            return v, w_total
+    return None, w_total
+
+
+def kll_quantiles_stream(
+    events: DataFrame, pcts: tuple = QUANT_PCTS, k: int = KLL_K
+) -> DataFrame:
+    """Per-day p50/p90/p99 of ``value`` from BOUNDED compactor state on
+    an unbounded value domain — the general-domain member of the
+    bounded-state sketch family, where the fixed-grid histogram kernel
+    above needs values on a finite grid.  State per day is <= k items
+    per level (k·log n total) plus the self-certified error bound;
+    each micro-batch folds its values in arrival order (ties by
+    event_id), re-emits the current percentiles stamped with ``n_total``
+    and ``err_bound``, and evicts by event-time timeout once the
+    watermark passes the day end.  Final rows per day are those with
+    the maximum n_total; the streaming tests pin them within err_bound
+    of the exact per-day order statistics, and equal to them whenever
+    err_bound == 0."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        "day date, n_total long, err_bound long, pct int,"
+        " w_total long, value double"
+    )
+    state_schema = (
+        "vs array<double>, ids array<long>, lvls array<int>,"
+        " err long, n long"
+    )
+    day_us = 24 * 3600 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        day = key[0]
+        day_end_ms = (
+            pd.Timestamp(day).value // 1_000 + day_us
+        ) // 1000
+        if state.exists:
+            vs, ids, lvls, err, n = state.get
+            levels: list = [[] for _ in range(max(lvls) + 1 if lvls else 1)]
+            for v, i, lv in zip(vs, ids, lvls):
+                levels[lv].append((v, i))
+            st = (levels, err)
+        else:
+            st, n = ([], 0), 0
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut or wm_ms >= day_end_ms:
+            if state.exists:
+                state.remove()
+            return
+        items = []
+        for pdf in pdfs:
+            items.extend(
+                (float(v), int(i))
+                for v, i in zip(pdf["value"], pdf["event_id"])
+                if v is not None
+            )
+        if not items:
+            return
+        # deterministic within-batch order: the engine's row order inside
+        # a micro-batch is not a contract, (value, id) is
+        items.sort()
+        n += len(items)
+        st = kll_update(st, items, k)
+        levels, err = st
+        flat = [
+            (v, i, lv)
+            for lv, lvl_items in enumerate(levels)
+            for v, i in sorted(lvl_items)
+        ]
+        state.update(
+            (
+                [v for v, _, _ in flat],
+                [i for _, i, _ in flat],
+                [lv for _, _, lv in flat],
+                err,
+                n,
+            )
+        )
+        state.setTimeoutTimestamp(max(day_end_ms, wm_ms + 1))
+        rows = []
+        for pct in pcts:
+            val, w_total = kll_quantile(st, pct)
+            rows.append(
+                {
+                    "day": day,
+                    "n_total": n,
+                    "err_bound": err,
+                    "pct": pct,
+                    "w_total": w_total,
+                    "value": val,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

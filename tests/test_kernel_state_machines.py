@@ -551,3 +551,75 @@ def test_hll_register_invariants_under_any_chunking(tape, cuts):
     assert [max(x, y) for x, y in zip(a, c)] == hll_update(
         [0] * m, tape, m
     )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 10_000)),
+        max_size=120,
+    ),
+    st.lists(st.integers(0, 119), max_size=4),
+)
+@settings(max_examples=120, deadline=None)
+def test_kll_compactor_invariants_under_any_chunking(tape, cuts):
+    """KLL compactor invariants after every chunk boundary, for any item
+    order, duplication, and chunking (k=8 so compactions actually fire):
+    every retained value was an input; every level holds <= k items;
+    total retained weight drifts from n by at most the self-certified
+    err bound; each served percentile's EXACT rank interval covers a
+    point within err of the target (the one-sided compaction-shift
+    bound); err == 0 serves the exact order statistic; and merging two
+    independently-built sketches obeys the same bound with the summed
+    certificate."""
+    from hackatonbigdata_spark.streaming.jobs import (
+        kll_merge,
+        kll_quantile,
+        kll_update,
+    )
+
+    K = 8
+    items = [(float(v), i) for i, (v, _) in enumerate(tape)]
+
+    def check(state, seen):
+        levels, err = state
+        flat = [(v, i, lv) for lv, lv_items in enumerate(levels)
+                for v, i in lv_items]
+        assert all((v, i) in set((a, b) for a, b in seen) for v, i, _ in flat)
+        assert all(len(lv_items) <= K for lv_items in levels)
+        w_total = sum(1 << lv for _, _, lv in flat)
+        n = len(seen)
+        assert abs(w_total - n) <= err
+        if not seen:
+            return
+        srt = sorted(v for v, _ in seen)
+        for pct in (50, 90, 99):
+            val, wt = kll_quantile(state, pct)
+            assert wt == w_total
+            tgt = (pct * w_total + 99) // 100
+            # exact rank interval of the served value in the raw multiset
+            lo = next(idx for idx, v in enumerate(srt) if v == val) + 1
+            hi = len(srt) - next(
+                idx for idx, v in enumerate(reversed(srt)) if v == val
+            )
+            # weight-below error <= err and weight drift <= err: the
+            # served value's true rank interval must come within 2*err
+            # of the target (and exactly hit it when err == 0)
+            assert lo - 2 * err <= tgt <= hi + 2 * err
+            if err == 0:
+                assert lo <= tgt <= hi
+
+    bounds = sorted({c for c in cuts if c < len(items)}) + [len(items)]
+    st_a, done = ([], 0), 0
+    for b in bounds:
+        if b > done:
+            st_a = kll_update(st_a, items[done:b], K)
+            done = b
+        check(st_a, items[:done])
+    # merge: first half ⊕ second half obeys the same certificate
+    half = len(items) // 2
+    m = kll_merge(
+        kll_update(([], 0), items[:half], K),
+        kll_update(([], 0), items[half:], K),
+        K,
+    )
+    check(m, items)

@@ -301,3 +301,103 @@ def test_graph_ann_on_recall_vs_cost_chart(spark):
     # at the measured operating points
     assert g_recall > ivf_recall
     assert g_recall >= 0.5
+
+
+# --- KLL-style quantile sketch ---------------------------------------------
+
+
+def _kll_batch_python():
+    """Pure-Python rederivation of the sketch_kll_quantiles batch
+    cascade over DuckDB-loaded events: per-day level-by-level odd-rank
+    compaction, integer-ceil readout, plus the per-day compaction error
+    certificate (sum of 2^l over compacted levels) and the exact sorted
+    values for bound checking."""
+    import duckdb
+
+    from hackatonbigdata_spark.sketch_params import KLL_K, KLL_LEVELS
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE), value, event_id FROM read_parquet(?)"
+        " WHERE value IS NOT NULL",
+        [f"{SF_DIR}/events.parquet"],
+    ).fetchall()
+    by_day: dict = {}
+    for d, v, i in rows:
+        by_day.setdefault(d, []).append((float(v), int(i)))
+    out = {}
+    for d, items in by_day.items():
+        level = sorted(items)
+        retained = []  # (v, w)
+        err = 0
+        for lv in range(KLL_LEVELS):
+            if len(level) > KLL_K:
+                promoted = level[0::2]
+                err += 1 << lv
+                level = promoted
+            else:
+                retained.extend((v, 1 << lv) for v, _ in level)
+                level = []
+        retained.extend((v, 1 << KLL_LEVELS) for v, _ in level)
+        w_total = sum(w for _, w in retained)
+        n_ret = len(retained)
+        ests = {}
+        for pct in (50, 90, 99):
+            tgt = (pct * w_total + 99) // 100
+            vw: dict = {}
+            for v, w in retained:
+                vw[v] = vw.get(v, 0) + w
+            cum = 0
+            est = None
+            for v in sorted(vw):
+                cum += vw[v]
+                if cum >= tgt:
+                    est = v
+                    break
+            ests[pct] = (est, tgt)
+        out[d] = {
+            "n_events": len(items),
+            "w_total": w_total,
+            "n_retained": n_ret,
+            "err": err,
+            "ests": ests,
+            "sorted_vals": sorted(v for v, _ in items),
+        }
+    return out
+
+
+def test_sketch_kll_quantiles_matches_python_and_bound(spark):
+    """Two independent pins: (1) the Spark cascade equals the
+    pure-Python rederivation exactly (day/pct/weights/values); (2) the
+    served quantile's EXACT rank in the raw per-day multiset is within
+    the deterministic compaction bound of the target — so both engines
+    agreeing on a WRONG cascade would still be caught by the raw data;
+    and under-budget days (is_exact=1) serve the exact order statistic."""
+    from hackatonbigdata_spark.sketch_params import KLL_K
+
+    expected = _kll_batch_python()
+    rows = QUERIES["sketch_kll_quantiles"](spark, SF_DIR).collect()
+    assert len(rows) == 3 * len(expected)
+    n_exact_days = n_compacted_days = 0
+    for r in rows:
+        exp = expected[r.day]
+        est, tgt = exp["ests"][r.pct]
+        assert (r.n_events, r.w_total, r.n_retained) == (
+            exp["n_events"],
+            exp["w_total"],
+            exp["n_retained"],
+        )
+        assert r.value == est, f"{r.day}/{r.pct}: {r.value} != {est}"
+        assert r.is_exact == int(exp["n_events"] <= KLL_K)
+        srt = exp["sorted_vals"]
+        lo = srt.index(r.value) + 1
+        hi = len(srt) - srt[::-1].index(r.value)
+        if r.is_exact:
+            n_exact_days += 1
+            assert exp["err"] == 0
+            k = (r.pct * r.n_events + 99) // 100
+            assert srt[k - 1] == r.value  # the exact order statistic
+        else:
+            n_compacted_days += 1
+            assert lo - 2 * exp["err"] <= tgt <= hi + 2 * exp["err"]
+    # the sf0.001 day mix must exercise BOTH regimes
+    assert n_exact_days > 0 and n_compacted_days > 0

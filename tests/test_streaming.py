@@ -1451,3 +1451,79 @@ def test_hll_kernel_raw_branch_across_batches(spark, tmp_path):
     # the scenario must actually exercise the raw branch: no zero
     # registers, so linear counting is unavailable
     assert sum(1 for r in regs if r == 0) == 0
+
+
+def test_kll_stream_within_certificate_of_exact(spark, events_stream):
+    """The KLL compactor kernel over the live stream: every final
+    per-day percentile must sit within the sketch's SELF-CERTIFIED rank
+    bound of the exact per-day order statistics (computed straight from
+    the raw events), and any day whose certificate is zero must serve
+    the exact order statistic — the pin that works regardless of how
+    the engine chunks the stream into micro-batches (compaction timing
+    is arrival-dependent, so twin EQUALITY is deliberately not the
+    contract here; the batch twin sketch_kll_quantiles has its own
+    single-cascade oracle)."""
+    import duckdb
+
+    jobs.run_to_memory(jobs.kll_quantiles_stream(events_stream), "t_kll", "update")
+    emitted = spark.table("t_kll").toPandas()
+    assert len(emitted) > 0
+    last = emitted.groupby("day")["n_total"].transform("max")
+    final = emitted[emitted["n_total"] == last]
+    raw = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE) d, list(value ORDER BY value) "
+        "FROM read_parquet(?) WHERE value IS NOT NULL GROUP BY 1",
+        [f"{SF_DIR}/events.parquet"],
+    ).fetchall()
+    exact = {d: vals for d, vals in raw}
+    assert set(final["day"]) == set(exact)
+    for r in final.itertuples():
+        srt = exact[r.day]
+        n = len(srt)
+        assert int(r.n_total) == n
+        err = int(r.err_bound)
+        assert abs(int(r.w_total) - n) <= err
+        tgt = (int(r.pct) * int(r.w_total) + 99) // 100
+        lo = srt.index(r.value) + 1
+        hi = n - srt[::-1].index(r.value)
+        if err == 0:
+            k = (int(r.pct) * n + 99) // 100
+            assert srt[k - 1] == r.value
+        else:
+            assert lo - 2 * err <= tgt <= hi + 2 * err
+
+
+def test_kll_kernel_across_batches(spark, tmp_path):
+    """3-file stream with k=4 so compaction fires mid-stream: the final
+    state must equal the pure-Python fold of the same batches in the
+    same order (the kernel is deterministic given the chunking), and
+    the served medians must respect the certificate against the exact
+    values."""
+    files = [
+        [(0, 0), (0, 1), (1, 2), (1, 3), (2, 4)],
+        [(3, 0), (3, 1), (4, 2)],
+        [(5, 3), (5, 4), (6, 0), (6, 1)],
+    ]
+    value_fn = lambda m, u: float((m * 7 + u * 3) % 11) + 0.25  # noqa: E731
+    stream = _event_files_stream(spark, tmp_path, files, value_fn)
+    jobs.run_to_memory(
+        jobs.kll_quantiles_stream(stream, k=4), "t_kll_mb", "update"
+    )
+    emitted = spark.table("t_kll_mb").toPandas()
+    final = emitted[emitted["n_total"] == emitted["n_total"].max()]
+    n = sum(len(rows) for rows in files)
+    assert int(final["n_total"].max()) == n == 12
+    # replay the same per-batch fold in pure Python (batch rows sorted by
+    # (value, id) — the kernel's documented within-batch order)
+    st, eid = ([], 0), 0
+    for rows in files:
+        items = []
+        for m, u in rows:
+            items.append((value_fn(m, u), eid))
+            eid += 1
+        st = jobs.kll_update(st, sorted(items), k=4)
+    for r in final.itertuples():
+        val, w_total = jobs.kll_quantile(st, int(r.pct))
+        assert r.value == val
+        assert int(r.w_total) == w_total
+        assert int(r.err_bound) == st[1]
