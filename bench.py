@@ -214,6 +214,11 @@ HEADLINE = [
     "search_mmr_rerank",              # r11: MMR diversified re-rank
     "sketch_kmv_overlap",             # r11: exact-under-budget KMV overlap
     "io_mor_deletes",                 # r11: merge-on-read positional deletes
+    # round-12 operators:
+    "similarity_graph_ann",           # r12: k-NN graph + greedy beam search
+    "io_mor_compact",                 # r12: delete-file compaction
+    "io_time_travel",                 # r12: manifest snapshot reads
+    "sketch_kll_quantiles",           # r12: bounded quantile sketch
 ]
 
 

@@ -692,9 +692,8 @@ def io_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the delete write is O(matching rows) — never a base rewrite;
     the read is one (file_id, pos)-keyed anti-join, which at 100 TB an
     engine pushes down per data file (each task streams its own file's
-    sorted positions); compaction that folds delete files back into data
-    files is ``io_compact_roundtrip``'s move applied to the anti-joined
-    read.
+    sorted positions); ``io_mor_compact`` is the maintenance pass that
+    folds the delete file back into the base files.
 
     Reference parity: the delete/refresh half of the reference's
     keyed-upsert store (/root/reference/src/data/database.py family),

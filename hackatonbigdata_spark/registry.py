@@ -62,74 +62,74 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 11 BUDGET (50-slot driver window) ===========================
-    # Plan: (1) every name whose code is new or edited in r11 leads — 6 new
-    # operators (all fully oracled) + 5 edited-after-check names (the
-    # z-order Morton-spread/date-scaling fix, and the four sketch twins
-    # whose constants/oracle fragments moved into sketch_params.py /
-    # gained prefix parameters — all re-verified byte-identical or
-    # re-parity-checked this round); (2) the ENTIRE 39-name r5-latest
-    # backlog (r10 verdict "missing" #1) is retired — 36 oracled names in
-    # registration order, the 3 kernel names last (agg_sketches_only is
-    # rows-only by design; the croston/AR(2) per-series kernels carry
-    # oracles).  11 + 39 fills
-    # the window exactly.  After this rotation the oldest driver evidence
-    # is r6; the r12 window should lead with r12-new/edited names and then
-    # burn the r6-latest backlog in registration order (oracled first).
-    # --- round 11: new queries -------------------------------------------
-    "similarity_ivfpq_nprobe",  # r11 NEW: multi-probe composed IVF-PQ search
-    "stream_interval_join_outer",  # r11 NEW: left-outer interval join twin
-    "stream_hll_returning_users",  # r11 NEW: HLL inclusion-exclusion set op
-    "search_mmr_rerank",  # r11 NEW: greedy MMR diversified re-rank
-    "sketch_kmv_overlap",  # r11 NEW: exact-under-budget bottom-k overlap
-    "io_mor_deletes",  # r11 NEW: merge-on-read positional delete files
-    # --- round 11: edited-after-check code --------------------------------
-    "io_zorder_prune",  # r11: Morton spread landed + date domain scaling
-    "stream_hourly_hll",  # r11: constants hoisted to sketch_params
-    "stream_hll_daily_merge",  # r11: constants hoisted to sketch_params
-    "stream_hourly_bloom",  # r11: constants hoisted to sketch_params
-    "dedup_bloom_gate",  # r11: constants hoisted to sketch_params
-    # --- r5-latest backlog: all 39, retired this round (oracled first) ----
-    "audit_benford_digits",
-    "drift_psi_distribution",
-    "calibration_conformal",
-    "ensemble_dynamic_weights",
-    "feature_importance_topk",
-    "calibration_temperature",
-    "calibration_quantile_band",
-    "calibration_subsample_uncertainty",
-    "eval_confusion_by_store",
-    "eval_decile_lift",
-    "io_partitioned_prune",
-    "io_bucketed_join",
-    "dedup_cluster_largestar",
-    "corpus_mixture_weights",
-    "dedup_report_by_source",
-    "ann_recall_at_k",
-    "text_dupgram_fraction",
-    "dedup_incremental_vs_snapshot",
-    "corpus_resample_ncopies",
-    "sample_reservoir_per_group",
-    "anomaly_mad_flags",
-    "join_salted_skew",
-    "encode_target_oof",
-    "seq_event_transitions",
-    "interval_merge_coverage",
-    "graph_pagerank_parts",
-    "window_rolling_distinct",
-    "time_weighted_avg",
-    "attribution_multitouch_linear",
-    "survival_km_signup_purchase",
-    "seq_path_trigrams",
-    "croston_ses_sql",
-    "ar2_yule_walker_sql",
-    "cdc_scd2_user_state",
-    "snapshot_table_diff",
-    "window_rank_movers",
-    # --- r5-latest kernel names (agg_sketches_only: rows-only check) ------
-    "agg_sketches_only",
-    "croston_per_series",
-    "ar2_yule_walker_per_series",
+    # === ROUND 12 BUDGET (50-slot driver window) ===========================
+    # Plan: (1) every name whose code is new or edited in r12 leads — 4 new
+    # operators (all fully oracled: the graph-ANN index, merge-on-read
+    # compaction, snapshot time travel, the KLL quantile sketch) + 2
+    # edited-after-check names (io_zorder_prune: the _morton_spread input
+    # mask; search_mmr_rerank: the oracle's redundancy-max lookup hardened
+    # to a LEFT join with COALESCE so a sparsified sim pool can't silently
+    # filter candidates — semantics unchanged today, re-proved this round);
+    # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
+    # is retired — 43 oracled names in registration order, the one
+    # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
+    # exactly.  After this rotation the oldest driver evidence is r7; the
+    # r13 window should lead with r13-new/edited names and then burn the
+    # r7-latest backlog in registration order (oracled first).
+    # --- round 12: new queries -------------------------------------------
+    "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
+    "io_mor_compact",  # r12 NEW: merge-on-read delete-file compaction
+    "io_time_travel",  # r12 NEW: manifest-versioned snapshot reads
+    "sketch_kll_quantiles",  # r12 NEW: bounded quantile sketch, oracled twin
+    # --- round 12: edited-after-check code --------------------------------
+    "io_zorder_prune",  # r12: _morton_spread input mask (ADVICE #1)
+    "search_mmr_rerank",  # r12: oracle redundancy-max left-join hardening
+    # --- r6-latest backlog: all 44, retired this round (oracled first) ----
+    "monthly_store_volume",
+    "ab_test_cuped",
+    "concentration_gini_brand",
+    "ab_test_mannwhitney",
+    "drift_performance_periods",
+    "corr_matrix_top_parts",
+    "postproc_outlier_dampening",
+    "cv_hierarchical_folds",
+    "feature_matrix_daily_store",
+    "calibration_interval_coverage",
+    "prophet_prep_segments",
+    "postproc_lifecycle_promo",
+    "stacking_predictions_join",
+    "postproc_topdown_reconcile",
+    "eval_roc_auc",
+    "eval_brier_decomposition",
+    "cv_purged_embargo",
+    "io_schema_evolution",
+    "io_incremental_rollup",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_ivf_bucketed",
+    "embedding_quantize_int8",
+    "text_zipf_slope",
+    "embedding_centroid_drift",
+    "text_pii_scrub",
+    "dedup_containment_pairs",
+    "corpus_softdedup_weights",
+    "mm_magic_format_detect",
+    "sample_weighted_aexpj",
+    "quantile_normalize_store",
+    "anomaly_poisson_spikes",
+    "cohort_ltv_curve",
+    "basket_association_rules",
+    "alert_error_burnrate",
+    "join_asof_interpolate",
+    "window_cusum_changepoint",
+    "queue_backlog_lindley",
+    "seasonal_strength_store",
+    "window_max_drawdown",
+    "orders_ship_sla",
+    # --- r6-latest rows-only name (weaker rows-only check) ----------------
+    "stacking_gbt_meta",
 ]
 
 

@@ -404,3 +404,16 @@ def test_round11_ops_stay_jvm_side(spark):
         "io_mor_deletes",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round12_ops_stay_jvm_side(spark):
+    """r12 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere (the KLL cascade and the graph walk are
+    bounded driver-side loops over DataFrame ops, never pandas)."""
+    for name in [
+        "similarity_graph_ann",
+        "io_mor_compact",
+        "io_time_travel",
+        "sketch_kll_quantiles",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
