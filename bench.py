@@ -219,6 +219,8 @@ HEADLINE = [
     "io_mor_compact",                 # r12: delete-file compaction
     "io_time_travel",                 # r12: manifest snapshot reads
     "sketch_kll_quantiles",           # r12: bounded quantile sketch
+    "io_time_travel_changes",         # r12: incremental changes-between read
+    "io_equality_deletes",            # r12: key-valued equality deletes
 ]
 
 

@@ -1015,6 +1015,31 @@ def io_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tracking store (/root/reference/src/experiment_tracking/
     enhanced_mlflow.py:404-430, get_best_run/get_run_comparison over run
     history), re-expressed as the warehouse table's snapshot read."""
+    base_dst, del_dst, app_dst, man_dst = _build_tt_layout(spark, sf_dir)
+    out = None
+    for s in (1, 2, 3):
+        snap = read_snapshot(spark, man_dst, base_dst, s)
+        agg = snap.groupBy(
+            F.month("l_shipdate").cast("int").alias("ship_month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+        ).select(
+            F.lit(s).cast("int").alias("snapshot_id"),
+            "ship_month",
+            "n_rows",
+            "sum_qty",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _build_tt_layout(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write the three-snapshot time-travel layout (create → positional
+    delete → restatement append) plus its manifest; returns the four
+    paths.  Shared by ``io_time_travel`` (as-of reads) and
+    ``io_time_travel_changes`` (the incremental changes-between
+    read)."""
     t = Catalog(spark, sf_dir)
     base_dst = _scratch(sf_dir, "tt_base")
     del_dst = _scratch(sf_dir, "tt_deletes")
@@ -1070,19 +1095,217 @@ def io_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.createDataFrame(
         manifest, "snapshot_id int, path string, kind string"
     ).coalesce(1).write.mode("overwrite").parquet(man_dst)
+    return base_dst, del_dst, app_dst, man_dst
+
+
+def read_changes(
+    spark: SparkSession,
+    manifest_path: str,
+    base_path: str,
+    s_from: int,
+    s_to: int,
+) -> DataFrame:
+    """INCREMENTAL read between two snapshots of a manifest-versioned
+    table (Iceberg's incremental scan / Delta CDF shape, for the
+    append-and-delete lifecycle this layout uses): diff the two
+    snapshots' file lists, emit rows of data files ADDED in the span as
+    inserts ('I') and rows killed by delete files ADDED in the span as
+    deletes ('D') — reading ONLY the changed files plus the base rows
+    the new deletes name, never rescanning the unchanged table."""
+    m = spark.read.parquet(manifest_path)
+    # bounded metadata collect: a manifest row per file per snapshot
+    f_from = {
+        (r.path, r.kind)
+        for r in m.filter(F.col("snapshot_id") == s_from).collect()
+    }
+    f_to = {
+        (r.path, r.kind)
+        for r in m.filter(F.col("snapshot_id") == s_to).collect()
+    }
+    added = f_to - f_from
+    new_data = [p for p, k in added if k == "data"]
+    new_dels = [p for p, k in added if k == "delete"]
+    parts = []
+    if new_data:
+        ins = spark.read.parquet(*new_data)
+        parts.append(ins.withColumn("change", F.lit("I")))
+    if new_dels:
+        dels = spark.read.parquet(*new_dels)
+        base = spark.read.option("basePath", base_path).parquet(base_path)
+        killed = base.join(dels, ["file_id", "pos"], "left_semi")
+        parts.append(killed.withColumn("change", F.lit("D")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "io_time_travel_changes",
+    oracle=f"""
+WITH ch AS (
+  SELECT 1 AS from_snapshot, 2 AS to_snapshot, 'D' AS change,
+         l_shipdate, l_quantity
+  FROM lineitem WHERE l_quantity >= {_TT_DEL_QTY}
+  UNION ALL
+  SELECT 2, 3, 'I', l_shipdate, l_quantity
+  FROM lineitem
+  WHERE month(l_shipdate) = {_TT_RESTATE_MONTH}
+    AND l_quantity >= {_TT_DEL_QTY})
+SELECT CAST(from_snapshot AS INTEGER) AS from_snapshot,
+       CAST(to_snapshot AS INTEGER) AS to_snapshot,
+       change,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM ch GROUP BY 1, 2, 3, 4
+""",
+)
+def io_time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL changes-between read over the snapshot-versioned
+    table — the CDC consumption path a table format serves (Iceberg
+    incremental scan / Delta change-data-feed): for each adjacent
+    snapshot pair, diff the manifests' file lists and emit what changed
+    as typed rows — snapshot 1→2 produces the positional-delete kills
+    as 'D' rows, snapshot 2→3 produces the restatement append as 'I'
+    rows — reading ONLY the files added in each span (plus the base
+    rows the new delete file names), never rescanning the table.
+    Matching the oracle's direct slice aggregates proves the manifest
+    diff recovers exactly the delta a downstream consumer would need
+    to stay in sync.
+
+    Exactness: the manifest is explicit (no wall clock); change rows
+    are raw stored rows; aggregates are exact counts plus 4dp sums.
+
+    Scale: incremental-read cost is O(churn between snapshots), the
+    whole point of consuming CDC from a table format instead of
+    re-diffing snapshots (``snapshot_table_diff`` is that full-outer
+    re-diff for when no manifest exists); the manifest diff is
+    KB-sized metadata.
+
+    Reference parity: the reference re-derives what changed between
+    runs by comparing full artifacts
+    (/root/reference/src/experiment_tracking/enhanced_mlflow.py:420-430
+    get_run_comparison); this is the read that makes the delta a
+    first-class, file-pruned query."""
+    _, _, _, man_dst = _build_tt_layout(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "tt_base")
     out = None
-    for s in (1, 2, 3):
-        snap = read_snapshot(spark, man_dst, base_dst, s)
-        agg = snap.groupBy(
-            F.month("l_shipdate").cast("int").alias("ship_month")
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-        ).select(
-            F.lit(s).cast("int").alias("snapshot_id"),
-            "ship_month",
-            "n_rows",
-            "sum_qty",
+    for s_from, s_to in ((1, 2), (2, 3)):
+        ch = read_changes(spark, man_dst, base_dst, s_from, s_to)
+        agg = (
+            ch.groupBy(
+                "change",
+                F.month("l_shipdate").cast("int").alias("ship_month"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                r4(F.sum("l_quantity")).alias("sum_qty"),
+            )
+            .select(
+                F.lit(s_from).cast("int").alias("from_snapshot"),
+                F.lit(s_to).cast("int").alias("to_snapshot"),
+                "change",
+                "ship_month",
+                "n_rows",
+                "sum_qty",
+            )
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+_EQ_DEL_FLAG = "R"  # equality-delete keys: orders with a returned line item
+
+
+@register(
+    "io_equality_deletes",
+    oracle=f"""
+WITH dk AS (SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_returnflag = '{_EQ_DEL_FLAG}'),
+live AS (
+  SELECT l.l_shipdate, l.l_quantity, l.l_extendedprice
+  FROM lineitem l LEFT JOIN dk ON dk.l_orderkey = l.l_orderkey
+  WHERE dk.l_orderkey IS NULL),
+dead AS (
+  SELECT month(l.l_shipdate) AS m, CAST(count(*) AS BIGINT) AS n_deleted
+  FROM lineitem l JOIN dk ON dk.l_orderkey = l.l_orderkey GROUP BY 1)
+SELECT CAST(month(live.l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(live.l_quantity), 4) AS sum_qty,
+       round(sum(live.l_extendedprice), 4) AS sum_price,
+       COALESCE(any_value(dead.n_deleted), 0) AS n_deleted
+FROM live LEFT JOIN dead ON dead.m = month(live.l_shipdate)
+GROUP BY 1
+""",
+)
+def io_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY deletes — Iceberg's OTHER merge-on-read delete flavor
+    beside the positional files of ``io_mor_deletes``: the delete file
+    stores KEY VALUES (here: the distinct order keys with a returned
+    line item — the shape a GDPR erasure or CDC delete-by-key arrives
+    in), written BLIND from the request predicate with no base read and
+    no position lookup (the O(keys) write even positional deletes can't
+    match, because they must first find each row); the read applies it
+    with one key anti-join that kills EVERY matching row in every data
+    file, however many files or rows a key touches.  Matching the
+    oracle's NOT-EXISTS aggregate proves the key indirection lossless;
+    ``n_deleted`` counts the kills per month through the opposite
+    (semi) join.
+
+    Exactness: keys are exact BIGINTs; aggregates are exact counts plus
+    4dp sums.
+
+    Scale: the write is O(distinct keys) metadata; the read's anti-join
+    is how Iceberg applies equality deletes at scan time (hashed
+    against each task's rows — the delete-key set broadcasts when
+    small, exactly this plan); compaction folding them into base files
+    is ``io_mor_compact``'s move with the key join in place of the
+    identity join.
+
+    Reference parity: the keyed delete/refresh half of the reference's
+    upsert store (/root/reference/src/data/database.py family), at the
+    granularity requests actually arrive in — keys, not row ids."""
+    t = Catalog(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "eq_base")
+    del_dst = _scratch(sf_dir, "eq_deletes")
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    li.repartition(8).write.mode("overwrite").parquet(base_dst)
+    # the BLIND delete write: keys from the request predicate over the
+    # source — no base scan, no positions
+    (
+        li.filter(F.col("l_returnflag") == _EQ_DEL_FLAG)
+        .select("l_orderkey")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    dk = spark.read.parquet(del_dst)
+    live = base.join(F.broadcast(dk), "l_orderkey", "left_anti")
+    dead = base.join(F.broadcast(dk), "l_orderkey", "left_semi")
+    dm = dead.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    return (
+        live.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+        .join(dm, "ship_month", "left")
+        .select(
+            "ship_month",
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+        )
+    )

@@ -415,5 +415,7 @@ def test_round12_ops_stay_jvm_side(spark):
         "io_mor_compact",
         "io_time_travel",
         "sketch_kll_quantiles",
+        "io_time_travel_changes",
+        "io_equality_deletes",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

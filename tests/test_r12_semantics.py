@@ -401,3 +401,76 @@ def test_sketch_kll_quantiles_matches_python_and_bound(spark):
             assert lo - 2 * exp["err"] <= tgt <= hi + 2 * exp["err"]
     # the sf0.001 day mix must exercise BOTH regimes
     assert n_exact_days > 0 and n_compacted_days > 0
+
+
+def test_io_equality_deletes_layout(spark):
+    """The equality-delete LAYOUT contract: the delete file holds ONLY
+    distinct key values (one narrow column — the blind O(keys) write),
+    at least one key kills multiple rows across data files (the
+    one-key-many-rows semantics positional deletes can't express in one
+    row), and the anti-join read drops exactly the keyed rows."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _EQ_DEL_FLAG,
+        _scratch,
+    )
+
+    QUERIES["io_equality_deletes"](spark, SF_DIR).collect()
+    base = spark.read.parquet(_scratch(SF_DIR, "eq_base"))
+    dk = spark.read.parquet(_scratch(SF_DIR, "eq_deletes"))
+    assert dk.columns == ["l_orderkey"]
+    con = duckdb.connect()
+    n_keys, n_rows_killed, max_per_key = con.execute(
+        f"""SELECT count(DISTINCT l_orderkey),
+                   count(*),
+                   max(c) FROM (
+              SELECT l_orderkey, count(*) OVER (PARTITION BY l_orderkey) c
+              FROM read_parquet(?) WHERE l_returnflag = '{_EQ_DEL_FLAG}')""",
+        [f"{SF_DIR}/lineitem.parquet"],
+    ).fetchone()
+    assert dk.count() == dk.distinct().count() == n_keys > 0
+    assert max_per_key > 1  # a key kills multiple rows — the point
+    # every lineitem row of a deleted order dies, even rows whose own
+    # returnflag differs
+    live = base.join(dk, "l_orderkey", "left_anti")
+    killed_true = con.execute(
+        f"""SELECT count(*) FROM read_parquet(?) l
+            WHERE EXISTS (SELECT 1 FROM read_parquet(?) k
+                          WHERE k.l_returnflag = '{_EQ_DEL_FLAG}'
+                            AND k.l_orderkey = l.l_orderkey)""",
+        [f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/lineitem.parquet"],
+    ).fetchone()[0]
+    assert base.count() - live.count() == killed_true > n_rows_killed
+
+
+def test_io_time_travel_changes_reads_only_the_delta(spark):
+    """The incremental-read contract: changes 1→2 are exactly the rows
+    the new delete file names (all 'D'), changes 2→3 exactly the
+    appended file's rows (all 'I'), and each span's change set comes
+    from the manifest DIFF — no change type leaks across spans."""
+    from hackatonbigdata_spark.operators.io_queries import (
+        _build_tt_layout,
+        _scratch,
+        read_changes,
+    )
+
+    _build_tt_layout(spark, SF_DIR)
+    base_dst = _scratch(SF_DIR, "tt_base")
+    man_dst = _scratch(SF_DIR, "tt_manifest")
+    base = spark.read.parquet(base_dst)
+    dels = spark.read.parquet(_scratch(SF_DIR, "tt_deletes"))
+    app = spark.read.parquet(_scratch(SF_DIR, "tt_append"))
+
+    c12 = read_changes(spark, man_dst, base_dst, 1, 2)
+    assert c12.select("change").distinct().collect() == [("D",)]
+    assert c12.count() == dels.count() > 0
+    key = ["file_id", "pos"]
+    assert sorted(map(tuple, c12.select(*key).collect())) == sorted(
+        map(tuple, base.join(dels, key, "left_semi").select(*key).collect())
+    )
+    c23 = read_changes(spark, man_dst, base_dst, 2, 3)
+    assert c23.select("change").distinct().collect() == [("I",)]
+    assert sorted(map(tuple, c23.select(*key).collect())) == sorted(
+        map(tuple, app.select(*key).collect())
+    )
