@@ -221,6 +221,7 @@ HEADLINE = [
     "sketch_kll_quantiles",           # r12: bounded quantile sketch
     "io_time_travel_changes",         # r12: incremental changes-between read
     "io_equality_deletes",            # r12: key-valued equality deletes
+    "similarity_nndescent_build",     # r12: NN-descent graph construction
 ]
 
 

@@ -73,13 +73,14 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed TWO further operators beyond the window budget
-    # (io_time_travel_changes, io_equality_deletes — both fully oracled
-    # and pytest-proven at sf0.001/sf0.01); per this plan's carry rule
-    # they sit at positions 51-52 and LEAD the r13 window.  After this
-    # rotation the oldest driver evidence is r7; the r13 window should
-    # lead with those two carried names plus r13-new/edited names, then
-    # burn the r7-latest backlog in registration order (oracled first).
+    # exactly.  r12 landed THREE further operators beyond the window
+    # budget (io_time_travel_changes, io_equality_deletes,
+    # similarity_nndescent_build — all fully oracled and pytest-proven
+    # at sf0.001/sf0.01); per this plan's carry rule they sit at
+    # positions 51-53 and LEAD the r13 window.  After this rotation the
+    # oldest driver evidence is r7; the r13 window should lead with
+    # those three carried names plus r13-new/edited names, then burn
+    # the r7-latest backlog in registration order (oracled first).
     # --- round 12: new queries -------------------------------------------
     "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
     "io_mor_compact",  # r12 NEW: merge-on-read delete-file compaction
@@ -137,6 +138,7 @@ _PRIORITY: list[str] = [
     # --- r12 overflow: carried to lead the r13 window (positions 51+) -----
     "io_time_travel_changes",  # r12 NEW: incremental changes-between read
     "io_equality_deletes",  # r12 NEW: Iceberg-style key-valued deletes
+    "similarity_nndescent_build",  # r12 NEW: sub-quadratic k-NN graph build
 ]
 
 

@@ -417,5 +417,6 @@ def test_round12_ops_stay_jvm_side(spark):
         "sketch_kll_quantiles",
         "io_time_travel_changes",
         "io_equality_deletes",
+        "similarity_nndescent_build",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

@@ -474,3 +474,112 @@ def test_io_time_travel_changes_reads_only_the_delta(spark):
     assert sorted(map(tuple, c23.select(*key).collect())) == sorted(
         map(tuple, app.select(*key).collect())
     )
+
+
+def _nnd_python():
+    """Pure-Python rederivation of similarity_nndescent_build: the
+    pair-hash bucket init, the forward+reverse NN-descent rounds, and
+    the sampled edge-recall readout."""
+    import hashlib
+    import math
+
+    from hackatonbigdata_spark.operators.llm import (
+        _NND_BUCKETS,
+        _NND_DEG,
+        _NND_ROUNDS,
+        _NND_SAMPLE_MOD,
+    )
+    from tests.test_r10_semantics import _load_embeddings, _r4, _seq_dot
+
+    emb = _load_embeddings()
+    ids = sorted(emb)
+    nrm = {v: math.sqrt(_seq_dot(e, e)) for v, e in emb.items()}
+
+    def cos(a, b):
+        return _r4(_seq_dot(emb[a], emb[b]) / (nrm[a] * nrm[b]))
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    bucket = {v: h32(str(v)) % _NND_BUCKETS for v in ids}
+    g = {
+        v: [
+            u
+            for u in sorted(
+                (u for u in ids if u != v and bucket[u] == bucket[v]),
+                key=lambda u: (
+                    hashlib.md5(f"{v}:{u}".encode()).hexdigest(),
+                    u,
+                ),
+            )
+        ][:_NND_DEG]
+        for v in ids
+    }
+    out = {}
+    scored = {0: 0}
+    snapshot = {0: {v: list(nbs) for v, nbs in g.items()}}
+    for r in range(1, _NND_ROUNDS + 1):
+        cand = {v: set() for v in ids}
+        for v in ids:
+            for u in g[v]:
+                cand[v].add(u)  # direct
+                cand[u].add(v)  # reverse
+                for w in g[u]:
+                    if w != v:
+                        cand[v].add(w)  # neighbor-of-neighbor
+            for u1 in g[v]:
+                for u2 in g[v]:
+                    if u1 != u2:
+                        cand[u1].add(u2)  # co-neighbors
+        for v in ids:
+            cand[v].discard(v)
+        scored[r] = sum(len(c) for c in cand.values())
+        g = {
+            v: sorted(cand[v], key=lambda u: (-cos(v, u), u))[:_NND_DEG]
+            for v in ids
+        }
+        snapshot[r] = {v: list(nbs) for v, nbs in g.items()}
+    true_g = {
+        v: set(
+            sorted((u for u in ids if u != v), key=lambda u: (-cos(v, u), u))[
+                :_NND_DEG
+            ]
+        )
+        for v in ids
+        if v % _NND_SAMPLE_MOD == 0
+    }
+    for r, gr in snapshot.items():
+        sampled = [v for v in ids if v % _NND_SAMPLE_MOD == 0]
+        n_true = sum(len(set(gr[v]) & true_g[v]) for v in sampled)
+        out[r] = (
+            len(sampled),
+            n_true,
+            _r4(n_true / (len(sampled) * _NND_DEG)),
+            scored[r],
+        )
+    return out
+
+
+def test_similarity_nndescent_build_matches_python(spark):
+    """The full NN-descent refinement replayed in pure Python must match
+    the Spark cascade round for round — and the curve must show the
+    operator's pinned transferable invariants: edge recall strictly
+    climbs over the hash-init baseline while the per-round scored pool
+    stays a small fraction of the n² pair count."""
+    expected = _nnd_python()
+    rows = {
+        r.round: (r.n_sampled_nodes, r.n_true_edges, r.edge_recall, r.n_scored)
+        for r in QUERIES["similarity_nndescent_build"](spark, SF_DIR).collect()
+    }
+    assert rows == expected
+    from hackatonbigdata_spark.operators.llm import _NND_ROUNDS
+
+    n = 500
+    rec = {r: rows[r][2] for r in rows}
+    assert rec[_NND_ROUNDS] > rec[0] * 3  # climbs well over the baseline
+    assert all(rec[r] >= rec[r - 1] for r in range(1, _NND_ROUNDS + 1))
+    # cost: every round's pool is a small fraction of the n² pairs
+    assert all(
+        rows[r][3] < 0.2 * n * (n - 1) for r in range(1, _NND_ROUNDS + 1)
+    )
+    assert rows[0][3] == 0  # the init scores nothing
