@@ -798,11 +798,20 @@ def compact_mor_deletes(spark: SparkSession, base_dst: str, del_dst: str) -> dic
     applied once, at compaction time), leave every other data file
     physically untouched, and retire the delete file.  The write goes
     through a staging directory and per-partition-directory swap —
-    ``upsert_parquet``'s crash-safe-swap move scoped to the touched
-    files, so the lazy source read is never overwritten mid-write and an
-    interruption leaves either the old or the new copy of each file.
+    ``upsert_parquet``'s staged-swap move scoped to the touched files,
+    so the lazy source read is never overwritten mid-write; the
+    rename-aside recovery artifact lives OUTSIDE the table directory
+    (a ``file_id=N__old`` sibling inside it would corrupt partition
+    discovery), and an interruption never loses data — each file is
+    either live or intact in the recovery sibling awaiting re-promotion
+    (the two renames are not jointly atomic; a real table format makes
+    this window disappear behind its metadata commit).  A file whose
+    rows are ALL deleted is retired outright — dynamic partitionBy
+    writes no staging directory for an empty partition, and removing
+    the file is exactly what compacting a fully-dead file means.
 
-    Returns {"affected": [file_id...], "n_files_rewritten": int}.
+    Returns {"affected": [file_id...], "n_files_rewritten": int,
+    "n_files_retired": int}.
 
     Scale: compaction cost is O(rows in files-with-deletes), never a
     table rewrite — exactly Iceberg's rewrite_position_delete_files +
@@ -828,14 +837,23 @@ def compact_mor_deletes(spark: SparkSession, base_dst: str, del_dst: str) -> dic
         .partitionBy("file_id")
         .parquet(staging)
     )
+    n_retired = 0
     for fid in affected:
         live_dir = os.path.join(base_dst, f"file_id={fid}")
         new_dir = os.path.join(staging, f"file_id={fid}")
-        old_dir = live_dir + "__old"
+        # recovery artifact OUTSIDE the table directory: a leftover
+        # file_id=N__old INSIDE base_dst would poison partition discovery
+        old_dir = base_dst.rstrip("/") + f"__old_file_id_{fid}"
         if os.path.exists(old_dir):
             shutil.rmtree(old_dir)
         os.rename(live_dir, old_dir)
-        os.rename(new_dir, live_dir)
+        if os.path.exists(new_dir):
+            os.rename(new_dir, live_dir)
+        else:
+            # every row of this file was deleted: the rewrite is empty
+            # and dynamic partitionBy wrote no staging dir — retire the
+            # file entirely
+            n_retired += 1
         shutil.rmtree(old_dir)
     shutil.rmtree(staging)
     # retire the delete file: post-compaction the layout carries zero
@@ -843,7 +861,11 @@ def compact_mor_deletes(spark: SparkSession, base_dst: str, del_dst: str) -> dic
     spark.createDataFrame([], "file_id int, pos long").write.mode(
         "overwrite"
     ).parquet(del_dst)
-    return {"affected": affected, "n_files_rewritten": len(affected)}
+    return {
+        "affected": affected,
+        "n_files_rewritten": len(affected) - n_retired,
+        "n_files_retired": n_retired,
+    }
 
 
 @register(
@@ -946,18 +968,31 @@ def read_snapshot(
     )
     # bounded metadata collect: a manifest row per file (~10 per snapshot)
     rows = m.collect()
+    # in-base means UNDER the base directory — a raw prefix test would
+    # also catch siblings like {base}__compact_staging or {base}2 and
+    # feed them the wrong basePath
+    base_prefix = base_path.rstrip("/") + "/"
     data_in_base = [
-        r.path for r in rows if r.kind == "data" and r.path.startswith(base_path)
+        r.path
+        for r in rows
+        if r.kind == "data" and r.path.startswith(base_prefix)
     ]
     data_outside = [
         r.path
         for r in rows
-        if r.kind == "data" and not r.path.startswith(base_path)
+        if r.kind == "data" and not r.path.startswith(base_prefix)
     ]
     del_paths = [r.path for r in rows if r.kind == "delete"]
-    df = spark.read.option("basePath", base_path).parquet(*data_in_base)
+    df = None
+    if data_in_base:
+        df = spark.read.option("basePath", base_path).parquet(*data_in_base)
     for p in data_outside:
-        df = df.unionByName(spark.read.parquet(p).select(*df.columns))
+        nxt = spark.read.parquet(p)
+        df = nxt if df is None else df.unionByName(nxt.select(*df.columns))
+    if df is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} names no data files in {manifest_path}"
+        )
     if del_paths:
         dels = spark.read.parquet(*del_paths)
         df = df.join(dels, ["file_id", "pos"], "left_anti")
@@ -1134,6 +1169,15 @@ def read_changes(
         base = spark.read.option("basePath", base_path).parquet(base_path)
         killed = base.join(dels, ["file_id", "pos"], "left_semi")
         parts.append(killed.withColumn("change", F.lit("D")))
+    if not parts:
+        # an unchanged span is a valid CDC read: zero change rows, not
+        # an error — keep the schema a consumer of any span would see
+        return (
+            spark.read.option("basePath", base_path)
+            .parquet(base_path)
+            .limit(0)
+            .withColumn("change", F.lit("I"))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1188,8 +1232,7 @@ def io_time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/experiment_tracking/enhanced_mlflow.py:420-430
     get_run_comparison); this is the read that makes the delta a
     first-class, file-pruned query."""
-    _, _, _, man_dst = _build_tt_layout(spark, sf_dir)
-    base_dst = _scratch(sf_dir, "tt_base")
+    base_dst, _, _, man_dst = _build_tt_layout(spark, sf_dir)
     out = None
     for s_from, s_to in ((1, 2), (2, 3)):
         ch = read_changes(spark, man_dst, base_dst, s_from, s_to)

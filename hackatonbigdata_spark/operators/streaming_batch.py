@@ -2524,6 +2524,12 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl = r.filter((F.col("c") > KLL_K) & (F.col("rn") % 2 == 1)).select(
             "d", "v", "id"
         )
+        # every remaining level is empty once no day overflowed here —
+        # stop instead of running the full fixed unroll's empty jobs
+        # (the DuckDB oracle keeps the fixed 14-level unroll; trailing
+        # empty levels contribute nothing, so the results are identical)
+        if lvl.isEmpty():
+            break
     retained.append(
         lvl.select(
             "d", "v", "id", F.lit(2**KLL_LEVELS).cast("long").alias("w")

@@ -101,6 +101,7 @@ def test_io_mor_compact_layout(spark):
 
     assert stats["affected"] == sorted(_MC_DEL_FIDS)
     assert stats["n_files_rewritten"] == len(_MC_DEL_FIDS)
+    assert stats["n_files_retired"] == 0
     after_hashes = {
         fid: _dir_file_hashes(os.path.join(base_dst, f"file_id={fid}"))
         for fid in range(_MC_FILES)
@@ -583,3 +584,127 @@ def test_similarity_nndescent_build_matches_python(spark):
         rows[r][3] < 0.2 * n * (n - 1) for r in range(1, _NND_ROUNDS + 1)
     )
     assert rows[0][3] == 0  # the init scores nothing
+
+
+def test_io_mor_compact_retires_fully_dead_files(spark):
+    """Compaction edge case: a delete file that kills EVERY row of a
+    base file must retire that file outright (dynamic partitionBy
+    writes no staging dir for an empty rewrite), never crash mid-swap
+    or leave a recovery dir inside the table path — and the surviving
+    read must still be exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _scratch,
+        _stamp_mor,
+        compact_mor_deletes,
+    )
+    from hackatonbigdata_spark.catalog import Catalog
+
+    t = Catalog(spark, SF_DIR)
+    base_dst = _scratch(SF_DIR, "test_mc_dead_base")
+    del_dst = _scratch(SF_DIR, "test_mc_dead_deletes")
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    (
+        _stamp_mor(li, 4)
+        .repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    # kill ALL of file 1, and a slice of file 2
+    (
+        base.filter(
+            (F.col("file_id") == 1)
+            | ((F.col("file_id") == 2) & (F.col("l_quantity") >= 40))
+        )
+        .select("file_id", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dst)
+    )
+    expected = sorted(
+        map(
+            tuple,
+            base.join(
+                spark.read.parquet(del_dst), ["file_id", "pos"], "left_anti"
+            )
+            .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+            .collect(),
+        )
+    )
+    stats = compact_mor_deletes(spark, base_dst, del_dst)
+    assert stats["affected"] == [1, 2]
+    assert stats["n_files_retired"] == 1
+    assert stats["n_files_rewritten"] == 1
+    assert not os.path.exists(os.path.join(base_dst, "file_id=1"))
+    # no recovery/staging artifacts inside the table directory
+    assert all(
+        e.startswith(("file_id=", "_", "."))
+        for e in os.listdir(base_dst)
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(base_dst)
+            .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+            .collect(),
+        )
+    )
+    assert got == expected
+
+
+def test_read_changes_empty_span_is_zero_rows(spark):
+    """A snapshot span that adds no files is a valid CDC read: zero
+    change rows with the usual schema, not an error."""
+    from hackatonbigdata_spark.operators.io_queries import (
+        _build_tt_layout,
+        read_changes,
+    )
+
+    base_dst, _, _, man_dst = _build_tt_layout(spark, SF_DIR)
+    same = read_changes(spark, man_dst, base_dst, 2, 2)
+    assert same.count() == 0
+    assert "change" in same.columns
+
+
+def test_stamp_mor_matches_io_mor_deletes_identity(spark):
+    """``io_mor_deletes`` still carries its own inline (file_id, pos)
+    stamping (kept byte-stable this round — the query was
+    driver-verified in r11 and the refactor to ``_stamp_mor`` is
+    deferred to the r13 window); this pin proves the factored helper
+    assigns the IDENTICAL row identity, so the compaction/time-travel
+    layouts share the contract and any drift fails loudly."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _MOR_FILES,
+        _scratch,
+        _stamp_mor,
+        io_mor_deletes,
+    )
+    from hackatonbigdata_spark.catalog import Catalog
+
+    io_mor_deletes(spark, SF_DIR).collect()  # writes the r11 layout
+    legacy = spark.read.parquet(_scratch(SF_DIR, "mor_base")).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "file_id", "pos"
+    )
+    t = Catalog(spark, SF_DIR)
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    fresh = _stamp_mor(li, _MOR_FILES).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "file_id", "pos"
+    )
+    assert (
+        legacy.exceptAll(fresh).isEmpty() and fresh.exceptAll(legacy).isEmpty()
+    )
