@@ -708,3 +708,78 @@ def test_stamp_mor_matches_io_mor_deletes_identity(spark):
     assert (
         legacy.exceptAll(fresh).isEmpty() and fresh.exceptAll(legacy).isEmpty()
     )
+
+
+def test_mmr_oracle_survives_sparsified_sim_pool():
+    """The r12 oracle hardening under test: the step-k redundancy-max
+    lookup is now a LEFT join with a COALESCE(maxsel, 0) penalty, so a
+    candidate with NO sim row to any selected doc survives scoring with
+    a zero penalty (the Spark loop's convention) instead of silently
+    vanishing from the oracle.  Drive the actual ``_duck_mmr_steps``
+    CTE chain over a crafted pool whose ``ps`` is SPARSIFIED (one
+    candidate has no sim row at all) and pin it against a pure-Python
+    greedy MMR using the same no-contribution convention."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_MU,
+        _duck_mmr_steps,
+    )
+
+    # one query (vec_id=1), five candidates; candidate 50 has NO ps rows
+    cand = [(1, 10, 0.9), (1, 20, 0.8), (1, 30, 0.7), (1, 40, 0.65), (1, 50, 0.6)]
+    ps = [
+        (1, 20, 10, 0.95),  # 20 is redundant with 10
+        (1, 30, 10, 0.10),
+        (1, 40, 10, 0.20),
+        (1, 30, 20, 0.15),
+        (1, 40, 20, 0.05),
+        (1, 40, 30, 0.30),
+        # no rows for d=50 at all — the sparsified candidate
+        (1, 10, 20, 0.95),
+        (1, 10, 30, 0.10),
+        (1, 10, 40, 0.20),
+        (1, 20, 30, 0.15),
+        (1, 20, 40, 0.05),
+        (1, 30, 40, 0.30),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cand AS SELECT * FROM (VALUES "
+        + ",".join(map(str, cand))
+        + ") t(vec_id, nb, rel)"
+    )
+    con.execute(
+        "CREATE TABLE ps AS SELECT * FROM (VALUES "
+        + ",".join(map(str, ps))
+        + ") t(vec_id, d, s, sim)"
+    )
+    rows = con.execute(
+        f"WITH {_duck_mmr_steps()} "
+        f"SELECT mmr_rank, nb, round(score, 4) FROM sel{_MMR_K} ORDER BY 1"
+    ).fetchall()
+
+    # pure-Python greedy with the no-contribution convention
+    sims = {(d, s): v for _, d, s, v in ps}
+    rel = {nb: r for _, nb, r in cand}
+    selected, expect = [], []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for nb in sorted(rel):
+            if nb in selected:
+                continue
+            pool = [sims[(nb, s)] for s in selected if (nb, s) in sims]
+            pen = max(pool) if pool else 0.0
+            sc = _MMR_LAMBDA * rel[nb] - _MMR_MU * pen
+            if best is None or sc > best[1] + 1e-12:
+                best = (nb, sc)
+        if best is None:
+            break
+        selected.append(best[0])
+        expect.append((k, best[0], round(best[1], 4)))
+    assert [tuple(r) for r in rows] == expect
+    # the sparsified candidate MUST have been rankable (it has the
+    # lowest rel but zero penalty — with these sims it wins a slot)
+    assert 50 in [nb for _, nb, _ in expect]
