@@ -3,7 +3,7 @@
 The reference has no streaming; its closest analogs are threshold-based
 alerting off an event bus (/root/reference/src/monitoring/alerts.py:632-662)
 and a 5-minute alert rate-limit window
-(/root/reference/src/monitoring/alerts.py:399,482-491).  This module defines
+(/root/reference/src/monitoring/alerts.py:472-505).  This module defines
 the engine's event-time semantics on the ``events`` table as DataFrame
 queries whose results are identical whether executed in batch or incremental
 mode — tumbling/sliding/session windows, within-watermark dedup, late-data
@@ -53,7 +53,7 @@ GROUP BY 1, 2
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type — the batch form of
     ``groupBy(window("ts", "1 hour"), "event_type")``.  Windowed-rate
-    semantics from /root/reference/src/monitoring/alerts.py:399."""
+    semantics from /root/reference/src/monitoring/alerts.py:472-505 (_is_rate_limited)."""
     t = Catalog(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -290,7 +290,7 @@ FROM ranked WHERE rn = 1
 def stream_alert_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert rate-limiting: at most one error alert per user per 5-minute
     window, keeping the earliest
-    (/root/reference/src/monitoring/alerts.py:399,482-491)."""
+    (/root/reference/src/monitoring/alerts.py:472-505)."""
     t = Catalog(spark, sf_dir)
     errors = t.events.filter(F.col("event_type") == "error")
     w = W.partitionBy("user_id", F.window("ts", "5 minutes")).orderBy("ts", "event_id")
@@ -1280,7 +1280,7 @@ def stream_hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``streaming/jobs.py: heavyhitters_topk_stream``), which the streaming
     tests pin against this query (the sketch is exact whenever an hour's
     distinct-user count fits its k=32 counters).  Rate-per-entity alerting
-    shape from /root/reference/src/monitoring/alerts.py:399.
+    shape from /root/reference/src/monitoring/alerts.py:472-505 (_is_rate_limited).
 
     Scale: one keyed aggregate on (hour, user) with map-side partial
     counts, then a per-hour partitioned window limited by
@@ -1321,7 +1321,7 @@ def stream_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and beyond budget the tests pin the stream against the deterministic
     pure-Python estimator over the same hash space.  Per-entity
     cardinality monitoring shape from
-    /root/reference/src/monitoring/alerts.py:399 (rate alerting on
+    /root/reference/src/monitoring/alerts.py:472-505 (_is_rate_limited: rate alerting on
     distinct actors per window).
 
     Scale: Spark plans COUNT(DISTINCT) as a two-phase aggregate (partial
@@ -1649,7 +1649,7 @@ def stream_user_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming tests pin within the published DGIM bound of this query and
     EQUAL to the pure-Python fold of the same event sequence.
     Rate-per-entity trailing-window shape from
-    /root/reference/src/monitoring/alerts.py:399.
+    /root/reference/src/monitoring/alerts.py:472-505 (_is_rate_limited).
 
     Scale: one per-user max (map-side partial), one user-keyed join, one
     filtered count — the shuffle carries (user, ts) pairs; at 100 TB the
