@@ -881,3 +881,84 @@ def sample_weighted_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio_q",
         "sample_rank",
     )
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle="""
+WITH per_price AS (
+  SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS max_size_here
+  FROM part GROUP BY 1
+), sweep AS (
+  SELECT price, max_size_here,
+         max(max_size_here) OVER (
+           ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_cheaper
+  FROM per_price
+)
+SELECT p.p_partkey AS part_key,
+       round(p.p_retailprice, 4) AS price,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p JOIN sweep s ON p.p_retailprice = s.price
+WHERE p.p_size = s.max_size_here
+  AND (s.best_cheaper IS NULL OR s.best_cheaper < p.p_size)
+""",
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto SKYLINE over parts — every part not dominated on
+    (price low, size high): part q dominates p iff q is no pricier AND no
+    smaller, strictly better on at least one axis (ties on both axes
+    dominate neither, so duplicated optima all surface).  The
+    multi-objective shortlist behind "cheapest for its size class" — the
+    reference ranks by one weighted score
+    (/root/reference/src/models/ensemble_orchestrator.py's weight grids);
+    the skyline is the score-free frontier every such weighting would pick
+    from.
+
+    Implementation — dominance collapses to a PREFIX MAX over the price
+    axis in 2-D: p survives iff (a) p.size equals the max size AT its
+    exact price (same-price strict dominance) and (b) every strictly
+    cheaper price's max size is strictly below p.size (cheaper
+    non-strict dominance).  One keyed aggregate to the per-price table,
+    one running max over it, one semi-join back — no pairwise NOT-EXISTS
+    (quadratic) anywhere.
+
+    Scale: the fact-table pass is the groupBy(price) partial aggregate
+    (map-side combined) and the final per-price equi-join, for which the
+    sweep table BROADCASTS (|distinct prices| ≪ |parts|).  The prefix
+    max runs on the per-price table; its single-ordered-window stage is
+    |distinct prices|-sized, and if the price domain itself outgrew one
+    task the standard fix is the two-pass range-partitioned prefix max
+    (per-range maxes, broadcast the range prefix) — documented, not
+    needed at any plausible domain size.  Higher dimensions (3-D+) lose
+    the prefix-max collapse and use the local-skyline-then-global
+    pre-filter instead (a partition-local skyline is a superset filter:
+    every global skyline point is a local one)."""
+    t = Catalog(spark, sf_dir)
+    per_price = t.part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("long").alias("max_size_here")
+    )
+    sweep = per_price.withColumn(
+        "best_cheaper",
+        F.max("max_size_here").over(
+            W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return (
+        t.part.join(
+            F.broadcast(sweep), F.col("p_retailprice") == F.col("price")
+        )
+        .filter(
+            (F.col("p_size") == F.col("max_size_here"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("p_size"))
+            )
+        )
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            r4(F.col("p_retailprice")).alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )

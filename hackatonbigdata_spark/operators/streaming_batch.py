@@ -843,6 +843,96 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_full_outer",
+    oracle="""
+SELECT v.event_id AS view_id,
+       coalesce(v.user_id, p.user_id) AS user_id,
+       v.ts AS view_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds,
+       round(p.value, 4) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view') v
+FULL JOIN (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time FULL OUTER interval join — the third and last member of
+    the interval-join family (inner r7, left-outer r11): every matched
+    (view, purchase) pair, every view with no in-window purchase
+    null-extended once, AND every purchase with no same-user view in the
+    preceding 30 minutes null-extended once.  The left-outer query answers
+    "which touches converted"; this one also answers the inverse —
+    "which conversions are ORGANIC" (no attributable touch), the row a
+    left join silently drops.
+
+    This is the batch-checkable form of Structured Streaming's
+    stream-stream FULL OUTER join (live twin
+    ``streaming/jobs.py:interval_join_full_outer_stream``): BOTH sides
+    buffer in the state store, BOTH evict on the interval bound, and each
+    side's unmatched rows emit exactly once when the watermark passes its
+    eviction point — a view's at ``view_ts + 30min``, a purchase's at
+    ``purchase_ts`` itself (a matching view can be no later than the
+    purchase).  The multi-batch test pins both emissions plus late-match
+    conversion on each side.  Both event-type filters sit in subqueries,
+    NOT the ON clause: on a full join an ON-clause filter stops filtering
+    ENTIRELY — it would null-extend every non-view and non-purchase event
+    into a phantom row on both sides (the outer-join rewrite trap, now on
+    both flanks).
+
+    Scale: identical to the inner twin — one shuffle keyed on user_id per
+    side; the null extensions add no state; at 100 TB the stream form
+    holds ~watermark + interval width per side.
+
+    Reference parity: the two-sided orphan check the reference runs as two
+    separate set differences (/root/reference/src/data/clean_data.py:
+    303-322) produced in ONE pass alongside the matched pairs."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("interval 30 minutes")
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        "view_id",
+        # the preserved key lives on whichever side is non-null per row
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        # truncate-then-diff: DuckDB date_diff semantics, session-tz-free;
+        # null-propagating on BOTH unmatched sides
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
+        ).cast("long").alias("lag_seconds"),
+        r4("value").alias("purchase_value"),
+    )
+
+
+@register(
     "cdc_scd2_user_state",
     oracle="""
 WITH o AS (

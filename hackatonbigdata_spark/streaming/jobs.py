@@ -525,6 +525,71 @@ def interval_join_outer_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_full_outer_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both flanks of the outer
+    family at once: matched pairs emit as they join, a view with no
+    in-window purchase emits null purchase columns when the watermark
+    passes ``view_ts + 30min``, and a purchase with no same-user view in
+    the PRECEDING 30 minutes emits null view columns when the watermark
+    passes ``purchase_ts`` (its latest possible match is a view at the
+    purchase instant).  Each unmatched row emits exactly once, and a late
+    in-window arrival on EITHER side converts the would-be-null row into
+    a real pair — the multi-batch test pins all of it.  Live twin of the
+    oracled batch query ``stream_interval_join_full_outer`` (withWatermark
+    is a no-op in batch, so this one body serves both modes).
+
+    State held: ~watermark + interval width per side, keyed by user_id —
+    the same bound as the inner and left-outer twins; full-outer adds no
+    state, only the second flank's null emission on eviction.
+
+    Reference semantic precedent: the reference's TWO set-difference
+    orphan checks (/root/reference/src/data/clean_data.py:303-322) as one
+    continuous query — unmatched rows of BOTH tables produced
+    incrementally beside the matches."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts"
+            " AND purchase_ts <= view_ts + interval 30 minutes"
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        "view_id",
+        # the surviving key lives on whichever side is non-null per row
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        # same truncate-then-diff expression as the oracled batch twin;
+        # null-propagating on BOTH unmatched sides
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', view_ts),"
+            " date_trunc('SECOND', purchase_ts))"
+        ).cast("long").alias("lag_seconds"),
+        r4("value").alias("purchase_value"),
+    )
+
+
 def upsert_serving_table_stream(
     spark: SparkSession, sf_dir: str, target_path: str
 ) -> None:

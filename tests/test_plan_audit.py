@@ -76,6 +76,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "corpus_vocab_coverage": "prefix sums over DISTINCT frequencies — "
     "O(sqrt(total tokens)) rows for any corpus (the text_zipf_slope "
     "collapse)",
+    "pareto_skyline_parts": "prefix max over DISTINCT prices (the fact "
+    "table is aggregated away first; >domain-size fix documented in the "
+    "docstring: two-pass range-partitioned prefix max)",
 }
 
 

@@ -783,3 +783,42 @@ def test_mmr_oracle_survives_sparsified_sim_pool():
     # the sparsified candidate MUST have been rankable (it has the
     # lowest rel but zero penalty — with these sims it wins a slot)
     assert 50 in [nb for _, nb, _ in expect]
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """The skyline operator's prefix-max collapse vs the definition
+    itself: a pure-Python O(n^2) NOT-EXISTS dominance scan over the part
+    table (pulled through DuckDB, never the Spark code under test) must
+    produce exactly the operator's rows, and every excluded part must be
+    dominated by at least one skyline member."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT p_partkey, p_retailprice, p_size FROM"
+        f" '{SF_DIR}/part.parquet'"
+    ).fetchall()
+    def dominated(p, q):
+        # q dominates p: no pricier, no smaller, strict somewhere
+        return (
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+        )
+    want = {
+        p[0] for p in rows if not any(dominated(p, q) for q in rows)
+    }
+    got_rows = QUERIES["pareto_skyline_parts"](spark, SF_DIR).collect()
+    got = {r.part_key for r in got_rows}
+    assert got == want
+    # the frontier's defining property, re-checked from the output side
+    sky = [p for p in rows if p[0] in got]
+    for p in rows:
+        if p[0] not in got:
+            assert any(dominated(p, q) for q in sky)
+    # ties on both axes must ALL surface (non-strict dominance keeps both)
+    by_point = {}
+    for p in rows:
+        by_point.setdefault((p[1], p[2]), []).append(p[0])
+    for (price, size), keys in by_point.items():
+        if keys[0] in got:
+            assert all(k in got for k in keys)

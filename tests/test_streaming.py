@@ -388,6 +388,181 @@ def test_interval_join_outer_null_emission_and_late_match(spark, tmp_path):
     assert 12 not in per_view
 
 
+def test_interval_join_full_outer_stream_matches_batch(
+    spark, events_batch, tmp_path
+):
+    """Stream-stream FULL OUTER interval join over the corpus: matched
+    pairs equal the batch inner pairs; every batch-null view emits its
+    null-purchase row exactly once; every batch-null purchase emits its
+    null-view row exactly once (the flank the left join drops).  Corpus
+    restreamed with a far sentinel on BOTH sides plus a trigger file,
+    same discipline as the left-outer test — the sentinel watermark
+    passes every corpus view's window AND every corpus purchase's own
+    timestamp (a purchase's eviction point), so both null sets must be
+    complete."""
+    import time
+
+    src = str(tmp_path / "ivjoin_fo_corpus")
+    ev = events_batch.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.1)
+    max_ts = pd.Timestamp(events_batch.agg(F.max("ts")).first()[0])
+    far = max_ts + pd.Timedelta(hours=2)
+    sentinel = [
+        (10**9 + 1, far.to_pydatetime(), 10**9, "view", 1.0),
+        (10**9 + 2, far.to_pydatetime(), 10**9 + 1, "purchase", 1.0),
+    ]
+    spark.createDataFrame(
+        sentinel,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.1)
+    spark.createDataFrame(
+        [(10**9 + 3, far.to_pydatetime(), 10**9 + 2, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.interval_join_full_outer_stream(stream), "t_ivjoin_fo", "append"
+    )
+    got = _sorted_pdf(
+        spark.table("t_ivjoin_fo"), ["view_id", "purchase_id"]
+    )
+    # drop sentinel-touched rows (null ids survive the < comparison via fillna)
+    got = got[
+        (got["view_id"].fillna(0) < 10**9)
+        & (got["purchase_id"].fillna(0) < 10**9)
+    ].reset_index(drop=True)
+    batch = _sorted_pdf(
+        jobs.interval_join_full_outer_stream(events_batch),
+        ["view_id", "purchase_id"],
+    )
+    # matched pairs: exactly the batch inner pairs
+    gm = got[
+        got["purchase_id"].notna() & got["view_id"].notna()
+    ].reset_index(drop=True)
+    bm = batch[
+        batch["purchase_id"].notna() & batch["view_id"].notna()
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(gm, bm, rtol=1e-9)
+    # view flank: every batch-null view present, exactly once, none matched
+    gn_v = got[got["purchase_id"].isna()]
+    bn_v = batch[batch["purchase_id"].isna()]
+    assert gn_v["view_id"].is_unique
+    assert set(gn_v["view_id"]) == set(bn_v["view_id"])
+    assert not (set(gn_v["view_id"]) & set(gm["view_id"]))
+    # purchase flank: every batch-null purchase present, exactly once
+    gn_p = got[got["view_id"].isna()]
+    bn_p = batch[batch["view_id"].isna()]
+    assert gn_p["purchase_id"].is_unique
+    assert set(gn_p["purchase_id"]) == set(bn_p["purchase_id"])
+    assert not (set(gn_p["purchase_id"]) & set(gm["purchase_id"]))
+    # the null-view rows still carry the purchase-side key
+    assert gn_p["user_id"].notna().all()
+    assert len(gn_v) > 0 and len(gn_p) > 0 and len(gm) > 0
+
+
+def test_interval_join_full_outer_null_emission_and_late_match(
+    spark, tmp_path
+):
+    """Eviction semantics on BOTH flanks, crafted multi-batch stream:
+    an unmatched view null-extends once after the watermark passes
+    view_ts + 30min; an unmatched purchase null-extends once after the
+    watermark passes purchase_ts; a late in-window arrival on EITHER
+    side (purchase-after-view or view-after-purchase across batches)
+    converts the would-be-null row into a real pair; rows whose
+    eviction point the watermark never passes stay withheld."""
+    import time
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def m(minutes):
+        return base + pd.Timedelta(minutes=minutes)
+
+    batches = [
+        # b1: V1 matches in b2; V2 never matches; V3 matches in b3 (late
+        # purchase); P2 (user 5) matches a view that only ARRIVES in b3
+        [
+            (1, m(0), 1, "view"),
+            (2, m(0), 2, "view"),
+            (3, m(2), 3, "view"),
+            (20, m(5), 5, "purchase"),
+        ],
+        # b2: V1's purchase; P1 (user 4) never finds a view
+        [(10, m(10), 1, "purchase"), (21, m(10), 4, "purchase")],
+        # b3: V3's late purchase; P2's late view — event-time m(1) is
+        # before P2's m(5) and inside its 30-minute lookback, and it is
+        # above the current watermark (m(0) after b2), so it joins
+        [(11, m(25), 3, "purchase"), (4, m(1), 5, "view")],
+        # b4: far events on BOTH sides push the global watermark to
+        # m(80), past V2's window close (m(30)) and P1's own timestamp
+        # (m(10)); the far rows' own eviction points stay ahead of it
+        [(12, m(90), 9, "view"), (13, m(90), 8, "purchase")],
+        # b5: pure trigger — eviction flushes in the batch after the
+        # watermark advanced
+        [(14, m(91), 7, "click")],
+    ]
+    src = str(tmp_path / "ivjoin_fo_src")
+    for rows in batches:
+        pdf = spark.createDataFrame(
+            [
+                (eid, ts.to_pydatetime(), uid, et, 1.0)
+                for eid, ts, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct mtimes → deterministic batch order
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    jobs.run_to_memory(
+        jobs.interval_join_full_outer_stream(stream),
+        "t_ivjoin_fo_nulls",
+        "append",
+    )
+    got = spark.table("t_ivjoin_fo_nulls").toPandas()
+    # V1: matched next batch — one pair, no null row
+    v1 = got[got["view_id"] == 1]
+    assert len(v1) == 1 and v1["purchase_id"].iloc[0] == 10
+    # V2: never matched — exactly one null-purchase row after eviction
+    v2 = got[got["view_id"] == 2]
+    assert len(v2) == 1 and pd.isna(v2["purchase_id"].iloc[0])
+    assert pd.isna(v2["lag_seconds"].iloc[0])
+    # V3: late in-window purchase converted it — one pair, never a null
+    v3 = got[got["view_id"] == 3]
+    assert len(v3) == 1 and v3["purchase_id"].iloc[0] == 11
+    # P2: the view arrived two batches after the purchase, still in
+    # window — converted on the purchase flank, no null-view row
+    p2 = got[got["purchase_id"] == 20]
+    assert len(p2) == 1 and p2["view_id"].iloc[0] == 4
+    # P1: never found a view — exactly one null-view row, key preserved
+    p1 = got[got["purchase_id"] == 21]
+    assert len(p1) == 1 and pd.isna(p1["view_id"].iloc[0])
+    assert p1["user_id"].iloc[0] == 4 and pd.isna(p1["lag_seconds"].iloc[0])
+    # far rows: eviction points (m(120) view / m(90) purchase) are past
+    # the final watermark m(80-81) → both withheld in the state store
+    assert 12 not in set(got["view_id"].dropna())
+    assert 13 not in set(got["purchase_id"].dropna())
+
+
 def test_transition_counts_stream_matches_batch(spark, events_stream, events_batch):
     """Stateful streaming transition extraction aggregates to exactly the
     batch seq_event_transitions counts."""
