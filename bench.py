@@ -222,6 +222,9 @@ HEADLINE = [
     "io_time_travel_changes",         # r12: incremental changes-between read
     "io_equality_deletes",            # r12: key-valued equality deletes
     "similarity_nndescent_build",     # r12: NN-descent graph construction
+    "stream_interval_join_full_outer",  # r12: both-flank outer interval join
+    "pareto_skyline_parts",           # r12: 2-D skyline via prefix max
+    "attribution_markov_removal",     # r12: Markov removal-effect attribution
 ]
 
 

@@ -1105,3 +1105,224 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_antecedent") * F.col("n_consequent"))
         ).alias("lift"),
     )
+
+
+_MK_ITERS = 12
+_MK_SCALE = 1_000_000_000_000  # picoprob integer units
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    """Unrolled fixed-iteration absorbing-chain conversion probability in
+    exact integer arithmetic (the ``_pagerank_oracle`` discipline):
+    probabilities are BIGINT picoprobs, each step's weighted average uses
+    round-half-up integer division ((2s + t) // 2t) on non-negative
+    operands, so the 12-step trajectory is bit-identical across engines."""
+    chans = ", ".join(f"('{c}')" for c in _MK_CHANNELS)
+    sql = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pair_t AS (
+  SELECT CASE WHEN prev_type IS NULL OR prev_type = 'purchase'
+              THEN 'START' ELSE prev_type END AS src,
+         CASE WHEN event_type = 'purchase' THEN 'CONV'
+              ELSE event_type END AS dst
+  FROM seq
+), last_t AS (
+  SELECT event_type AS src, 'DROP' AS dst
+  FROM (SELECT event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+  WHERE rn = 1 AND event_type <> 'purchase'
+), trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT src, dst FROM pair_t
+        UNION ALL SELECT src, dst FROM last_t) u
+  GROUP BY 1, 2
+), scen AS (
+  SELECT scenario FROM (VALUES ('base'), {chans}) s(scenario)
+), strans AS (
+  SELECT s.scenario, t.src,
+         CASE WHEN t.dst = s.scenario THEN 'DROP' ELSE t.dst END AS dst,
+         CAST(sum(t.n) AS BIGINT) AS n
+  FROM scen s CROSS JOIN trans t
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT scenario, src, CAST(sum(n) AS BIGINT) AS total
+  FROM strans GROUP BY 1, 2
+), states AS (
+  SELECT DISTINCT scenario, state FROM (
+    SELECT scenario, src AS state FROM strans
+    UNION ALL SELECT scenario, dst AS state FROM strans) z
+), p0 AS (
+  SELECT scenario, state,
+         CASE WHEN state = 'CONV' THEN CAST({_MK_SCALE} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS p
+  FROM states
+)"""
+    for i in range(1, _MK_ITERS + 1):
+        sql += f""",
+p{i} AS (
+  SELECT st.scenario, st.state,
+         CASE WHEN st.state = 'CONV' THEN CAST({_MK_SCALE} AS BIGINT)
+              WHEN st.state = 'DROP' THEN CAST(0 AS BIGINT)
+              ELSE CAST((2 * coalesce(acc.a, 0) + t.total)
+                        // (2 * t.total) AS BIGINT) END AS p
+  FROM states st
+  LEFT JOIN (SELECT c.scenario, c.src, sum(c.n * q.p) AS a
+             FROM strans c JOIN p{i - 1} q
+               ON q.scenario = c.scenario AND q.state = c.dst
+             GROUP BY 1, 2) acc
+    ON acc.scenario = st.scenario AND acc.src = st.state
+  LEFT JOIN tot t ON t.scenario = st.scenario AND t.src = st.state
+)"""
+    sql += f""",
+conv AS (
+  SELECT scenario, p AS conv_pico FROM p{_MK_ITERS} WHERE state = 'START'
+), re AS (
+  SELECT c.scenario AS channel,
+         b.conv_pico AS conv_base_pico,
+         c.conv_pico AS conv_removed_pico,
+         CAST(greatest(b.conv_pico - c.conv_pico, 0) AS BIGINT)
+           AS removal_pico
+  FROM conv c
+  CROSS JOIN (SELECT conv_pico FROM conv WHERE scenario = 'base') b
+  WHERE c.scenario <> 'base'
+), tc AS (
+  SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+)
+SELECT r.channel, tc.n_touches, r.conv_base_pico, r.conv_removed_pico,
+       r.removal_pico,
+       round(r.removal_pico * 1.0
+             / nullif(sum(r.removal_pico) OVER (), 0), 4) AS attribution
+FROM re r JOIN tc ON tc.channel = r.channel
+"""
+    return sql
+
+
+@register("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2016) — the
+    data-driven counterpart of ``attribution_multitouch_linear``'s
+    position-free equal split: model each user's event stream as an
+    absorbing Markov chain (START → touch channels → CONV on purchase /
+    DROP at stream end, a purchase restarting the journey), and credit
+    each channel by how much the 12-step conversion probability FALLS
+    when every transition into that channel is redirected to DROP — "what
+    fraction of conversions does this channel carry".  Attribution is
+    each channel's clamped removal effect over the channel total.
+
+    Exactness: transition counts are exact integers; absorption
+    probabilities are BIGINT picoprobs iterated {iters} fixed steps with
+    round-half-up integer division (non-negative operands, so Spark
+    ``div``, DuckDB ``//``, and Python ``//`` all floor identically) —
+    the ``graph_pagerank_parts`` discipline, so the whole trajectory is
+    bit-identical in the oracle's unrolled CTE chain.  12 steps is the
+    documented spec (P(convert within 12 transitions)), not a float
+    fixpoint tolerance.  Every transient state has an outgoing total by
+    construction: any channel appearing as a destination is an event
+    that itself either transitions onward or emits a terminal DROP row.
+
+    Scale: the fact-table work is ONE lag window and ONE row_number
+    window (both user-keyed) plus a keyed count — the same passes
+    ``seq_event_transitions`` makes.  The absorption loop runs on the
+    driver over the collected transition table, which is bounded by the
+    STATE SPACE (|event types|² + scenarios ≤ ~180 rows), never by data
+    volume — the ``corpus_doremi_weights`` driver-held-state discipline;
+    results re-attach as literal maps over the per-channel aggregate.
+
+    Reference parity: the reference walks per-user sequences in Python
+    for behavioral counts (/root/reference/src/features/
+    behavioral_features_engine.py:380-430); this generalizes the walk
+    into the marketing-standard attribution model."""
+    t = Catalog(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id", "event_type")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(wseq))
+    pair_t = seq.select(
+        F.when(
+            F.col("prev_type").isNull() | (F.col("prev_type") == "purchase"),
+            F.lit("START"),
+        )
+        .otherwise(F.col("prev_type"))
+        .alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    wlast = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_t = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("src"), F.lit("DROP").alias("dst"))
+    )
+    trans_rows = [
+        (r["src"], r["dst"], r["n"])
+        for r in pair_t.union(last_t)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    ]
+    # driver-held integer absorption over the state-space-bounded table
+    scenarios = ["base", *_MK_CHANNELS]
+    conv = {}
+    for scen in scenarios:
+        counts: dict[tuple[str, str], int] = {}
+        for s, d, n in trans_rows:
+            dd = "DROP" if d == scen else d
+            counts[(s, dd)] = counts.get((s, dd), 0) + n
+        tot: dict[str, int] = {}
+        for (s, _), n in counts.items():
+            tot[s] = tot.get(s, 0) + n
+        states = {s for s, _ in counts} | {d for _, d in counts}
+        p = {st: (_MK_SCALE if st == "CONV" else 0) for st in states}
+        for _ in range(_MK_ITERS):
+            acc: dict[str, int] = {}
+            for (s, d), n in counts.items():
+                acc[s] = acc.get(s, 0) + n * p[d]
+            p = {
+                st: (
+                    _MK_SCALE
+                    if st == "CONV"
+                    else 0
+                    if st == "DROP"
+                    else (2 * acc.get(st, 0) + tot[st]) // (2 * tot[st])
+                )
+                for st in states
+            }
+        conv[scen] = p.get("START", 0)
+    base_p = conv["base"]
+    removal = {c: max(base_p - conv[c], 0) for c in _MK_CHANNELS}
+    total_re = sum(removal.values())
+    m_removed = F.create_map(
+        *[F.lit(x) for c in _MK_CHANNELS for x in (c, conv[c])]
+    )
+    m_removal = F.create_map(
+        *[F.lit(x) for c in _MK_CHANNELS for x in (c, removal[c])]
+    )
+    tc = (
+        t.events.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    )
+    removal_col = m_removal[F.col("channel")].cast("long")
+    attribution = (
+        r4(removal_col * F.lit(1.0) / F.lit(total_re))
+        if total_re > 0
+        else F.lit(None).cast("double")
+    )
+    return tc.select(
+        "channel",
+        "n_touches",
+        F.lit(base_p).cast("long").alias("conv_base_pico"),
+        m_removed[F.col("channel")].cast("long").alias("conv_removed_pico"),
+        removal_col.alias("removal_pico"),
+        attribution.alias("attribution"),
+    )
