@@ -225,6 +225,7 @@ HEADLINE = [
     "stream_interval_join_full_outer",  # r12: both-flank outer interval join
     "pareto_skyline_parts",           # r12: 2-D skyline via prefix max
     "attribution_markov_removal",     # r12: Markov removal-effect attribution
+    "io_bloom_skip_lookup",           # r12: Bloom-indexed point-lookup skipping
 ]
 
 

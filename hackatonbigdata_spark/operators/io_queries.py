@@ -1352,3 +1352,158 @@ def io_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
         )
     )
+
+
+_BLOOM_FILE_M = 16384  # bits per file index (~2 KiB; ~12 bits/key/file at
+#                        sf0.01 -> per-file false-positive rate ~0.2%)
+_BLOOM_FILE_K = 4  # hash functions (same md5 j:key rule as the stream twins)
+_BLOOM_FILES = 16  # hash-distributed data files
+
+
+def _bloom_file_index(spark: SparkSession, path: str) -> dict[str, set[int]]:
+    """Per-file Bloom bit sets over ``o_custkey`` — the file-level index a
+    parquet bloom filter / Delta bloom index stores in the footer or
+    sidecar.  Bounded driver collect: |files| × ≤ {m} positions, metadata
+    scale, never row scale."""
+    from pyspark.sql import functions as FF  # local alias for clarity
+
+    jj = spark.range(_BLOOM_FILE_K).select(FF.col("id").cast("int").alias("j"))
+    pos = (
+        FF.conv(
+            FF.substring(
+                FF.md5(
+                    FF.concat(
+                        FF.col("j").cast("string"),
+                        FF.lit(":"),
+                        FF.col("o_custkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_FILE_M
+    )
+    rows = (
+        spark.read.parquet(path)
+        .select(FF.input_file_name().alias("f"), "o_custkey")
+        .distinct()
+        .crossJoin(jj)
+        .select("f", pos.alias("b"))
+        .distinct()
+        .groupBy("f")
+        .agg(FF.collect_set("b").alias("bits"))
+        .collect()
+    )
+    return {r["f"]: set(r["bits"]) for r in rows}
+
+
+def _bloom_probe_positions(key: int) -> list[int]:
+    """The SAME md5 j:key rule, driver-side (md5 is md5 — bit-identical
+    to the Spark expression in ``_bloom_file_index``)."""
+    import hashlib  # noqa: PLC0415 — driver-side only
+
+    return [
+        int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:8], 16)
+        % _BLOOM_FILE_M
+        for j in range(_BLOOM_FILE_K)
+    ]
+
+
+@register(
+    "io_bloom_skip_lookup",
+    oracle="""
+WITH probes AS (
+  SELECT probe_key FROM (
+    SELECT DISTINCT o_custkey AS probe_key FROM orders ORDER BY 1 LIMIT 3) a
+  UNION ALL SELECT max(o_custkey) + 1 FROM orders
+  UNION ALL SELECT max(o_custkey) + 2 FROM orders
+)
+SELECT p.probe_key,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 4) AS sum_total
+FROM probes p LEFT JOIN orders o ON o.o_custkey = p.probe_key
+GROUP BY 1
+""",
+)
+def io_bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEXED file skipping for point lookups — the third member of
+    the skipping ladder: min/max ranges (``io_clustered_stats_prune``)
+    need the key clustered, z-order (``io_zorder_prune``) needs it in the
+    layout's dimension budget, but a HASH-DISTRIBUTED table (the layout
+    co-located joins want) scatters every key across all files and makes
+    both useless — every file's min/max spans the whole domain.  The fix
+    real formats ship (parquet column bloom filters, Delta bloom
+    indexes): a per-file Bloom filter over the lookup column, consulted
+    before the scan.  This query hash-distributes ``orders`` into
+    {files} files, builds a {m}-bit / {k}-hash per-file index with the
+    engine-shared md5 ``j:key`` rule (``sketch_params`` discipline, same
+    hash as ``stream_hourly_bloom``), then answers point lookups for 5
+    probe customers (3 present — the smallest custkeys — and 2 absent)
+    by reading ONLY the files whose filter claims all {k} bits of a
+    probe.  Matching the oracle's LEFT-JOIN aggregate over the ORIGINAL
+    table proves the pruned read lossless: Bloom filters have NO false
+    negatives (every true containing file is always read — the dedicated
+    layout test pins this inclusion), and the exact predicate re-applies
+    after the read so false positives only cost I/O.
+
+    Exactness: bit positions are integers from the shared md5 rule; the
+    emitted aggregate is exact counts + one 4dp sum; absent probes emit
+    (0, 0.0) through the same LEFT-JOIN shape as the oracle.
+
+    Scale: the index build is one (file, key) DISTINCT + a bounded
+    k-position explode — at 100 TB it rides the write path (parquet
+    computes footer blooms inline) and the index lives in the manifest;
+    the lookup reads |candidate files| ≈ |true files| + FP·|files|
+    (~0.2% per file here), turning a full-table point scan into a
+    few-file read.  The driver-side index dict is |files| × m bits of
+    METADATA, the same bounded collect as the z-order stats table."""
+    t = Catalog(spark, sf_dir)
+    dst = _scratch(sf_dir, "bloom_skip_orders")
+    (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(_BLOOM_FILES, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    index = _bloom_file_index(spark, dst)
+    # deterministic probes: 3 smallest distinct custkeys + 2 absent keys
+    present = [
+        r[0]
+        for r in t.orders.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(3)
+        .collect()
+    ]
+    mx = t.orders.agg(F.max("o_custkey")).collect()[0][0]
+    probes = present + [mx + 1, mx + 2]
+    keep: set[str] = set()
+    for key in probes:
+        want = _bloom_probe_positions(key)
+        keep |= {f for f, bits in index.items() if all(b in bits for b in want)}
+    probes_df = spark.createDataFrame(
+        [(int(k),) for k in probes], "probe_key long"
+    )
+    if keep:
+        hits = (
+            spark.read.parquet(*sorted(keep))
+            .filter(F.col("o_custkey").isin([int(k) for k in probes]))
+            .groupBy(F.col("o_custkey").alias("probe_key"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+                F.sum("o_totalprice").alias("s_total"),
+            )
+        )
+        out = probes_df.join(hits, "probe_key", "left")
+    else:
+        out = probes_df.withColumn("n_hits", F.lit(None).cast("long")).withColumn(
+            "s_total", F.lit(None).cast("double")
+        )
+    return out.select(
+        "probe_key",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_orders"),
+        r4(F.coalesce(F.col("s_total"), F.lit(0.0))).alias("sum_total"),
+    )

@@ -73,15 +73,15 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed SIX further operators beyond the window
+    # exactly.  r12 landed SEVEN further operators beyond the window
     # budget (io_time_travel_changes, io_equality_deletes,
     # similarity_nndescent_build, stream_interval_join_full_outer,
-    # pareto_skyline_parts, attribution_markov_removal — all fully
-    # oracled and pytest-proven at
+    # pareto_skyline_parts, attribution_markov_removal,
+    # io_bloom_skip_lookup — all fully oracled and pytest-proven at
     # sf0.001/sf0.01); per this plan's carry rule they sit at
     # positions 51+ and LEAD the r13 window.  After this rotation the
     # oldest driver evidence is r7; the r13 window should lead with
-    # those six carried names plus r13-new/edited names, then burn
+    # those seven carried names plus r13-new/edited names, then burn
     # the r7-latest backlog in registration order (oracled first).
     # --- round 12: new queries -------------------------------------------
     "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "stream_interval_join_full_outer",  # r12 NEW: both-flank outer interval join
     "pareto_skyline_parts",  # r12 NEW: 2-D skyline via per-price prefix max
     "attribution_markov_removal",  # r12 NEW: absorbing-chain removal effects
+    "io_bloom_skip_lookup",  # r12 NEW: per-file Bloom index point-lookup skipping
 ]
 
 

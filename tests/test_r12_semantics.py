@@ -945,3 +945,64 @@ def test_markov_removal_matches_fraction_exact(spark, tmp_path):
     # the dominant removal effect (every conversion path runs through it)
     assert removal_exact["view"] == max(removal_exact.values())
     assert got["view"].attribution == max(r.attribution for r in got.values())
+
+
+def test_bloom_skip_inclusion_and_actual_skipping(spark):
+    """The Bloom file index's defining guarantees, checked from the
+    LAYOUT side (value parity is the oracle's job): every file that
+    truly contains a probe key is a candidate (NO false negatives —
+    the property that makes the pruned read lossless), and the
+    candidate union is strictly smaller than the file count (the index
+    actually skips; with ~12 bits/key the false-positive rate is far
+    below one file per probe)."""
+    from pyspark.sql import functions as F
+
+    from hackatonbigdata_spark.operators.io_queries import (
+        _BLOOM_FILES,
+        _bloom_file_index,
+        _bloom_probe_positions,
+        _scratch,
+    )
+
+    # run the query first so the layout + index exist for this sf_dir
+    QUERIES["io_bloom_skip_lookup"](spark, SF_DIR).collect()
+    dst = _scratch(SF_DIR, "bloom_skip_orders")
+    index = _bloom_file_index(spark, dst)
+    assert len(index) == _BLOOM_FILES
+    present = [
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(3)
+        .collect()
+    ]
+    mx = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(F.max("o_custkey"))
+        .collect()[0][0]
+    )
+    truth = {
+        k: {
+            r["f"]
+            for r in spark.read.parquet(dst)
+            .select(F.input_file_name().alias("f"), "o_custkey")
+            .filter(F.col("o_custkey") == int(k))
+            .distinct()
+            .collect()
+        }
+        for k in present
+    }
+    all_candidates = set()
+    for k in present:
+        want = _bloom_probe_positions(k)
+        cand = {f for f, bits in index.items() if all(b in bits for b in want)}
+        assert truth[k] <= cand, f"false negative for key {k}"
+        all_candidates |= cand
+    for k in (mx + 1, mx + 2):
+        want = _bloom_probe_positions(k)
+        cand = {f for f, bits in index.items() if all(b in bits for b in want)}
+        assert len(cand) <= 1, f"absent key {k} matched {len(cand)} files"
+        all_candidates |= cand
+    assert len(all_candidates) < _BLOOM_FILES, "index skipped nothing"
