@@ -226,6 +226,7 @@ HEADLINE = [
     "pareto_skyline_parts",           # r12: 2-D skyline via prefix max
     "attribution_markov_removal",     # r12: Markov removal-effect attribution
     "io_bloom_skip_lookup",           # r12: Bloom-indexed point-lookup skipping
+    "trend_theilsen_brand",           # r12: robust median-of-slopes trend
 ]
 
 

@@ -1583,3 +1583,114 @@ def ab_test_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(u_c / sigma).alias("mw_z"),
         (F.abs(u_c / sigma) > F.lit(1.96)).alias("significant_95"),
     )
+
+
+@register(
+    "trend_theilsen_brand",
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand AS brand,
+         CAST(year(date_trunc('month', l.l_shipdate)) * 12
+              + month(date_trunc('month', l.l_shipdate)) AS BIGINT) AS x,
+         CAST(floor(sum(l.l_quantity) * 10000 + 0.5) AS BIGINT) AS qy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), pr AS (
+  SELECT a.brand,
+         CAST(floor((b.qy - a.qy) * 1.0 / (b.x - a.x) + 0.5) AS BIGINT)
+           AS slope_q
+  FROM m a JOIN m b ON a.brand = b.brand AND b.x > a.x
+), nm AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+         round(avg(qy) / 10000.0, 4) AS avg_monthly_qty
+  FROM m GROUP BY 1
+)
+SELECT pr.brand, nm.n_months,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(pr.slope_q, 0.5) / 10000.0, 4) AS ts_slope,
+       nm.avg_monthly_qty
+FROM pr JOIN nm ON nm.brand = pr.brand
+GROUP BY pr.brand, nm.n_months, nm.avg_monthly_qty
+""",
+)
+def trend_theilsen_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend per brand — the median of all pairwise
+    monthly-demand slopes, the estimator with a 29.3% breakdown point
+    (Sen 1968) where ``price_elasticity_brand``'s OLS breaks on a single
+    promo spike or stockout month.  Completes the robust-statistics
+    family next to MAD outlier flags and Benford audits: MAD says WHICH
+    months are anomalous, Theil-Sen gives the trend that ignores them.
+
+    Exactness: monthly demand quantizes to BIGINT 1e-4 units first; each
+    pairwise slope is ONE identically-structured floor(Δqy/Δx + 0.5) on
+    exact integers (double division, not integer div — slopes go
+    negative, and Spark ``div`` truncates toward zero while DuckDB
+    ``//`` floors, the r5 signed-operand lesson); the median is the
+    engine-shared exact-percentile convention (``F.percentile`` ↔
+    ``quantile_cont``) whose two-middle midpoint is an exact .5 double.
+    Month index is calendar-absolute (year·12 + month), so gaps in a
+    brand's history weight slopes by real elapsed time.
+
+    Scale: the O(k²) pair blow-up runs on the ALREADY-AGGREGATED
+    (brand, month) table — bounded by the calendar domain (~84 months →
+    ≤3.5k pairs per brand), never by fact rows; the self-join shuffles
+    once on brand and the month table broadcasts at any fact scale.  The
+    fact-table pass is one keyed aggregate.  (Sub-quadratic Theil-Sen
+    via k-th order statistics exists for series past ~1e4 points;
+    calendar-bounded series never get there.)
+
+    Reference parity: the reference fits per-series trends inside its
+    temporal feature engine with least squares
+    (/root/reference/src/features/temporal_features_engine.py:131-175);
+    this is the robust drop-in the same pipeline reads."""
+    t = Catalog(spark, sf_dir)
+    m = (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+        )
+        .agg(
+            F.floor(F.sum("l_quantity") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("qy")
+        )
+        .select(
+            "brand",
+            (F.year("mon") * 12 + F.month("mon")).cast("long").alias("x"),
+            "qy",
+        )
+        .localCheckpoint()  # feeds the self-join AND the per-brand stats
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pr = a.join(
+        F.broadcast(b),
+        (F.col("a.brand") == F.col("b.brand")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.brand").alias("brand"),
+        F.floor(
+            (F.col("b.qy") - F.col("a.qy"))
+            * F.lit(1.0)
+            / (F.col("b.x") - F.col("a.x"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_q"),
+    )
+    nm = m.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        r4(F.avg("qy") / 10000.0).alias("avg_monthly_qty"),
+    )
+    return (
+        pr.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            r4(F.percentile("slope_q", F.lit(0.5)) / 10000.0).alias(
+                "ts_slope"
+            ),
+        )
+        .join(F.broadcast(nm), "brand")
+        .select("brand", "n_months", "n_pairs", "ts_slope", "avg_monthly_qty")
+    )

@@ -1006,3 +1006,71 @@ def test_bloom_skip_inclusion_and_actual_skipping(spark):
         assert len(cand) <= 1, f"absent key {k} matched {len(cand)} files"
         all_candidates |= cand
     assert len(all_candidates) < _BLOOM_FILES, "index skipped nothing"
+
+
+def test_theilsen_matches_python_median_of_slopes(spark):
+    """Theil-Sen re-derived independently: the (brand, month) demand
+    table pulled through DuckDB, every pairwise slope and the exact
+    median recomputed in pure Python (statistics.median over the same
+    1e-4-quantized slopes), matched to the operator's ts_slope per
+    brand; plus the estimator's defining robustness property on a
+    crafted series — one wild outlier month moves the OLS slope but
+    not the Theil-Sen median."""
+    import math
+    import statistics
+
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT p.p_brand,
+               CAST(year(date_trunc('month', l.l_shipdate)) * 12
+                    + month(date_trunc('month', l.l_shipdate)) AS BIGINT),
+               CAST(floor(sum(l.l_quantity) * 10000 + 0.5) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/part.parquet' p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    """).fetchall()
+    series = {}
+    for brand, x, qy in rows:
+        series.setdefault(brand, []).append((x, qy))
+    want = {}
+    for brand, pts in series.items():
+        # same orientation as the operator's b.x > a.x join
+        slopes = [
+            math.floor((q2 - q1) * 1.0 / (x2 - x1) + 0.5)
+            for (x1, q1) in pts
+            for (x2, q2) in pts
+            if x2 > x1
+        ]
+        # keep the median UNROUNDED: the engines' shared round-half
+        # convention at an exact .5 double differs from Python's
+        # banker's round — the parity suite owns grid exactness, this
+        # pin owns "not the same wrong thing", so half-grid tolerance
+        want[brand] = (len(slopes), statistics.median(slopes) / 10000.0)
+    got = {
+        r.brand: (r.n_pairs, r.ts_slope)
+        for r in QUERIES["trend_theilsen_brand"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for brand in want:
+        assert got[brand][0] == want[brand][0], brand
+        assert abs(got[brand][1] - want[brand][1]) <= 6e-5, brand
+    # robustness: a 10x outlier month barely moves the median of slopes
+    clean = [(x, 1000 * x + 50) for x in range(12)]
+    # the outlier sits at the series END — maximum OLS leverage
+    dirty = [(x, y * (10 if x == 11 else 1)) for x, y in clean]
+    def ts(pts):
+        return statistics.median(
+            (q2 - q1) / (x2 - x1)
+            for i, (x1, q1) in enumerate(pts)
+            for (x2, q2) in pts[i + 1:]
+        )
+    def ols(pts):
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        return sum((x - mx) * (y - my) for x, y in pts) / sum(
+            (x - mx) ** 2 for x, _ in pts
+        )
+    assert abs(ts(dirty) - 1000) < 300
+    assert abs(ols(dirty) - 1000) > 2000
