@@ -227,6 +227,7 @@ HEADLINE = [
     "attribution_markov_removal",     # r12: Markov removal-effect attribution
     "io_bloom_skip_lookup",           # r12: Bloom-indexed point-lookup skipping
     "trend_theilsen_brand",           # r12: robust median-of-slopes trend
+    "tokenizer_unigram_em",           # r12: unigram-LM tokenizer, 2 EM rounds
 ]
 
 

@@ -8848,3 +8848,282 @@ def similarity_nndescent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_scored_tot").alias("n_scored"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (round 12): the SentencePiece-style counterpart of
+# the BPE pair (learn_bpe_merges / corpus_bpe_encode) — and unlike BPE's
+# rows-only driver loop, FULLY ORACLED: Viterbi segmentation is a bounded
+# dynamic program over word positions, so two hard-EM rounds unroll into
+# deterministic CTE chains the same way the GD fits and PageRank do.
+
+_TOK_MAXLEN = 10  # learner word-length cap (DP unroll budget)
+_TOK_PIECE_MAX = 4  # candidate piece length 1..4
+_TOK_VOCAB_MULTI = 64  # multi-char vocab slots (singles always included)
+_TOK_WORD_CAP = 2000  # Zipf-compact learner corpus cap (count desc, word)
+_TOK_OUT = 30  # emitted vocabulary rows
+
+
+def _duck_viterbi_round(pfx: str, vcte: str) -> str:
+    """One Viterbi round as unrolled CTEs: ``{pfx}dp{i}`` holds, per word
+    reaching position i, the cheapest segmentation of its first i chars
+    (cost asc, shorter-last-piece tie-break), carrying the segmentation
+    itself as a space-joined string; ``{pfx}fin`` collects each word at
+    its own length."""
+    parts = [
+        f"{pfx}dp0 AS (SELECT word, c, CAST(0 AS BIGINT) AS cost,"
+        " '' AS seg FROM wd)"
+    ]
+    for i in range(1, _TOK_MAXLEN + 1):
+        branches = []
+        for l in range(1, _TOK_PIECE_MAX + 1):
+            if i - l < 0:
+                continue
+            branches.append(f"""
+      SELECT d.word, d.c, d.cost + v.cost_q AS cost,
+             CASE WHEN d.seg = '' THEN v.piece
+                  ELSE d.seg || ' ' || v.piece END AS seg,
+             {l} AS l
+      FROM {pfx}dp{i - l} d JOIN {vcte} v
+        ON v.piece = substr(d.word, {i - l + 1}, {l})
+      WHERE length(d.word) >= {i}""")
+        parts.append(f"""{pfx}dp{i} AS MATERIALIZED (
+  SELECT word, c, cost, seg FROM (
+    SELECT u.word, u.c, u.cost, u.seg,
+           row_number() OVER (PARTITION BY u.word
+                              ORDER BY u.cost, u.l) AS rn
+    FROM ({' UNION ALL '.join(branches)}
+    ) u) WHERE rn = 1)""")
+    fins = " UNION ALL ".join(
+        f"SELECT word, c, seg FROM {pfx}dp{i} WHERE length(word) = {i}"
+        for i in range(1, _TOK_MAXLEN + 1)
+    )
+    parts.append(f"{pfx}fin AS MATERIALIZED ({fins})")
+    return ",\n".join(parts)
+
+
+def _unigram_tok_oracle() -> str:
+    return f"""
+WITH w0 AS (SELECT unnest({_DUCK_WORDS}) AS word FROM documents),
+wd AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM w0
+  WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+  GROUP BY 1 ORDER BY c DESC, word LIMIT {_TOK_WORD_CAP}),
+cand AS MATERIALIZED (
+  SELECT substr(wd.word, ii.i, ll.l) AS piece,
+         CAST(sum(wd.c) AS BIGINT) AS n_sub
+  FROM wd,
+       unnest(range(1, length(wd.word) + 1)) AS ii(i),
+       unnest(range(1, {_TOK_PIECE_MAX + 1})) AS ll(l)
+  WHERE ii.i + ll.l - 1 <= length(wd.word)
+  GROUP BY 1),
+v0m AS (
+  SELECT piece, n_sub FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, n_sub FROM (
+    SELECT piece, n_sub FROM cand WHERE length(piece) > 1
+    ORDER BY n_sub DESC, piece LIMIT {_TOK_VOCAB_MULTI}) m),
+n0 AS (SELECT CAST(sum(n_sub) AS BIGINT) AS nt FROM v0m),
+v1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-log2(n_sub * 1.0 / (SELECT nt FROM n0))
+                    * 10000 + 0.5) AS BIGINT) AS cost_q
+  FROM v0m),
+{_duck_viterbi_round('a', 'v1')},
+r1 AS MATERIALIZED (
+  SELECT s.piece, CAST(sum(f.c) AS BIGINT) AS n
+  FROM afin f, unnest(string_split(f.seg, ' ')) AS s(piece)
+  GROUP BY 1),
+n1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM r1),
+v2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-log2(n * 1.0 / (SELECT nt FROM n1))
+                    * 10000 + 0.5) AS BIGINT) AS cost_q
+  FROM r1),
+{_duck_viterbi_round('b', 'v2')},
+r2 AS MATERIALIZED (
+  SELECT s.piece, CAST(sum(f.c) AS BIGINT) AS n
+  FROM bfin f, unnest(string_split(f.seg, ' ')) AS s(piece)
+  GROUP BY 1),
+n2 AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM r2)
+SELECT r2.piece,
+       CAST(length(r2.piece) AS BIGINT) AS piece_len,
+       cand.n_sub,
+       r1.n AS n_r1,
+       r2.n AS n_r2,
+       CAST(floor(-log2(r2.n * 1.0 / (SELECT nt FROM n2))
+                  * 10000 + 0.5) AS BIGINT) AS cost2_q
+FROM r2
+JOIN r1 ON r1.piece = r2.piece
+JOIN cand ON cand.piece = r2.piece
+ORDER BY r2.n DESC, r2.piece LIMIT {_TOK_OUT}
+"""
+
+
+@register("tokenizer_unigram_em", oracle=_unigram_tok_oracle())
+def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM tokenizer, learned with two hard-EM
+    rounds (Kudo 2018, the Viterbi/hard variant) — the second tokenizer
+    family next to BPE (``learn_bpe_merges``/``corpus_bpe_encode``), and
+    unlike BPE's inherently-order-dependent merge loop this one is FULLY
+    ORACLED: Viterbi over word positions is a bounded DP, so both EM
+    rounds unroll into the same deterministic CTE chains the GD fits and
+    PageRank use.
+
+    Spec (each choice deterministic on both engines): learner corpus =
+    the Zipf-compact distinct-word table (engine norm rule, words <=
+    {maxlen} chars, top {cap} by count desc/word asc); candidate pieces
+    = all substrings of length 1..{pmax} with corpus-weighted mass;
+    seed vocab = every single char + the top {vmulti} multi-char pieces;
+    piece cost = floor(-log2(mass/total)·1e4 + 0.5) BIGINT (the
+    ``text_unigram_logprob`` quantization, driver-proven since r2);
+    E-step = per-word Viterbi (min total cost, ties -> shorter last
+    piece); M-step = recount piece mass along the chosen segmentations —
+    pieces the E-step never uses drop out, which IS the unigram
+    algorithm's prune step.  Emits the top-{out} learned vocabulary with
+    raw substring mass, round-1 and round-2 usage, and the final
+    quantized cost.
+
+    Exactness: costs are BIGINT 1e-4 bit-counts and EVERY transcendental
+    is computed ENGINE-SIDE (the ``corpus_doremi_weights`` discipline):
+    the piece-cost floor(-log2 ratio) expressions run as Spark column
+    math over the integer mass tables, so the DuckDB oracle and the
+    Spark path quantize the identical doubles; the Viterbi itself is
+    pure integer/argmin algebra with a total tie order (cost asc,
+    shorter last piece), bit-identical between the driver loop and the
+    oracle's unrolled dp CTEs.
+
+    Scale: the fact-scale work is ONE explode+count over the corpus
+    (the ``text_token_count`` pass) plus the vocabulary-bounded
+    candidate-mass aggregate; the DP then runs DRIVER-SIDE over the
+    spec-capped word table (top {cap} words × ≤{maxlen} positions —
+    bounded by the CAP, not the data; a first cut ran it as ~{maxlen}×2
+    chained window shuffles over a 31-row table and spent 7 s of pure
+    scheduler overhead, the measurement that forced this shape), the
+    same driver-held-state discipline as DoReMi and the BPE learner.
+    SentencePiece itself trains on a driver-sized subsample and encodes
+    everything — same split.
+
+    Reference parity: the reference has no subword layer (word-level
+    feature engineering only, /root/reference/src/features/
+    behavioral_features_engine.py); this supplies the LLM-pipeline
+    tokenizer the curation stack tokenizes budgets with."""
+    t = Catalog(spark, sf_dir)
+    wd = (
+        t.documents.select(
+            F.explode(F.split(_norm_text(), " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= _TOK_MAXLEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_TOK_WORD_CAP)
+        .localCheckpoint()  # feeds the candidate grid + the final join
+    )
+    cand = (
+        wd.select(
+            "word",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word",
+            "c",
+            "i",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_TOK_PIECE_MAX))
+            ).alias("l"),
+        )
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.expr("substring(word, i, l)").alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("n_sub"))
+        .localCheckpoint()
+    )
+    # spec-capped learner corpus + vocabulary-bounded mass tables to the
+    # driver (the DoReMi bounded-collect exception: |rows| <= cap, never
+    # data-sized)
+    words = [(r["word"], int(r["c"])) for r in wd.collect()]
+    mass0 = {r["piece"]: int(r["n_sub"]) for r in cand.collect()}
+    multi = sorted(
+        ((p, n) for p, n in mass0.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_TOK_VOCAB_MULTI]
+    v0m = {p: n for p, n in mass0.items() if len(p) == 1}
+    v0m.update(dict(multi))
+
+    def _costs(mass: dict[str, int]) -> dict[str, int]:
+        """floor(-log2(n/N)·1e4 + 0.5) per piece — computed ENGINE-SIDE
+        (one tiny Spark job over the integer mass table) so the
+        quantized doubles are the oracle's own, never Python libm's."""
+        nt = sum(mass.values())
+        df = spark.createDataFrame(
+            sorted(mass.items()), "piece string, n long"
+        )
+        rows = df.select(
+            "piece",
+            F.floor(
+                -F.log2(F.col("n") * F.lit(1.0) / F.lit(nt)) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq"),
+        ).collect()
+        return {r["piece"]: int(r["cq"]) for r in rows}
+
+    def _viterbi_recount(cost: dict[str, int]) -> dict[str, int]:
+        """One hard-EM round: per word the cheapest segmentation of its
+        full length (cost asc, shorter-last-piece tie-break — the exact
+        (cost, l) order the oracle's row_number uses), then piece mass
+        recounted along the chosen paths.  Pure integer algebra over the
+        capped word table; positions without a feasible prefix carry no
+        state, exactly like the oracle's dp CTEs yield no row."""
+        out: dict[str, int] = {}
+        for w, c in words:
+            ln = len(w)
+            best: list = [None] * (ln + 1)
+            best[0] = (0, [])
+            for i in range(1, ln + 1):
+                cands = []
+                for l in range(1, min(_TOK_PIECE_MAX, i) + 1):
+                    piece = w[i - l : i]
+                    prev = best[i - l]
+                    if prev is not None and piece in cost:
+                        cands.append((prev[0] + cost[piece], l, piece))
+                if cands:
+                    cst, l, piece = min(cands)
+                    best[i] = (cst, best[i - l][1] + [piece])
+            for piece in best[ln][1]:
+                out[piece] = out.get(piece, 0) + c
+        return out
+
+    r1 = _viterbi_recount(_costs(v0m))
+    r2 = _viterbi_recount(_costs(r1))
+    n2t = sum(r2.values())
+    top = sorted(r2.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOK_OUT]
+    out_df = spark.createDataFrame(top, "piece string, n_r2 long")
+    m_r1 = F.create_map(
+        *[F.lit(x) for p, _ in top for x in (p, r1[p])]
+    )
+    return (
+        out_df.join(F.broadcast(cand), "piece")
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_sub",
+            m_r1[F.col("piece")].cast("long").alias("n_r1"),
+            "n_r2",
+            F.floor(
+                -F.log2(F.col("n_r2") * F.lit(1.0) / F.lit(n2t)) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cost2_q"),
+        )
+    )

@@ -1074,3 +1074,124 @@ def test_theilsen_matches_python_median_of_slopes(spark):
         )
     assert abs(ts(dirty) - 1000) < 300
     assert abs(ols(dirty) - 1000) > 2000
+
+
+def test_unigram_tokenizer_matches_independent_em(spark):
+    """The unigram tokenizer re-derived independently: word counts,
+    candidate mass, vocab cut, two hard-EM rounds and the final table
+    rebuilt in pure Python over DuckDB-pulled text (costs quantized
+    through DuckDB's own floor(-log2) so the transcendental primitive is
+    the proven one and the DP/EM semantics are what this pin isolates),
+    compared EXACTLY to the operator's 30-row vocabulary.  Plus the
+    tie-break contract on a crafted case: equal-cost segmentations
+    resolve toward the shorter last piece."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import (
+        _DUCK_WORDS,
+        _TOK_MAXLEN,
+        _TOK_OUT,
+        _TOK_PIECE_MAX,
+        _TOK_VOCAB_MULTI,
+        _TOK_WORD_CAP,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT *"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    )
+    words = con.execute(f"""
+        SELECT word, CAST(count(*) AS BIGINT) FROM (
+          SELECT unnest({_DUCK_WORDS}) AS word FROM documents)
+        WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {_TOK_WORD_CAP}
+    """).fetchall()
+
+    mass0 = {}
+    for w, c in words:
+        for i in range(len(w)):
+            for l in range(1, _TOK_PIECE_MAX + 1):
+                if i + l <= len(w):
+                    p = w[i : i + l]
+                    mass0[p] = mass0.get(p, 0) + c
+    vocab = {p: n for p, n in mass0.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, n) for p, n in mass0.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:_TOK_VOCAB_MULTI]
+        )
+    )
+
+    def duck_costs(mass):
+        nt = sum(mass.values())
+        vals = ", ".join(
+            f"('{p}', {n})" for p, n in sorted(mass.items())
+        )
+        return dict(
+            con.execute(
+                f"SELECT piece, CAST(floor(-log2(n * 1.0 / {nt})"
+                f" * 10000 + 0.5) AS BIGINT)"
+                f" FROM (VALUES {vals}) t(piece, n)"
+            ).fetchall()
+        )
+
+    def em_round(cost):
+        out = {}
+        for w, c in words:
+            best = [None] * (len(w) + 1)
+            best[0] = (0, [])
+            for i in range(1, len(w) + 1):
+                cands = [
+                    (best[i - l][0] + cost[w[i - l : i]], l, w[i - l : i])
+                    for l in range(1, min(_TOK_PIECE_MAX, i) + 1)
+                    if best[i - l] is not None and w[i - l : i] in cost
+                ]
+                if cands:
+                    cst, l, p = min(cands)
+                    best[i] = (cst, best[i - l][1] + [p])
+            for p in best[len(w)][1]:
+                out[p] = out.get(p, 0) + c
+        return out
+
+    r1 = em_round(duck_costs(vocab))
+    r2 = em_round(duck_costs(r1))
+    n2t = sum(r2.values())
+    top = sorted(r2.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOK_OUT]
+    want = {
+        p: (
+            len(p),
+            mass0[p],
+            r1[p],
+            n,
+            duck_costs(r2)[p],
+        )
+        for p, n in top
+    }
+    got = {
+        r.piece: (r.piece_len, r.n_sub, r.n_r1, r.n_r2, r.cost2_q)
+        for r in QUERIES["tokenizer_unigram_em"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert n2t == sum(r2.values())
+    # tie-break: with every piece equal-cost, 'ab'+'c' vs 'a'+'bc' vs
+    # singles all cost the same total ONLY when piece costs are equal
+    # per character-count — craft costs where two 2-splits tie and the
+    # shorter LAST piece must win
+    cost = {"ab": 10, "c": 5, "a": 5, "bc": 10, "b": 99, "abc": 99}
+    best = [None] * 4
+    best[0] = (0, [])
+    w = "abc"
+    for i in range(1, 4):
+        cands = [
+            (best[i - l][0] + cost[w[i - l : i]], l, w[i - l : i])
+            for l in range(1, min(_TOK_PIECE_MAX, i) + 1)
+            if best[i - l] is not None and w[i - l : i] in cost
+        ]
+        if cands:
+            cst, l, p = min(cands)
+            best[i] = (cst, best[i - l][1] + [p])
+    # 'ab c' and 'a bc' both cost 15; l=1 ('c' last) wins at i=3
+    assert best[3] == (15, ["ab", "c"])
