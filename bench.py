@@ -228,6 +228,7 @@ HEADLINE = [
     "io_bloom_skip_lookup",           # r12: Bloom-indexed point-lookup skipping
     "trend_theilsen_brand",           # r12: robust median-of-slopes trend
     "tokenizer_unigram_em",           # r12: unigram-LM tokenizer, 2 EM rounds
+    "sketch_kll_merge_daily",         # r12: level-wise KLL sketch merge
 ]
 
 

@@ -1195,3 +1195,107 @@ def test_unigram_tokenizer_matches_independent_em(spark):
             best[i] = (cst, best[i - l][1] + [p])
     # 'ab c' and 'a bc' both cost 15; l=1 ('c' last) wins at i=3
     assert best[3] == (15, ["ab", "c"])
+
+
+def test_kll_merge_matches_python_and_rank_bound(spark):
+    """The KLL merge re-derived in pure Python over DuckDB-pulled events
+    (hour cascades -> level-wise merge -> readout), matched exactly to
+    the operator; then the merged answer's rank error vs the EXACT
+    per-day order statistics checked against the compaction envelope
+    (each level-l compaction shifts any rank by <= 2^l, summed over
+    every compaction both cascades performed); and the merged answers
+    required to stay inside the same envelope around the single-pass
+    day sketch's answers (mergeability does not change the guarantee)."""
+    import duckdb
+
+    from hackatonbigdata_spark.sketch_params import KLL_K, KLL_LEVELS
+    from hackatonbigdata_spark.operators.streaming_batch import (
+        _KLLM_EXTRA,
+        QUANT_PCTS,
+    )
+
+    rows = duckdb.connect().execute(f"""
+        SELECT CAST(ts AS DATE), date_part('hour', ts), value, event_id
+        FROM '{SF_DIR}/events.parquet' WHERE value IS NOT NULL
+    """).fetchall()
+    by_hour, by_day = {}, {}
+    for d, h, v, i in rows:
+        by_hour.setdefault((d, h), []).append((v, i))
+        by_day.setdefault(d, []).append((v, i))
+
+    def cascade(items, levels, key_budget=KLL_K):
+        """(retained {lvl: [(v,id)]}, promotions-per-level log)."""
+        kept, lvl, compactions = {}, sorted(items), []
+        for l in range(levels):
+            if len(lvl) <= key_budget:
+                kept[l] = lvl
+                lvl = []
+                break
+            compactions.append(l)
+            lvl = sorted(lvl)[0::2]  # odd ranks, 1-indexed -> evens 0-idx
+        else:
+            kept[levels] = lvl
+            lvl = []
+        return kept, compactions
+
+    # per-hour stored states
+    hstate, hcomp = {}, {}
+    for (d, h), items in by_hour.items():
+        kept, comps = cascade(items, KLL_LEVELS)
+        for l, its in kept.items():
+            hstate.setdefault(d, {}).setdefault(l, []).extend(its)
+        hcomp.setdefault(d, []).extend(2**l for l in comps)
+
+    got = {
+        (str(r.day), r.pct): r
+        for r in QUERIES["sketch_kll_merge_daily"](spark, SF_DIR).collect()
+    }
+    direct = {
+        (str(r.day), r.pct): r
+        for r in QUERIES["sketch_kll_quantiles"](spark, SF_DIR).collect()
+    }
+    top = KLL_LEVELS + _KLLM_EXTRA
+    for d, levels in hstate.items():
+        # merge cascade
+        ret, promo, merr = {}, [], list(hcomp.get(d, []))
+        for l in range(top):
+            cur = sorted(levels.get(l, []) + promo)
+            if len(cur) <= KLL_K:
+                ret[l] = cur
+                promo = []
+            else:
+                merr.append(2**l)
+                promo = cur[0::2]
+        if promo:
+            ret[top] = promo
+        weighted = sorted(
+            (v, i, 2**l) for l, its in ret.items() for v, i in its
+        )
+        w_total = sum(w for _, _, w in weighted)
+        exact = sorted(v for v, _ in by_day[d])
+        envelope = sum(merr)
+        for pct in QUANT_PCTS:
+            tgt = (pct * w_total + 99) // 100
+            cumw, ans = 0, None
+            for v, _, w in weighted:
+                cumw += w
+                if cumw >= tgt:
+                    ans = v
+                    break
+            r = got[(str(d), pct)]
+            assert r.value == ans, (d, pct)
+            assert r.w_total == w_total and r.n_retained == len(weighted)
+            # rank-error bound vs the exact order statistics
+            import bisect
+            lo = bisect.bisect_left(exact, ans)
+            hi = bisect.bisect_right(exact, ans)
+            want_rank = (pct * len(exact) + 99) // 100
+            assert lo - envelope <= want_rank <= hi + envelope, (d, pct)
+            # and the single-pass day sketch answer sits in a value
+            # range whose exact ranks overlap the same widened window
+            dv = direct[(str(d), pct)].value
+            dlo = bisect.bisect_left(exact, dv)
+            dhi = bisect.bisect_right(exact, dv)
+            assert dlo - 2 * envelope <= want_rank <= dhi + 2 * envelope
+            if r.is_exact:
+                assert ans == exact[want_rank - 1]
