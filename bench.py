@@ -229,6 +229,7 @@ HEADLINE = [
     "trend_theilsen_brand",           # r12: robust median-of-slopes trend
     "tokenizer_unigram_em",           # r12: unigram-LM tokenizer, 2 EM rounds
     "sketch_kll_merge_daily",         # r12: level-wise KLL sketch merge
+    "ab_test_chi2_independence",      # r12: contingency chi-square + Cramér V
 ]
 
 

@@ -1694,3 +1694,129 @@ def trend_theilsen_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nm), "brand")
         .select("brand", "n_months", "n_pairs", "ts_slope", "avg_monthly_qty")
     )
+
+
+@register(
+    "ab_test_chi2_independence",
+    oracle="""
+WITH o AS (
+  SELECT event_type AS t, isodow(CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT t, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+ct AS (SELECT d, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+cells AS (
+  SELECT coalesce(o.obs, 0) AS obs, rt.r, ct.c, nn.n
+  FROM rt CROSS JOIN ct CROSS JOIN nn
+  LEFT JOIN o ON o.t = rt.t AND o.d = ct.d
+), q AS (
+  SELECT CAST(floor(
+           (obs * 1.0 * n - r * 1.0 * c) * (obs * 1.0 * n - r * 1.0 * c)
+           / (r * 1.0 * c * n) * 10000 + 0.5) AS BIGINT) AS cell_q
+  FROM cells
+), s AS (
+  SELECT CAST(sum(cell_q) AS BIGINT) AS chi2_q FROM q
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_types,
+         (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_dows
+)
+SELECT nn.n AS n_events, dims.n_types, dims.n_dows,
+       (dims.n_types - 1) * (dims.n_dows - 1) AS dof,
+       s.chi2_q,
+       round(s.chi2_q / 10000.0, 4) AS chi2,
+       round(sqrt((s.chi2_q / 10000.0)
+                  / (nn.n * least(dims.n_types - 1, dims.n_dows - 1))),
+             4) AS cramers_v
+FROM s CROSS JOIN nn CROSS JOIN dims
+""",
+)
+def ab_test_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of INDEPENDENCE — is the event-type mix
+    independent of the weekday? — the contingency-table member the
+    experimentation family lacked (Welch/KS/Mann-Whitney compare
+    distributions of a value; chi-square tests association between two
+    CATEGORICAL margins), plus Cramér's V as the effect size the raw
+    statistic can't convey across table sizes.
+
+    Exactness: the contingency table, both margins, and N are exact
+    integers; each cell's (O−E)²/E is evaluated in the algebraically
+    expanded form (O·N − R·C)²/(R·C·N) — one identically-structured
+    double expression per cell on exact integers, quantized to a BIGINT
+    1e-4 grid BEFORE the sum so the total is accumulation-order-free
+    (the engine-wide quantize-then-sum rule); zero-observation cells are
+    materialized by the margin cross join (they still carry E weight —
+    dropping them understates the statistic).  sqrt is IEEE-exact.
+
+    Scale: one keyed count over the fact table, then everything runs on
+    the |types| × |weekdays| grid — margins broadcast, the cell table is
+    domain-bounded metadata.  dof and the critical-value comparison are
+    the reader's (the engine ships the statistic and effect size; CDF
+    lookup tables are presentation, not dataflow).
+
+    Reference parity: the reference eyeballs per-weekday event mix in
+    its behavioral profiling (/root/reference/src/features/
+    behavioral_features_engine.py:380-430); this is the test that says
+    whether the variation is real."""
+    t = Catalog(spark, sf_dir)
+    o = (
+        t.events.groupBy(
+            F.col("event_type").alias("t"),
+            iso_dow(F.col("ts")).cast("long").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint()  # feeds margins AND the cell join
+    )
+    rt = o.groupBy("t").agg(F.sum("obs").cast("long").alias("r"))
+    ct = o.groupBy("d").agg(F.sum("obs").cast("long").alias("c"))
+    nn = o.agg(F.sum("obs").cast("long").alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(nn))
+        .join(o, ["t", "d"], "left")
+        .select(
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    diff = F.col("obs") * F.lit(1.0) * F.col("n") - F.col("r") * F.lit(
+        1.0
+    ) * F.col("c")
+    q = cells.select(
+        F.floor(
+            diff * diff / (F.col("r") * F.lit(1.0) * F.col("c") * F.col("n"))
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cell_q")
+    )
+    s = q.agg(F.sum("cell_q").cast("long").alias("chi2_q"))
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_types")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("n_dows"))
+    )
+    return (
+        s.crossJoin(nn)
+        .crossJoin(dims)
+        .select(
+            F.col("n").alias("n_events"),
+            "n_types",
+            "n_dows",
+            ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("dof"),
+            "chi2_q",
+            r4(F.col("chi2_q") / 10000.0).alias("chi2"),
+            r4(
+                F.sqrt(
+                    (F.col("chi2_q") / 10000.0)
+                    / (
+                        F.col("n")
+                        * F.least(
+                            F.col("n_types") - 1, F.col("n_dows") - 1
+                        )
+                    )
+                )
+            ).alias("cramers_v"),
+        )
+    )

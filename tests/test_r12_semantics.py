@@ -1299,3 +1299,38 @@ def test_kll_merge_matches_python_and_rank_bound(spark):
             assert dlo - 2 * envelope <= want_rank <= dhi + 2 * envelope
             if r.is_exact:
                 assert ans == exact[want_rank - 1]
+
+
+def test_chi2_matches_scipy_convention(spark):
+    """Chi-square re-derived independently: the contingency table pulled
+    through DuckDB, the textbook sum((O-E)^2/E) over ALL cells computed
+    in unquantized float (including zero-observation cells), compared to
+    the operator within the per-cell quantization envelope (0.5e-4 per
+    cell); Cramér's V recomputed from first principles."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT event_type, isodow(CAST(ts AS DATE)), count(*)
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+    """).fetchall()
+    obs = {(t, d): c for t, d, c in rows}
+    types = sorted({t for t, _ in obs})
+    dows = sorted({d for _, d in obs})
+    rt = {t: sum(c for (tt, _), c in obs.items() if tt == t) for t in types}
+    ct = {d: sum(c for (_, dd), c in obs.items() if dd == d) for d in dows}
+    n = sum(obs.values())
+    chi2 = 0.0
+    for t in types:
+        for d in dows:
+            e = rt[t] * ct[d] / n
+            chi2 += (obs.get((t, d), 0) - e) ** 2 / e
+    got = QUERIES["ab_test_chi2_independence"](spark, SF_DIR).collect()[0]
+    n_cells = len(types) * len(dows)
+    assert got.n_events == n
+    assert got.n_types == len(types) and got.n_dows == len(dows)
+    assert got.dof == (len(types) - 1) * (len(dows) - 1)
+    assert abs(got.chi2 - chi2) <= n_cells * 0.5e-4 + 1e-6
+    v = math.sqrt(chi2 / (n * min(len(types) - 1, len(dows) - 1)))
+    assert abs(got.cramers_v - v) <= 1e-3
