@@ -230,6 +230,7 @@ HEADLINE = [
     "tokenizer_unigram_em",           # r12: unigram-LM tokenizer, 2 EM rounds
     "sketch_kll_merge_daily",         # r12: level-wise KLL sketch merge
     "ab_test_chi2_independence",      # r12: contingency chi-square + Cramér V
+    "tokenizer_unigram_encode",       # r12: per-source unigram-vocab apply
 ]
 
 

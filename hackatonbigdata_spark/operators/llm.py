@@ -8864,15 +8864,17 @@ _TOK_WORD_CAP = 2000  # Zipf-compact learner corpus cap (count desc, word)
 _TOK_OUT = 30  # emitted vocabulary rows
 
 
-def _duck_viterbi_round(pfx: str, vcte: str) -> str:
+def _duck_viterbi_round(pfx: str, vcte: str, wcte: str = "wd") -> str:
     """One Viterbi round as unrolled CTEs: ``{pfx}dp{i}`` holds, per word
     reaching position i, the cheapest segmentation of its first i chars
     (cost asc, shorter-last-piece tie-break), carrying the segmentation
     itself as a space-joined string; ``{pfx}fin`` collects each word at
-    its own length."""
+    its own length.  ``wcte`` is the (word, c) table the round runs over
+    — the capped learner corpus for the EM rounds, the FULL word table
+    for the encode pass."""
     parts = [
         f"{pfx}dp0 AS (SELECT word, c, CAST(0 AS BIGINT) AS cost,"
-        " '' AS seg FROM wd)"
+        f" '' AS seg FROM {wcte})"
     ]
     for i in range(1, _TOK_MAXLEN + 1):
         branches = []
@@ -8900,6 +8902,116 @@ def _duck_viterbi_round(pfx: str, vcte: str) -> str:
     )
     parts.append(f"{pfx}fin AS MATERIALIZED ({fins})")
     return ",\n".join(parts)
+
+
+def _tok_costs_engine(
+    spark: SparkSession, mass: dict[str, int]
+) -> dict[str, int]:
+    """floor(-log2(n/N)·1e4 + 0.5) per piece — computed ENGINE-SIDE (one
+    tiny Spark job over the integer mass table) so the quantized doubles
+    are the oracle's own, never Python libm's."""
+    nt = sum(mass.values())
+    df = spark.createDataFrame(sorted(mass.items()), "piece string, n long")
+    rows = df.select(
+        "piece",
+        F.floor(
+            -F.log2(F.col("n") * F.lit(1.0) / F.lit(nt)) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cq"),
+    ).collect()
+    return {r["piece"]: int(r["cq"]) for r in rows}
+
+
+def _tok_viterbi_best(word: str, cost: dict[str, int]):
+    """The cheapest full segmentation of ``word`` under ``cost`` —
+    (total_cost, [pieces]) with the exact (cost asc, shorter-last-piece)
+    tie order the oracle's row_number uses — or None when no piece cover
+    exists (the oracle's dp CTEs likewise yield no row)."""
+    ln = len(word)
+    best: list = [None] * (ln + 1)
+    best[0] = (0, [])
+    for i in range(1, ln + 1):
+        cands = []
+        for l in range(1, min(_TOK_PIECE_MAX, i) + 1):
+            piece = word[i - l : i]
+            prev = best[i - l]
+            if prev is not None and piece in cost:
+                cands.append((prev[0] + cost[piece], l, piece))
+        if cands:
+            cst, l, piece = min(cands)
+            best[i] = (cst, best[i - l][1] + [piece])
+    return best[ln]
+
+
+def _tok_recount(
+    words: list, cost: dict[str, int]
+) -> dict[str, int]:
+    """One hard-EM round over (word, count) rows: piece mass recounted
+    along each word's Viterbi segmentation."""
+    out: dict[str, int] = {}
+    for w, c in words:
+        for piece in _tok_viterbi_best(w, cost)[1]:
+            out[piece] = out.get(piece, 0) + c
+    return out
+
+
+def _tok_learn(spark: SparkSession, t: Catalog):
+    """The shared learner pipeline: capped word table + candidate mass
+    (the two distributed passes), then two hard-EM rounds driver-side.
+    Returns (cand_df, r1, r2) — the candidate-mass DataFrame for
+    engine-side joins plus both rounds' piece-usage counts."""
+    wd = (
+        t.documents.select(
+            F.explode(F.split(_norm_text(), " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= _TOK_MAXLEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_TOK_WORD_CAP)
+        .localCheckpoint()  # feeds the candidate grid + the final join
+    )
+    cand = (
+        wd.select(
+            "word",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word",
+            "c",
+            "i",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_TOK_PIECE_MAX))
+            ).alias("l"),
+        )
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.expr("substring(word, i, l)").alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("n_sub"))
+        .localCheckpoint()
+    )
+    # spec-capped learner corpus + vocabulary-bounded mass tables to the
+    # driver (the DoReMi bounded-collect exception: |rows| <= cap, never
+    # data-sized)
+    words = [(r["word"], int(r["c"])) for r in wd.collect()]
+    mass0 = {r["piece"]: int(r["n_sub"]) for r in cand.collect()}
+    multi = sorted(
+        ((p, n) for p, n in mass0.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_TOK_VOCAB_MULTI]
+    v0m = {p: n for p, n in mass0.items() if len(p) == 1}
+    v0m.update(dict(multi))
+    r1 = _tok_recount(words, _tok_costs_engine(spark, v0m))
+    r2 = _tok_recount(words, _tok_costs_engine(spark, r1))
+    return cand, r1, r2
 
 
 def _unigram_tok_oracle() -> str:
@@ -9010,101 +9122,7 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral_features_engine.py); this supplies the LLM-pipeline
     tokenizer the curation stack tokenizes budgets with."""
     t = Catalog(spark, sf_dir)
-    wd = (
-        t.documents.select(
-            F.explode(F.split(_norm_text(), " ")).alias("word")
-        )
-        .filter(
-            (F.col("word") != "") & (F.length("word") <= _TOK_MAXLEN)
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .orderBy(F.col("c").desc(), "word")
-        .limit(_TOK_WORD_CAP)
-        .localCheckpoint()  # feeds the candidate grid + the final join
-    )
-    cand = (
-        wd.select(
-            "word",
-            "c",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
-        )
-        .select(
-            "word",
-            "c",
-            "i",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(_TOK_PIECE_MAX))
-            ).alias("l"),
-        )
-        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
-        .select(
-            F.expr("substring(word, i, l)").alias("piece"),
-            "c",
-        )
-        .groupBy("piece")
-        .agg(F.sum("c").cast("long").alias("n_sub"))
-        .localCheckpoint()
-    )
-    # spec-capped learner corpus + vocabulary-bounded mass tables to the
-    # driver (the DoReMi bounded-collect exception: |rows| <= cap, never
-    # data-sized)
-    words = [(r["word"], int(r["c"])) for r in wd.collect()]
-    mass0 = {r["piece"]: int(r["n_sub"]) for r in cand.collect()}
-    multi = sorted(
-        ((p, n) for p, n in mass0.items() if len(p) > 1),
-        key=lambda kv: (-kv[1], kv[0]),
-    )[:_TOK_VOCAB_MULTI]
-    v0m = {p: n for p, n in mass0.items() if len(p) == 1}
-    v0m.update(dict(multi))
-
-    def _costs(mass: dict[str, int]) -> dict[str, int]:
-        """floor(-log2(n/N)·1e4 + 0.5) per piece — computed ENGINE-SIDE
-        (one tiny Spark job over the integer mass table) so the
-        quantized doubles are the oracle's own, never Python libm's."""
-        nt = sum(mass.values())
-        df = spark.createDataFrame(
-            sorted(mass.items()), "piece string, n long"
-        )
-        rows = df.select(
-            "piece",
-            F.floor(
-                -F.log2(F.col("n") * F.lit(1.0) / F.lit(nt)) * 10000
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("cq"),
-        ).collect()
-        return {r["piece"]: int(r["cq"]) for r in rows}
-
-    def _viterbi_recount(cost: dict[str, int]) -> dict[str, int]:
-        """One hard-EM round: per word the cheapest segmentation of its
-        full length (cost asc, shorter-last-piece tie-break — the exact
-        (cost, l) order the oracle's row_number uses), then piece mass
-        recounted along the chosen paths.  Pure integer algebra over the
-        capped word table; positions without a feasible prefix carry no
-        state, exactly like the oracle's dp CTEs yield no row."""
-        out: dict[str, int] = {}
-        for w, c in words:
-            ln = len(w)
-            best: list = [None] * (ln + 1)
-            best[0] = (0, [])
-            for i in range(1, ln + 1):
-                cands = []
-                for l in range(1, min(_TOK_PIECE_MAX, i) + 1):
-                    piece = w[i - l : i]
-                    prev = best[i - l]
-                    if prev is not None and piece in cost:
-                        cands.append((prev[0] + cost[piece], l, piece))
-                if cands:
-                    cst, l, piece = min(cands)
-                    best[i] = (cst, best[i - l][1] + [piece])
-            for piece in best[ln][1]:
-                out[piece] = out.get(piece, 0) + c
-        return out
-
-    r1 = _viterbi_recount(_costs(v0m))
-    r2 = _viterbi_recount(_costs(r1))
+    cand, r1, r2 = _tok_learn(spark, t)
     n2t = sum(r2.values())
     top = sorted(r2.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOK_OUT]
     out_df = spark.createDataFrame(top, "piece string, n_r2 long")
@@ -9125,5 +9143,190 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("cost2_q"),
+        )
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    """Learner chain (identical to ``tokenizer_unigram_em``'s) + a THIRD
+    Viterbi pass over the FULL word table under the learned round-2
+    costs, read back as per-source encoding statistics."""
+    return f"""
+WITH w0 AS (SELECT unnest({_DUCK_WORDS}) AS word FROM documents),
+wd AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM w0
+  WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+  GROUP BY 1 ORDER BY c DESC, word LIMIT {_TOK_WORD_CAP}),
+cand AS MATERIALIZED (
+  SELECT substr(wd.word, ii.i, ll.l) AS piece,
+         CAST(sum(wd.c) AS BIGINT) AS n_sub
+  FROM wd,
+       unnest(range(1, length(wd.word) + 1)) AS ii(i),
+       unnest(range(1, {_TOK_PIECE_MAX + 1})) AS ll(l)
+  WHERE ii.i + ll.l - 1 <= length(wd.word)
+  GROUP BY 1),
+v0m AS (
+  SELECT piece, n_sub FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, n_sub FROM (
+    SELECT piece, n_sub FROM cand WHERE length(piece) > 1
+    ORDER BY n_sub DESC, piece LIMIT {_TOK_VOCAB_MULTI}) m),
+n0 AS (SELECT CAST(sum(n_sub) AS BIGINT) AS nt FROM v0m),
+v1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-log2(n_sub * 1.0 / (SELECT nt FROM n0))
+                    * 10000 + 0.5) AS BIGINT) AS cost_q
+  FROM v0m),
+{_duck_viterbi_round('a', 'v1')},
+r1 AS MATERIALIZED (
+  SELECT s.piece, CAST(sum(f.c) AS BIGINT) AS n
+  FROM afin f, unnest(string_split(f.seg, ' ')) AS s(piece)
+  GROUP BY 1),
+n1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM r1),
+v2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-log2(n * 1.0 / (SELECT nt FROM n1))
+                    * 10000 + 0.5) AS BIGINT) AS cost_q
+  FROM r1),
+{_duck_viterbi_round('b', 'v2')},
+r2 AS MATERIALIZED (
+  SELECT s.piece, CAST(sum(f.c) AS BIGINT) AS n
+  FROM bfin f, unnest(string_split(f.seg, ' ')) AS s(piece)
+  GROUP BY 1),
+n2 AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM r2),
+v3 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(-log2(n * 1.0 / (SELECT nt FROM n2))
+                    * 10000 + 0.5) AS BIGINT) AS cost_q
+  FROM r2),
+wfull AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM w0
+  WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+  GROUP BY 1),
+{_duck_viterbi_round('e', 'v3', 'wfull')},
+ew AS MATERIALIZED (
+  SELECT f.word,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(v3.cost_q) AS BIGINT) AS cost_q
+  FROM efin f, unnest(string_split(f.seg, ' ')) AS s(piece)
+  JOIN v3 ON v3.piece = s.piece
+  GROUP BY 1),
+sw AS MATERIALIZED (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({_DUCK_WORDS}) AS word FROM documents)
+  WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+  GROUP BY 1, 2)
+SELECT sw.source,
+       CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(CASE WHEN ew.word IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unencodable,
+       CAST(sum(CASE WHEN ew.word IS NULL THEN 0
+                     ELSE sw.cnt * ew.k END) AS BIGINT) AS n_pieces,
+       round(sum(CASE WHEN ew.word IS NULL THEN 0
+                      ELSE sw.cnt * ew.k END) * 1.0
+             / nullif(sum(CASE WHEN ew.word IS NULL THEN 0
+                               ELSE sw.cnt END), 0), 4)
+         AS avg_pieces_per_word,
+       round(sum(CASE WHEN ew.word IS NULL THEN 0
+                      ELSE sw.cnt * ew.cost_q END)
+             / (nullif(sum(CASE WHEN ew.word IS NULL THEN 0
+                                ELSE sw.cnt END), 0) * 10000.0), 4)
+         AS avg_bits_per_word
+FROM sw LEFT JOIN ew ON ew.word = sw.word
+GROUP BY 1
+"""
+
+
+@register("tokenizer_unigram_encode", oracle=_unigram_encode_oracle())
+def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus APPLICATION of the learned unigram tokenizer — the
+    learn/apply symmetry the BPE family has (``learn_bpe_merges`` →
+    ``corpus_bpe_encode``), fully oracled on both halves: re-run the
+    two-round learner, then Viterbi-encode EVERY corpus word (not just
+    the capped learner table) under the final round-2 costs, and read
+    the result as per-source encoding statistics — word and piece
+    volumes, pieces-per-word (the compression the tokenizer actually
+    achieves), bits-per-word (the corpus cross-entropy under the learned
+    piece LM), and the honest unencodable count (a word whose characters
+    the pruned vocabulary no longer covers cannot be segmented; it is
+    COUNTED, never silently dropped).  Sources that drift from the
+    learner mix surface immediately as higher bits-per-word — the
+    per-source tokenizer-health readout a curation stack watches.
+
+    Exactness: identical primitives to the learner (engine-side
+    quantized log2 costs, integer Viterbi with the shorter-last-piece
+    tie order); the per-source sums are integer cnt·k / cnt·cost_q
+    products, order-free; the two averages are single r4 divisions.
+
+    Scale: encoding runs ONCE PER DISTINCT WORD (the
+    ``corpus_bpe_encode`` discipline — the word table is Zipf-compact),
+    driver-side over the same bounded DP; the fact-scale passes are the
+    (source, word) count and the final broadcast join of the per-word
+    encode table back onto it.
+
+    Reference parity: see ``tokenizer_unigram_em`` — the reference has
+    no subword layer; this is the apply half of the pair."""
+    t = Catalog(spark, sf_dir)
+    _, _, r2 = _tok_learn(spark, t)
+    cost3 = _tok_costs_engine(spark, r2)
+    sw = (
+        t.documents.select(
+            "source", F.explode(F.split(_norm_text(), " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "") & (F.length("word") <= _TOK_MAXLEN)
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds the distinct-word collect + the join
+    )
+    # once per DISTINCT word (Zipf-compact, the corpus_bpe_encode
+    # discipline): bounded driver DP under the learned costs
+    distinct_words = [r["word"] for r in sw.select("word").distinct().collect()]
+    rows = []
+    for w in sorted(distinct_words):
+        best = _tok_viterbi_best(w, cost3)
+        if best is not None:
+            rows.append((w, int(best[0]), len(best[1])))
+    ew = spark.createDataFrame(rows, "word string, cost_q long, k long")
+    enc_cnt = F.when(F.col("k").isNull(), F.lit(0)).otherwise(F.col("cnt"))
+    return (
+        sw.join(F.broadcast(ew), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum(
+                F.when(F.col("k").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_unencodable"),
+            F.sum(
+                F.when(F.col("k").isNull(), F.lit(0)).otherwise(
+                    F.col("cnt") * F.col("k")
+                )
+            )
+            .cast("long")
+            .alias("n_pieces"),
+            r4(
+                F.sum(
+                    F.when(F.col("k").isNull(), F.lit(0)).otherwise(
+                        F.col("cnt") * F.col("k")
+                    )
+                )
+                * F.lit(1.0)
+                / F.nullif(F.sum(enc_cnt), F.lit(0))
+            ).alias("avg_pieces_per_word"),
+            r4(
+                F.sum(
+                    F.when(F.col("k").isNull(), F.lit(0)).otherwise(
+                        F.col("cnt") * F.col("cost_q")
+                    )
+                )
+                / (F.nullif(F.sum(enc_cnt), F.lit(0)) * F.lit(10000.0))
+            ).alias("avg_bits_per_word"),
         )
     )

@@ -73,17 +73,17 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed ELEVEN further operators beyond the window
+    # exactly.  r12 landed TWELVE further operators beyond the window
     # budget (io_time_travel_changes, io_equality_deletes,
     # similarity_nndescent_build, stream_interval_join_full_outer,
     # pareto_skyline_parts, attribution_markov_removal,
     # io_bloom_skip_lookup, trend_theilsen_brand, tokenizer_unigram_em,
-    # sketch_kll_merge_daily, ab_test_chi2_independence — all fully
-    # oracled and pytest-proven at
+    # sketch_kll_merge_daily, ab_test_chi2_independence,
+    # tokenizer_unigram_encode — all fully oracled and pytest-proven at
     # sf0.001/sf0.01); per this plan's carry rule they sit at
     # positions 51+ and LEAD the r13 window.  After this rotation the
     # oldest driver evidence is r7; the r13 window should lead with
-    # those eleven carried names plus r13-new/edited names, then burn
+    # those twelve carried names plus r13-new/edited names, then burn
     # the r7-latest backlog in registration order (oracled first).
     # --- round 12: new queries -------------------------------------------
     "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "tokenizer_unigram_em",  # r12 NEW: oracled unigram-LM tokenizer (2 EM rounds)
     "sketch_kll_merge_daily",  # r12 NEW: level-wise KLL sketch merge read
     "ab_test_chi2_independence",  # r12 NEW: contingency chi-square + Cramér V
+    "tokenizer_unigram_encode",  # r12 NEW: per-source apply of the unigram vocab
 ]
 
 

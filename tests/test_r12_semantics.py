@@ -1334,3 +1334,124 @@ def test_chi2_matches_scipy_convention(spark):
     assert abs(got.chi2 - chi2) <= n_cells * 0.5e-4 + 1e-6
     v = math.sqrt(chi2 / (n * min(len(types) - 1, len(dows) - 1)))
     assert abs(got.cramers_v - v) <= 1e-3
+
+
+def test_unigram_encode_matches_independent_apply(spark):
+    """The encode half re-derived independently: the same Python EM as
+    the learner pin, then a third Viterbi under the learned costs over
+    EVERY corpus word with per-source occurrence counts pulled through
+    DuckDB, aggregated to the operator's per-source statistics.
+    Integer columns must match exactly; the two r4 averages within the
+    rounding grid."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import (
+        _DUCK_WORDS,
+        _TOK_MAXLEN,
+        _TOK_PIECE_MAX,
+        _TOK_VOCAB_MULTI,
+        _TOK_WORD_CAP,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT *"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    )
+    words = con.execute(f"""
+        SELECT word, CAST(count(*) AS BIGINT) FROM (
+          SELECT unnest({_DUCK_WORDS}) AS word FROM documents)
+        WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {_TOK_WORD_CAP}
+    """).fetchall()
+    sw = con.execute(f"""
+        SELECT source, word, CAST(count(*) AS BIGINT) FROM (
+          SELECT source, unnest({_DUCK_WORDS}) AS word FROM documents)
+        WHERE word <> '' AND length(word) <= {_TOK_MAXLEN}
+        GROUP BY 1, 2
+    """).fetchall()
+
+    mass0 = {}
+    for w, c in words:
+        for i in range(len(w)):
+            for l in range(1, _TOK_PIECE_MAX + 1):
+                if i + l <= len(w):
+                    p = w[i : i + l]
+                    mass0[p] = mass0.get(p, 0) + c
+    vocab = {p: n for p, n in mass0.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, n) for p, n in mass0.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:_TOK_VOCAB_MULTI]
+        )
+    )
+
+    def duck_costs(mass):
+        nt = sum(mass.values())
+        vals = ", ".join(f"('{p}', {n})" for p, n in sorted(mass.items()))
+        return dict(
+            con.execute(
+                f"SELECT piece, CAST(floor(-log2(n * 1.0 / {nt})"
+                f" * 10000 + 0.5) AS BIGINT)"
+                f" FROM (VALUES {vals}) t(piece, n)"
+            ).fetchall()
+        )
+
+    def viterbi(w, cost):
+        best = [None] * (len(w) + 1)
+        best[0] = (0, [])
+        for i in range(1, len(w) + 1):
+            cands = [
+                (best[i - l][0] + cost[w[i - l : i]], l, w[i - l : i])
+                for l in range(1, min(_TOK_PIECE_MAX, i) + 1)
+                if best[i - l] is not None and w[i - l : i] in cost
+            ]
+            if cands:
+                cst, l, p = min(cands)
+                best[i] = (cst, best[i - l][1] + [p])
+        return best[len(w)]
+
+    def em_round(cost):
+        out = {}
+        for w, c in words:
+            for p in viterbi(w, cost)[1]:
+                out[p] = out.get(p, 0) + c
+        return out
+
+    r2 = em_round(duck_costs(em_round(duck_costs(vocab))))
+    cost3 = duck_costs(r2)
+    per_word = {}
+    for w in {w for _, w, _ in sw}:
+        b = viterbi(w, cost3)
+        if b is not None:
+            per_word[w] = (b[0], len(b[1]))
+    agg = {}
+    for src, w, cnt in sw:
+        a = agg.setdefault(src, [0, 0, 0, 0, 0, 0])
+        a[0] += cnt
+        a[1] += 1
+        if w in per_word:
+            a[3] += cnt * per_word[w][1]
+            a[4] += cnt * per_word[w][0]
+            a[5] += cnt
+        else:
+            a[2] += 1
+    got = {
+        r.source: r
+        for r in QUERIES["tokenizer_unigram_encode"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        r = got[src]
+        assert (r.n_words, r.n_distinct_words, r.n_unencodable, r.n_pieces) == (
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+        ), src
+        assert abs(r.avg_pieces_per_word - a[3] / a[5]) <= 1e-4
+        assert abs(r.avg_bits_per_word - a[4] / (a[5] * 10000.0)) <= 1e-4
