@@ -1820,3 +1820,165 @@ def ab_test_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+def _phi_sql(x: str) -> str:
+    """Standard-normal CDF as a SQL expression (Abramowitz & Stegun
+    26.2.17, |error| < 7.5e-8) — identical literal-for-literal to the
+    Spark build in ``_phi_col`` so both engines evaluate the same
+    double-precision expression tree."""
+    a = f"abs({x})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {a}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    upper = f"(1.0 - 0.3989422804014327 * exp(-{a} * {a} / 2.0) * {poly})"
+    return f"(CASE WHEN {x} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+
+def _phi_col(x):  # noqa: ANN001, ANN202 - Column in, Column out
+    """Spark twin of ``_phi_sql`` (same A&S 26.2.17 constants)."""
+    a = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * a)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    upper = F.lit(1.0) - F.lit(0.3989422804014327) * F.exp(
+        -a * a / F.lit(2.0)
+    ) * poly
+    return F.when(x >= 0, upper).otherwise(F.lit(1.0) - upper)
+
+
+_Z_ALPHA = 1.959964  # two-sided 5%
+_Z_POWER = 0.841621  # 80% power
+
+
+@register(
+    "ab_test_power_mde",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+  FROM events
+), s AS (
+  SELECT event_type, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v4) AS BIGINT) AS s1,
+         CAST(sum(v4 * v4) AS BIGINT) AS s2
+  FROM v GROUP BY 1, 2
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.s1 * 1.0 / (a.n * 10000.0) AS mean_a,
+         b.s1 * 1.0 / (b.n * 10000.0) AS mean_b,
+         (a.s2 - a.s1 * 1.0 * a.s1 / a.n) / (a.n - 1) / 100000000.0 AS var_a,
+         (b.s2 - b.s1 * 1.0 * b.s1 / b.n) / (b.n - 1) / 100000000.0 AS var_b
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.variant = 0 AND b.variant = 1
+), d AS (
+  SELECT event_type, n_a, n_b, mean_a, mean_b,
+         sqrt(var_a / n_a + var_b / n_b) AS se,
+         abs(mean_b - mean_a) AS adiff
+  FROM w
+)
+SELECT event_type, n_a, n_b,
+       round(mean_b - mean_a, 4) AS mean_diff,
+       round(se, 4) AS se_diff,
+       round(({_Z_ALPHA} + {_Z_POWER}) * se, 4) AS mde_abs,
+       round(({_Z_ALPHA} + {_Z_POWER}) * se / mean_a, 4) AS mde_rel,
+       round(adiff / se, 4) AS z_obs,
+       round({_phi_sql(f"(adiff / se - {_Z_ALPHA})")}
+             + {_phi_sql(f"(-(adiff / se) - {_Z_ALPHA})")}, 4)
+         AS power_observed,
+       adiff >= ({_Z_ALPHA} + {_Z_POWER}) * se AS powered_80
+FROM d
+""",
+)
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER readout — the design-side companion to
+    ``ab_test_welch``'s decision side: per event type, the minimum
+    detectable effect (MDE) the current sample sizes support at the
+    standard alpha=0.05 two-sided / 80%-power operating point, the
+    relative MDE a product owner budgets against, and the ACHIEVED power
+    at the observed effect size.  An experiment platform that only ships
+    t statistics invites underpowered launches; this is the readout that
+    says "this arm cannot detect less than a 3.1% lift yet".
+
+    Math: se = sqrt(var_a/n_a + var_b/n_b) from the same integer
+    sufficient statistics as the Welch readout; MDE = (z_0.975 +
+    z_0.80)*se (normal-approximation two-sample formula);
+    power_observed = Phi(|d|/se - z_a) + Phi(-|d|/se - z_a) — BOTH
+    rejection tails, so the number is exact under the normal
+    approximation rather than the usual one-tail shortcut.  Phi is the
+    Abramowitz-Stegun 26.2.17 polynomial (|err| < 7.5e-8), spelled with
+    identical literals in the Spark expression tree and the oracle SQL
+    so both engines walk the same double arithmetic.
+
+    Reference parity: the reference's error analysis reports scipy
+    t-tests but no power/MDE surface (/root/reference/src/evaluation/
+    error_analysis.py:611-750); this completes the experiment family
+    (Welch / Mann-Whitney / KS / CUPED / chi-square / power).
+
+    Scale: one keyed aggregate to (type, variant) sufficient stats; the
+    readout is |event types| rows of closed-form arithmetic."""
+    t = Catalog(spark, sf_dir)
+    v = t.events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+    )
+    s = v.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("s1"),
+        F.sum(F.col("v4") * F.col("v4")).alias("s2"),
+    )
+    a = s.filter(F.col("variant") == 0).alias("a")
+    b = s.filter(F.col("variant") == 1).alias("b")
+    j = a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+    mean_a = F.col("a.s1") * F.lit(1.0) / (F.col("a.n") * F.lit(10000.0))
+    mean_b = F.col("b.s1") * F.lit(1.0) / (F.col("b.n") * F.lit(10000.0))
+    var_a = (
+        (F.col("a.s2") - F.col("a.s1") * F.lit(1.0) * F.col("a.s1") / F.col("a.n"))
+        / (F.col("a.n") - 1)
+        / F.lit(100000000.0)
+    )
+    var_b = (
+        (F.col("b.s2") - F.col("b.s1") * F.lit(1.0) * F.col("b.s1") / F.col("b.n"))
+        / (F.col("b.n") - 1)
+        / F.lit(100000000.0)
+    )
+    d = j.select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n")).alias("se"),
+        F.abs(mean_b - mean_a).alias("adiff"),
+    )
+    z_tot = F.lit(_Z_ALPHA + _Z_POWER)
+    return d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        r4(F.col("mean_b") - F.col("mean_a")).alias("mean_diff"),
+        r4(F.col("se")).alias("se_diff"),
+        r4(z_tot * F.col("se")).alias("mde_abs"),
+        r4(z_tot * F.col("se") / F.col("mean_a")).alias("mde_rel"),
+        r4(F.col("adiff") / F.col("se")).alias("z_obs"),
+        r4(
+            _phi_col(F.col("adiff") / F.col("se") - F.lit(_Z_ALPHA))
+            + _phi_col(-(F.col("adiff") / F.col("se")) - F.lit(_Z_ALPHA))
+        ).alias("power_observed"),
+        (F.col("adiff") >= z_tot * F.col("se")).alias("powered_80"),
+    )

@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "sketch_kll_merge_daily",  # r12 NEW: level-wise KLL sketch merge read
     "ab_test_chi2_independence",  # r12 NEW: contingency chi-square + Cramér V
     "tokenizer_unigram_encode",  # r12 NEW: per-source apply of the unigram vocab
+    "ab_test_power_mde",  # r12 NEW: MDE + achieved power, A&S normal CDF
 ]
 
 

@@ -1455,3 +1455,50 @@ def test_unigram_encode_matches_independent_apply(spark):
         ), src
         assert abs(r.avg_pieces_per_word - a[3] / a[5]) <= 1e-4
         assert abs(r.avg_bits_per_word - a[4] / (a[5] * 10000.0)) <= 1e-4
+
+
+def test_power_mde_matches_statsmodels_convention(spark):
+    """Power/MDE re-derived independently: per-arm moments pulled through
+    DuckDB, the normal-approximation two-sample MDE and the two-tailed
+    achieved power recomputed with Python's exact erf-based normal CDF —
+    the A&S 26.2.17 polynomial the operator ships is accurate to 7.5e-8,
+    so agreement within the 4dp rounding grid proves both the sufficient
+    statistics and the CDF surrogate."""
+    import math
+    import statistics
+
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT event_type, user_id % 2, value
+        FROM '{SF_DIR}/events.parquet'
+    """).fetchall()
+    arms: dict[tuple, list[float]] = {}
+    for t, v, x in rows:
+        arms.setdefault((t, v), []).append(round(x * 10000) / 10000)
+    got = {r.event_type: r for r in QUERIES["ab_test_power_mde"](spark, SF_DIR).collect()}
+    z_a, z_p = 1.959964, 0.841621
+
+    def phi(x: float) -> float:
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    for t in sorted({k[0] for k in arms}):
+        a, b = arms[(t, 0)], arms[(t, 1)]
+        se = math.sqrt(
+            statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+        )
+        diff = statistics.mean(b) - statistics.mean(a)
+        r = got[t]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.mean_diff - diff) <= 1e-3
+        assert abs(r.se_diff - se) <= 1e-3
+        assert abs(r.mde_abs - (z_a + z_p) * se) <= 1e-3
+        assert abs(r.z_obs - abs(diff) / se) <= 1e-3
+        want_power = phi(abs(diff) / se - z_a) + phi(-abs(diff) / se - z_a)
+        assert abs(r.power_observed - want_power) <= 1e-3
+        assert r.powered_80 == (abs(diff) >= (z_a + z_p) * se)
+        # achieved power is a probability and the two readouts are
+        # mutually consistent: powered_80 implies power >= ~0.80
+        assert 0.0 <= r.power_observed <= 1.0
+        if r.powered_80:
+            assert r.power_observed >= 0.79
