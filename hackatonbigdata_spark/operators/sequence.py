@@ -1326,3 +1326,133 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         removal_col.alias("removal_pico"),
         attribution.alias("attribution"),
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT u AS w, v AS nbr FROM pairs
+        UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM adj GROUP BY 1),
+wedges AS (
+  SELECT a1.nbr AS a, a2.nbr AS b, a1.w AS w
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.nbr < a2.nbr
+),
+cand AS (
+  SELECT wg.a, wg.b,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(CAST(floor(10000.0 / ln(d.degree) + 0.5) AS BIGINT))
+              AS BIGINT) AS aa_q
+  FROM wedges wg
+  JOIN deg d ON d.node = wg.w
+  LEFT JOIN pairs e ON e.u = wg.a AND e.v = wg.b
+  WHERE e.u IS NULL
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.a AS part_a, c.b AS part_b, c.common_neighbors,
+       round(c.aa_q / 10000.0, 4) AS adamic_adar,
+       round(c.common_neighbors * 1.0
+             / (da.degree + db.degree - c.common_neighbors), 4) AS jaccard
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the basket co-occurrence graph — for every NON-edge
+    (a, b) sharing at least 2 neighbors, the three classic topological
+    scores: common-neighbor count, Adamic-Adar (shared neighbors weighted
+    1/ln(degree) so promiscuous hubs count less), and neighborhood Jaccard
+    — the "parts likely to be bundled next" recommender the pair-count
+    analysis (/root/reference/src/features/behavioral_features_engine.py:
+    454-485) stops one hop short of, and the prediction-side companion to
+    ``graph_triangle_count`` (same >= 2-basket edge set).
+
+    Algorithm: expand each node's adjacency into ordered WEDGES
+    (a < b through shared w) — the same two-equi-join discipline as the
+    triangle pass, never an all-pairs scan — anti-join the existing edge
+    set so only candidate links remain, then aggregate.  Each wedge's
+    Adamic-Adar term 1/ln(deg_w) is quantized to a BIGINT 1e-4 grid
+    BEFORE the sum (reciprocal sums are accumulation-order dependent —
+    the engine-wide quantize-then-sum rule); deg_w >= 2 by construction
+    (w neighbors both a and b) so ln is never 0.
+
+    Scale: wedge count is sum_w C(deg_w, 2) — the quadratic lives per
+    NODE, not per graph, and a power-law hub dominates it; at 100 TB cap
+    each node's expanded neighbor list (top-K by edge weight) before the
+    wedge join, exactly as production link-prediction systems do.  The
+    degree table is node-sized; the >= 2-common-neighbor HAVING bounds
+    the output to the dense core."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # feeds adjacency AND the non-edge anti-join
+    )
+    adj = pairs.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedges = a1.join(
+        a2,
+        (F.col("a1.w") == F.col("a2.w")) & (F.col("a1.nbr") < F.col("a2.nbr")),
+    ).select(
+        F.col("a1.nbr").alias("a"),
+        F.col("a2.nbr").alias("b"),
+        F.col("a1.w").alias("w"),
+    )
+    # deg is node-sized: AQE may broadcast it at this SF, but NOT hinted —
+    # at 1e9-node scale it must stay a shuffle join
+    cand = (
+        wedges.join(deg.withColumnRenamed("node", "w"), "w")
+        .join(pairs, (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")), "anti")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(
+                F.floor(F.lit(10000.0) / F.log(F.col("degree")) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("aa_q"),
+        )
+        .filter(F.col("common_neighbors") >= 2)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common_neighbors",
+            r4(F.col("aa_q") / F.lit(10000.0)).alias("adamic_adar"),
+            r4(
+                F.col("common_neighbors")
+                * F.lit(1.0)
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )

@@ -153,6 +153,7 @@ _PRIORITY: list[str] = [
     "ab_test_chi2_independence",  # r12 NEW: contingency chi-square + Cramér V
     "tokenizer_unigram_encode",  # r12 NEW: per-source apply of the unigram vocab
     "ab_test_power_mde",  # r12 NEW: MDE + achieved power, A&S normal CDF
+    "graph_link_prediction",  # r12 NEW: CN/Adamic-Adar/Jaccard non-edge scores
 ]
 
 

@@ -1502,3 +1502,55 @@ def test_power_mde_matches_statsmodels_convention(spark):
         assert 0.0 <= r.power_observed <= 1.0
         if r.powered_80:
             assert r.power_observed >= 0.79
+
+
+def test_link_prediction_matches_python_bruteforce(spark):
+    """Link-prediction scores re-derived independently: the >= 2-basket
+    edge set pulled through DuckDB, adjacency sets built in Python, every
+    non-edge pair scored by brute force over the full candidate space (no
+    wedge expansion — the opposite algorithm), Adamic-Adar in unquantized
+    float.  Candidate SET and integer columns must match exactly; floats
+    within the per-term quantization envelope."""
+    import math
+
+    import duckdb
+
+    edges = duckdb.connect().execute(f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '{SF_DIR}/lineitem.parquet'
+        )
+        SELECT a.l_partkey, b.l_partkey
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    nbrs: dict[int, set[int]] = {}
+    eset = set()
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+        eset.add((u, v))
+    nodes = sorted(nbrs)
+    want = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in eset:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if len(common) < 2:
+                continue
+            aa = sum(1.0 / math.log(len(nbrs[w])) for w in common)
+            jac = len(common) / (len(nbrs[u]) + len(nbrs[v]) - len(common))
+            want[(u, v)] = (len(common), aa, jac)
+    got = {
+        (r.part_a, r.part_b): r
+        for r in QUERIES["graph_link_prediction"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 0
+    for k, (cn, aa, jac) in want.items():
+        r = got[k]
+        assert r.common_neighbors == cn
+        assert abs(r.adamic_adar - aa) <= cn * 0.5e-4 + 1e-6
+        assert abs(r.jaccard - jac) <= 1e-4
