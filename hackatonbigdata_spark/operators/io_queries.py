@@ -1507,3 +1507,173 @@ def io_bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_orders"),
         r4(F.coalesce(F.col("s_total"), F.lit(0.0))).alias("sum_total"),
     )
+
+
+# --- snapshot EXPIRY + orphan-file vacuum (round 12) ----------------------
+# the fourth table-format maintenance behavior after file skipping,
+# merge-on-read, and compaction: retiring old snapshots and physically
+# reclaiming the files only they reference.
+
+_SE_FILES = 6  # base data files in the expiry layout
+_SE_DEL_FIDS = (1, 4)  # only these files receive deletes -> partial rewrite
+_SE_DEL_QTY = 30  # within those files, rows with l_quantity >= this die
+
+
+def expire_snapshots(
+    spark: SparkSession, manifest_path: str, keep: tuple[int, ...]
+) -> dict:
+    """EXPIRE old snapshots of a manifest-versioned table and VACUUM the
+    files only they reference — Iceberg's expire_snapshots +
+    remove_orphan_files pair / Delta VACUUM: a path is reclaimable iff
+    NO kept snapshot names it (files are shared across snapshots by
+    path, so liveness is set subtraction over the manifest, never a data
+    scan).  The manifest is rewritten to carry only the kept snapshots,
+    so expired versions stop being addressable BEFORE their files go —
+    readers of kept snapshots are never racing the delete.
+
+    Returns {"n_snapshots_expired": int, "n_files_removed": int,
+    "n_files_live": int}.
+
+    Scale: expiry is pure metadata (a manifest scan, KB) plus one
+    filesystem delete per orphaned file; cost is proportional to churn,
+    never to table size — the property that makes retention enforcement
+    affordable at 100 TB."""
+    import shutil
+
+    m = spark.read.parquet(manifest_path)
+    # bounded metadata collect: a manifest row per file per snapshot
+    rows = m.collect()
+    live = {r.path for r in rows if r.snapshot_id in keep}
+    dead = {r.path for r in rows if r.snapshot_id not in keep} - live
+    expired = {r.snapshot_id for r in rows if r.snapshot_id not in keep}
+    for p in sorted(dead):
+        shutil.rmtree(p)
+    kept_rows = [
+        (r.snapshot_id, r.path, r.kind) for r in rows if r.snapshot_id in keep
+    ]
+    staging = manifest_path.rstrip("/") + "__staging"
+    spark.createDataFrame(
+        kept_rows, "snapshot_id int, path string, kind string"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(manifest_path)
+    import os
+
+    os.rename(staging, manifest_path)
+    return {
+        "n_snapshots_expired": len(expired),
+        "n_files_removed": len(dead),
+        "n_files_live": len(live),
+    }
+
+
+@register(
+    "io_snapshot_expire",
+    oracle=f"""
+SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(1 AS BIGINT) AS n_live_snapshots,
+       CAST({len(_SE_DEL_FIDS) + 1} AS BIGINT) AS n_files_removed
+FROM lineitem
+WHERE NOT (l_orderkey % {_SE_FILES} IN {_SE_DEL_FIDS}
+           AND l_quantity >= {_SE_DEL_QTY})
+GROUP BY 1
+""",
+)
+def io_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY with orphan-file vacuum — the retention half of
+    the table-format lifecycle, closing the loop the other io queries
+    open: write (``io_mor_deletes``) → compact (``io_mor_compact``) →
+    time travel (``io_time_travel``) → EXPIRE.  The table lives through
+    three snapshots: (1) CREATE — {_SE_FILES} base files; (2) DELETE — a
+    positional delete file kills l_quantity >= {_SE_DEL_QTY} rows in
+    files {_SE_DEL_FIDS}; (3) COMPACT — snapshot-isolated compaction
+    rewrites ONLY the affected files to NEW generation-2 paths (old and
+    new generations coexist so snapshots 1-2 stay readable — the Iceberg
+    commit model, unlike ``io_mor_compact``'s in-place swap).  Expiring
+    snapshots 1-2 then reclaims exactly the generation-1 versions of the
+    rewritten files plus the delete file ({len(_SE_DEL_FIDS) + 1} paths)
+    — files a kept snapshot names are never touched.
+
+    Matching the oracle from a post-expiry as-of-latest read proves
+    vacuum removed no live data; the n_live_snapshots/n_files_removed
+    columns put the expiry's metadata effect INSIDE the compared values;
+    the layout test pins that orphaned paths are gone from disk, shared
+    untouched files are byte-stable, and expired snapshots stop being
+    addressable.
+
+    Reference parity: the reference's retention is log cleanup by age
+    (/root/reference/src/monitoring/alerts.py rate-limit window pruning
+    and the tracking store's run history); this is the warehouse-table
+    form with physical reclamation.
+
+    Scale: see ``expire_snapshots`` — metadata plus O(churn) deletes."""
+    import os
+
+    t = Catalog(spark, sf_dir)
+    base_dst = _scratch(sf_dir, "se_base")
+    rw_dst = _scratch(sf_dir, "se_rewrite")
+    del_dst = _scratch(sf_dir, "se_deletes")
+    man_dst = _scratch(sf_dir, "se_manifest")
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    stamped = _stamp_mor(li, _SE_FILES)
+    (
+        stamped.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(base_dst)
+    )
+    base = spark.read.parquet(base_dst)
+    # snapshot 2: positional deletes against files _SE_DEL_FIDS only
+    dels = base.filter(
+        F.col("file_id").isin(list(_SE_DEL_FIDS))
+        & (F.col("l_quantity") >= _SE_DEL_QTY)
+    ).select("file_id", "pos")
+    dels.write.mode("overwrite").parquet(del_dst)
+    # snapshot 3: snapshot-isolated compaction — affected files rewritten
+    # to NEW generation-2 paths; generation-1 files stay for time travel
+    (
+        base.filter(F.col("file_id").isin(list(_SE_DEL_FIDS)))
+        .join(spark.read.parquet(del_dst), ["file_id", "pos"], "left_anti")
+        .write.mode("overwrite")
+        .parquet(rw_dst)
+    )
+    gen1 = {
+        fid: os.path.join(base_dst, f"file_id={fid}") for fid in range(_SE_FILES)
+    }
+    untouched = [
+        (p, "data") for fid, p in gen1.items() if fid not in _SE_DEL_FIDS
+    ]
+    affected = [(gen1[fid], "data") for fid in _SE_DEL_FIDS]
+    manifest = (
+        [(1, p, k) for p, k in untouched + affected]
+        + [(2, p, k) for p, k in untouched + affected]
+        + [(2, del_dst, "delete")]
+        + [(3, p, k) for p, k in untouched]
+        + [(3, rw_dst, "data")]
+    )
+    spark.createDataFrame(
+        manifest, "snapshot_id int, path string, kind string"
+    ).coalesce(1).write.mode("overwrite").parquet(man_dst)
+    stats = expire_snapshots(spark, man_dst, keep=(3,))
+    live = read_snapshot(spark, man_dst, base_dst, 3)
+    return (
+        live.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .crossJoin(
+            spark.createDataFrame(
+                [
+                    (
+                        3 - stats["n_snapshots_expired"],
+                        stats["n_files_removed"],
+                    )
+                ],
+                "n_live_snapshots long, n_files_removed long",
+            )
+        )
+    )

@@ -154,6 +154,7 @@ _PRIORITY: list[str] = [
     "tokenizer_unigram_encode",  # r12 NEW: per-source apply of the unigram vocab
     "ab_test_power_mde",  # r12 NEW: MDE + achieved power, A&S normal CDF
     "graph_link_prediction",  # r12 NEW: CN/Adamic-Adar/Jaccard non-edge scores
+    "io_snapshot_expire",  # r12 NEW: snapshot expiry + orphan-file vacuum
 ]
 
 
