@@ -4564,3 +4564,83 @@ def cv_purged_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purged",
         "train_share",
     )
+
+
+@register(
+    "metric_mase_seasonal_naive",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+s AS (
+  SELECT l_suppkey, actual, forecast,
+         lag(actual, 7) OVER (PARTITION BY l_suppkey
+                              ORDER BY {_ORDER_SQL}) AS snaive
+  FROM f
+),
+m AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         avg(CASE WHEN forecast IS NOT NULL
+                  THEN abs(actual - forecast) END) AS mae_forecast,
+         avg(CASE WHEN snaive IS NOT NULL
+                  THEN abs(actual - snaive) END) AS mae_snaive
+  FROM s GROUP BY 1
+)
+SELECT l_suppkey, n_rows,
+       round(mae_forecast, 4) AS mae_forecast,
+       round(mae_snaive, 4) AS mae_snaive,
+       round(mae_forecast / nullif(mae_snaive, 0), 4) AS mase,
+       mae_forecast < mae_snaive AS beats_snaive
+FROM m
+""",
+)
+def metric_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — mean absolute SCALED error (Hyndman & Koehler 2006), the one
+    headline forecast metric the WMAPE suite lacked: per store, the
+    model's MAE divided by the in-sample MAE of the SEASONAL-NAIVE
+    forecaster (y-hat_t = y_(t-7), one week back in the per-store row
+    sequence).  MASE < 1 means the model beats the no-skill seasonal
+    benchmark — the scale-free comparison WMAPE can't make across stores
+    with different volumes, and the standard tie-breaker metric in the
+    M-competitions.
+
+    Uses the engine-wide shared forecast column (yesterday's 7-row
+    rolling mean, quantized before the lag) so the metric family —
+    WMAPE / MAE / bias / ABC tiers / MASE — reads one consistent model.
+    Denominator rows are the full in-sample seasonal-naive errors,
+    numerator rows the scored forecast rows, both as conditional
+    averages inside ONE keyed aggregate (Hyndman's definition, not the
+    matched-rows shortcut); a constant series (zero seasonal-naive MAE)
+    yields NULL MASE via nullif, never a division error.
+
+    Reference parity: the reference's metrics module ships
+    WMAPE/MAE/bias (/root/reference/src/evaluation/metrics.py:128-157)
+    but no scaled error; its baseline comparisons
+    (/root/reference/src/models/*baseline*) motivate exactly this
+    benchmark-relative readout.
+
+    Scale: one window pass (already paid by the shared forecast) plus a
+    7-row lag in the same partition order — no extra shuffle — then one
+    keyed aggregate to |stores| rows."""
+    t = Catalog(spark, sf_dir)
+    seq = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    f = _with_forecast(t).withColumn("snaive", F.lag("actual", 7).over(seq))
+    a = F.col("actual")
+    m = f.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.avg(
+            F.when(F.col("forecast").isNotNull(), F.abs(a - F.col("forecast")))
+        ).alias("_mf"),
+        F.avg(
+            F.when(F.col("snaive").isNotNull(), F.abs(a - F.col("snaive")))
+        ).alias("_ms"),
+    )
+    return m.select(
+        "l_suppkey",
+        "n_rows",
+        r4(F.col("_mf")).alias("mae_forecast"),
+        r4(F.col("_ms")).alias("mae_snaive"),
+        r4(F.col("_mf") / F.nullif(F.col("_ms"), F.lit(0))).alias("mase"),
+        (F.col("_mf") < F.col("_ms")).alias("beats_snaive"),
+    )

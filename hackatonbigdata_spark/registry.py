@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "ab_test_power_mde",  # r12 NEW: MDE + achieved power, A&S normal CDF
     "graph_link_prediction",  # r12 NEW: CN/Adamic-Adar/Jaccard non-edge scores
     "io_snapshot_expire",  # r12 NEW: snapshot expiry + orphan-file vacuum
+    "metric_mase_seasonal_naive",  # r12 NEW: Hyndman scaled error vs lag-7 naive
 ]
 
 

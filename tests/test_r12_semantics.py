@@ -1628,3 +1628,51 @@ def test_snapshot_expire_layout(spark):
         "n_files_removed": 0,
         "n_files_live": (_SE_FILES - len(_SE_DEL_FIDS)) + 1,
     }
+
+
+def test_mase_matches_python_recompute(spark):
+    """MASE re-derived independently: the per-store series pulled through
+    DuckDB in the engine's canonical order, the shared rolling-mean
+    forecast, the lag-7 seasonal naive, and Hyndman's scaled-error ratio
+    all recomputed in pure Python."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT l_suppkey, l_quantity
+        FROM '{SF_DIR}/lineitem.parquet'
+        ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """).fetchall()
+    series: dict[int, list[float]] = {}
+    for k, q in rows:
+        series.setdefault(k, []).append(float(q))
+    got = {
+        r.l_suppkey: r
+        for r in QUERIES["metric_mase_seasonal_naive"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(series)
+    checked_mase = 0
+    for k, ys in series.items():
+        # forecast_t = quantized mean of ys[max(0,t-7):t] over the prior
+        # 7-row window (lag of the 7-preceding-rows rolling mean)
+        fe, se = [], []
+        for i, y in enumerate(ys):
+            if i >= 1:
+                w = ys[max(0, i - 7) : i]
+                rm = sum(w) / len(w)
+                fq = int(abs(rm) * 10000 + 0.5) / 10000 * (1 if rm >= 0 else -1)
+                fe.append(abs(y - fq))
+            if i >= 7:
+                se.append(abs(y - ys[i - 7]))
+        r = got[k]
+        assert r.n_rows == len(ys)
+        mf = sum(fe) / len(fe) if fe else None
+        ms = sum(se) / len(se) if se else None
+        if mf is not None:
+            assert abs(r.mae_forecast - mf) <= 1e-3
+        if ms is not None:
+            assert abs(r.mae_snaive - ms) <= 1e-3
+        if mf is not None and ms:
+            assert abs(r.mase - mf / ms) <= 1e-3
+            assert r.beats_snaive == (mf < ms)
+            checked_mase += 1
+    assert checked_mase > 0
