@@ -4644,3 +4644,227 @@ def metric_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("_mf") / F.nullif(F.col("_ms"), F.lit(0))).alias("mase"),
         (F.col("_mf") < F.col("_ms")).alias("beats_snaive"),
     )
+
+
+@register(
+    "explain_linear_contributions",
+    oracle="""
+WITH m AS (
+  SELECT CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS x3,
+         CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x1 AS HUGEINT)) AS sx1, sum(CAST(x2 AS HUGEINT)) AS sx2,
+         sum(CAST(x3 AS HUGEINT)) AS sx3, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x1 AS HUGEINT) * x1) AS s11, sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         sum(CAST(x1 AS HUGEINT) * x3) AS s13, sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         sum(CAST(x2 AS HUGEINT) * x3) AS s23, sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+         sum(CAST(x1 AS HUGEINT) * y) AS sy1, sum(CAST(x2 AS HUGEINT) * y) AS sy2,
+         sum(CAST(x3 AS HUGEINT) * y) AS sy3
+  FROM m
+), c AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n AS a11,
+         CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS a12,
+         CAST(s13 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx3 AS DOUBLE) / n AS a13,
+         CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS a22,
+         CAST(s23 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx3 AS DOUBLE) / n AS a23,
+         CAST(s33 AS DOUBLE) - CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE) / n AS a33,
+         CAST(sy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS v1,
+         CAST(sy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS v2,
+         CAST(sy3 AS DOUBLE) - CAST(sx3 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS v3,
+         CAST(sy AS DOUBLE) AS syd
+  FROM s
+), beta AS (
+  SELECT n, syd,
+         (v1*(a22*a33 - a23*a23) - a12*(v2*a33 - a23*v3) + a13*(v2*a23 - a22*v3))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b1,
+         (a11*(v2*a33 - a23*v3) - v1*(a12*a33 - a23*a13) + a13*(a12*v3 - v2*a13))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b2,
+         (a11*(a22*v3 - v2*a23) - a12*(a12*v3 - v2*a13) + v1*(a12*a23 - a22*a13))
+           / (a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+              + a13*(a12*a23 - a22*a13)) AS b3
+  FROM c
+), mad AS (
+  SELECT sum(abs(CAST(x1 AS HUGEINT) * s.n - s.sx1)) AS m1,
+         sum(abs(CAST(x2 AS HUGEINT) * s.n - s.sx2)) AS m2,
+         sum(abs(CAST(x3 AS HUGEINT) * s.n - s.sx3)) AS m3
+  FROM m, s
+), mac AS (
+  SELECT b.n, b.syd, b.b1, b.b2, b.b3,
+         abs(b1) * CAST(m1 AS DOUBLE) / (CAST(b.n AS DOUBLE) * b.n * 10000.0) AS c1,
+         abs(b2) * CAST(m2 AS DOUBLE) / (CAST(b.n AS DOUBLE) * b.n * 10000.0) AS c2,
+         abs(b3) * CAST(m3 AS DOUBLE) / (CAST(b.n AS DOUBLE) * b.n * 10000.0) AS c3
+  FROM beta b, mad
+)
+SELECT feature, n_rows, baseline, beta, mean_abs_contrib, contrib_share
+FROM (
+  SELECT 'extendedprice' AS feature, n AS n_rows,
+         round(syd / (n * 10000.0), 4) AS baseline,
+         round(b1, 4) AS beta, round(c1, 4) AS mean_abs_contrib,
+         round(c1 / (c1 + c2 + c3), 4) AS contrib_share
+  FROM mac
+  UNION ALL
+  SELECT 'discount', n, round(syd / (n * 10000.0), 4), round(b2, 4),
+         round(c2, 4), round(c2 / (c1 + c2 + c3), 4) FROM mac
+  UNION ALL
+  SELECT 'tax', n, round(syd / (n * 10000.0), 4), round(b3, 4),
+         round(c3, 4), round(c3 / (c1 + c2 + c3), 4) FROM mac
+)
+""",
+)
+def explain_linear_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT model explanation for a linear fit — the SHAP decomposition,
+    which for a linear model on independent features is closed-form
+    (Lundberg & Lee 2017 §4, 'Linear SHAP'): phi_ij = beta_j*(x_ij -
+    mean(x_j)), baseline = mean(y-hat) = mean(y).  The query fits OLS
+    (intercept via centering) of l_quantity on extendedprice/discount/tax
+    from exact integer sufficient statistics, then reports per feature
+    the global attribution readout: beta, mean |contribution|, and each
+    feature's share of total attribution — the 'why does the model say
+    that' table every model-adjacent pipeline owes its consumers,
+    companion to ``feature_importance_topk`` (which ranks by fit
+    improvement, not attribution mass).
+
+    Exactness discipline: features/target live on a 1e-4 grid so XtX /
+    Xty accumulate as exact HUGEINT/decimal sums (order-free); the
+    centered 3x3 system solves by Cramer with the identical double
+    expression tree in both engines.  The mean absolute deviation that
+    scales each |beta_j| is computed WITHOUT a float subtraction per
+    row: sum |x4_i*n - Sx4| is an exact integer (the per-row term never
+    leaves the grid), divided once by n^2*1e4 — so mean|contribution| =
+    |beta_j| * MAD_j is deterministic despite being a full second pass.
+
+    Reference parity: the reference explains models via sklearn
+    feature_importances_ on collected frames
+    (/root/reference/src/models/lightgbm_hierarchical.py family and
+    /root/reference/src/evaluation/error_analysis.py:200-320); this is
+    the attribution-exact form a SQL engine can actually certify.
+
+    Scale: two scans (moments, then MAD against broadcast 1-row stats),
+    each one map-side-combined aggregate; the solve and the 3-row
+    readout are driver-free column arithmetic on 1-row tables."""
+    t = Catalog(spark, sf_dir)
+    m = t.lineitem.select(
+        F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("x1"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").alias("x2"),
+        F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long").alias("x3"),
+        F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long").alias("y"),
+    ).localCheckpoint()  # two aggregate passes read this projection
+    xp = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(19,0)") * F.col(b)).cast("decimal(38,0)")
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x1").cast("decimal(38,0)")).alias("sx1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("sx2"),
+        F.sum(F.col("x3").cast("decimal(38,0)")).alias("sx3"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        xp("x1", "x1").alias("s11"),
+        xp("x1", "x2").alias("s12"),
+        xp("x1", "x3").alias("s13"),
+        xp("x2", "x2").alias("s22"),
+        xp("x2", "x3").alias("s23"),
+        xp("x3", "x3").alias("s33"),
+        xp("x1", "y").alias("sy1"),
+        xp("x2", "y").alias("sy2"),
+        xp("x3", "y").alias("sy3"),
+    ).localCheckpoint()  # feeds the solve AND the per-row MAD pass
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = s.select(
+        "n",
+        (dd("s11") - dd("sx1") * dd("sx1") / F.col("n")).alias("a11"),
+        (dd("s12") - dd("sx1") * dd("sx2") / F.col("n")).alias("a12"),
+        (dd("s13") - dd("sx1") * dd("sx3") / F.col("n")).alias("a13"),
+        (dd("s22") - dd("sx2") * dd("sx2") / F.col("n")).alias("a22"),
+        (dd("s23") - dd("sx2") * dd("sx3") / F.col("n")).alias("a23"),
+        (dd("s33") - dd("sx3") * dd("sx3") / F.col("n")).alias("a33"),
+        (dd("sy1") - dd("sx1") * dd("sy") / F.col("n")).alias("v1"),
+        (dd("sy2") - dd("sx2") * dd("sy") / F.col("n")).alias("v2"),
+        (dd("sy3") - dd("sx3") * dd("sy") / F.col("n")).alias("v3"),
+        dd("sy").alias("syd"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    v1, v2, v3 = F.col("v1"), F.col("v2"), F.col("v3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    beta = c.select(
+        "n",
+        "syd",
+        (
+            (
+                v1 * (a22 * a33 - a23 * a23)
+                - a12 * (v2 * a33 - a23 * v3)
+                + a13 * (v2 * a23 - a22 * v3)
+            )
+            / det
+        ).alias("b1"),
+        (
+            (
+                a11 * (v2 * a33 - a23 * v3)
+                - v1 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * v3 - v2 * a13)
+            )
+            / det
+        ).alias("b2"),
+        (
+            (
+                a11 * (a22 * v3 - v2 * a23)
+                - a12 * (a12 * v3 - v2 * a13)
+                + v1 * (a12 * a23 - a22 * a13)
+            )
+            / det
+        ).alias("b3"),
+    )
+    mterm = lambda x, sx: F.sum(  # noqa: E731
+        F.abs(
+            (F.col(x).cast("decimal(19,0)") * F.col("n")).cast("decimal(38,0)")
+            - F.col(sx)
+        )
+    )
+    mad = m.crossJoin(F.broadcast(s.select("n", "sx1", "sx2", "sx3"))).agg(
+        mterm("x1", "sx1").alias("m1"),
+        mterm("x2", "sx2").alias("m2"),
+        mterm("x3", "sx3").alias("m3"),
+    )
+    nn = F.col("n").cast("double") * F.col("n") * F.lit(10000.0)
+    mac = beta.crossJoin(mad).select(
+        "n",
+        "syd",
+        "b1",
+        "b2",
+        "b3",
+        (F.abs(F.col("b1")) * F.col("m1").cast("double") / nn).alias("c1"),
+        (F.abs(F.col("b2")) * F.col("m2").cast("double") / nn).alias("c2"),
+        (F.abs(F.col("b3")) * F.col("m3").cast("double") / nn).alias("c3"),
+    )
+    tot = F.col("c1") + F.col("c2") + F.col("c3")
+    baseline = r4(F.col("syd") / (F.col("n") * F.lit(10000.0)))
+    rows = []
+    for name, b, cc in (
+        ("extendedprice", "b1", "c1"),
+        ("discount", "b2", "c2"),
+        ("tax", "b3", "c3"),
+    ):
+        rows.append(
+            mac.select(
+                F.lit(name).alias("feature"),
+                F.col("n").alias("n_rows"),
+                baseline.alias("baseline"),
+                r4(F.col(b)).alias("beta"),
+                r4(F.col(cc)).alias("mean_abs_contrib"),
+                r4(F.col(cc) / tot).alias("contrib_share"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])

@@ -156,6 +156,7 @@ _PRIORITY: list[str] = [
     "graph_link_prediction",  # r12 NEW: CN/Adamic-Adar/Jaccard non-edge scores
     "io_snapshot_expire",  # r12 NEW: snapshot expiry + orphan-file vacuum
     "metric_mase_seasonal_naive",  # r12 NEW: Hyndman scaled error vs lag-7 naive
+    "explain_linear_contributions",  # r12 NEW: exact linear-SHAP attribution
 ]
 
 

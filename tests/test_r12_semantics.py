@@ -1676,3 +1676,42 @@ def test_mase_matches_python_recompute(spark):
             assert r.beats_snaive == (mf < ms)
             checked_mase += 1
     assert checked_mase > 0
+
+
+def test_linear_contributions_match_numpy_ols(spark):
+    """Linear SHAP re-derived independently: numpy lstsq on the centered
+    design matrix (a different solver than the engines' Cramer rule),
+    contributions phi_j = |beta_j| * mean|x_j - xbar_j| in float — the
+    operator must agree within the rounding grid, and the shares must
+    sum to 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+    )
+    q = lambda a: np.floor(np.asarray(a, dtype=float) * 10000 + 0.5) / 10000  # noqa: E731
+    X = np.column_stack(
+        [q(tb["l_extendedprice"]), q(tb["l_discount"]), q(tb["l_tax"])]
+    )
+    y = q(tb["l_quantity"])
+    Xc = X - X.mean(axis=0)
+    beta, *_ = np.linalg.lstsq(Xc, y - y.mean(), rcond=None)
+    mac = np.abs(beta) * np.abs(Xc).mean(axis=0)
+    share = mac / mac.sum()
+    got = {
+        r.feature: r
+        for r in QUERIES["explain_linear_contributions"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {"extendedprice", "discount", "tax"}
+    tot_share = 0.0
+    for j, name in enumerate(["extendedprice", "discount", "tax"]):
+        r = got[name]
+        assert r.n_rows == len(y)
+        assert abs(r.baseline - y.mean()) <= 1e-3
+        assert abs(r.beta - beta[j]) <= max(1e-3, abs(beta[j]) * 1e-4)
+        assert abs(r.mean_abs_contrib - mac[j]) <= 1e-3
+        assert abs(r.contrib_share - share[j]) <= 1e-3
+        tot_share += r.contrib_share
+    assert abs(tot_share - 1.0) <= 3e-4
