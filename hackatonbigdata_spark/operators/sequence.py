@@ -1456,3 +1456,159 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_KCORE_ROUNDS = 16  # oracle peel rounds per k; extra rounds are no-ops
+_KCORE_MAX_K = 3  # coreness reported up to this k (capped decomposition)
+
+
+def _kcore_oracle() -> str:
+    """Fixed-round peel chains for k=2 and k=3 — peeling is MONOTONE
+    (each round only removes nodes), so any round past convergence is a
+    no-op and a fixed round count equals the fixed point as long as it
+    covers convergence; the Spark side raises if the live loop ever
+    needs more than {_KCORE_ROUNDS} rounds, and the semantics test pins
+    the actual convergence depth."""
+    sql = """
+WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY 1
+)"""
+    for k in (2, 3):
+        sql += f""",
+e_k{k}_0 AS MATERIALIZED (SELECT u, v FROM pairs)"""
+        for i in range(1, _KCORE_ROUNDS + 1):
+            p = f"e_k{k}_{i - 1}"
+            sql += f""",
+keep_k{k}_{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p}
+  ) GROUP BY 1 HAVING count(*) >= {k}
+),
+e_k{k}_{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {p} e
+  JOIN keep_k{k}_{i} ku ON e.u = ku.node
+  JOIN keep_k{k}_{i} kv ON e.v = kv.node
+)"""
+        sql += f""",
+core{k} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e_k{k}_{_KCORE_ROUNDS}
+    UNION ALL SELECT v FROM e_k{k}_{_KCORE_ROUNDS}
+  )
+)"""
+    sql += """
+SELECT d.node AS part, d.degree,
+       CAST(CASE WHEN c3.node IS NOT NULL THEN 3
+                 WHEN c2.node IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS coreness
+FROM deg d
+LEFT JOIN core2 c2 ON d.node = c2.node
+LEFT JOIN core3 c3 ON d.node = c3.node
+"""
+    return sql
+
+
+@register("graph_kcore_decomposition", oracle=_kcore_oracle())
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (capped at k={maxk}) of the basket
+    co-occurrence graph — per part, the largest k such that the part
+    survives in a subgraph where every member keeps >= k neighbors
+    (Seidman 1983).  Coreness separates genuinely embedded products
+    (dense bundles) from parts whose degree comes from one-off baskets —
+    degree counts edges, coreness counts NEIGHBORHOOD RESILIENCE — and
+    is the standard cheap structure signal next to the clustering
+    coefficient (``graph_triangle_count``) and PageRank
+    (``graph_pagerank_parts``), all on the same >= 2-basket edge set.
+
+    Algorithm: textbook iterative peel per k — drop every node with
+    degree < k, recompute, repeat to the FIXED POINT.  Peeling is
+    monotone, so the DuckDB oracle runs a fixed {rounds}-round chain
+    (no-ops past convergence) while the Spark side loops live with an
+    eager localCheckpoint per round (plan truncation — the r12b lesson)
+    and an isEmpty early-stop, raising if convergence ever needs more
+    rounds than the oracle covers rather than silently diverging.
+
+    Scale: each round is one degree aggregate + two anti-joins on the
+    shrinking edge table; rounds are bounded by the peel depth (small in
+    practice — the test pins it).  At 100 TB the same loop runs with the
+    edge table hash-partitioned by u; the classic optimization (bucket
+    nodes by degree, peel k in one pass per bucket) changes constant
+    factors, not semantics."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # feeds the full-degree table and both peels
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+    def core_nodes(k: int) -> DataFrame:
+        edges = pairs
+        for _ in range(_KCORE_ROUNDS):
+            d = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("dg"))
+            )
+            bad = d.filter(F.col("dg") < k).select("node")
+            if bad.isEmpty():
+                return edges.select(F.col("u").alias("node")).unionAll(
+                    edges.select(F.col("v").alias("node"))
+                ).distinct()
+            edges = (
+                edges.join(
+                    bad.withColumnRenamed("node", "u"), "u", "anti"
+                )
+                .join(bad.withColumnRenamed("node", "v"), "v", "anti")
+                .select("u", "v")
+                .localCheckpoint()  # eager: truncate the per-round plan
+            )
+        raise RuntimeError(
+            f"{k}-core peel did not converge in {_KCORE_ROUNDS} rounds; "
+            "raise _KCORE_ROUNDS (the oracle chain) in lockstep"
+        )
+
+    c2 = core_nodes(2).withColumnRenamed("node", "n2")
+    c3 = core_nodes(3).withColumnRenamed("node", "n3")
+    return (
+        deg.join(c2, deg.node == F.col("n2"), "left")
+        .join(c3, deg.node == F.col("n3"), "left")
+        .select(
+            F.col("node").alias("part"),
+            "degree",
+            F.when(F.col("n3").isNotNull(), F.lit(3))
+            .when(F.col("n2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("coreness"),
+        )
+    )
+
+
+graph_kcore_decomposition.__doc__ = graph_kcore_decomposition.__doc__.format(
+    maxk=_KCORE_MAX_K, rounds=_KCORE_ROUNDS
+)

@@ -1715,3 +1715,63 @@ def test_linear_contributions_match_numpy_ols(spark):
         assert abs(r.contrib_share - share[j]) <= 1e-3
         tot_share += r.contrib_share
     assert abs(tot_share - 1.0) <= 3e-4
+
+
+def test_kcore_matches_python_peel_and_round_budget(spark):
+    """Coreness re-derived independently: a pure-Python peel over
+    DuckDB-pulled adjacency (the classic min-degree removal, a different
+    control flow than the per-k fixed-round chain), capped at k=3; also
+    pins that BOTH peels converge well inside the oracle's fixed round
+    budget so the no-op-rounds equivalence holds."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.sequence import _KCORE_ROUNDS
+
+    edges = duckdb.connect().execute(f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '{SF_DIR}/lineitem.parquet'
+        )
+        SELECT a.l_partkey, b.l_partkey
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+
+    def peel(k: int) -> tuple[set[int], int]:
+        alive = {n: set(ns) for n, ns in nbrs.items()}
+        rounds = 0
+        while True:
+            bad = [n for n, ns in alive.items() if len(ns) < k]
+            if not bad:
+                return set(alive), rounds
+            rounds += 1
+            for n in bad:
+                for m in alive.pop(n):
+                    if m in alive:
+                        alive[m].discard(n)
+
+    core2, r2 = peel(2)
+    core3, r3 = peel(3)
+    # simultaneous-removal rounds of the operator are <= sequential-peel
+    # rounds here both are simultaneous; keep a 2x margin under the budget
+    assert max(r2, r3) * 2 <= _KCORE_ROUNDS, (r2, r3, _KCORE_ROUNDS)
+    got = {
+        r.part: r
+        for r in QUERIES["graph_kcore_decomposition"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(nbrs)
+    n3 = 0
+    for n, r in got.items():
+        assert r.degree == len(nbrs[n])
+        want = 3 if n in core3 else 2 if n in core2 else 1
+        assert r.coreness == want, (n, r.coreness, want)
+        n3 += want == 3
+    # at sf0.001 the co-occurrence graph is dense (true max coreness 15)
+    # so the capped readout is legitimately all-3 here; the k=1/2/3 level
+    # separation is exercised by the sf0.01 oracle parity (345/600/935)
+    assert n3 > 0
