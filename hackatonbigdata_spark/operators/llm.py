@@ -9330,3 +9330,226 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bits_per_word"),
         )
     )
+
+
+_ROC_QMOD = 25  # vec_id % this == 0 -> query set (bounded, deterministic)
+_ROC_FB = 3  # pseudo-relevant documents fed back per query
+_ROC_K = 5  # evaluation depth
+_ROC_BETA = 0.75  # Rocchio feedback weight (alpha = 1.0, gamma = 0)
+
+
+@register(
+    "search_rocchio_feedback",
+    oracle=f"""
+WITH {_DUCK_EMB},
+q AS (SELECT e.*, l.label FROM e
+      JOIN (SELECT vec_id, label FROM embeddings) l USING (vec_id)
+      WHERE vec_id % {_ROC_QMOD} = 0),
+lab AS (SELECT vec_id, label FROM embeddings),
+p0 AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm), 4) AS s0,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm),
+                          4) DESC, b.vec_id) AS rn
+  FROM q JOIN e b ON q.vec_id <> b.vec_id),
+top0 AS (SELECT * FROM p0 WHERE rn <= {_ROC_K}),
+fbc AS (
+  SELECT t.qid, unnest(b.emb) AS x,
+         unnest(range(1, len(b.emb) + 1)) AS i
+  FROM top0 t JOIN e b ON b.vec_id = t.neighbor_id
+  WHERE t.rn <= {_ROC_FB}),
+mu9 AS (
+  SELECT qid, i,
+         CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s9,
+         CAST(count(*) AS BIGINT) AS n
+  FROM fbc GROUP BY 1, 2),
+mu AS (
+  SELECT qid, list(s9 / (n * 1000000000.0) ORDER BY i) AS mu
+  FROM mu9 GROUP BY 1),
+qf AS (
+  SELECT q.vec_id, q.label, q.emb, mu.mu,
+         sqrt(list_dot_product(q.emb, q.emb)
+              + 2 * {_ROC_BETA} * list_dot_product(q.emb, mu.mu)
+              + {_ROC_BETA} * {_ROC_BETA} * list_dot_product(mu.mu, mu.mu))
+           AS nq1
+  FROM q JOIN mu ON mu.qid = q.vec_id),
+p1 AS (
+  SELECT qf.vec_id AS qid, qf.label AS qlabel, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY qf.vec_id
+           ORDER BY round((list_dot_product(qf.emb, b.emb)
+                           + {_ROC_BETA} * list_dot_product(qf.mu, b.emb))
+                          / (qf.nq1 * b.nrm), 4) DESC, b.vec_id) AS rn
+  FROM qf JOIN e b ON qf.vec_id <> b.vec_id),
+top1 AS (SELECT * FROM p1 WHERE rn <= {_ROC_K})
+SELECT t0.qid AS vec_id, CAST(t0.qlabel AS BIGINT) AS label,
+       CAST(sum(CASE WHEN l0.label = t0.qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match_before,
+       CAST((SELECT sum(CASE WHEN l1.label = t1.qlabel THEN 1 ELSE 0 END)
+             FROM top1 t1 JOIN lab l1 ON l1.vec_id = t1.neighbor_id
+             WHERE t1.qid = t0.qid) AS BIGINT) AS n_match_after,
+       CAST((SELECT count(*) FROM top1 t1
+             WHERE t1.qid = t0.qid
+               AND t1.neighbor_id IN (SELECT neighbor_id FROM top0 t2
+                                      WHERE t2.qid = t0.qid)) AS BIGINT)
+         AS overlap_top5
+FROM top0 t0 JOIN lab l0 ON l0.vec_id = t0.neighbor_id
+GROUP BY t0.qid, t0.qlabel
+""",
+)
+def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE FEEDBACK retrieval (Rocchio 1971, the classic
+    query-expansion loop): per query vector, retrieve exact cosine
+    top-{k}, treat the top-{fb} as pseudo-relevant, move the query
+    toward their centroid (q' = q + {beta}*mu, the alpha=1/gamma=0
+    Rocchio), re-rank, and report whether feedback helped — top-{k}
+    label purity before vs after plus the list overlap.  This closes
+    the retrieval family's loop: ranking (``similarity_topk_cosine``),
+    fusion (``search_hybrid_rrf``), diversification
+    (``search_mmr_rerank``), and now FEEDBACK.
+
+    Determinism: the feedback centroid is an elementwise mean on a 1e-9
+    BIGINT grid (order-free, the IVF-PQ Lloyd-update discipline); the
+    re-rank score uses LINEARITY — cos(q + b*mu, d) expands to
+    (<q,d> + b*<mu,d>) / (|q'|*|d|) — so q' itself is never
+    materialized and every dot product is the same sequential fold both
+    engines run; both rankings order by the 4dp-quantized score with
+    vec_id tie-breaks.
+
+    Reference parity: the reference has no retrieval loop; this is the
+    standard IR baseline (Manning et al., IIR ch.9) every search stack
+    ships before learned rankers.
+
+    Scale: the query set is |corpus|/{qmod} by construction; both pair
+    scans broadcast the corpus side and partition the query side (the
+    sampled-oracle regime the exact ANN family documents — at 100 TB
+    the first-stage ranking swaps to the IVF index, the feedback math
+    is unchanged)."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t).localCheckpoint()  # corpus side of BOTH pair scans
+    lab = t.embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
+    q = (
+        e.filter(F.col("vec_id") % _ROC_QMOD == 0)
+        .join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    w0 = W.partitionBy("qid").orderBy(F.col("s0").desc(), F.col("neighbor_id"))
+    top0 = (
+        q.join(F.broadcast(b), F.col("qid") != F.col("neighbor_id"))
+        .select(
+            "qid",
+            "qlabel",
+            "neighbor_id",
+            (_dot("qemb", "bemb") / (F.col("qnrm") * F.col("bnrm"))).alias("_s"),
+        )
+        .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s0"))
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= _ROC_K)
+        .localCheckpoint()  # feeds purity-before, overlap AND the centroid
+    )
+    mu = (
+        top0.filter(F.col("rn") <= _ROC_FB)
+        .join(b, "neighbor_id")
+        .select("qid", F.posexplode("bemb").alias("i", "x"))
+        .groupBy("qid", "i")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1000000000 + F.lit(0.5)))
+            .cast("long")
+            .alias("s9"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s9, n))),"
+                " t -> t.s9 / (t.n * 1000000000.0))"
+            ).alias("mu")
+        )
+    )
+    beta = F.lit(_ROC_BETA)
+    qf = q.join(mu, "qid").select(
+        "qid",
+        "qlabel",
+        "qemb",
+        "mu",
+        F.sqrt(
+            _dot("qemb", "qemb")
+            + F.lit(2.0) * beta * _dot("qemb", "mu")
+            + beta * beta * _dot("mu", "mu")
+        ).alias("nq1"),
+    )
+    w1 = W.partitionBy("qid").orderBy(F.col("s1").desc(), F.col("neighbor_id"))
+    top1 = (
+        qf.join(F.broadcast(b), F.col("qid") != F.col("neighbor_id"))
+        .select(
+            "qid",
+            "qlabel",
+            "neighbor_id",
+            (
+                (_dot("qemb", "bemb") + beta * _dot("mu", "bemb"))
+                / (F.col("nq1") * F.col("bnrm"))
+            ).alias("_s"),
+        )
+        .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s1"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _ROC_K)
+        .localCheckpoint()  # feeds purity-after AND the overlap join
+    )
+    lb = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "nlabel"
+    )
+    before = (
+        top0.join(lb, "neighbor_id")
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum((F.col("nlabel") == F.col("qlabel")).cast("long"))
+            .cast("long")
+            .alias("n_match_before")
+        )
+    )
+    after = (
+        top1.join(lb, "neighbor_id")
+        .groupBy("qid")
+        .agg(
+            F.sum((F.col("nlabel") == F.col("qlabel")).cast("long"))
+            .cast("long")
+            .alias("n_match_after")
+        )
+    )
+    overlap = (
+        top1.select("qid", "neighbor_id")
+        .join(top0.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_top5"))
+    )
+    return (
+        before.join(after, "qid")
+        .join(overlap, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            "n_match_before",
+            "n_match_after",
+            F.coalesce("overlap_top5", F.lit(0)).cast("long").alias(
+                "overlap_top5"
+            ),
+        )
+    )
+
+
+search_rocchio_feedback.__doc__ = search_rocchio_feedback.__doc__.format(
+    k=_ROC_K, fb=_ROC_FB, beta=_ROC_BETA, qmod=_ROC_QMOD
+)

@@ -158,6 +158,7 @@ _PRIORITY: list[str] = [
     "metric_mase_seasonal_naive",  # r12 NEW: Hyndman scaled error vs lag-7 naive
     "explain_linear_contributions",  # r12 NEW: exact linear-SHAP attribution
     "graph_kcore_decomposition",  # r12 NEW: capped k-core peel, fixed-round oracle
+    "search_rocchio_feedback",  # r12 NEW: pseudo-relevance feedback retrieval eval
 ]
 
 

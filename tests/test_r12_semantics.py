@@ -1775,3 +1775,61 @@ def test_kcore_matches_python_peel_and_round_budget(spark):
     # so the capped readout is legitimately all-3 here; the k=1/2/3 level
     # separation is exercised by the sf0.01 oracle parity (345/600/935)
     assert n3 > 0
+
+
+def test_rocchio_matches_numpy_recompute(spark):
+    """Rocchio re-derived independently with numpy: exact cosine top-5,
+    centroid of the top-3 (materializing q' directly instead of the
+    operator's linearity expansion), re-rank, purity and overlap counts.
+    Integer columns must match exactly for every query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hackatonbigdata_spark.operators.llm import (
+        _ROC_BETA,
+        _ROC_FB,
+        _ROC_K,
+        _ROC_QMOD,
+    )
+
+    tb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(tb["vec_id"])
+    labels = {int(i): int(l) for i, l in zip(ids, np.asarray(tb["label"]))}
+    E = {
+        int(i): np.asarray(v.as_py(), dtype=float)
+        for i, v in zip(ids, tb["embedding"])
+    }
+
+    def topk(qv, qid, k):
+        scored = []
+        for j, v in E.items():
+            if j == qid:
+                continue
+            c = float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            scored.append((-round(c, 4), j))
+        scored.sort()
+        return [j for _, j in scored[:k]]
+
+    got = {
+        r.vec_id: r
+        for r in QUERIES["search_rocchio_feedback"](spark, SF_DIR).collect()
+    }
+    qids = sorted(i for i in E if i % _ROC_QMOD == 0)
+    assert set(got) == set(qids)
+    any_moved = False
+    for qid in qids:
+        t0 = topk(E[qid], qid, _ROC_K)
+        # quantized centroid mean exactly as the operator: per-component
+        # 1e-9 grid sums
+        comps = np.stack([E[j] for j in t0[:_ROC_FB]])
+        s9 = np.floor(comps * 1e9 + 0.5).sum(axis=0)
+        mu = s9 / (len(t0[:_ROC_FB]) * 1e9)
+        q1 = E[qid] + _ROC_BETA * mu
+        t1 = topk(q1, qid, _ROC_K)
+        r = got[qid]
+        assert r.label == labels[qid]
+        assert r.n_match_before == sum(labels[j] == labels[qid] for j in t0)
+        assert r.n_match_after == sum(labels[j] == labels[qid] for j in t1)
+        assert r.overlap_top5 == len(set(t0) & set(t1))
+        any_moved |= set(t0) != set(t1)
+    assert any_moved, "feedback never changed any top-5 list at this SF"
