@@ -4868,3 +4868,116 @@ def explain_linear_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
+@register(
+    "eval_pr_auc",
+    oracle=f"""
+WITH f0 AS ({_FORECAST_SQL}),
+f AS (SELECT * FROM f0 WHERE forecast IS NOT NULL),
+m AS (
+  SELECT l_suppkey, quantile_cont(actual, 0.5) AS med_a
+  FROM f GROUP BY 1
+), lab AS (
+  SELECT f.l_suppkey, f.forecast,
+         CASE WHEN f.actual > m.med_a THEN 1 ELSE 0 END AS y
+  FROM f JOIN m ON f.l_suppkey = m.l_suppkey
+), blk AS (
+  SELECT l_suppkey, forecast,
+         CAST(sum(y) AS BIGINT) AS tp_blk,
+         CAST(count(*) AS BIGINT) AS n_blk
+  FROM lab GROUP BY 1, 2
+), cum AS (
+  SELECT l_suppkey, tp_blk,
+         sum(tp_blk) OVER (PARTITION BY l_suppkey
+                           ORDER BY forecast DESC) AS cum_tp,
+         sum(n_blk) OVER (PARTITION BY l_suppkey
+                          ORDER BY forecast DESC) AS cum_n,
+         sum(tp_blk) OVER (PARTITION BY l_suppkey) AS n_pos,
+         sum(n_blk) OVER (PARTITION BY l_suppkey) AS n_all
+  FROM blk
+), terms AS (
+  SELECT l_suppkey, n_pos, n_all,
+         CAST(floor(tp_blk * cum_tp * 10000.0 / cum_n + 0.5) AS BIGINT)
+           AS term_q
+  FROM cum
+)
+SELECT l_suppkey,
+       CAST(max(n_pos) AS BIGINT) AS n_pos,
+       CAST(max(n_all) - max(n_pos) AS BIGINT) AS n_neg,
+       round(sum(term_q) / (max(n_pos) * 10000.0), 4) AS pr_auc,
+       round(max(n_pos) * 1.0 / max(n_all), 4) AS prevalence,
+       round(sum(term_q) / (max(n_pos) * 10000.0)
+             / (max(n_pos) * 1.0 / max(n_all)), 4) AS lift_vs_random
+FROM terms GROUP BY 1
+""",
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store PRECISION-RECALL AUC (average precision, the sklearn
+    step-sum definition: AP = sum_k (R_k - R_(k-1)) * P_k over descending
+    score thresholds) for the same demand-event classifier as
+    ``eval_roc_auc`` — the imbalanced-class companion: ROC AUC is blind
+    to prevalence, AP degrades exactly when the positive class thins,
+    which is why retrieval and anomaly stacks report both.  Prevalence
+    (= the AP of a random ranker) and the lift over it come along so the
+    number is readable without a baseline lookup.
+
+    Exactness: score ties are handled BLOCK-wise (every distinct
+    forecast value is one threshold — sklearn's convention); each
+    block's term (delta_tp * cum_tp / cum_n) is integer arithmetic up to
+    one double division, quantized to a BIGINT 1e-4 grid BEFORE the sum
+    (order-free), divided once by n_pos at the end.
+
+    Reference parity: the reference reports sklearn roc_auc_score in
+    its error analysis (/root/reference/src/evaluation/
+    error_analysis.py:89-300) but never the PR curve; this completes
+    the threshold-free pair.
+
+    Scale: one grouped median + one (store, score) block aggregate +
+    a store-keyed ordered window over DISTINCT thresholds (blocks, not
+    rows — the window input is already collapsed), then one keyed
+    aggregate.  Same single-shuffle discipline as the ROC query."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    m = f.groupBy("l_suppkey").agg(
+        F.percentile("actual", F.lit(0.5)).alias("med_a")
+    )
+    lab = f.join(m, "l_suppkey").select(
+        "l_suppkey",
+        "forecast",
+        F.when(F.col("actual") > F.col("med_a"), 1).otherwise(0).alias("y"),
+    )
+    blk = lab.groupBy("l_suppkey", "forecast").agg(
+        F.sum("y").cast("long").alias("tp_blk"),
+        F.count(F.lit(1)).cast("long").alias("n_blk"),
+    )
+    wc = W.partitionBy("l_suppkey").orderBy(F.col("forecast").desc())
+    wa = W.partitionBy("l_suppkey")
+    cum = blk.select(
+        "l_suppkey",
+        "tp_blk",
+        F.sum("tp_blk").over(wc).alias("cum_tp"),
+        F.sum("n_blk").over(wc).alias("cum_n"),
+        F.sum("tp_blk").over(wa).alias("n_pos"),
+        F.sum("n_blk").over(wa).alias("n_all"),
+    )
+    terms = cum.select(
+        "l_suppkey",
+        "n_pos",
+        "n_all",
+        F.floor(
+            F.col("tp_blk") * F.col("cum_tp") * F.lit(10000.0) / F.col("cum_n")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_q"),
+    )
+    ap = F.sum("term_q") / (F.max("n_pos") * F.lit(10000.0))
+    prev = F.max("n_pos") * F.lit(1.0) / F.max("n_all")
+    return terms.groupBy("l_suppkey").agg(
+        F.max("n_pos").cast("long").alias("n_pos"),
+        (F.max("n_all") - F.max("n_pos")).cast("long").alias("n_neg"),
+        r4(ap).alias("pr_auc"),
+        r4(prev).alias("prevalence"),
+        r4(ap / prev).alias("lift_vs_random"),
+    )

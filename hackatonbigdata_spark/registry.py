@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "explain_linear_contributions",  # r12 NEW: exact linear-SHAP attribution
     "graph_kcore_decomposition",  # r12 NEW: capped k-core peel, fixed-round oracle
     "search_rocchio_feedback",  # r12 NEW: pseudo-relevance feedback retrieval eval
+    "eval_pr_auc",  # r12 NEW: average precision + lift, block-exact
 ]
 
 

@@ -1833,3 +1833,67 @@ def test_rocchio_matches_numpy_recompute(spark):
         assert r.overlap_top5 == len(set(t0) & set(t1))
         any_moved |= set(t0) != set(t1)
     assert any_moved, "feedback never changed any top-5 list at this SF"
+
+
+def test_pr_auc_matches_sklearn_convention(spark):
+    """Average precision re-derived independently in pure Python with the
+    sklearn step-sum over the per-store ranked rows (row-at-a-time walk,
+    not the operator's block algebra); agreement within the per-block
+    quantization envelope.  Uses the same shared forecast + median label
+    construction pulled through DuckDB."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        WITH base AS (
+          SELECT l_suppkey, l_quantity AS actual,
+                 lag(rm) OVER (PARTITION BY l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   AS rm_lag
+          FROM (
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   l_quantity,
+                   avg(l_quantity) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+            FROM '{SF_DIR}/lineitem.parquet')
+        ), f AS (
+          SELECT l_suppkey, actual,
+                 sign(rm_lag) * (floor(abs(rm_lag) * 10000 + 0.5) / 10000)
+                   AS forecast
+          FROM base WHERE rm_lag IS NOT NULL
+        ), m AS (
+          SELECT l_suppkey, quantile_cont(actual, 0.5) AS med FROM f GROUP BY 1
+        )
+        SELECT f.l_suppkey, f.forecast,
+               CASE WHEN f.actual > m.med THEN 1 ELSE 0 END AS y
+        FROM f JOIN m ON f.l_suppkey = m.l_suppkey
+    """).fetchall()
+    stores: dict[int, list[tuple[float, int]]] = {}
+    for k, s, y in rows:
+        stores.setdefault(k, []).append((float(s), int(y)))
+    got = {r.l_suppkey: r for r in QUERIES["eval_pr_auc"](spark, SF_DIR).collect()}
+    assert set(got) == set(stores)
+    for k, items in stores.items():
+        n_pos = sum(y for _, y in items)
+        # block-wise AP: walk distinct scores descending
+        from collections import defaultdict
+
+        blocks = defaultdict(lambda: [0, 0])
+        for s, y in items:
+            blocks[s][0] += y
+            blocks[s][1] += 1
+        cum_tp = cum_n = 0
+        ap = 0.0
+        n_blocks = 0
+        for s in sorted(blocks, reverse=True):
+            tp_b, n_b = blocks[s]
+            cum_tp += tp_b
+            cum_n += n_b
+            ap += tp_b / n_pos * (cum_tp / cum_n)
+            n_blocks += 1
+        r = got[k]
+        assert r.n_pos == n_pos and r.n_neg == len(items) - n_pos
+        assert abs(r.pr_auc - ap) <= n_blocks * 0.5e-4 / n_pos + 1e-3
+        assert abs(r.prevalence - n_pos / len(items)) <= 1e-3
+        assert 0.0 < r.pr_auc <= 1.0
