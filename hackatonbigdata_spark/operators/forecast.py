@@ -4981,3 +4981,76 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(prev).alias("prevalence"),
         r4(ap / prev).alias("lift_vs_random"),
     )
+
+
+@register(
+    "metric_pinball_loss",
+    oracle=f"""
+WITH {_OOF_SQL}, g AS (
+  SELECT l_suppkey,
+         CAST(floor(actual * 10000 + 0.5) AS BIGINT) AS y4,
+         CAST(floor(pred_q75 * 10000 + 0.5) AS BIGINT) AS q4,
+         CAST(floor(pred_mean * 10000 + 0.5) AS BIGINT) AS m4
+  FROM j
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(CASE WHEN y4 >= q4 THEN 3 * (y4 - q4)
+                      ELSE q4 - y4 END) / (count(*) * 40000.0), 4)
+         AS pinball_q75,
+       round(sum(abs(y4 - m4)) / (count(*) * 20000.0), 4) AS pinball_mean,
+       round(sum(CASE WHEN y4 <= q4 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS coverage_q75,
+       round(sum(CASE WHEN y4 <= q4 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             - 0.75, 4) AS coverage_gap
+FROM g GROUP BY 1
+""",
+)
+def metric_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) loss — the proper scoring rule for quantile
+    forecasts (Koenker & Bassett 1978), evaluated per store on the
+    engine's shared OOF design matrix: the q75 base model is scored at
+    tau=0.75, the mean model at tau=0.5 (where pinball is half the MAE —
+    the sanity anchor), alongside empirical q75 coverage and its gap
+    from the nominal 0.75.  A quantile model whose pinball beats the
+    mean model's may STILL be miscalibrated — the coverage gap is the
+    diagnosis column; this completes the probabilistic-forecast eval row
+    next to ``calibration_interval_coverage`` and
+    ``calibration_quantile_band``.
+
+    Exactness: actuals and predictions already live on the OOF 1e-4
+    grid, so each pinball term is PURE INTEGER arithmetic — tau=0.75
+    terms are computed in quarter-units (3*(y-q) vs 1*(q-y)), summed as
+    BIGINT (order-free), divided once by 4*n*1e4; coverage is an integer
+    count ratio.
+
+    Reference parity: the reference trains quantile LightGBM objectives
+    (/root/reference/src/models/lightgbm_hierarchical.py, objective
+    'quantile') but evaluates only WMAPE; pinball is the loss those
+    models actually optimize, now first-class in the eval suite.
+
+    Scale: the OOF join is the shared two-aggregate chain; the metric
+    adds one keyed aggregate of integer sums — nothing new shuffles."""
+    j = _oof_join(Catalog(spark, sf_dir))
+    g = j.select(
+        "l_suppkey",
+        F.floor(F.col("actual") * 10000 + F.lit(0.5)).cast("long").alias("y4"),
+        F.floor(F.col("pred_q75") * 10000 + F.lit(0.5)).cast("long").alias("q4"),
+        F.floor(F.col("pred_mean") * 10000 + F.lit(0.5)).cast("long").alias("m4"),
+    )
+    y4, q4, m4 = F.col("y4"), F.col("q4"), F.col("m4")
+    pin75 = F.sum(
+        F.when(y4 >= q4, F.lit(3) * (y4 - q4)).otherwise(q4 - y4)
+    )
+    cov = F.sum(F.when(y4 <= q4, 1).otherwise(0)) * F.lit(1.0) / F.count(
+        F.lit(1)
+    )
+    return g.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        r4(pin75 / (F.count(F.lit(1)) * F.lit(40000.0))).alias("pinball_q75"),
+        r4(
+            F.sum(F.abs(y4 - m4)) / (F.count(F.lit(1)) * F.lit(20000.0))
+        ).alias("pinball_mean"),
+        r4(cov).alias("coverage_q75"),
+        r4(cov - F.lit(0.75)).alias("coverage_gap"),
+    )

@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "graph_kcore_decomposition",  # r12 NEW: capped k-core peel, fixed-round oracle
     "search_rocchio_feedback",  # r12 NEW: pseudo-relevance feedback retrieval eval
     "eval_pr_auc",  # r12 NEW: average precision + lift, block-exact
+    "metric_pinball_loss",  # r12 NEW: quantile scoring rule + coverage gap
 ]
 
 

@@ -1897,3 +1897,63 @@ def test_pr_auc_matches_sklearn_convention(spark):
         assert abs(r.pr_auc - ap) <= n_blocks * 0.5e-4 / n_pos + 1e-3
         assert abs(r.prevalence - n_pos / len(items)) <= 1e-3
         assert 0.0 < r.pr_auc <= 1.0
+
+
+def test_pinball_loss_matches_python_scoring(spark):
+    """Pinball re-derived independently: the OOF design matrix pulled
+    through DuckDB, the tau=0.75 and tau=0.5 losses computed row-by-row
+    with the textbook max-form (not the operator's quarter-unit integer
+    algebra), plus the half-MAE identity at tau=0.5."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        WITH bounds AS (
+          SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1
+          FROM '{SF_DIR}/lineitem.parquet'
+        ), split AS (
+          SELECT d0 + INTERVAL 1 DAY *
+                 CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS mid
+          FROM bounds
+        ), train AS (
+          SELECT l.* FROM '{SF_DIR}/lineitem.parquet' l, split
+          WHERE l.l_shipdate < split.mid
+        ), valid AS (
+          SELECT l.* FROM '{SF_DIR}/lineitem.parquet' l, split
+          WHERE l.l_shipdate >= split.mid
+        ), p AS (
+          SELECT l_suppkey, l_partkey,
+                 floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000
+                   AS pred_mean,
+                 floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) / 10000
+                   AS pred_q75
+          FROM train GROUP BY 1, 2
+        ), a AS (
+          SELECT l_suppkey, l_partkey,
+                 floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000
+                   AS actual
+          FROM valid GROUP BY 1, 2
+        )
+        SELECT p.l_suppkey, p.pred_mean, p.pred_q75, a.actual
+        FROM p JOIN a USING (l_suppkey, l_partkey)
+    """).fetchall()
+    per: dict[int, list] = {}
+    for k, pm, pq, y in rows:
+        per.setdefault(k, []).append((pm, pq, y))
+    got = {
+        r.l_suppkey: r
+        for r in QUERIES["metric_pinball_loss"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for k, items in per.items():
+        pin = lambda y, q, tau: max(tau * (y - q), (tau - 1) * (y - q))  # noqa: E731
+        p75 = sum(pin(y, pq, 0.75) for _, pq, y in items) / len(items)
+        p50 = sum(pin(y, pm, 0.50) for pm, _, y in items) / len(items)
+        mae = sum(abs(y - pm) for pm, _, y in items) / len(items)
+        cov = sum(y <= pq for _, pq, y in items) / len(items)
+        r = got[k]
+        assert r.n_rows == len(items)
+        assert abs(r.pinball_q75 - p75) <= 1e-3
+        assert abs(r.pinball_mean - p50) <= 1e-3
+        assert abs(r.pinball_mean - mae / 2) <= 1e-3  # tau=0.5 identity
+        assert abs(r.coverage_q75 - cov) <= 1e-3
+        assert abs(r.coverage_gap - (cov - 0.75)) <= 1e-3
