@@ -1334,3 +1334,148 @@ def orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum(in30) * F.lit(1.0) / F.count(F.lit(1))).alias("sla30_rate"),
         r4(F.sum(in60) * F.lit(1.0) / F.count(F.lit(1))).alias("sla60_rate"),
     )
+
+
+@register(
+    "decompose_stl_residuals",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v4
+  FROM lineitem GROUP BY 1, 2
+), tw AS (
+  SELECT l_suppkey, day, v4, isodow(day) AS dw,
+         CAST(sum(v4) OVER w AS BIGINT) AS t7,
+         count(*) OVER w AS wn
+  FROM d
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT l_suppkey, day, dw, v4, t7, 7 * v4 - t7 AS dq
+  FROM tw WHERE wn = 7
+), seas AS (
+  SELECT l_suppkey, dw,
+         CAST(sum(dq) AS BIGINT) AS s_sum,
+         CAST(count(*) AS BIGINT) AS s_n
+  FROM det GROUP BY 1, 2
+), r AS (
+  SELECT det.l_suppkey, det.day, det.v4, det.t7, seas.s_sum, seas.s_n,
+         CAST(floor((det.dq - seas.s_sum * 1.0 / seas.s_n) / 7.0 + 0.5)
+              AS BIGINT) AS rq
+  FROM det JOIN seas
+    ON det.l_suppkey = seas.l_suppkey AND det.dw = seas.dw
+), st AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rq) AS BIGINT) AS sr,
+         CAST(sum(rq * rq) AS BIGINT) AS srr
+  FROM r GROUP BY 1
+)
+SELECT r.l_suppkey, r.day,
+       round(r.v4 / 10000.0, 4) AS daily_qty,
+       round(r.t7 / 70000.0, 4) AS trend,
+       round(r.s_sum * 1.0 / (r.s_n * 70000.0), 4) AS seasonal,
+       round(r.rq / 10000.0, 4) AS residual
+FROM r JOIN st ON r.l_suppkey = st.l_suppkey
+WHERE st.n > 1
+  AND r.rq * r.rq * (st.n - 1) * st.n
+      > 4 * (st.n * st.srr - st.sr * st.sr)
+""",
+)
+def decompose_stl_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive TREND + SEASONAL + RESIDUAL decomposition of each store's
+    daily demand (the classical-decomposition backbone of STL, Cleveland
+    et al. 1990, without loess smoothing) with residual-based anomaly
+    flags — the composed operator behind ``window_centered_smoothing``
+    (the trend half) and ``window_seasonal_dow`` (the seasonal half):
+    trend is the full centered 7-row mean over the observed daily grid,
+    the seasonal term is each ISO-weekday's mean DETRENDED value, and
+    rows whose residual exceeds 2 sigma of the store's residuals are
+    returned with all three components — the "demand was genuinely
+    abnormal, not trend, not weekday" report.
+
+    Exactness: daily volumes are BIGINT 1e-4 units; detrended values
+    stay integer by working in 7ths (dq = 7*v4 - t7); the residual is
+    quantized back to the 1e-4 grid the moment the seasonal mean (one
+    double division from two exact integers) is subtracted, so the
+    per-store variance comes from EXACT integer sums and the 2-sigma
+    gate is a pure integer comparison — rq^2 * n(n-1) > 4(n*Srr - Sr^2)
+    — with no float accumulation anywhere.
+
+    Reference parity: the reference decomposes series with
+    statsmodels-style rolling means and weekday factors in its feature
+    engine (/root/reference/src/features/intelligent_features.py family)
+    but never surfaces the residual anomaly view; the 2-sigma residual
+    gate matches its outlier conventions
+    (/root/reference/src/evaluation/error_analysis.py:400-520).
+
+    Scale: one keyed daily aggregate, one store-partitioned window, one
+    (store, dow) aggregate joined back, one store aggregate — every
+    shuffle is on the store key already paid by the window."""
+    t = Catalog(spark, sf_dir)
+    d = t.lineitem.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)))
+        .cast("long")
+        .alias("v4")
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day").rowsBetween(-3, 3)
+    tw = d.select(
+        "l_suppkey",
+        "day",
+        "v4",
+        iso_dow(F.col("day")).alias("dw"),
+        F.sum("v4").over(w).cast("long").alias("t7"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = tw.filter(F.col("wn") == 7).select(
+        "l_suppkey",
+        "day",
+        "dw",
+        "v4",
+        "t7",
+        (F.lit(7) * F.col("v4") - F.col("t7")).alias("dq"),
+    )
+    seas = det.groupBy("l_suppkey", "dw").agg(
+        F.sum("dq").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    )
+    r = det.join(seas, ["l_suppkey", "dw"]).select(
+        "l_suppkey",
+        "day",
+        "v4",
+        "t7",
+        "s_sum",
+        "s_n",
+        F.floor(
+            (F.col("dq") - F.col("s_sum") * F.lit(1.0) / F.col("s_n"))
+            / F.lit(7.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    st = r.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rq").cast("long").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("srr"),
+    )
+    n, sr, srr, rq = F.col("n"), F.col("sr"), F.col("srr"), F.col("rq")
+    return (
+        r.join(st, "l_suppkey")
+        .filter(
+            (n > 1)
+            & (rq * rq * (n - 1) * n > F.lit(4) * (n * srr - sr * sr))
+        )
+        .select(
+            "l_suppkey",
+            "day",
+            r4(F.col("v4") / F.lit(10000.0)).alias("daily_qty"),
+            r4(F.col("t7") / F.lit(70000.0)).alias("trend"),
+            r4(
+                F.col("s_sum") * F.lit(1.0) / (F.col("s_n") * F.lit(70000.0))
+            ).alias("seasonal"),
+            r4(F.col("rq") / F.lit(10000.0)).alias("residual"),
+        )
+    )

@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "search_rocchio_feedback",  # r12 NEW: pseudo-relevance feedback retrieval eval
     "eval_pr_auc",  # r12 NEW: average precision + lift, block-exact
     "metric_pinball_loss",  # r12 NEW: quantile scoring rule + coverage gap
+    "decompose_stl_residuals",  # r12 NEW: trend/seasonal/residual + 2-sigma flags
 ]
 
 

@@ -1957,3 +1957,69 @@ def test_pinball_loss_matches_python_scoring(spark):
         assert abs(r.pinball_mean - mae / 2) <= 1e-3  # tau=0.5 identity
         assert abs(r.coverage_q75 - cov) <= 1e-3
         assert abs(r.coverage_gap - (cov - 0.75)) <= 1e-3
+
+
+def test_stl_residuals_match_python_decomposition(spark):
+    """The decomposition re-derived independently: per-store daily series
+    through DuckDB, centered 7-row mean, weekday means of the detrended
+    values, residual z-gating — all in float (the opposite of the
+    operator's integer algebra).  Every flagged row must appear with
+    matching components, and no anomaly may be missed."""
+    import math
+    from datetime import date  # noqa: F401
+
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+               sum(round(l_quantity * 10000) / 10000.0) AS qty,
+               isodow(CAST(l_shipdate AS DATE)) AS dw
+        FROM '{SF_DIR}/lineitem.parquet'
+        GROUP BY 1, 2, 4 ORDER BY 1, 2
+    """).fetchall()
+    series: dict[int, list] = {}
+    for k, day, qty, dw in rows:
+        series.setdefault(k, []).append((day, float(qty), int(dw)))
+    want = {}
+    for k, items in series.items():
+        vals = [q for _, q, _ in items]
+        det = []
+        for i in range(len(items)):
+            if i < 3 or i >= len(items) - 3:
+                continue
+            trend = sum(vals[i - 3 : i + 4]) / 7
+            det.append((items[i][0], vals[i], items[i][2], trend))
+        by_dw: dict[int, list] = {}
+        for _, v, dw, tr in det:
+            by_dw.setdefault(dw, []).append(v - tr)
+        smean = {dw: sum(xs) / len(xs) for dw, xs in by_dw.items()}
+        res = [(day, v, tr, smean[dw], v - tr - smean[dw]) for day, v, dw, tr in det]
+        n = len(res)
+        if n <= 1:
+            continue
+        mu = sum(r[4] for r in res) / n
+        sd = math.sqrt(sum((r[4]) ** 2 for r in res) / (n - 1)
+                       - n * mu * mu / (n - 1))
+        for day, v, tr, sm, rr in res:
+            if abs(rr) > 2 * sd:
+                want[(k, day)] = (v, tr, sm, rr)
+    got = {
+        (r.l_suppkey, r.day): r
+        for r in QUERIES["decompose_stl_residuals"](spark, SF_DIR).collect()
+    }
+    # the integer-grid gate may disagree with the float gate only for
+    # residuals within a hair of the 2-sigma boundary; everything else
+    # must match exactly as a set and in component values
+    border = 0
+    for key in set(want) | set(got):
+        if key in want and key in got:
+            v, tr, sm, rr = want[key]
+            g = got[key]
+            assert abs(g.daily_qty - v) <= 1e-3
+            assert abs(g.trend - tr) <= 1e-3
+            assert abs(g.seasonal - sm) <= 1e-3
+            assert abs(g.residual - rr) <= 1e-3
+        else:
+            border += 1
+    assert len(got) > 0
+    assert border <= max(2, len(want) // 20), (border, len(want), len(got))
