@@ -1612,3 +1612,135 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_decomposition.__doc__ = graph_kcore_decomposition.__doc__.format(
     maxk=_KCORE_MAX_K, rounds=_KCORE_ROUNDS
 )
+
+
+_EIG_ITERS = 8  # fixed power-method iterations (identical in the oracle)
+_EIG_SCALE = 1_000_000  # L-inf-normalized state lives on this integer grid
+
+
+def _eigencentrality_oracle() -> str:
+    """Unrolled fixed-iteration power method; every CTE MATERIALIZED —
+    each iteration references its predecessor twice (contribution sum +
+    max normalizer), so default CTE inlining would expand the chain
+    exponentially (the k-core lesson)."""
+    sql = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM edges GROUP BY 1
+),
+x0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS x FROM deg
+)"""
+    for i in range(1, _EIG_ITERS + 1):
+        sql += f""",
+v{i} AS MATERIALIZED (
+  SELECT e.v AS node, CAST(sum(x.x) AS BIGINT) AS s
+  FROM edges e JOIN x{i - 1} x ON e.u = x.node GROUP BY 1
+),
+x{i} AS MATERIALIZED (
+  SELECT node, (2000000 * s + m.m) // (2 * m.m) AS x
+  FROM v{i} CROSS JOIN (SELECT max(s) AS m FROM v{i}) m
+)"""
+    sql += f"""
+SELECT d.node AS part, d.degree,
+       CAST(x.x AS BIGINT) AS eig_scaled,
+       round(x.x / 1000000.0, 4) AS eigencentrality,
+       CAST(rank() OVER (ORDER BY x.x DESC, d.node) AS BIGINT) AS eig_rank
+FROM deg d JOIN x{_EIG_ITERS} x ON d.node = x.node
+"""
+    return sql
+
+
+@register("graph_eigencentrality", oracle=_eigencentrality_oracle())
+def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGENVECTOR CENTRALITY on the basket co-occurrence graph — the
+    principal eigenvector of the adjacency matrix by {iters} fixed
+    power-method iterations (Bonacich 1987): a part is central in
+    proportion to how central its co-purchase partners are, the
+    influence notion PageRank approximates with damping and degree
+    normalization and raw degree misses entirely.  Completes the
+    centrality shelf: degree (``graph_triangle_count``), PageRank
+    (``graph_pagerank_parts``), coreness (``graph_kcore_decomposition``),
+    now the spectral one.
+
+    Exact integer arithmetic (the PageRank discipline): the state vector
+    lives on a BIGINT 1e-6 grid, each iteration is one exact integer
+    neighbor-sum followed by L-infinity normalization as round-half-up
+    integer division ((2e6*s + m) div (2m), operands nonnegative by
+    construction) — no float ever enters the fixpoint, so the trajectory
+    is bit-identical across engines and partitionings.  L-inf (not L2)
+    normalization keeps the step closed over integers; it rescales, not
+    reorients, so the fixed direction is the same eigenvector.
+
+    Scale: each iteration joins the edge table (pre-partitioned on u,
+    checkpointed once) to the node-sized state and aggregates on the
+    destination — one shuffle per iteration, the textbook distributed
+    power method; the normalizer is a 1-row broadcast.  Per-iteration
+    eager localCheckpoint keeps the two-reference plan linear (the r12b
+    DP lesson).
+
+    Reference parity: extends /root/reference/src/features/
+    behavioral_features_engine.py:454-485 (pair counts) to spectral
+    structure; the reference has no graph layer."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    x = deg.select("node", F.lit(_EIG_SCALE).cast("long").alias("x"))
+    for _ in range(_EIG_ITERS):
+        v = (
+            edges.join(x.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("x").cast("long").alias("s"))
+            .localCheckpoint()  # referenced twice below: keep the plan linear
+        )
+        m = v.agg(F.max("s").alias("m"))
+        x = v.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.expr(f"({2 * _EIG_SCALE} * s + m) div (2 * m)")
+            .cast("long")
+            .alias("x"),
+        )
+    wr = W.orderBy(F.col("x").desc(), "node")
+    return deg.join(x, "node").select(
+        F.col("node").alias("part"),
+        "degree",
+        F.col("x").alias("eig_scaled"),
+        r4(F.col("x") / F.lit(1000000.0)).alias("eigencentrality"),
+        F.rank().over(wr).cast("long").alias("eig_rank"),
+    )
+
+
+graph_eigencentrality.__doc__ = graph_eigencentrality.__doc__.format(
+    iters=_EIG_ITERS
+)

@@ -162,6 +162,7 @@ _PRIORITY: list[str] = [
     "eval_pr_auc",  # r12 NEW: average precision + lift, block-exact
     "metric_pinball_loss",  # r12 NEW: quantile scoring rule + coverage gap
     "decompose_stl_residuals",  # r12 NEW: trend/seasonal/residual + 2-sigma flags
+    "graph_eigencentrality",  # r12 NEW: integer power-method top eigenvector
 ]
 
 
