@@ -1982,3 +1982,68 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("power_observed"),
         (F.col("adiff") >= z_tot * F.col("se")).alias("powered_80"),
     )
+
+
+@register(
+    "ab_test_srm_check",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id, user_id % 2 AS variant
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS users_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS users_b
+  FROM u GROUP BY 1
+)
+SELECT event_type, users_a, users_b,
+       round(users_a * 1.0 / (users_a + users_b), 4) AS share_a,
+       round((users_a - users_b) * (users_a - users_b) * 1.0
+             / (users_a + users_b), 4) AS srm_chi2,
+       (users_a - users_b) * (users_a - users_b) * 1.0
+         / (users_a + users_b) > 3.841 AS srm_flag
+FROM s
+""",
+)
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check — the experiment-validity guardrail
+    that runs BEFORE any effect readout: per event type, the distinct
+    users landing in each 50/50 parity variant, the observed share, and
+    the 1-dof chi-square against the designed split ((n_a-n_b)^2 /
+    (n_a+n_b) — the algebraic collapse of sum (O-E)^2/E for two equal
+    cells).  A flagged SRM means assignment or logging is broken and
+    every downstream p-value (``ab_test_welch`` family) is void — the
+    standard first row of an experimentation health dashboard (Fabijan
+    et al. 2019 diagnose it as the most common trustworthiness bug).
+
+    Exactness: distinct-user counts are exact integers; the statistic is
+    one double ratio of integers; the 3.841 threshold is the 5% 1-dof
+    chi-square critical value, a fixed literal on both sides.
+
+    Scale: one distinct on (type, user) — the same shuffle any
+    per-user metric pays — then a two-cell aggregate; the readout is
+    |event types| rows."""
+    t = Catalog(spark, sf_dir)
+    u = t.events.select(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    s = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("users_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("users_b"),
+    )
+    na, nb = F.col("users_a"), F.col("users_b")
+    chi2 = (na - nb) * (na - nb) * F.lit(1.0) / (na + nb)
+    return s.select(
+        "event_type",
+        "users_a",
+        "users_b",
+        r4(na * F.lit(1.0) / (na + nb)).alias("share_a"),
+        r4(chi2).alias("srm_chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )

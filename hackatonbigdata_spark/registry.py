@@ -163,6 +163,7 @@ _PRIORITY: list[str] = [
     "metric_pinball_loss",  # r12 NEW: quantile scoring rule + coverage gap
     "decompose_stl_residuals",  # r12 NEW: trend/seasonal/residual + 2-sigma flags
     "graph_eigencentrality",  # r12 NEW: integer power-method top eigenvector
+    "ab_test_srm_check",  # r12 NEW: sample-ratio-mismatch guardrail
 ]
 
 

@@ -2075,3 +2075,29 @@ def test_eigencentrality_trajectory_and_direction(spark):
     ours = np.array([x[n] for n in nodes], dtype=float)
     cos = ours @ true_vec / (np.linalg.norm(ours) * np.linalg.norm(true_vec))
     assert cos > 0.999, cos
+
+
+def test_srm_check_matches_python(spark):
+    """SRM re-derived independently: distinct (type, user) sets in
+    Python, the textbook two-cell sum (O-E)^2/E (not the operator's
+    collapsed form), and scipy-free flag logic."""
+    import duckdb
+
+    rows = duckdb.connect().execute(f"""
+        SELECT DISTINCT event_type, user_id FROM '{SF_DIR}/events.parquet'
+    """).fetchall()
+    per: dict[str, list[int]] = {}
+    for t, u in rows:
+        per.setdefault(t, []).append(int(u))
+    got = {r.event_type: r for r in QUERIES["ab_test_srm_check"](spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for t, us in per.items():
+        na = sum(1 for u in us if u % 2 == 0)
+        nb = len(us) - na
+        e = (na + nb) / 2
+        chi2 = (na - e) ** 2 / e + (nb - e) ** 2 / e
+        r = got[t]
+        assert r.users_a == na and r.users_b == nb
+        assert abs(r.srm_chi2 - chi2) <= 1e-3
+        assert abs(r.share_a - na / (na + nb)) <= 1e-3
+        assert r.srm_flag == (chi2 > 3.841)
