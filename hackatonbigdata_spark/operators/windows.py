@@ -1479,3 +1479,118 @@ def decompose_stl_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("rq") / F.lit(10000.0)).alias("residual"),
         )
     )
+
+
+_BSEG_MINSEG = 7  # minimum days on each side of a candidate split
+
+
+@register(
+    "window_changepoint_binseg",
+    oracle=f"""
+WITH d AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v4
+  FROM lineitem GROUP BY 1, 2
+), p AS (
+  SELECT l_suppkey, day, v4,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(sum(v4) OVER w AS BIGINT) AS sk,
+         CAST(sum(v4) OVER (PARTITION BY l_suppkey) AS BIGINT) AS sn,
+         CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS n
+  FROM d
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day)
+), cand AS (
+  SELECT l_suppkey, day, i, sk, sn, n,
+         CAST(sk AS DOUBLE) * sk / i
+           + CAST(sn - sk AS DOUBLE) * (sn - sk) / (n - i) AS obj
+  FROM p
+  WHERE i >= {_BSEG_MINSEG} AND i <= n - {_BSEG_MINSEG}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                               ORDER BY obj DESC, i) AS rn
+  FROM cand
+)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n_days, day AS split_day,
+       round(sk / (i * 10000.0), 4) AS mean_before,
+       round((sn - sk) / ((n - i) * 10000.0), 4) AS mean_after,
+       round((obj - CAST(sn AS DOUBLE) * sn / n) / 100000000.0, 4)
+         AS sse_gain
+FROM best WHERE rn = 1
+""",
+)
+def window_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-CHANGEPOINT localization per store — the first step of
+    binary segmentation (Scott & Knott 1974; the workhorse behind ruptures'
+    BinSeg): the split of the daily demand series that maximally reduces
+    total squared error, i.e. argmax_k S_k^2/k + (S_n-S_k)^2/(n-k), with
+    the classic minimum-segment guard of {minseg} days per side.  The
+    LOCALIZATION companion to ``window_cusum_changepoint`` (CUSUM says
+    "something drifted", binseg says WHERE) — together the standard level-
+    shift pair; the day, the two segment means, and the SSE reduction (in
+    value^2 units — the score a recursive segmentation would threshold
+    on) come back per store.
+
+    Exactness: prefix sums are exact BIGINT on the 1e-4 grid; each
+    candidate's objective is one identically-structured double expression
+    from those exact integers (the Cramer-solve discipline), ranked with
+    a deterministic position tie-break, so the argmax is cross-engine
+    stable without any float accumulation.
+
+    Reference parity: the reference detects performance drift over
+    fixed calendar halves (/root/reference/src/evaluation/
+    error_analysis.py:400-520); this finds the data-driven break.
+
+    Scale: one keyed daily aggregate + one store-ordered cumulative
+    window + one rank — all on the store key; the candidate table is
+    |store-days|, never quadratic, because prefix sums make every
+    split's SSE O(1)."""
+    t = Catalog(spark, sf_dir)
+    d = t.lineitem.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)))
+        .cast("long")
+        .alias("v4")
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    wa = W.partitionBy("l_suppkey")
+    p = d.select(
+        "l_suppkey",
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("v4").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sk"),
+        F.sum("v4").over(wa).cast("long").alias("sn"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    )
+    i, sk, sn, n = F.col("i"), F.col("sk"), F.col("sn"), F.col("n")
+    cand = p.filter(
+        (i >= _BSEG_MINSEG) & (i <= n - _BSEG_MINSEG)
+    ).withColumn(
+        "obj",
+        sk.cast("double") * sk / i
+        + (sn - sk).cast("double") * (sn - sk) / (n - i),
+    )
+    wr = W.partitionBy("l_suppkey").orderBy(F.col("obj").desc(), "i")
+    return (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_suppkey",
+            n.alias("n_days"),
+            F.col("day").alias("split_day"),
+            r4(sk / (i * F.lit(10000.0))).alias("mean_before"),
+            r4((sn - sk) / ((n - i) * F.lit(10000.0))).alias("mean_after"),
+            r4(
+                (F.col("obj") - sn.cast("double") * sn / n)
+                / F.lit(100000000.0)
+            ).alias("sse_gain"),
+        )
+    )
+
+
+window_changepoint_binseg.__doc__ = window_changepoint_binseg.__doc__.format(
+    minseg=_BSEG_MINSEG
+)

@@ -164,6 +164,7 @@ _PRIORITY: list[str] = [
     "decompose_stl_residuals",  # r12 NEW: trend/seasonal/residual + 2-sigma flags
     "graph_eigencentrality",  # r12 NEW: integer power-method top eigenvector
     "ab_test_srm_check",  # r12 NEW: sample-ratio-mismatch guardrail
+    "window_changepoint_binseg",  # r12 NEW: exact single-split localization
 ]
 
 

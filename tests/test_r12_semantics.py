@@ -2101,3 +2101,52 @@ def test_srm_check_matches_python(spark):
         assert abs(r.srm_chi2 - chi2) <= 1e-3
         assert abs(r.share_a - na / (na + nb)) <= 1e-3
         assert r.srm_flag == (chi2 > 3.841)
+
+
+def test_binseg_matches_bruteforce_sse(spark):
+    """The split re-derived by brute force: for every store and every
+    admissible split, LITERAL left/right SSE in float (not the prefix
+    algebra), argmin with the same min-segment guard; the chosen day,
+    means, and gain must agree."""
+    import duckdb
+
+    from hackatonbigdata_spark.operators.windows import _BSEG_MINSEG
+
+    rows = duckdb.connect().execute(f"""
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+               sum(round(l_quantity * 10000) / 10000.0) AS qty
+        FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    series: dict[int, list] = {}
+    for k, day, q in rows:
+        series.setdefault(k, []).append((day, float(q)))
+    got = {
+        r.l_suppkey: r
+        for r in QUERIES["window_changepoint_binseg"](spark, SF_DIR).collect()
+    }
+
+    def sse(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs)
+
+    for k, items in series.items():
+        n = len(items)
+        if n < 2 * _BSEG_MINSEG:
+            assert k not in got
+            continue
+        vals = [q for _, q in items]
+        total = sse(vals)
+        best = None
+        for i in range(_BSEG_MINSEG, n - _BSEG_MINSEG + 1):
+            cost = sse(vals[:i]) + sse(vals[i:])
+            if best is None or cost < best[0] - 1e-9:
+                best = (cost, i)
+        cost, i = best
+        r = got[k]
+        assert r.n_days == n
+        assert r.split_day == items[i - 1][0], (k, r.split_day, items[i - 1][0])
+        assert abs(r.mean_before - sum(vals[:i]) / i) <= 1e-3
+        assert abs(r.mean_after - sum(vals[i:]) / (n - i)) <= 1e-3
+        assert abs(r.sse_gain - (total - cost)) <= max(1e-3, total * 1e-6)
+        assert r.sse_gain >= -1e-9
+    assert len(got) > 0
