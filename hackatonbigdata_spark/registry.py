@@ -73,18 +73,26 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed TWELVE further operators beyond the window
-    # budget (io_time_travel_changes, io_equality_deletes,
+    # exactly.  r12 landed TWENTY-FIVE further operators beyond the
+    # window budget (io_time_travel_changes, io_equality_deletes,
     # similarity_nndescent_build, stream_interval_join_full_outer,
     # pareto_skyline_parts, attribution_markov_removal,
     # io_bloom_skip_lookup, trend_theilsen_brand, tokenizer_unigram_em,
     # sketch_kll_merge_daily, ab_test_chi2_independence,
-    # tokenizer_unigram_encode — all fully oracled and pytest-proven at
-    # sf0.001/sf0.01); per this plan's carry rule they sit at
-    # positions 51+ and LEAD the r13 window.  After this rotation the
-    # oldest driver evidence is r7; the r13 window should lead with
-    # those twelve carried names plus r13-new/edited names, then burn
-    # the r7-latest backlog in registration order (oracled first).
+    # tokenizer_unigram_encode, ab_test_power_mde, graph_link_prediction,
+    # io_snapshot_expire, metric_mase_seasonal_naive,
+    # explain_linear_contributions, graph_kcore_decomposition,
+    # search_rocchio_feedback, eval_pr_auc, metric_pinball_loss,
+    # decompose_stl_residuals, graph_eigencentrality, ab_test_srm_check,
+    # window_changepoint_binseg — ALL fully oracled, each pinned by an
+    # independent pure-Python/numpy test and driver-sim-proven at sf0.01
+    # under UTC and America/New_York); per this plan's carry rule they
+    # sit at positions 51+ and LEAD the r13 window.  After this rotation
+    # the oldest driver evidence is r7; the r13 window should lead with
+    # those twenty-five carried names plus r13-new/edited names (25 +
+    # new fills most of the window), then spend any remaining slots on
+    # the r7-latest backlog in registration order (oracled first),
+    # carrying the rest to r14 exactly as this note does.
     # --- round 12: new queries -------------------------------------------
     "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
     "io_mor_compact",  # r12 NEW: merge-on-read delete-file compaction
