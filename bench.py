@@ -231,6 +231,19 @@ HEADLINE = [
     "sketch_kll_merge_daily",         # r12: level-wise KLL sketch merge
     "ab_test_chi2_independence",      # r12: contingency chi-square + Cramér V
     "tokenizer_unigram_encode",       # r12: per-source unigram-vocab apply
+    "ab_test_power_mde",              # r12: MDE + achieved power readout
+    "graph_link_prediction",          # r12: CN/Adamic-Adar/Jaccard wedges
+    "io_snapshot_expire",             # r12: snapshot expiry + vacuum
+    "metric_mase_seasonal_naive",     # r12: scaled error vs lag-7 naive
+    "explain_linear_contributions",   # r12: exact linear-SHAP attribution
+    "graph_kcore_decomposition",      # r12: capped k-core peel
+    "search_rocchio_feedback",        # r12: pseudo-relevance feedback eval
+    "eval_pr_auc",                    # r12: block-exact average precision
+    "metric_pinball_loss",            # r12: quantile scoring + coverage gap
+    "decompose_stl_residuals",        # r12: decomposition + 2-sigma flags
+    "graph_eigencentrality",          # r12: integer power-method eigenvector
+    "ab_test_srm_check",              # r12: sample-ratio-mismatch guardrail
+    "window_changepoint_binseg",      # r12: exact single-split localization
 ]
 
 
