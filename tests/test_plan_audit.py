@@ -58,6 +58,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "seq_path_trigrams": "top-20 rank over the event-type^3 path alphabet",
     "graph_pagerank_parts": "final rank over the bounded node dimension "
     "(parts with >=2 shared baskets)",
+    "graph_eigencentrality": "final rank over the bounded node dimension "
+    "(the graph_pagerank_parts exemption; the fixpoint itself is keyed)",
     "feature_importance_topk": "rank over <= #features rows (the schema, "
     "not the data)",
     "diag_skew_heavy_hitters": "rank over TakeOrdered-limited top-5 rows",
