@@ -16,6 +16,7 @@ local-mode-specific except the scratch location.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -34,6 +35,42 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     path = os.path.join(_REPO_ROOT, ".scratch", "io", tag, leaf)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
+
+
+def _write_meta_parquet(dst: str, columns: dict[str, tuple[list, str]]) -> None:
+    """DRIVER-SIDE metadata write for manifests and delete-file
+    tombstones: a real table format commits its manifest files from the
+    driver's metadata layer, never as a distributed job — and a 13-row
+    ``spark.createDataFrame(...).write`` pays 5-8 s of job/commit
+    overhead per call (measured at r12), which dominated the table-
+    lifecycle queries.  ``columns`` maps name -> (values, arrow type
+    name in {'int32', 'int64', 'string'}); the result is a plain
+    snappy parquet directory Spark reads like any other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    types = {"int32": pa.int32(), "int64": pa.int64(), "string": pa.string()}
+    tb = pa.table(
+        {name: pa.array(vals, types[tname]) for name, (vals, tname) in columns.items()}
+    )
+    pq.write_table(
+        tb, os.path.join(dst, "part-00000.parquet"), compression="snappy"
+    )
+
+
+def _write_manifest(dst: str, rows: list[tuple[int, str, str]]) -> None:
+    """Write a (snapshot_id, path, kind) manifest via the driver-side
+    metadata path (see ``_write_meta_parquet``)."""
+    _write_meta_parquet(
+        dst,
+        {
+            "snapshot_id": ([r[0] for r in rows], "int32"),
+            "path": ([r[1] for r in rows], "string"),
+            "kind": ([r[2] for r in rows], "string"),
+        },
+    )
 
 
 @register(
@@ -858,9 +895,9 @@ def compact_mor_deletes(spark: SparkSession, base_dst: str, del_dst: str) -> dic
     shutil.rmtree(staging)
     # retire the delete file: post-compaction the layout carries zero
     # delete rows (readers skip the anti-join entirely)
-    spark.createDataFrame([], "file_id int, pos long").write.mode(
-        "overwrite"
-    ).parquet(del_dst)
+    _write_meta_parquet(
+        del_dst, {"file_id": ([], "int32"), "pos": ([], "int64")}
+    )
     return {
         "affected": affected,
         "n_files_rewritten": len(affected) - n_retired,
@@ -1127,9 +1164,7 @@ def _build_tt_layout(spark: SparkSession, sf_dir: str) -> tuple:
         + [(3, p, k) for p, k in base_dirs]
         + [(3, del_dst, "delete"), (3, app_dst, "data")]
     )
-    spark.createDataFrame(
-        manifest, "snapshot_id int, path string, kind string"
-    ).coalesce(1).write.mode("overwrite").parquet(man_dst)
+    _write_manifest(man_dst, manifest)
     return base_dst, del_dst, app_dst, man_dst
 
 
@@ -1538,8 +1573,6 @@ def expire_snapshots(
     filesystem delete per orphaned file; cost is proportional to churn,
     never to table size — the property that makes retention enforcement
     affordable at 100 TB."""
-    import shutil
-
     m = spark.read.parquet(manifest_path)
     # bounded metadata collect: a manifest row per file per snapshot
     rows = m.collect()
@@ -1552,12 +1585,8 @@ def expire_snapshots(
         (r.snapshot_id, r.path, r.kind) for r in rows if r.snapshot_id in keep
     ]
     staging = manifest_path.rstrip("/") + "__staging"
-    spark.createDataFrame(
-        kept_rows, "snapshot_id int, path string, kind string"
-    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    _write_manifest(staging, kept_rows)
     shutil.rmtree(manifest_path)
-    import os
-
     os.rename(staging, manifest_path)
     return {
         "n_snapshots_expired": len(expired),
@@ -1654,9 +1683,7 @@ def io_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(3, p, k) for p, k in untouched]
         + [(3, rw_dst, "data")]
     )
-    spark.createDataFrame(
-        manifest, "snapshot_id int, path string, kind string"
-    ).coalesce(1).write.mode("overwrite").parquet(man_dst)
+    _write_manifest(man_dst, manifest)
     stats = expire_snapshots(spark, man_dst, keep=(3,))
     live = read_snapshot(spark, man_dst, base_dst, 3)
     return (
