@@ -9553,3 +9553,167 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_rocchio_feedback.__doc__ = search_rocchio_feedback.__doc__.format(
     k=_ROC_K, fb=_ROC_FB, beta=_ROC_BETA, qmod=_ROC_QMOD
 )
+
+
+@register(
+    "eval_ndcg_retrieval",
+    oracle=f"""
+WITH {_DUCK_EMB},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+q AS (SELECT e.*, l.label FROM e JOIN lab l USING (vec_id)
+      WHERE vec_id % {_ROC_QMOD} = 0),
+p0 AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm),
+                          4) DESC, b.vec_id) AS rn
+  FROM q JOIN e b ON q.vec_id <> b.vec_id),
+top5 AS (
+  SELECT p.qid, p.qlabel, p.rn,
+         CASE WHEN l.label = p.qlabel THEN 1 ELSE 0 END AS rel
+  FROM p0 p JOIN lab l ON l.vec_id = p.neighbor_id
+  WHERE p.rn <= 5),
+w AS (
+  SELECT i, CAST(floor(10000.0 / log2(i + 1) + 0.5) AS BIGINT) AS w_q,
+         CAST(sum(CAST(floor(10000.0 / log2(i + 1) + 0.5) AS BIGINT))
+              OVER (ORDER BY i) AS BIGINT) AS cum_q
+  FROM range(1, 6) t(i)),
+rtot AS (
+  SELECT q.vec_id AS qid,
+         CAST(count(*) AS BIGINT) AS n_rel
+  FROM q JOIN lab l ON l.label = q.label AND l.vec_id <> q.vec_id
+  GROUP BY 1),
+agg AS (
+  SELECT t.qid, t.qlabel,
+         CAST(sum(t.rel * w.w_q) AS BIGINT) AS dcg_q,
+         CAST(sum(t.rel) AS BIGINT) AS n_rel_at5,
+         min(CASE WHEN t.rel = 1 THEN t.rn END) AS first_rel
+  FROM top5 t JOIN w ON w.i = t.rn
+  GROUP BY 1, 2)
+SELECT a.qid AS vec_id, a.qlabel AS label,
+       coalesce(r.n_rel, 0) AS n_rel_corpus,
+       round(a.n_rel_at5 / 5.0, 4) AS precision_at_5,
+       round(a.dcg_q * 1.0 / iw.cum_q, 4) AS ndcg_at_5,
+       round(coalesce(1.0 / a.first_rel, 0.0), 4) AS mrr
+FROM agg a
+LEFT JOIN rtot r ON r.qid = a.qid
+LEFT JOIN w iw ON iw.i = least(coalesce(r.n_rel, 0), 5)
+""",
+)
+def eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three classic RANK-WEIGHTED retrieval metrics over the exact
+    cosine top-5 — NDCG@5, precision@5, and MRR — with binary label
+    relevance, the evaluation row the similarity family reports recall
+    without: recall counts hits, NDCG weights them by position
+    (rel_i / log2(i+1), Järvelin & Kekäläinen 2002), MRR reads the first
+    hit.  IDCG uses the true per-query relevant-corpus count (capped at
+    the cutoff), so a query whose label is rare is not penalized for an
+    unfillable ideal list.
+
+    Exactness: each rank's discount 1/log2(i+1) is quantized to a BIGINT
+    1e-4 grid per rank position (i is a small exact integer, log2 is one
+    identical double op), so DCG and IDCG are INTEGER sums and NDCG is
+    one exact integer ratio; precision and MRR are integer-derived.
+    Same query regime and tie-break discipline as
+    ``search_rocchio_feedback`` (the sampled-oracle regime — at 100 TB
+    the first stage swaps to the IVF index, the metric math is
+    unchanged).
+
+    Reference parity: the reference evaluates rankers by WMAPE only;
+    this is the standard IR triptych (Manning et al., IIR ch.8) every
+    retrieval stack reports."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t)
+    lab = t.embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    q = (
+        e.filter(F.col("vec_id") % _ROC_QMOD == 0)
+        .join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .localCheckpoint()  # feeds the pair scan AND the relevant-count join
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    w0 = W.partitionBy("qid").orderBy(F.col("s0").desc(), F.col("neighbor_id"))
+    top5 = (
+        q.join(F.broadcast(b), F.col("qid") != F.col("neighbor_id"))
+        .select(
+            "qid",
+            "qlabel",
+            "neighbor_id",
+            r4(
+                _dot("qemb", "bemb") / (F.col("qnrm") * F.col("bnrm"))
+            ).alias("s0"),
+        )
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= 5)
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .withColumn(
+            "rel", (F.col("label") == F.col("qlabel")).cast("long")
+        )
+    )
+    w = (
+        spark.range(1, 6)
+        .select(F.col("id").alias("i"))
+        .withColumn(
+            "w_q",
+            F.floor(
+                F.lit(10000.0) / F.log2(F.col("i") + 1) + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn(
+            "cum_q",
+            F.sum("w_q")
+            .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .localCheckpoint()  # 5 rows; silences the global-window audit
+    )
+    rtot = (
+        q.join(
+            lab.withColumnRenamed("vec_id", "cand_id"),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("cand_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    agg = (
+        top5.join(F.broadcast(w), top5.rn == w.i)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(F.col("rel") * F.col("w_q")).cast("long").alias("dcg_q"),
+            F.sum("rel").cast("long").alias("n_rel_at5"),
+            F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+        )
+    )
+    iw = w.select(F.col("i").alias("k"), F.col("cum_q").alias("icum_q"))
+    return (
+        agg.join(rtot, "qid", "left")
+        .withColumn("k", F.least(F.coalesce("n_rel", F.lit(0)), F.lit(5)))
+        .join(F.broadcast(iw), "k", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel_corpus"),
+            r4(F.col("n_rel_at5") / F.lit(5.0)).alias("precision_at_5"),
+            r4(F.col("dcg_q") * F.lit(1.0) / F.col("icum_q")).alias(
+                "ndcg_at_5"
+            ),
+            r4(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+            ).alias("mrr"),
+        )
+    )

@@ -173,6 +173,7 @@ _PRIORITY: list[str] = [
     "graph_eigencentrality",  # r12 NEW: integer power-method top eigenvector
     "ab_test_srm_check",  # r12 NEW: sample-ratio-mismatch guardrail
     "window_changepoint_binseg",  # r12 NEW: exact single-split localization
+    "eval_ndcg_retrieval",  # r12 NEW: NDCG@5 / precision@5 / MRR, integer-exact
 ]
 
 

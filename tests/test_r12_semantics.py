@@ -2150,3 +2150,47 @@ def test_binseg_matches_bruteforce_sse(spark):
         assert abs(r.sse_gain - (total - cost)) <= max(1e-3, total * 1e-6)
         assert r.sse_gain >= -1e-9
     assert len(got) > 0
+
+
+def test_ndcg_matches_python_ir_metrics(spark):
+    """NDCG/precision/MRR re-derived independently in float (math.log2
+    discounts, no quantization) over the same exact ranking rebuilt in
+    numpy; agreement within the per-term quantization envelope."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hackatonbigdata_spark.operators.llm import _ROC_QMOD
+
+    tb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(tb["vec_id"])
+    labels = {int(i): int(l) for i, l in zip(ids, np.asarray(tb["label"]))}
+    E = {
+        int(i): np.asarray(v.as_py(), dtype=float)
+        for i, v in zip(ids, tb["embedding"])
+    }
+    got = {
+        r.vec_id: r for r in QUERIES["eval_ndcg_retrieval"](spark, SF_DIR).collect()
+    }
+    qids = sorted(i for i in E if i % _ROC_QMOD == 0)
+    assert set(got) == set(qids)
+    for qid in qids:
+        scored = sorted(
+            (-round(float(E[qid] @ v) / (np.linalg.norm(E[qid]) * np.linalg.norm(v)), 4), j)
+            for j, v in E.items()
+            if j != qid
+        )
+        top5 = [j for _, j in scored[:5]]
+        rel = [labels[j] == labels[qid] for j in top5]
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rel))
+        n_rel = sum(1 for j in E if j != qid and labels[j] == labels[qid])
+        idcg = sum(1 / math.log2(i + 2) for i in range(min(5, n_rel)))
+        first = next((i + 1 for i, r in enumerate(rel) if r), None)
+        r = got[qid]
+        assert r.label == labels[qid]
+        assert r.n_rel_corpus == n_rel
+        assert abs(r.precision_at_5 - sum(rel) / 5) <= 1e-3
+        if idcg > 0:
+            assert abs(r.ndcg_at_5 - dcg / idcg) <= 2e-3
+        assert abs(r.mrr - (1 / first if first else 0.0)) <= 1e-3
