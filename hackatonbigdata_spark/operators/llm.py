@@ -9717,3 +9717,120 @@ def eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr"),
         )
     )
+
+
+_FH_BUCKETS = 64  # hashing-trick feature dimension (2^6)
+
+
+@register(
+    "encode_feature_hashing",
+    oracle=f"""
+WITH w AS (
+  SELECT source, unnest({_DUCK_WORDS}) AS word
+  FROM documents
+), wf AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM w WHERE word <> '' GROUP BY 1, 2
+), hb AS (
+  SELECT source, word, cnt,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % {_FH_BUCKETS}
+           AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5('s:' || word), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM wf
+), bv AS (
+  SELECT source, bucket, CAST(sum(sgn * cnt) AS BIGINT) AS signed_val,
+         CAST(count(*) AS BIGINT) AS n_words_in_bucket
+  FROM hb GROUP BY 1, 2
+)
+SELECT hb.source,
+       CAST(sum(hb.cnt) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST((SELECT count(*) FROM bv WHERE bv.source = hb.source) AS BIGINT)
+         AS n_buckets_used,
+       CAST(count(*)
+            - (SELECT count(*) FROM bv WHERE bv.source = hb.source)
+            AS BIGINT) AS n_collisions,
+       CAST((SELECT sum(abs(signed_val)) FROM bv
+             WHERE bv.source = hb.source) AS BIGINT) AS l1_signed,
+       round(1.0 - (SELECT sum(abs(signed_val)) FROM bv
+                    WHERE bv.source = hb.source) * 1.0 / sum(hb.cnt), 4)
+         AS cancel_rate
+FROM hb GROUP BY 1
+""",
+)
+def encode_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009) — the fixed-dimension
+    text featurization every scale pipeline uses when a vocabulary is
+    too large or too dynamic to materialize: each word hashes into one
+    of {nb} buckets, a SECOND independent hash picks a +/-1 sign so
+    colliding words cancel in expectation rather than bias upward, and
+    the per-source readout reports exactly what an ML engineer sizes the
+    dimension by — bucket occupancy, collision count (distinct words
+    minus occupied buckets), and the realized signed-cancellation rate.
+    Companion to ``frequency_encoding``/``label_encode_other`` (which
+    need the vocabulary) and ``text_tfidf_topterms`` (which keeps it).
+
+    Exactness: both hashes are the engine-shared md5 rule (`h32(word)`
+    for the bucket, `h32('s:'||word)` parity for the sign — the
+    independent-second-hash convention); signed bucket values are exact
+    BIGINT sums; the two ratios are single r4 divisions.
+
+    Scale: one (source, word) count — the shuffle any text statistic
+    pays — then one (source, bucket) aggregate on a 64-value domain;
+    the feature table itself (|sources| x {nb}) is broadcast-sized
+    metadata at any corpus size, which is the entire point of the
+    trick.
+
+    Reference parity: the reference one-hot/label-encodes bounded
+    categoricals (/root/reference/src/features/feature_pipeline.py
+    family); hashing is the unbounded-vocabulary form it never needed
+    at its scale but a 100 TB corpus demands."""
+    t = Catalog(spark, sf_dir)
+    wf = (
+        t.documents.select(
+            "source", F.explode(F.split(_norm_text(), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hb = wf.select(
+        "source",
+        "cnt",
+        (_h(F.col("word")) % _FH_BUCKETS).alias("bucket"),
+        F.when(
+            _h(F.concat(F.lit("s:"), F.col("word"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    ).localCheckpoint()  # feeds the word-level AND bucket-level aggregates
+    bv = hb.groupBy("source", "bucket").agg(
+        F.sum(F.col("sgn") * F.col("cnt")).cast("long").alias("signed_val")
+    )
+    per_b = bv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(F.abs(F.col("signed_val"))).cast("long").alias("l1_signed"),
+    )
+    per_w = hb.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+    )
+    return per_w.join(per_b, "source").select(
+        "source",
+        "n_words",
+        "n_distinct_words",
+        "n_buckets_used",
+        (F.col("n_distinct_words") - F.col("n_buckets_used"))
+        .cast("long")
+        .alias("n_collisions"),
+        "l1_signed",
+        r4(
+            F.lit(1.0) - F.col("l1_signed") * F.lit(1.0) / F.col("n_words")
+        ).alias("cancel_rate"),
+    )
+
+
+encode_feature_hashing.__doc__ = encode_feature_hashing.__doc__.format(
+    nb=_FH_BUCKETS
+)

@@ -174,6 +174,7 @@ _PRIORITY: list[str] = [
     "ab_test_srm_check",  # r12 NEW: sample-ratio-mismatch guardrail
     "window_changepoint_binseg",  # r12 NEW: exact single-split localization
     "eval_ndcg_retrieval",  # r12 NEW: NDCG@5 / precision@5 / MRR, integer-exact
+    "encode_feature_hashing",  # r12 NEW: signed hashing trick + collision report
 ]
 
 

@@ -2194,3 +2194,51 @@ def test_ndcg_matches_python_ir_metrics(spark):
         if idcg > 0:
             assert abs(r.ndcg_at_5 - dcg / idcg) <= 2e-3
         assert abs(r.mrr - (1 / first if first else 0.0)) <= 1e-3
+
+
+def test_feature_hashing_matches_python(spark):
+    """The hashing trick re-derived independently: normalization,
+    md5-derived bucket and sign hashes, signed bucket sums, collision
+    and cancellation accounting — all in pure Python dicts."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.llm import _FH_BUCKETS
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    per: dict[str, dict] = {}
+    for src, text in rows:
+        norm = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+        d = per.setdefault(src, {})
+        for w in norm.split(" "):
+            if w:
+                d[w] = d.get(w, 0) + 1
+    got = {
+        r.source: r for r in QUERIES["encode_feature_hashing"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for src, wf in per.items():
+        buckets: dict[int, int] = {}
+        for w, c in wf.items():
+            b = h32(w) % _FH_BUCKETS
+            sgn = 1 if h32("s:" + w) % 2 == 0 else -1
+            buckets[b] = buckets.get(b, 0) + sgn * c
+        r = got[src]
+        n_words = sum(wf.values())
+        l1 = sum(abs(v) for v in buckets.values())
+        assert r.n_words == n_words
+        assert r.n_distinct_words == len(wf)
+        assert r.n_buckets_used == len(buckets)
+        assert r.n_collisions == len(wf) - len(buckets)
+        assert r.l1_signed == l1
+        assert abs(r.cancel_rate - (1 - l1 / n_words)) <= 1e-3
+        # the trick must actually collide at this vocabulary size
+        assert r.n_collisions > 0
