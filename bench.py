@@ -244,6 +244,8 @@ HEADLINE = [
     "graph_eigencentrality",          # r12: integer power-method eigenvector
     "ab_test_srm_check",              # r12: sample-ratio-mismatch guardrail
     "window_changepoint_binseg",      # r12: exact single-split localization
+    "eval_ndcg_retrieval",            # r12: NDCG/precision/MRR retrieval eval
+    "encode_feature_hashing",         # r12: signed hashing-trick featurizer
 ]
 
 

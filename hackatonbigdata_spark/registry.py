@@ -73,7 +73,7 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed TWENTY-FIVE further operators beyond the
+    # exactly.  r12 landed TWENTY-SEVEN further operators beyond the
     # window budget (io_time_travel_changes, io_equality_deletes,
     # similarity_nndescent_build, stream_interval_join_full_outer,
     # pareto_skyline_parts, attribution_markov_removal,
@@ -84,12 +84,13 @@ _PRIORITY: list[str] = [
     # explain_linear_contributions, graph_kcore_decomposition,
     # search_rocchio_feedback, eval_pr_auc, metric_pinball_loss,
     # decompose_stl_residuals, graph_eigencentrality, ab_test_srm_check,
-    # window_changepoint_binseg — ALL fully oracled, each pinned by an
+    # window_changepoint_binseg, eval_ndcg_retrieval,
+    # encode_feature_hashing — ALL fully oracled, each pinned by an
     # independent pure-Python/numpy test and driver-sim-proven at sf0.01
     # under UTC and America/New_York); per this plan's carry rule they
     # sit at positions 51+ and LEAD the r13 window.  After this rotation
     # the oldest driver evidence is r7; the r13 window should lead with
-    # those twenty-five carried names plus r13-new/edited names (25 +
+    # those twenty-seven carried names plus r13-new/edited names (27 +
     # new fills most of the window), then spend any remaining slots on
     # the r7-latest backlog in registration order (oracled first),
     # carrying the rest to r14 exactly as this note does.
