@@ -2242,3 +2242,33 @@ def test_feature_hashing_matches_python(spark):
         assert abs(r.cancel_rate - (1 - l1 / n_words)) <= 1e-3
         # the trick must actually collide at this vocabulary size
         assert r.n_collisions > 0
+
+
+def test_metric_family_cross_consistency(spark):
+    """The eval family reads ONE shared forecast: MASE's numerator must
+    equal the WMAPE suite's MAE per store exactly (same conditional
+    average over the same rows), and every PR-AUC row must agree with
+    the ROC row's class counts — cross-operator invariants that catch a
+    drifting forecast definition in any one query."""
+    mase = {
+        r.l_suppkey: r
+        for r in QUERIES["metric_mase_seasonal_naive"](spark, SF_DIR).collect()
+    }
+    wmape = {
+        r.l_suppkey: r
+        for r in QUERIES["metric_wmape_by_store"](spark, SF_DIR).collect()
+    }
+    assert set(mase) == set(wmape)
+    for k, r in mase.items():
+        assert r.mae_forecast == wmape[k].mae, (k, r.mae_forecast, wmape[k].mae)
+    pr = {r.l_suppkey: r for r in QUERIES["eval_pr_auc"](spark, SF_DIR).collect()}
+    roc = {r.l_suppkey: r for r in QUERIES["eval_roc_auc"](spark, SF_DIR).collect()}
+    assert set(pr) == set(roc)
+    for k in pr:
+        assert pr[k].n_pos == roc[k].n_pos and pr[k].n_neg == roc[k].n_neg
+        # AP of a ranker can't beat 1.0 or undercut ~0; prevalence ties
+        # the two views' class balance together
+        assert abs(
+            pr[k].prevalence
+            - roc[k].n_pos / (roc[k].n_pos + roc[k].n_neg)
+        ) <= 1e-3
