@@ -2272,3 +2272,35 @@ def test_metric_family_cross_consistency(spark):
             pr[k].prevalence
             - roc[k].n_pos / (roc[k].n_pos + roc[k].n_neg)
         ) <= 1e-3
+
+
+def test_graph_family_shares_one_edge_set(spark):
+    """Five graph operators declare the same >= 2-basket co-occurrence
+    graph; the per-node degree columns of PageRank, triangle counting,
+    k-core, and eigencentrality must be identical node-for-node, and
+    link prediction's candidate pairs must never include an existing
+    edge (its anti-join contract) — drift in any one query's edge
+    construction breaks this immediately."""
+    pr = {r.part_key: r.degree for r in QUERIES["graph_pagerank_parts"](spark, SF_DIR).collect()}
+    tri = {r.part: r.degree for r in QUERIES["graph_triangle_count"](spark, SF_DIR).collect()}
+    kc = {r.part: r.degree for r in QUERIES["graph_kcore_decomposition"](spark, SF_DIR).collect()}
+    eig = {r.part: r.degree for r in QUERIES["graph_eigencentrality"](spark, SF_DIR).collect()}
+    assert pr == tri == kc == eig
+    import duckdb
+
+    edges = {
+        (u, v)
+        for u, v in duckdb.connect().execute(f"""
+            WITH items AS (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM '{SF_DIR}/lineitem.parquet'
+            )
+            SELECT a.l_partkey, b.l_partkey
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """).fetchall()
+    }
+    lp = QUERIES["graph_link_prediction"](spark, SF_DIR).collect()
+    assert all((r.part_a, r.part_b) not in edges for r in lp)
+    assert all(r.part_a in pr and r.part_b in pr for r in lp)
