@@ -246,6 +246,7 @@ HEADLINE = [
     "window_changepoint_binseg",      # r12: exact single-split localization
     "eval_ndcg_retrieval",            # r12: NDCG/precision/MRR retrieval eval
     "encode_feature_hashing",         # r12: signed hashing-trick featurizer
+    "calibration_ece_summary",        # r12: ECE/MCE reliability summary
 ]
 
 

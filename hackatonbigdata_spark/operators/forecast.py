@@ -5054,3 +5054,107 @@ def metric_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(cov).alias("coverage_q75"),
         r4(cov - F.lit(0.75)).alias("coverage_gap"),
     )
+
+
+@register(
+    "calibration_ece_summary",
+    oracle=f"""
+WITH f AS ({_FORECAST_SQL}),
+v AS (
+  SELECT actual, forecast,
+         CAST(floor(forecast * 10000 + 0.5) AS BIGINT) AS fl,
+         CAST(floor(actual * 10000 + 0.5) AS BIGINT) AS al
+  FROM f WHERE forecast IS NOT NULL
+), e AS (
+  SELECT floor(quantile_cont(forecast, 0.1) * 10000 + 0.5) / 10000 AS q1,
+         floor(quantile_cont(forecast, 0.2) * 10000 + 0.5) / 10000 AS q2,
+         floor(quantile_cont(forecast, 0.3) * 10000 + 0.5) / 10000 AS q3,
+         floor(quantile_cont(forecast, 0.4) * 10000 + 0.5) / 10000 AS q4,
+         floor(quantile_cont(forecast, 0.5) * 10000 + 0.5) / 10000 AS q5,
+         floor(quantile_cont(forecast, 0.6) * 10000 + 0.5) / 10000 AS q6,
+         floor(quantile_cont(forecast, 0.7) * 10000 + 0.5) / 10000 AS q7,
+         floor(quantile_cont(forecast, 0.8) * 10000 + 0.5) / 10000 AS q8,
+         floor(quantile_cont(forecast, 0.9) * 10000 + 0.5) / 10000 AS q9
+  FROM v
+), binned AS (
+  SELECT fl, al,
+         1 + (CASE WHEN forecast > q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q5 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q6 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q7 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q8 THEN 1 ELSE 0 END)
+           + (CASE WHEN forecast > q9 THEN 1 ELSE 0 END) AS b
+  FROM v, e
+), per_bin AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fl) AS BIGINT) AS sf,
+         CAST(sum(al) AS BIGINT) AS sa
+  FROM binned GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(abs(sf - sa)) / (sum(n) * 10000.0), 4) AS ece,
+       round(max(abs(sf - sa) * 1.0 / n) / 10000.0, 4) AS mce,
+       round(sum(sa) * 1.0 / sum(sf), 4) AS overall_ratio
+FROM per_bin
+""",
+)
+def calibration_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR — the one-number reliability summary
+    over the same forecast-decile bins as ``calibration_curve_bins``
+    (Naeini et al. 2015's ECE, in its regression form): ECE is the
+    bin-size-weighted mean |mean forecast - mean actual|, MCE the worst
+    bin's gap, and the overall actual/forecast ratio the global bias
+    anchor.  The curve query shows WHERE miscalibration lives; this is
+    the number a model registry thresholds on.
+
+    Exactness: weighting collapses algebraically — (n_b/N)*|mf-ma| =
+    |sum_f - sum_a|_b / N — so ECE is one integer sum of per-bin
+    absolute differences of exact BIGINT 1e-4 sums, divided once; MCE
+    is a max over exact per-bin ratios.  No per-row float ever
+    accumulates.
+
+    Reference parity: the reference's calibration suite plots the curve
+    and fits correctors (/root/reference/src/models/
+    model_calibration.py:49-520) but never ships the summary statistic;
+    this completes curve -> corrector -> NUMBER.
+
+    Scale: identical dataflow to the curve query (nine broadcast
+    quantile edges + one keyed aggregate) collapsed one step further."""
+    t = Catalog(spark, sf_dir)
+    f = _with_forecast(t).filter(F.col("forecast").isNotNull())
+    v = f.select(
+        "forecast",
+        F.floor(F.col("forecast") * 10000 + F.lit(0.5)).cast("long").alias("fl"),
+        F.floor(F.col("actual") * 10000 + F.lit(0.5)).cast("long").alias("al"),
+    ).localCheckpoint()  # feeds the quantile edges AND the binned pass
+    qs = [
+        F.floor(F.percentile("forecast", F.lit(p)) * 10000 + F.lit(0.5))
+        / 10000.0
+        for p in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    ]
+    e = v.agg(*[q.alias(f"q{i + 1}") for i, q in enumerate(qs)])
+    b = F.lit(1)
+    for i in range(1, 10):
+        b = b + (F.col("forecast") > F.col(f"q{i}")).cast("int")
+    per_bin = (
+        v.crossJoin(F.broadcast(e))
+        .select("fl", "al", b.alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("fl").cast("long").alias("sf"),
+            F.sum("al").cast("long").alias("sa"),
+        )
+    )
+    d = F.abs(F.col("sf") - F.col("sa"))
+    return per_bin.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        r4(F.sum(d) / (F.sum("n") * F.lit(10000.0))).alias("ece"),
+        r4(F.max(d * F.lit(1.0) / F.col("n")) / F.lit(10000.0)).alias("mce"),
+        r4(F.sum("sa") * F.lit(1.0) / F.sum("sf")).alias("overall_ratio"),
+    )

@@ -73,7 +73,7 @@ _PRIORITY: list[str] = [
     # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
     # is retired — 43 oracled names in registration order, the one
     # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed TWENTY-SEVEN further operators beyond the
+    # exactly.  r12 landed TWENTY-EIGHT further operators beyond the
     # window budget (io_time_travel_changes, io_equality_deletes,
     # similarity_nndescent_build, stream_interval_join_full_outer,
     # pareto_skyline_parts, attribution_markov_removal,
@@ -85,12 +85,13 @@ _PRIORITY: list[str] = [
     # search_rocchio_feedback, eval_pr_auc, metric_pinball_loss,
     # decompose_stl_residuals, graph_eigencentrality, ab_test_srm_check,
     # window_changepoint_binseg, eval_ndcg_retrieval,
-    # encode_feature_hashing — ALL fully oracled, each pinned by an
+    # encode_feature_hashing, calibration_ece_summary — ALL fully
+    # oracled, each pinned by an
     # independent pure-Python/numpy test and driver-sim-proven at sf0.01
     # under UTC and America/New_York); per this plan's carry rule they
     # sit at positions 51+ and LEAD the r13 window.  After this rotation
     # the oldest driver evidence is r7; the r13 window should lead with
-    # those twenty-seven carried names plus r13-new/edited names (27 +
+    # those twenty-eight carried names plus r13-new/edited names (28 +
     # new fills most of the window), then spend any remaining slots on
     # the r7-latest backlog in registration order (oracled first),
     # carrying the rest to r14 exactly as this note does.
@@ -176,6 +177,7 @@ _PRIORITY: list[str] = [
     "window_changepoint_binseg",  # r12 NEW: exact single-split localization
     "eval_ndcg_retrieval",  # r12 NEW: NDCG@5 / precision@5 / MRR, integer-exact
     "encode_feature_hashing",  # r12 NEW: signed hashing trick + collision report
+    "calibration_ece_summary",  # r12 NEW: ECE/MCE reliability summary
 ]
 
 

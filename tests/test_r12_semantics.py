@@ -2304,3 +2304,22 @@ def test_graph_family_shares_one_edge_set(spark):
     lp = QUERIES["graph_link_prediction"](spark, SF_DIR).collect()
     assert all((r.part_a, r.part_b) not in edges for r in lp)
     assert all(r.part_a in pr and r.part_b in pr for r in lp)
+
+
+def test_ece_consistent_with_calibration_curve(spark):
+    """ECE re-derived from the calibration CURVE query's own per-bin
+    means (same decile construction, independent aggregation path): the
+    bin-weighted |mean_forecast - mean_actual| must reproduce the
+    summary's ECE within the per-bin quantization envelope, the worst
+    bin must reproduce MCE, and the row/bin counts must agree."""
+    bins = QUERIES["calibration_curve_bins"](spark, SF_DIR).collect()
+    got = QUERIES["calibration_ece_summary"](spark, SF_DIR).collect()[0]
+    n = sum(b.n_rows for b in bins)
+    ece = sum(b.n_rows * abs(b.mean_forecast - b.mean_actual) for b in bins) / n
+    mce = max(abs(b.mean_forecast - b.mean_actual) for b in bins)
+    assert got.n_rows == n
+    assert got.n_bins == len(bins)
+    tol = 2 * len(bins) * 1e-4
+    assert abs(got.ece - ece) <= tol, (got.ece, ece)
+    assert abs(got.mce - mce) <= tol, (got.mce, mce)
+    assert 0 <= got.ece <= got.mce
