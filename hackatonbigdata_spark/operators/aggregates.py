@@ -942,7 +942,17 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.groupBy("event_type", "variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v4").alias("s1"),
-        F.sum(F.col("v4") * F.col("v4")).alias("s2"),
+        # one factor to decimal BEFORE the multiply (v4^2 ~1e14/row nears
+        # Long.MAX within ~1e4 rows per group at large SF); decimal(38,0)
+        # sum then one double conversion — the oracle's BIGINT s2 enters
+        # its var expression as DOUBLE the same way
+        F.sum(
+            (F.col("v4").cast("decimal(19,0)") * F.col("v4")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
     )
     a = s.filter(F.col("variant") == 0).alias("a")
     b = s.filter(F.col("variant") == 1).alias("b")
@@ -1940,7 +1950,17 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.groupBy("event_type", "variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v4").alias("s1"),
-        F.sum(F.col("v4") * F.col("v4")).alias("s2"),
+        # one factor to decimal BEFORE the multiply (v4^2 ~1e14/row nears
+        # Long.MAX within ~1e4 rows per group at large SF); decimal(38,0)
+        # sum then one double conversion — the oracle's BIGINT s2 enters
+        # its var expression as DOUBLE the same way
+        F.sum(
+            (F.col("v4").cast("decimal(19,0)") * F.col("v4")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
     )
     a = s.filter(F.col("variant") == 0).alias("a")
     b = s.filter(F.col("variant") == 1).alias("b")

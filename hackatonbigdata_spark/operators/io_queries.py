@@ -1579,8 +1579,10 @@ def expire_snapshots(
     live = {r.path for r in rows if r.snapshot_id in keep}
     dead = {r.path for r in rows if r.snapshot_id not in keep} - live
     expired = {r.snapshot_id for r in rows if r.snapshot_id not in keep}
-    for p in sorted(dead):
-        shutil.rmtree(p)
+    # manifest swap FIRST, file deletes SECOND: a crash between the two
+    # leaves orphaned-but-harmless files (recoverable as dir-listing minus
+    # manifest paths), never a manifest addressing deleted paths — the
+    # ordering the docstring promises
     kept_rows = [
         (r.snapshot_id, r.path, r.kind) for r in rows if r.snapshot_id in keep
     ]
@@ -1588,6 +1590,8 @@ def expire_snapshots(
     _write_manifest(staging, kept_rows)
     shutil.rmtree(manifest_path)
     os.rename(staging, manifest_path)
+    for p in sorted(dead):
+        shutil.rmtree(p)
     return {
         "n_snapshots_expired": len(expired),
         "n_files_removed": len(dead),

@@ -1566,8 +1566,13 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def core_nodes(k: int) -> DataFrame:
+        # _KCORE_ROUNDS + 1 convergence CHECKS around at most _KCORE_ROUNDS
+        # filter passes: the oracle chain covers exactly _KCORE_ROUNDS
+        # passes, so a graph converging on the FINAL pass must return, not
+        # raise — but a pass beyond the oracle's depth must still fail
+        # loudly rather than silently diverge from it.
         edges = pairs
-        for _ in range(_KCORE_ROUNDS):
+        for rnd in range(_KCORE_ROUNDS + 1):
             d = (
                 edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
@@ -1579,6 +1584,8 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return edges.select(F.col("u").alias("node")).unionAll(
                     edges.select(F.col("v").alias("node"))
                 ).distinct()
+            if rnd == _KCORE_ROUNDS:
+                break
             edges = (
                 edges.join(
                     bad.withColumnRenamed("node", "u"), "u", "anti"
