@@ -7,6 +7,17 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the no-op sink (full computation, no
 driver collect) after a warmup scan that absorbs session/IO startup.
+
+Bench notes (r13): the r12 verdict's HLL-trio watch item (+22-34% with no
+code change) was re-measured in ISOLATION (3-pass min per query, fresh
+session, nothing else benched): stream_hourly_hll 1.29 s,
+stream_hll_daily_merge 1.36 s, stream_hll_returning_users 1.75 s — the
+first two reproduce the r12 numbers exactly and returning_users is back at
+its r11 level, so the moves are NOT bench-order cache/checkpoint pressure
+(isolation would have removed that) and not a code regression (none
+touched them); the r11-era times simply don't reproduce on the current
+environment.  All three sit at ~12-16% of the 11 s bar; treat their
+sub-2 s band as environment-noise floor.
 """
 
 from __future__ import annotations
@@ -247,6 +258,9 @@ HEADLINE = [
     "eval_ndcg_retrieval",            # r12: NDCG/precision/MRR retrieval eval
     "encode_feature_hashing",         # r12: signed hashing-trick featurizer
     "calibration_ece_summary",        # r12: ECE/MCE reliability summary
+    # round-13 operators:
+    "similarity_graph_ann_nnd",       # r13: walk over the NND-built graph
+    "io_partition_evolution",         # r13: spec evolution, dual-spec pruning
 ]
 
 

@@ -1708,3 +1708,114 @@ def io_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- partition-spec EVOLUTION (round 13) -----------------------------------
+# the remaining core table-format lifecycle behavior after skipping
+# (minmax/z-order/Bloom), merge-on-read deletes, compaction, time travel,
+# CDC reads, and snapshot expiry: changing the partition LAYOUT mid-life
+# while files written under the old spec stay readable and stay PRUNABLE
+# under their own spec.
+
+_PE_SPLIT_YEAR = 1996  # rows shipped before this: spec A; from it on: spec B
+_PE_MONTH = 3  # the probe predicate both generations must prune on
+_PE_FLAG = "R"  # the extra spec-B dimension's probe value
+
+
+@register(
+    "io_partition_evolution",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+WHERE month(l_shipdate) = {_PE_MONTH} AND l_returnflag = '{_PE_FLAG}'
+GROUP BY 1
+""",
+)
+def io_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION — Iceberg's evolve-the-layout-without-
+    rewriting behavior: the table starts partitioned by ship_month (spec
+    A), later writes switch to (ship_month, ret) (spec B), and ONE query
+    over the union answers with BOTH file generations pruned via their
+    OWN spec's directories — spec-A files prune on month only (the ret
+    predicate is row-level there), spec-B files prune on month AND ret.
+    Old files are NEVER rewritten when the spec changes; that is the
+    entire point (a 100 TB table cannot re-layout retroactively), and it
+    is exactly how Iceberg executes it: each data file carries its
+    partition-spec id, and the scan plans each spec's files with that
+    spec's transforms.  Here the generations live in per-spec
+    directories and the reader unions one pruned scan per spec — the
+    same plan shape a spec-aware catalog produces.
+
+    The generation split is by ship YEAR (< {split} = spec A, >= = spec
+    B), modeling the real lifecycle: the layout changed at a point in
+    time, so the old generation is exactly the old data.  Matching the
+    oracle's aggregate over the ORIGINAL table proves the evolved layout
+    is lossless across the spec boundary; the layout test pins that BOTH
+    scans prune (PartitionFilters on each generation's own columns) and
+    that the spec-A directory tree really has no ret level.
+
+    Reference parity: the reference's per-period export convention
+    (/root/reference/src/data/load_data.py) never revisits old periods;
+    this is that convention with a mid-life layout upgrade.
+
+    Scale: both writes are one-shuffle partitionBy sinks; the read is
+    two directory-pruned scans (one per spec) unioned BEFORE the
+    aggregate, so partial aggregation spans both generations and the
+    month/ret predicates never touch non-matching files in either."""
+    t = Catalog(spark, sf_dir)
+    a_dst = _scratch(sf_dir, "pe_spec_a")
+    b_dst = _scratch(sf_dir, "pe_spec_b")
+    li = t.lineitem.select(
+        "l_shipdate",
+        "l_quantity",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.col("l_returnflag").alias("ret"),
+    )
+    # generation 1, spec A: partition by month only (ret stays a data col)
+    (
+        li.filter(F.col("ship_year") < _PE_SPLIT_YEAR)
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(a_dst)
+    )
+    # generation 2, spec B: the evolved layout adds the ret dimension
+    (
+        li.filter(F.col("ship_year") >= _PE_SPLIT_YEAR)
+        .write.mode("overwrite")
+        .partitionBy("ship_month", "ret")
+        .parquet(b_dst)
+    )
+    cols = ["l_shipdate", "l_quantity", "l_suppkey", "ship_year"]
+    gen_a = (
+        spark.read.parquet(a_dst)
+        .filter(
+            (F.col("ship_month") == _PE_MONTH) & (F.col("ret") == _PE_FLAG)
+        )
+        .select(*cols)
+    )
+    gen_b = (
+        spark.read.parquet(b_dst)
+        .filter(
+            (F.col("ship_month") == _PE_MONTH) & (F.col("ret") == _PE_FLAG)
+        )
+        .select(*cols)
+    )
+    return (
+        gen_a.unionByName(gen_b)
+        .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+io_partition_evolution.__doc__ = io_partition_evolution.__doc__.format(
+    split=_PE_SPLIT_YEAR
+)

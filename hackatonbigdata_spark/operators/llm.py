@@ -31,6 +31,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -8209,26 +8210,42 @@ def _duck_gann_hops(pfx: str = "", g: str = "g", p: str = "p") -> str:
 
 
 def _gann_walk(
-    spark: SparkSession, e: DataFrame, g: DataFrame, qids: DataFrame, entry_id: int
+    spark: SparkSession,
+    e: DataFrame,
+    g: DataFrame,
+    qids: DataFrame,
+    entry_id: int | None = None,
 ) -> DataFrame:
     """The fixed-beam greedy best-first walk over a bounded-degree
-    neighbor graph ``g`` (node, nb) for every query in ``qids`` (qid):
-    start each query at the ``entry_id`` hub, expand the {beam} best
-    UNEXPANDED visited nodes per hop for {hops} hops, score only the
-    nodes the walk touches (query↔node cosines recomputed from the
-    broadcast embedding table — identical r4 doubles to any pair scan,
-    see ``similarity_graph_ann``).  Returns the visited state
-    (qid, node, cos) — its size per query IS the walk's
-    distance-evaluation cost.  Shared by the exact-graph walk
-    (``similarity_graph_ann``) and the NND-graph walk
-    (``similarity_graph_ann_nnd``) so both searches are one code path.
+    neighbor graph ``g`` for every query in ``qids``: start each query
+    at its entry hub, expand the {beam} best UNEXPANDED visited nodes
+    per hop for {hops} hops, score only the nodes the walk touches
+    (query↔node cosines recomputed from the broadcast embedding table —
+    identical r4 doubles to any pair scan, see ``similarity_graph_ann``).
+    Returns the visited state — its size per query IS the walk's
+    distance-evaluation cost.
 
-    ONE state table per hop — (qid, node, cos, expanded) — so each hop
-    is exactly one checkpointed job: mark the frontier expanded, score
-    its out-neighbors, fold the new nodes in.  Hop 1 runs unrolled
-    because its frontier is the entry literal for EVERY query (the
+    Two calling shapes, so both searches are one code path:
+    - ``qids`` (qid) + ``entry_id`` the shared entry literal, ``g``
+      (node, nb): one walk (``similarity_graph_ann``); returns
+      (qid, node, cos).
+    - ``qids`` (qid, variant, entry) + ``g`` (variant, node, nb):
+      SEVERAL walks FUSED into the same hop jobs, one graph and one
+      entry hub per variant (``similarity_graph_ann_nnd``'s
+      exact-vs-NND comparison) — each hop is scheduler overhead over
+      tiny state, so fusing halves the walk's wall-clock vs running
+      the variants sequentially; returns (qid, variant, node, cos).
+
+    ONE state table per hop — (*keys, node, cos, expanded) — so each
+    hop is exactly one checkpointed job: mark the frontier expanded,
+    score its out-neighbors, fold the new nodes in.  Hop 1 runs
+    unrolled because its frontier is the entry row for EVERY query (the
     entry node itself has no self-score row, so it can't come from the
     visited set like later frontiers do)."""
+    keyed = "variant" in qids.columns
+    keys = ["qid", "variant"] if keyed else ["qid"]
+    gkeys = ["variant", "node"] if keyed else ["node"]
+    ent = F.col("entry") if keyed else F.lit(entry_id).cast("long")
     eq = F.broadcast(
         e.select(
             F.col("vec_id").alias("qid"),
@@ -8249,30 +8266,32 @@ def _gann_walk(
             cand.join(eq, "qid")
             .join(en, "node")
             .select(
-                "qid",
+                *keys,
                 "node",
                 (
                     _dot("qemb", "nemb") / (F.col("qnrm") * F.col("nnrm"))
                 ).alias("_co"),
             )
-            .select("qid", "node", r4("_co").alias("cos"))
+            .select(*keys, "node", r4("_co").alias("cos"))
         )
 
-    lit_entry = F.lit(entry_id).cast("long")
+    # v0 holds exactly the scored entry row per (query, variant), so its
+    # rows are the expanded frontier by construction
     v0 = _score(
-        qids.filter(F.col("qid") != lit_entry).withColumn("node", lit_entry)
+        qids.filter(F.col("qid") != ent).select(*keys, ent.alias("node"))
     )
     cand1 = (
-        qids.withColumn("node", lit_entry)
-        .join(F.broadcast(g), "node")
+        qids.select(*keys, ent.alias("node"))
+        .join(F.broadcast(g), gkeys)
         .filter(F.col("nb") != F.col("qid"))
-        .select("qid", F.col("nb").alias("node"))
+        .select(*keys, F.col("nb").alias("node"))
     )
     st = (
-        v0.withColumn("expanded", F.col("node") == lit_entry)
+        v0.withColumn("expanded", F.lit(True))
         .unionByName(
-            _score(cand1.join(v0.select("qid", "node"), ["qid", "node"], "left_anti"))
-            .withColumn("expanded", F.lit(False))
+            _score(
+                cand1.join(v0.select(*keys, "node"), [*keys, "node"], "left_anti")
+            ).withColumn("expanded", F.lit(False))
         )
         .localCheckpoint()
     )
@@ -8282,25 +8301,25 @@ def _gann_walk(
             .withColumn(
                 "rn",
                 F.row_number().over(
-                    W.partitionBy("qid").orderBy(F.col("cos").desc(), "node")
+                    W.partitionBy(*keys).orderBy(F.col("cos").desc(), "node")
                 ),
             )
             .filter(F.col("rn") <= _GANN_BEAM)
-            .select("qid", "node")
+            .select(*keys, "node")
         )
         cand = (
-            fr.join(F.broadcast(g), "node")
+            fr.join(F.broadcast(g), gkeys)
             .filter(F.col("nb") != F.col("qid"))
-            .select("qid", F.col("nb").alias("node"))
+            .select(*keys, F.col("nb").alias("node"))
             .distinct()
         )
         scored_new = _score(
-            cand.join(st.select("qid", "node"), ["qid", "node"], "left_anti")
+            cand.join(st.select(*keys, "node"), [*keys, "node"], "left_anti")
         ).withColumn("expanded", F.lit(False))
         st = (
-            st.join(fr.withColumn("_p", F.lit(True)), ["qid", "node"], "left")
+            st.join(fr.withColumn("_p", F.lit(True)), [*keys, "node"], "left")
             .select(
-                "qid",
+                *keys,
                 "node",
                 "cos",
                 (F.col("expanded") | F.coalesce("_p", F.lit(False))).alias(
@@ -8310,10 +8329,85 @@ def _gann_walk(
             .unionByName(scored_new)
             .localCheckpoint()
         )
-    return st.select("qid", "node", "cos")
+    return st.select(*keys, "node", "cos")
 
 
 _gann_walk.__doc__ = _gann_walk.__doc__.format(beam=_GANN_BEAM, hops=_GANN_HOPS)
+
+
+def _gann_exact_ranked(e: DataFrame) -> DataFrame:
+    """The exact degree-{deg} ranked-edge table (vec_id, nb, cos, rn) from
+    ONE all-pairs scan — the documented oracle regime for graph builds.
+    The O(n²) pair stream is consumed by EXACTLY ONE window pass and
+    never materialized: the ranked-edge table (32k rows at sf0.1) is the
+    only checkpoint, feeding the graph (rn <= deg), the exact top-3
+    ground truth (rn <= 3 — a subset, since deg >= 3), AND the
+    entry-point aggregate.  Each unordered pair is scored ONCE and
+    exploded into both directions."""
+    a, b = e.alias("a"), e.alias("b")
+    half = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_lo"),
+            F.col("b.vec_id").alias("id_hi"),
+            (
+                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_co"),
+        )
+        .select("id_lo", "id_hi", r4("_co").alias("co"))
+    )
+    p = (
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_lo").alias("vec_id"),
+                        F.col("id_hi").alias("nb"),
+                        F.col("co").alias("cos"),
+                    ),
+                    F.struct(
+                        F.col("id_hi").alias("vec_id"),
+                        F.col("id_lo").alias("nb"),
+                        F.col("co").alias("cos"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+    )
+    return (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nb")
+            ),
+        )
+        .filter(F.col("rn") <= _GANN_DEG)
+        .localCheckpoint()
+    )
+
+
+_gann_exact_ranked.__doc__ = _gann_exact_ranked.__doc__.format(deg=_GANN_DEG)
+
+
+def _gann_entry_hub(edges: DataFrame) -> int:
+    """1-row entry-point collect (the bounded ANALYZE exception): the hub
+    whose kept neighborhood is tightest — argmax over per-node BIGINT
+    sums of its edges' 1e4-quantized cosines (exact,
+    accumulation-order-free), id tie-break — becomes a literal so the
+    walk never re-aggregates anything.  ``edges`` is any scored edge
+    table (vec_id, nb, cos): the exact ranked table or the NND graph."""
+    return (
+        edges.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(1)
+        .collect()[0][0]
+    )
 
 
 @register(
@@ -8402,69 +8496,10 @@ def similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a navigable neighbor graph instead of a full scan."""
     t = Catalog(spark, sf_dir)
     e = _embeddings(t).localCheckpoint()
-    a, b = e.alias("a"), e.alias("b")
-    half = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_lo"),
-            F.col("b.vec_id").alias("id_hi"),
-            (
-                _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("_co"),
-        )
-        .select("id_lo", "id_hi", r4("_co").alias("co"))
-    )
-    p = (
-        half.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_lo").alias("vec_id"),
-                        F.col("id_hi").alias("nb"),
-                        F.col("co").alias("cos"),
-                    ),
-                    F.struct(
-                        F.col("id_hi").alias("vec_id"),
-                        F.col("id_lo").alias("nb"),
-                        F.col("co").alias("cos"),
-                    ),
-                )
-            ).alias("x")
-        )
-        .select("x.*")
-    )
-    # the O(n²) pair stream is consumed by EXACTLY ONE window pass and
-    # never materialized: the ranked-edge table (32k rows at sf0.1) is
-    # the only checkpoint, feeding the graph (rn <= deg), the exact
-    # top-3 ground truth (rn <= 3 — a subset, since deg >= 3), AND the
-    # entry-point aggregate
-    ranked = (
-        p.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nb")
-            ),
-        )
-        .filter(F.col("rn") <= _GANN_DEG)
-        .localCheckpoint()
-    )
+    ranked = _gann_exact_ranked(e)
     g = ranked.select(F.col("vec_id").alias("node"), "nb")
     exact3 = ranked.filter(F.col("rn") <= 3).select("vec_id", "nb")
-    # 1-row entry-point collect (the bounded ANALYZE exception): the hub
-    # whose top-{deg} neighborhood is tightest — argmax of the BIGINT
-    # sum of its ranked edges' 1e4-quantized cosines, id tie-break —
-    # becomes a literal so the walk never re-aggregates anything
-    entry_id = (
-        ranked.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long")
-            ).alias("s")
-        )
-        .orderBy(F.col("s").desc(), "vec_id")
-        .limit(1)
-        .collect()[0][0]
-    )
+    entry_id = _gann_entry_hub(ranked)
     # hop scoring recomputes the query↔node cosine from the broadcast
     # embedding table instead of re-joining the O(n²) pair table each
     # hop (which would reshuffle 4M rows per hop at sf0.1): the dot and
@@ -8520,6 +8555,25 @@ _NND_ROUNDS = 2  # refinement rounds (each: neighbors ∪ neighbors-of-neighbors
 _NND_SAMPLE_MOD = 4  # true-graph recall measured on vec_id % 4 == 0 nodes
 # (the sampled-oracle regime the docstring names: the EVAL side samples,
 # the BUILD side always runs on every node)
+
+# the hash-seeded NN-descent init as DuckDB CTEs (hk, g0) — shared verbatim
+# by the build readout's oracle and the composed build-then-search oracle
+_DUCK_NND_SEED = f"""hk AS (
+  SELECT vec_id,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS h
+  FROM e),
+g0 AS MATERIALIZED (
+  SELECT vec_id, nb FROM (
+    SELECT a.vec_id, b.vec_id AS nb,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':'
+                                           || CAST(b.vec_id AS VARCHAR)),
+                                       b.vec_id) AS rn
+    FROM hk a JOIN hk b
+      ON b.h % {_NND_BUCKETS} = a.h % {_NND_BUCKETS}
+     AND b.vec_id <> a.vec_id
+  ) WHERE rn <= {_NND_DEG})"""
 
 
 def _duck_nnd_rounds() -> str:
@@ -8719,22 +8773,7 @@ def _nnd_build(
     "similarity_nndescent_build",
     oracle=f"""
 WITH {_DUCK_EMB},
-hk AS (
-  SELECT vec_id,
-         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           AS h
-  FROM e),
-g0 AS MATERIALIZED (
-  SELECT vec_id, nb FROM (
-    SELECT a.vec_id, b.vec_id AS nb,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':'
-                                           || CAST(b.vec_id AS VARCHAR)),
-                                       b.vec_id) AS rn
-    FROM hk a JOIN hk b
-      ON b.h % {_NND_BUCKETS} = a.h % {_NND_BUCKETS}
-     AND b.vec_id <> a.vec_id
-  ) WHERE rn <= {_NND_DEG}),
+{_DUCK_NND_SEED},
 n0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS n_scored
        FROM g0 GROUP BY vec_id),
 {_duck_nnd_rounds()},
@@ -8893,6 +8932,229 @@ def similarity_nndescent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_scored_tot").alias("n_scored"),
         )
     )
+
+
+@register(
+    "similarity_graph_ann_nnd",
+    oracle=f"""
+WITH {_DUCK_EMB},
+p AS MATERIALIZED (
+  SELECT a.vec_id, b.vec_id AS nb,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ranked AS MATERIALIZED (
+  SELECT vec_id, nb, cos, rn FROM (
+    SELECT vec_id, nb, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nb) AS rn
+    FROM p) WHERE rn <= {_GANN_DEG}),
+g AS (SELECT vec_id AS node, nb FROM ranked),
+ms AS (SELECT vec_id, sum(CAST(floor(cos * 10000 + 0.5) AS BIGINT)) AS s
+       FROM ranked GROUP BY vec_id),
+entry AS MATERIALIZED (
+  SELECT vec_id AS enode FROM ms ORDER BY s DESC, vec_id LIMIT 1),
+{_DUCK_NND_SEED},
+{_duck_nnd_rounds()},
+gnc AS MATERIALIZED (
+  SELECT gg.vec_id, gg.nb, sc.cos
+  FROM g{_NND_ROUNDS} gg JOIN sc{_NND_ROUNDS} sc
+    ON sc.vec_id = gg.vec_id AND sc.nb = gg.nb),
+gn AS (SELECT vec_id AS node, nb FROM gnc),
+msn AS (SELECT vec_id, sum(CAST(floor(cos * 10000 + 0.5) AS BIGINT)) AS s
+        FROM gnc GROUP BY vec_id),
+entryn AS MATERIALIZED (
+  SELECT vec_id AS enode FROM msn ORDER BY s DESC, vec_id LIMIT 1),
+q AS (SELECT vec_id AS qid FROM e WHERE vec_id % {_NND_SAMPLE_MOD} = 0),
+ef0 AS MATERIALIZED (SELECT q.qid, en.enode AS node FROM q CROSS JOIN entry en),
+ev0 AS MATERIALIZED (
+  SELECT f.qid, f.node, p.cos
+  FROM ef0 f JOIN p ON p.vec_id = f.qid AND p.nb = f.node),
+{_duck_gann_hops('e')},
+nf0 AS MATERIALIZED (SELECT q.qid, en.enode AS node FROM q CROSS JOIN entryn en),
+nv0 AS MATERIALIZED (
+  SELECT f.qid, f.node, p.cos
+  FROM nf0 f JOIN p ON p.vec_id = f.qid AND p.nb = f.node),
+{_duck_gann_hops('n', g='gn')},
+exact3 AS (SELECT vec_id, nb FROM ranked
+           WHERE rn <= 3 AND vec_id % {_NND_SAMPLE_MOD} = 0),
+eann3 AS (
+  SELECT qid, node FROM (
+    SELECT qid, node,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, node) AS rn
+    FROM ev{_GANN_HOPS}) WHERE rn <= 3),
+nann3 AS (
+  SELECT qid, node FROM (
+    SELECT qid, node,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, node) AS rn
+    FROM nv{_GANN_HOPS}) WHERE rn <= 3),
+ne AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM exact3 GROUP BY vec_id),
+nhe AS (SELECT x.vec_id, CAST(count(a.node) AS BIGINT) AS n_hits
+        FROM exact3 x LEFT JOIN eann3 a
+          ON a.qid = x.vec_id AND a.node = x.nb
+        GROUP BY x.vec_id),
+nhn AS (SELECT x.vec_id, CAST(count(a.node) AS BIGINT) AS n_hits
+        FROM exact3 x LEFT JOIN nann3 a
+          ON a.qid = x.vec_id AND a.node = x.nb
+        GROUP BY x.vec_id),
+nde AS (SELECT qid, CAST(count(*) AS BIGINT) AS n
+        FROM ev{_GANN_HOPS} GROUP BY qid),
+ndn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n
+        FROM nv{_GANN_HOPS} GROUP BY qid)
+SELECT ne.vec_id, ne.n_exact,
+       nhe.n_hits AS n_hits_graph, nhn.n_hits AS n_hits_nnd,
+       round(nhe.n_hits * 1.0 / ne.n_exact, 4) AS recall_graph_at_3,
+       round(nhn.n_hits * 1.0 / ne.n_exact, 4) AS recall_nnd_at_3,
+       nde.n AS evals_graph, ndn.n AS evals_nnd
+FROM ne
+JOIN nhe ON nhe.vec_id = ne.vec_id
+JOIN nhn ON nhn.vec_id = ne.vec_id
+JOIN nde ON nde.qid = ne.vec_id
+JOIN ndn ON ndn.qid = ne.vec_id
+""",
+)
+def similarity_graph_ann_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED graph-ANN production story — search over the
+    sub-quadratically BUILT graph — decomposing index loss into its two
+    stages the way ``similarity_ivfpq_topk`` decomposes IVF loss from PQ
+    loss: per sampled query (vec_id % {mod} == 0, the documented
+    sampled-eval regime), run the IDENTICAL fixed-beam greedy walk
+    (``_gann_walk``, the ``similarity_graph_ann`` kernel) over BOTH the
+    exact all-pairs degree-{deg} graph AND the NN-descent round-{rounds}
+    graph (``_nnd_build``, the ``similarity_nndescent_build`` kernel),
+    and report recall@3 against the exact neighbors plus the
+    distance-evaluation cost for each side by side.  recall_graph −
+    recall_nnd IS the build loss as search experiences it; 1 −
+    recall_graph is the search (routing) loss — the two numbers that
+    tell an index operator whether to spend on a better graph or a
+    wider beam.  ``similarity_graph_ann`` searches an exact-built graph
+    nobody can afford at 100 TB; ``similarity_nndescent_build`` builds
+    an approximate graph nobody searched; this query closes that gap.
+
+    Exactness: both walks, both entry hubs (each graph's own
+    tightest-neighborhood argmax over BIGINT 1e4-quantized edge sums),
+    and the NND refinement replay identically cross-engine — every
+    score lives on the r4 grid with id tie-breaks, all set algebra
+    (the proofs of the two parent queries, composed).
+
+    Scale: the NND build + walk side is the genuine 100 TB path —
+    no stage touches n² pairs (deg² candidates/node/round; the walk
+    touches ≤ 1 + beam·deg·hops rows per query); the exact graph and
+    ground truth derive from the one all-pairs ranked table, the
+    documented sampled-oracle regime (production measures recall on a
+    query sample exactly like this).
+
+    Reference parity: the candidate-pool similarity ranking of
+    /root/reference/src/models/cold_start_solutions.py:95-205, served
+    from a navigable approximate graph with its quality loss measured
+    per stage."""
+    t = Catalog(spark, sf_dir)
+    e = _embeddings(t).localCheckpoint()
+
+    # the exact side (ranked edges -> graph, ground truth, entry hub) and
+    # the NND build are INDEPENDENT multi-second pipelines over the same
+    # checkpointed input: submit them from two driver threads so their
+    # jobs interleave on the executors (the standard Spark concurrent-
+    # scheduler pattern) — results are identical, wall-clock is max()
+    # instead of sum()
+    def _exact_side():
+        ranked = _gann_exact_ranked(e)
+        return ranked, _gann_entry_hub(ranked)
+
+    def _nnd_side():
+        gfin, _ = _nnd_build(spark, e)
+        return gfin, _gann_entry_hub(gfin)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe, fn = pool.submit(_exact_side), pool.submit(_nnd_side)
+        ranked, entry_e = fe.result()
+        gfin, entry_n = fn.result()
+    g = ranked.select(F.col("vec_id").alias("node"), "nb")
+    exact3 = ranked.filter(
+        (F.col("rn") <= 3) & (F.col("vec_id") % _NND_SAMPLE_MOD == 0)
+    ).select("vec_id", "nb")
+    gn = gfin.select(F.col("vec_id").alias("node"), "nb")
+    # both walks on the SAME sampled query set, FUSED into one keyed walk
+    # (variant 'g' = exact graph, 'n' = NND graph) so every hop is one
+    # job instead of two — the hops are scheduler-bound, not data-bound
+    qs = e.filter(F.col("vec_id") % _NND_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid")
+    )
+    qids = qs.withColumn("variant", F.lit("g")).withColumn(
+        "entry", F.lit(entry_e).cast("long")
+    ).unionByName(
+        qs.withColumn("variant", F.lit("n")).withColumn(
+            "entry", F.lit(entry_n).cast("long")
+        )
+    )
+    g2 = g.withColumn("variant", F.lit("g")).unionByName(
+        gn.withColumn("variant", F.lit("n"))
+    )
+    visited = _gann_walk(spark, e, g2, qids)
+    ann3 = (
+        visited.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid", "variant").orderBy(
+                    F.col("cos").desc(), "node"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("qid", "variant", "node")
+    )
+    # one left join against both variants' top-3 lists, then conditional
+    # counts: an exact neighbor missed by BOTH walks still contributes
+    # its n_exact row (null variant)
+    hits = (
+        exact3.join(
+            ann3,
+            (F.col("qid") == F.col("vec_id")) & (F.col("node") == F.col("nb")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.countDistinct("nb").cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("variant") == "g", 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits_graph"),
+            F.sum(F.when(F.col("variant") == "n", 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits_nnd"),
+        )
+    )
+    evals = visited.groupBy("qid").agg(
+        F.sum(F.when(F.col("variant") == "g", 1).otherwise(0))
+        .cast("long")
+        .alias("evals_graph"),
+        F.sum(F.when(F.col("variant") == "n", 1).otherwise(0))
+        .cast("long")
+        .alias("evals_nnd"),
+    )
+    return (
+        hits.join(evals, F.col("qid") == F.col("vec_id"))
+        .select(
+            "vec_id",
+            "n_exact",
+            "n_hits_graph",
+            "n_hits_nnd",
+            r4(F.col("n_hits_graph") * F.lit(1.0) / F.col("n_exact")).alias(
+                "recall_graph_at_3"
+            ),
+            r4(F.col("n_hits_nnd") * F.lit(1.0) / F.col("n_exact")).alias(
+                "recall_nnd_at_3"
+            ),
+            "evals_graph",
+            "evals_nnd",
+        )
+    )
+
+
+similarity_graph_ann_nnd.__doc__ = similarity_graph_ann_nnd.__doc__.format(
+    mod=_NND_SAMPLE_MOD, deg=_GANN_DEG, rounds=_NND_ROUNDS
+)
 
 
 # ---------------------------------------------------------------------------

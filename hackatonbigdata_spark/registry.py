@@ -62,97 +62,34 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 12 BUDGET (50-slot driver window) ===========================
-    # Plan: (1) every name whose code is new or edited in r12 leads — 4 new
-    # operators (all fully oracled: the graph-ANN index, merge-on-read
-    # compaction, snapshot time travel, the KLL quantile sketch) + 2
-    # edited-after-check names (io_zorder_prune: the _morton_spread input
-    # mask; search_mmr_rerank: the oracle's redundancy-max lookup hardened
-    # to a LEFT join with COALESCE so a sparsified sim pool can't silently
-    # filter candidates — semantics unchanged today, re-proved this round);
-    # (2) the ENTIRE 44-name r6-latest backlog (r11 verdict "missing" #1)
-    # is retired — 43 oracled names in registration order, the one
-    # rows-only name (stacking_gbt_meta) last.  6 + 44 fills the window
-    # exactly.  r12 landed TWENTY-EIGHT further operators beyond the
-    # window budget (io_time_travel_changes, io_equality_deletes,
-    # similarity_nndescent_build, stream_interval_join_full_outer,
-    # pareto_skyline_parts, attribution_markov_removal,
-    # io_bloom_skip_lookup, trend_theilsen_brand, tokenizer_unigram_em,
-    # sketch_kll_merge_daily, ab_test_chi2_independence,
-    # tokenizer_unigram_encode, ab_test_power_mde, graph_link_prediction,
-    # io_snapshot_expire, metric_mase_seasonal_naive,
-    # explain_linear_contributions, graph_kcore_decomposition,
-    # search_rocchio_feedback, eval_pr_auc, metric_pinball_loss,
-    # decompose_stl_residuals, graph_eigencentrality, ab_test_srm_check,
-    # window_changepoint_binseg, eval_ndcg_retrieval,
-    # encode_feature_hashing, calibration_ece_summary — ALL fully
-    # oracled, each pinned by an
-    # independent pure-Python/numpy test and driver-sim-proven at sf0.01
-    # under UTC and America/New_York); per this plan's carry rule they
-    # sit at positions 51+ and LEAD the r13 window.  After this rotation
-    # the oldest driver evidence is r7; the r13 window should lead with
-    # those twenty-eight carried names plus r13-new/edited names (28 +
-    # new fills most of the window), then spend any remaining slots on
-    # the r7-latest backlog in registration order (oracled first),
-    # carrying the rest to r14 exactly as this note does.
-    # --- round 12: new queries -------------------------------------------
-    "similarity_graph_ann",  # r12 NEW: k-NN graph + fixed-beam greedy search
-    "io_mor_compact",  # r12 NEW: merge-on-read delete-file compaction
-    "io_time_travel",  # r12 NEW: manifest-versioned snapshot reads
-    "sketch_kll_quantiles",  # r12 NEW: bounded quantile sketch, oracled twin
-    # --- round 12: edited-after-check code --------------------------------
-    "io_zorder_prune",  # r12: _morton_spread input mask (ADVICE #1)
-    "search_mmr_rerank",  # r12: oracle redundancy-max left-join hardening
-    # --- r6-latest backlog: all 44, retired this round (oracled first) ----
-    "monthly_store_volume",
-    "ab_test_cuped",
-    "concentration_gini_brand",
-    "ab_test_mannwhitney",
-    "drift_performance_periods",
-    "corr_matrix_top_parts",
-    "postproc_outlier_dampening",
-    "cv_hierarchical_folds",
-    "feature_matrix_daily_store",
-    "calibration_interval_coverage",
-    "prophet_prep_segments",
-    "postproc_lifecycle_promo",
-    "stacking_predictions_join",
-    "postproc_topdown_reconcile",
-    "eval_roc_auc",
-    "eval_brier_decomposition",
-    "cv_purged_embargo",
-    "io_schema_evolution",
-    "io_incremental_rollup",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_ivf_bucketed",
-    "embedding_quantize_int8",
-    "text_zipf_slope",
-    "embedding_centroid_drift",
-    "text_pii_scrub",
-    "dedup_containment_pairs",
-    "corpus_softdedup_weights",
-    "mm_magic_format_detect",
-    "sample_weighted_aexpj",
-    "quantile_normalize_store",
-    "anomaly_poisson_spikes",
-    "cohort_ltv_curve",
-    "basket_association_rules",
-    "alert_error_burnrate",
-    "join_asof_interpolate",
-    "window_cusum_changepoint",
-    "queue_backlog_lindley",
-    "seasonal_strength_store",
-    "window_max_drawdown",
-    "orders_ship_sla",
-    # --- r6-latest rows-only name (weaker rows-only check) ----------------
-    "stacking_gbt_meta",
-    # --- r12 overflow: carried to lead the r13 window (positions 51+) -----
+    # === ROUND 13 BUDGET (50-slot driver window) ===========================
+    # Plan (exactly the r12 carry rule + the r12 verdict's #1): (1) the 28
+    # r12-overflow names lead in their carried order — every one fully
+    # oracled, each independently pinned; four of them are ALSO r13-edited
+    # code (tokenizer_unigram_encode: the per-distinct-word Viterbi moved
+    # from a driver loop to an executor-side SQL fold; io_snapshot_expire:
+    # manifest swap now precedes the orphan deletes; graph_kcore_
+    # decomposition: convergence accepted after the final filter pass;
+    # ab_test_power_mde: s2 accumulated in decimal(38,0)) so their window
+    # check doubles as the edited-name re-proof.  (2) r13 new/edited names:
+    # 2 NEW operators (similarity_graph_ann_nnd — the composed
+    # build-then-search recall decomposition; io_partition_evolution —
+    # spec-A/spec-B layout evolution with per-generation pruning) and 3
+    # edited names not already in the window (similarity_graph_ann and
+    # similarity_nndescent_build: walk/build cores factored into the
+    # shared _gann_walk/_nnd_build helpers the composed query reuses, the
+    # walk gaining fused multi-variant support — semantics unchanged,
+    # re-proven; ab_test_welch: the same decimal(38,0) s2 fix as
+    # power_mde).  (3) the remaining 17 slots retire the HEAD of the
+    # 47-name r7-latest backlog in registration order (oracled first).
+    # After this window the oldest driver evidence is r7 with 30 names
+    # left (25 oracled + 5 rows-only); r14 should lead with any new/edited
+    # names, then continue the r7 backlog from 'text_scrub_numbers' in
+    # registration order, then start the r8-latest backlog.
+    # --- r12 overflow: carried names lead (positions 1-28) ----------------
     "io_time_travel_changes",  # r12 NEW: incremental changes-between read
     "io_equality_deletes",  # r12 NEW: Iceberg-style key-valued deletes
-    "similarity_nndescent_build",  # r12 NEW: sub-quadratic k-NN graph build
+    "similarity_nndescent_build",  # r12 NEW (+r13 refactor): sub-quadratic build
     "stream_interval_join_full_outer",  # r12 NEW: both-flank outer interval join
     "pareto_skyline_parts",  # r12 NEW: 2-D skyline via per-price prefix max
     "attribution_markov_removal",  # r12 NEW: absorbing-chain removal effects
@@ -161,13 +98,13 @@ _PRIORITY: list[str] = [
     "tokenizer_unigram_em",  # r12 NEW: oracled unigram-LM tokenizer (2 EM rounds)
     "sketch_kll_merge_daily",  # r12 NEW: level-wise KLL sketch merge read
     "ab_test_chi2_independence",  # r12 NEW: contingency chi-square + Cramér V
-    "tokenizer_unigram_encode",  # r12 NEW: per-source apply of the unigram vocab
-    "ab_test_power_mde",  # r12 NEW: MDE + achieved power, A&S normal CDF
+    "tokenizer_unigram_encode",  # r12 NEW + r13 EDIT: executor-side Viterbi fold
+    "ab_test_power_mde",  # r12 NEW + r13 EDIT: decimal(38,0) s2 accumulation
     "graph_link_prediction",  # r12 NEW: CN/Adamic-Adar/Jaccard non-edge scores
-    "io_snapshot_expire",  # r12 NEW: snapshot expiry + orphan-file vacuum
+    "io_snapshot_expire",  # r12 NEW + r13 EDIT: manifest swap before deletes
     "metric_mase_seasonal_naive",  # r12 NEW: Hyndman scaled error vs lag-7 naive
     "explain_linear_contributions",  # r12 NEW: exact linear-SHAP attribution
-    "graph_kcore_decomposition",  # r12 NEW: capped k-core peel, fixed-round oracle
+    "graph_kcore_decomposition",  # r12 NEW + r13 EDIT: final-pass convergence
     "search_rocchio_feedback",  # r12 NEW: pseudo-relevance feedback retrieval eval
     "eval_pr_auc",  # r12 NEW: average precision + lift, block-exact
     "metric_pinball_loss",  # r12 NEW: quantile scoring rule + coverage gap
@@ -178,6 +115,31 @@ _PRIORITY: list[str] = [
     "eval_ndcg_retrieval",  # r12 NEW: NDCG@5 / precision@5 / MRR, integer-exact
     "encode_feature_hashing",  # r12 NEW: signed hashing trick + collision report
     "calibration_ece_summary",  # r12 NEW: ECE/MCE reliability summary
+    # --- round 13: new queries ---------------------------------------------
+    "similarity_graph_ann_nnd",  # r13 NEW: walk over the NND graph vs exact graph
+    "io_partition_evolution",  # r13 NEW: spec evolution, per-generation pruning
+    # --- round 13: edited-after-check code (not already in the window) ----
+    "similarity_graph_ann",  # r13: walk factored into _gann_walk (fused variants)
+    "ab_test_welch",  # r13: decimal(38,0) s2 accumulation (ADVICE #3)
+    # --- r7-latest backlog: first 18 in registration order (all oracled) --
+    "unpivot_store_metrics",
+    "metric_suite_global",
+    "metric_abc_tiers",
+    "heuristic_blend_forecast",
+    "store_coldstart_fallback",
+    "residual_diagnostics_store",
+    "calibration_curve_bins",
+    "metric_wmape_weighted",
+    "customer_rfm_segments",
+    "stacking_ridge_weights",
+    "calibration_platt_exact",
+    "calibration_quantile_fit",
+    "io_csv_roundtrip",
+    "io_clustered_stats_prune",
+    "text_tfidf_topterms",
+    "dedup_cluster_components",
+    "dedup_fuzzy_names",
+    "text_scrub_numbers",
 ]
 
 

@@ -425,3 +425,16 @@ def test_round12_ops_stay_jvm_side(spark):
         "similarity_nndescent_build",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round13_ops_stay_jvm_side(spark):
+    """r13 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere (the fused walk is a bounded driver-side loop
+    over DataFrame ops; the partition-evolution read is two pruned scans
+    unioned; the tokenizer encode's Viterbi is a SQL aggregate fold)."""
+    for name in [
+        "similarity_graph_ann_nnd",
+        "io_partition_evolution",
+        "tokenizer_unigram_encode",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name

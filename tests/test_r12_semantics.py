@@ -477,10 +477,12 @@ def test_io_time_travel_changes_reads_only_the_delta(spark):
     )
 
 
-def _nnd_python():
+def _nnd_python(return_final_graph: bool = False):
     """Pure-Python rederivation of similarity_nndescent_build: the
     pair-hash bucket init, the forward+reverse NN-descent rounds, and
-    the sampled edge-recall readout."""
+    the sampled edge-recall readout.  With ``return_final_graph`` the
+    final round's {node: [nbs]} graph plus the shared cos() come back
+    instead — the r13 composed walk pin builds on them."""
     import hashlib
     import math
 
@@ -540,6 +542,8 @@ def _nnd_python():
             for v in ids
         }
         snapshot[r] = {v: list(nbs) for v, nbs in g.items()}
+    if return_final_graph:
+        return g, cos
     true_g = {
         v: set(
             sorted((u for u in ids if u != v), key=lambda u: (-cos(v, u), u))[
