@@ -261,6 +261,7 @@ HEADLINE = [
     # round-13 operators:
     "similarity_graph_ann_nnd",       # r13: walk over the NND-built graph
     "io_partition_evolution",         # r13: spec evolution, dual-spec pruning
+    "mm_ppm_resize",                  # r13: box-filter PPM downsample
 ]
 
 

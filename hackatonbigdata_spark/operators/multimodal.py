@@ -992,6 +992,178 @@ def decode_ppm_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RS_S = 4  # resize pooling factor: every s x s block -> one output pixel
+
+
+@register(
+    "mm_ppm_resize",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         {_PPM_BASE_W} + CAST(doc_id * 2654435761 % 4294967296 % 4 AS BIGINT)
+           * 8 AS w,
+         (n_chars // 3) AS npx_avail
+  FROM documents
+), dim AS (
+  SELECT doc_id, w, npx_avail // w AS h
+  FROM src WHERE npx_avail // w >= {{s}}
+), pay AS (
+  SELECT d.doc_id, w AS width, h AS height,
+         substr(text, 1, CAST(3 * w * h AS BIGINT)) AS px,
+         w * h AS npx
+  FROM dim d JOIN documents USING (doc_id)
+), ch AS (
+  SELECT doc_id, width, height, npx,
+         width // {{s}} AS out_w, height // {{s}} AS out_h,
+         {_duck_channel(0)} AS ra,
+         {_duck_channel(1)} AS ga,
+         {_duck_channel(2)} AS ba
+  FROM pay
+), pxr AS (
+  SELECT doc_id, width, height, out_w, out_h,
+         ((k // width) // {{s}}) * out_w + (k % width) // {{s}} AS b,
+         ra[k + 1] AS r, ga[k + 1] AS g, ba[k + 1] AS bb
+  FROM ch, unnest(range(0, npx)) AS u(k)
+  WHERE (k % width) < out_w * {{s}} AND (k // width) < out_h * {{s}}
+), blk AS (
+  SELECT doc_id, width, height, out_w, out_h, b,
+         CAST(sum(r) AS BIGINT) AS rs, CAST(max(r) - min(r) AS BIGINT) AS rd,
+         CAST(sum(g) AS BIGINT) AS gs, CAST(max(g) - min(g) AS BIGINT) AS gd,
+         CAST(sum(bb) AS BIGINT) AS bs, CAST(max(bb) - min(bb) AS BIGINT) AS bd
+  FROM pxr GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT doc_id, width, height, out_w, out_h,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       round(sum(rs) * 1.0 / (count(*) * {{s2}}), 4) AS r_mean_rs,
+       round(sum(rd) * 1.0 / count(*), 4) AS r_detail,
+       round(sum(gs) * 1.0 / (count(*) * {{s2}}), 4) AS g_mean_rs,
+       round(sum(gd) * 1.0 / count(*), 4) AS g_detail,
+       round(sum(bs) * 1.0 / (count(*) * {{s2}}), 4) AS b_mean_rs,
+       round(sum(bd) * 1.0 / count(*), 4) AS b_detail
+FROM blk GROUP BY 1, 2, 3, 4, 5
+""".format(s=_RS_S, s2=_RS_S * _RS_S),
+)
+def mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the box-filter (average-pooling) downsample every
+    vision-ingest tier runs before feature extraction, completing the
+    brief's decode / feature-extract / RESIZE / frame-sample multimodal
+    quartet on the one uncompressed format a real decode can run on
+    in-engine (the PPM path of ``mm_ppm_pixel_stats``): every
+    {s}x{s} pixel block of the decoded RGB image becomes one output
+    pixel (its channel mean — the antialiased resize), the image
+    cropped to whole blocks exactly as a strided pooler does.  Emits
+    per image the resized geometry plus, per channel, the resized-image
+    mean and the mean intra-block range (max-min) — the DETAIL the
+    resize destroyed, the number a transcode tier watches to pick
+    pooling factors.  Every width (16/24/32/40) divides by {s}, so
+    cropping only trims trailing rows.
+
+    Exactness: block sums / ranges are BIGINT over integer pixel
+    bytes; the two readout ratios are single 4dp-quantized divisions of
+    integer totals — order-free on both engines.
+
+    Scale: the Spark side is ONE rowwise projection — nested HOFs pool
+    each block from the shared channel arrays (inner transform
+    evaluated once per block, the r7 lambda-CSE discipline), no explode,
+    no shuffle before the single output row per asset; the oracle's
+    unnest+GROUP BY shape is the same math row-wise (DuckDB has no
+    struct-fold idiom worth forcing).
+
+    Reference parity: the reference's image tier is out of scope (no
+    vision columns); this supplies the resize half of the multimodal
+    plumbing the 100 TB brief names, next to the honest codec boundary
+    (``multimodal_decode_stub``) for compressed formats."""
+    t = Catalog(spark, sf_dir)
+    s = _RS_S
+    w = (
+        F.lit(_PPM_BASE_W)
+        + (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296) % 4) * 8
+    ).cast("long")
+    src = t.documents.select(
+        "doc_id",
+        "text",
+        w.alias("w"),
+        (F.col("n_chars") / 3).cast("long").alias("npx_avail"),
+    )
+    dim = src.select(
+        "doc_id",
+        "text",
+        F.col("w").alias("width"),
+        F.expr("npx_avail div w").alias("height"),
+    ).filter(F.col("height") >= s)
+    pay = dim.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).alias("npx"),
+        F.expr("width div " + str(s)).alias("out_w"),
+        F.expr("height div " + str(s)).alias("out_h"),
+        F.expr("substr(text, 1, cast(3 * width * height as int))").alias("px"),
+    )
+
+    def channel(c: int):
+        return F.expr(
+            "transform(sequence(0, cast(npx as int) - 1),"
+            f" k -> cast(ascii(substr(px, 3 * k + {c + 1}, 1)) as bigint))"
+        )
+
+    ch = pay.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        (F.col("out_w") * F.col("out_h")).alias("n_blocks"),
+        channel(0).alias("ra"),
+        channel(1).alias("ga"),
+        channel(2).alias("ba"),
+    )
+
+    def pooled(arr: str):
+        # nested transforms so each block's 16 pixel reads happen ONCE
+        # (lambda bodies get no common-subexpression elimination)
+        pv = (
+            f"transform(sequence(0, {s * s - 1}), t -> element_at({arr},"
+            f" cast(((b div out_w) * {s} + t div {s}) * width"
+            f" + (b % out_w) * {s} + t % {s} + 1 as int)))"
+        )
+        return F.expr(
+            f"transform(transform(sequence(0, cast(n_blocks as int) - 1),"
+            f" b -> {pv}),"
+            " pv -> named_struct('s', aggregate(pv, 0L, (a, v) -> a + v),"
+            " 'd', array_max(pv) - array_min(pv)))"
+        )
+
+    blk = ch.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        pooled("ra").alias("rb"),
+        pooled("ga").alias("gb"),
+        pooled("ba").alias("bb"),
+    )
+    outs = ["doc_id", "width", "height", "out_w", "out_h", "n_blocks"]
+    proj = [F.col(c) for c in outs]
+    for nm, arr in [("r", "rb"), ("g", "gb"), ("b", "bb")]:
+        tot = F.expr(f"aggregate({arr}, 0L, (a, x) -> a + x.s)")
+        det = F.expr(f"aggregate({arr}, 0L, (a, x) -> a + x.d)")
+        proj.append(
+            r4(tot * F.lit(1.0) / (F.col("n_blocks") * F.lit(s * s))).alias(
+                f"{nm}_mean_rs"
+            )
+        )
+        proj.append(
+            r4(det * F.lit(1.0) / F.col("n_blocks")).alias(f"{nm}_detail")
+        )
+    return blk.select(*proj)
+
+
+mm_ppm_resize.__doc__ = mm_ppm_resize.__doc__.format(s=_RS_S)
+
+
 _PH_G = 8  # aHash grid (G x G = 64 bits, stored as 4 x 16-bit bands)
 _PH_T = 3  # near-dup Hamming threshold; with 4 bands of 16 bits the
 #            banded join is a TRUE LSH for it: <= 3 differing bits cannot

@@ -118,10 +118,11 @@ _PRIORITY: list[str] = [
     # --- round 13: new queries ---------------------------------------------
     "similarity_graph_ann_nnd",  # r13 NEW: walk over the NND graph vs exact graph
     "io_partition_evolution",  # r13 NEW: spec evolution, per-generation pruning
+    "mm_ppm_resize",  # r13 NEW: box-filter downsample of the decoded PPM
     # --- round 13: edited-after-check code (not already in the window) ----
     "similarity_graph_ann",  # r13: walk factored into _gann_walk (fused variants)
     "ab_test_welch",  # r13: decimal(38,0) s2 accumulation (ADVICE #3)
-    # --- r7-latest backlog: first 18 in registration order (all oracled) --
+    # --- r7-latest backlog: first 17 in registration order (all oracled) --
     "unpivot_store_metrics",
     "metric_suite_global",
     "metric_abc_tiers",
@@ -139,7 +140,6 @@ _PRIORITY: list[str] = [
     "text_tfidf_topterms",
     "dedup_cluster_components",
     "dedup_fuzzy_names",
-    "text_scrub_numbers",
 ]
 
 

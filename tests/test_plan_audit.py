@@ -436,5 +436,19 @@ def test_round13_ops_stay_jvm_side(spark):
         "similarity_graph_ann_nnd",
         "io_partition_evolution",
         "tokenizer_unigram_encode",
+        "mm_ppm_resize",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round13_ops_bounded_shuffles(spark):
+    """Shuffle budgets for the r13 queries' FINAL plans (the walk/build
+    stages are checkpointed, so the returned plan is the readout over
+    their results): partition evolution = the two pruned scans union
+    into one partial-agg + one exchange pair (≤3 leaves headroom for an
+    AQE re-plan); the composed recall readout joins two checkpointed
+    state tables to the ground truth (≤6, the heuristic-blend budget)."""
+    s = plan_stats(QUERIES["io_partition_evolution"](spark, SF_DIR))
+    assert s.shuffles <= 3, f"io_partition_evolution: got {s.shuffles}"
+    s = plan_stats(QUERIES["similarity_graph_ann_nnd"](spark, SF_DIR))
+    assert s.shuffles <= 6, f"similarity_graph_ann_nnd: got {s.shuffles}"

