@@ -1582,14 +1582,25 @@ def expire_snapshots(
     # manifest swap FIRST, file deletes SECOND: a crash between the two
     # leaves orphaned-but-harmless files (recoverable as dir-listing minus
     # manifest paths), never a manifest addressing deleted paths — the
-    # ordering the docstring promises
+    # ordering the docstring promises.  The swap itself is two renames
+    # around a retained backup (directories can't be rename-replaced
+    # atomically): every crash point leaves a COMPLETE manifest on disk —
+    # before the first rename the old one is live; between the renames the
+    # new manifest sits whole at __staging and the old whole at __old
+    # (recovery = finish the rename); after the second the new one is
+    # live — and no reachable state pairs deleted data files with a
+    # manifest that names them.
     kept_rows = [
         (r.snapshot_id, r.path, r.kind) for r in rows if r.snapshot_id in keep
     ]
     staging = manifest_path.rstrip("/") + "__staging"
+    backup = manifest_path.rstrip("/") + "__old"
+    if os.path.exists(backup):  # leftover from a crashed prior swap
+        shutil.rmtree(backup)
     _write_manifest(staging, kept_rows)
-    shutil.rmtree(manifest_path)
+    os.rename(manifest_path, backup)
     os.rename(staging, manifest_path)
+    shutil.rmtree(backup)
     for p in sorted(dead):
         shutil.rmtree(p)
     return {

@@ -8210,7 +8210,6 @@ def _duck_gann_hops(pfx: str = "", g: str = "g", p: str = "p") -> str:
 
 
 def _gann_walk(
-    spark: SparkSession,
     e: DataFrame,
     g: DataFrame,
     qids: DataFrame,
@@ -8508,7 +8507,7 @@ def similarity_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself is the shared ``_gann_walk`` kernel (r13: single-sourced with
     # the NND-graph search).
     qids = e.select(F.col("vec_id").alias("qid"))
-    visited = _gann_walk(spark, e, g, qids, entry_id)
+    visited = _gann_walk(e, g, qids, entry_id)
     ann3 = (
         visited.withColumn(
             "rn",
@@ -9092,7 +9091,7 @@ def similarity_graph_ann_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = g.withColumn("variant", F.lit("g")).unionByName(
         gn.withColumn("variant", F.lit("n"))
     )
-    visited = _gann_walk(spark, e, g2, qids)
+    visited = _gann_walk(e, g2, qids)
     ann3 = (
         visited.withColumn(
             "rn",

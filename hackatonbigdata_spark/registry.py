@@ -70,17 +70,19 @@ _PRIORITY: list[str] = [
     # from a driver loop to an executor-side SQL fold; io_snapshot_expire:
     # manifest swap now precedes the orphan deletes; graph_kcore_
     # decomposition: convergence accepted after the final filter pass;
-    # ab_test_power_mde: s2 accumulated in decimal(38,0)) so their window
-    # check doubles as the edited-name re-proof.  (2) r13 new/edited names:
-    # 2 NEW operators (similarity_graph_ann_nnd — the composed
-    # build-then-search recall decomposition; io_partition_evolution —
-    # spec-A/spec-B layout evolution with per-generation pruning) and 3
-    # edited names not already in the window (similarity_graph_ann and
-    # similarity_nndescent_build: walk/build cores factored into the
-    # shared _gann_walk/_nnd_build helpers the composed query reuses, the
-    # walk gaining fused multi-variant support — semantics unchanged,
-    # re-proven; ab_test_welch: the same decimal(38,0) s2 fix as
-    # power_mde).  (3) the remaining 17 slots retire the HEAD of the
+    # ab_test_power_mde: s2 accumulated in decimal(38,0); and
+    # similarity_nndescent_build: its build core factored into the shared
+    # _nnd_build helper) so their window check doubles as the edited-name
+    # re-proof.  (2) r13 new/edited names: 3 NEW operators
+    # (similarity_graph_ann_nnd — the composed build-then-search recall
+    # decomposition; io_partition_evolution — spec-A/spec-B layout
+    # evolution with per-generation pruning; mm_ppm_resize — box-filter
+    # downsample of the decoded PPM) and 2 edited names not already in
+    # the window (similarity_graph_ann: walk factored into the shared
+    # _gann_walk helper the composed query reuses, gaining fused
+    # multi-variant support — semantics unchanged, re-proven;
+    # ab_test_welch: the same decimal(38,0) s2 fix as power_mde).
+    # (3) the remaining 17 slots retire the HEAD of the
     # 47-name r7-latest backlog in registration order (oracled first).
     # After this window the oldest driver evidence is r7 with 30 names
     # left (25 oracled + 5 rows-only); r14 should lead with any new/edited

@@ -461,3 +461,108 @@ def test_ppm_resize_matches_python_pooling(spark):
         )
         assert got == expected[r.doc_id], f"doc {r.doc_id}"
         assert min(r.r_detail, r.g_detail, r.b_detail) >= 0
+
+
+def test_viterbi_fold_fuzzed_against_python(spark):
+    """Deterministic fuzz of the executor-side Viterbi fold: 40 random
+    cost tables x words (seeded PRNG; alphabet sized to force both
+    dense-tie and sparse-unencodable regimes) all agree with the Python
+    DP on (cost, piece count) / unencodability.  One Spark job for the
+    whole batch."""
+    import random
+
+    from hackatonbigdata_spark.operators.llm import (
+        _TOK_MAXLEN,
+        _tok_viterbi_best,
+        _tok_viterbi_sql,
+    )
+
+    rng = random.Random(1313)
+    cases = []
+    for ci in range(8):
+        alpha = "abcdef"[: rng.choice([2, 3, 6])]
+        pieces = {c: rng.randint(1, 50) for c in alpha if rng.random() < 0.9}
+        for _ in range(rng.randint(4, 10)):
+            ln = rng.randint(2, 4)
+            p = "".join(rng.choice(alpha) for _ in range(ln))
+            pieces[p] = rng.randint(1, 80)
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, _TOK_MAXLEN)))
+            for _ in range(5)
+        ]
+        cases.append((pieces, words))
+
+    for ci, (pieces, words) in enumerate(cases):
+        df = spark.createDataFrame(
+            [(w,) for w in sorted(set(words))], "word string"
+        ).select("word", F.expr(_tok_viterbi_sql(pieces)).alias("dp"))
+        got = {r["word"]: r["dp"] for r in df.collect()}
+        for w in sorted(set(words)):
+            best = _tok_viterbi_best(w, pieces)
+            if best is None:
+                assert got[w] is None, f"case {ci} word {w!r}"
+            else:
+                assert got[w] is not None, f"case {ci} word {w!r}"
+                assert (got[w]["cost"], got[w]["k"]) == (
+                    best[0],
+                    len(best[1]),
+                ), f"case {ci} word {w!r}"
+
+
+def test_expire_snapshots_swap_is_crash_recoverable(spark, tmp_path):
+    """The swap window itself (directories can't rename-replace
+    atomically): a crash BETWEEN the two renames must leave the complete
+    NEW manifest at __staging and the complete OLD one at __old — never
+    a state where no full manifest exists or where deleted data files
+    are still addressed.  Recovery = finish the rename; a subsequent
+    expire run over the recovered manifest completes the vacuum."""
+    import pytest as _pytest
+
+    from hackatonbigdata_spark.operators import io_queries as ioq
+
+    base = str(tmp_path / "tbl")
+    for name in ("fa", "fc"):
+        spark.range(5).write.parquet(os.path.join(base, name))
+    man = str(tmp_path / "manifest")
+    ioq._write_manifest(
+        man,
+        [
+            (1, os.path.join(base, "fa"), "data"),
+            (1, os.path.join(base, "fc"), "data"),
+            (2, os.path.join(base, "fa"), "data"),
+        ],
+    )
+
+    real_rename = os.rename
+    n_renames = [0]
+
+    def failing_rename(src, dst):
+        n_renames[0] += 1
+        if n_renames[0] == 2:
+            raise OSError("simulated crash between renames")
+        return real_rename(src, dst)
+
+    os.rename, ioq.os.rename = failing_rename, failing_rename
+    try:
+        with _pytest.raises(OSError, match="between renames"):
+            ioq.expire_snapshots(spark, man, keep=(2,))
+    finally:
+        os.rename = real_rename
+        ioq.os.rename = real_rename
+
+    staging, backup = man + "__staging", man + "__old"
+    # both complete manifests survive the crash; no data file was deleted
+    assert {r.snapshot_id for r in spark.read.parquet(staging).collect()} == {2}
+    assert {r.snapshot_id for r in spark.read.parquet(backup).collect()} == {1, 2}
+    assert os.path.isdir(os.path.join(base, "fc"))
+    # recovery: finish the rename, then the rerun vacuums the orphan
+    os.rename(staging, man)
+    stats = ioq.expire_snapshots(spark, man, keep=(2,))
+    assert stats == {
+        "n_snapshots_expired": 0,
+        "n_files_removed": 0,
+        "n_files_live": 1,
+    }
+    # fc is the dir-listing-minus-manifest orphan (snapshot 1 is gone)
+    paths = {r.path for r in spark.read.parquet(man).collect()}
+    assert paths == {os.path.join(base, "fa")}
