@@ -262,6 +262,7 @@ HEADLINE = [
     "similarity_graph_ann_nnd",       # r13: walk over the NND-built graph
     "io_partition_evolution",         # r13: spec evolution, dual-spec pruning
     "mm_ppm_resize",                  # r13: box-filter PPM downsample
+    "graph_label_propagation",        # r13: synchronous LPA communities
 ]
 
 

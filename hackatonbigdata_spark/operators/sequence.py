@@ -1458,6 +1458,138 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 4  # fixed synchronous label-propagation rounds (oracle lockstep)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA rounds — every chain CTE MATERIALIZED
+    (each round references its predecessor through the adjacency join;
+    default CTE inlining would re-expand the chain per reference)."""
+    sql = """
+WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (SELECT u AS w, v AS nbr FROM pairs
+                     UNION ALL SELECT v, u FROM pairs),
+deg AS MATERIALIZED (SELECT w AS node, CAST(count(*) AS BIGINT) AS degree
+                     FROM adj GROUP BY 1),
+lab0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg)"""
+    for r in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+cnt{r} AS MATERIALIZED (
+  SELECT adj.w AS node, l.lbl AS lbl, CAST(count(*) AS BIGINT) AS c
+  FROM adj JOIN lab{r - 1} l ON l.node = adj.nbr
+  GROUP BY 1, 2),
+lab{r} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM cnt{r}) WHERE rn = 1)"""
+    sql += f""",
+sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       FROM lab{_LPA_ROUNDS} GROUP BY 1)
+SELECT l.node AS part, l.lbl AS community, sz.community_size, d.degree
+FROM lab{_LPA_ROUNDS} l
+JOIN sz ON sz.lbl = l.lbl
+JOIN deg d ON d.node = l.node
+"""
+    return sql
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by label propagation (Raghavan et al. 2007 —
+    the classic near-linear distributed community algorithm, GraphX's
+    LabelPropagation) on the basket co-occurrence graph — completing the
+    graph shelf's mesoscale view next to connectivity (components),
+    centrality (PageRank / eigenvector), density (triangles / k-core)
+    and prediction (link scores), all on the family's shared
+    >= 2-basket edge set: every node starts as its own label, and each
+    of {rounds} SYNCHRONOUS rounds re-labels every node with the MODE of
+    its neighbors' labels (count desc, label asc — a total tie order,
+    so the whole evolution is deterministic set algebra both engines
+    replay identically).  Synchronous-with-fixed-rounds is the
+    deliberate choice: asynchronous LPA (the paper's default) is
+    update-ORDER-dependent and therefore unreproducible cross-engine,
+    and synchronous LPA can oscillate on bipartite structure rather
+    than converge — a fixed round count makes the readout well-defined
+    either way (the semantics test pins the label evolution round for
+    round).  Emits each part's community, the community size, and the
+    node degree — the shelf-layout readout ("which parts sell
+    together as a block") the reference's pair-count analysis
+    (/root/reference/src/features/behavioral_features_engine.py:454-485)
+    stops short of.
+
+    Scale: each round is ONE adjacency⋈labels equi-join + a keyed count
+    + a per-node top-1 window — all hash-partitioned by node, no stage
+    beyond the edge table's size; {rounds} rounds with eager
+    localCheckpoint per round keep the plan flat (the k-core
+    discipline).  At 100 TB the same loop shards by node; the classic
+    optimization (only re-propagate changed labels) alters constants,
+    not semantics."""
+    t = Catalog(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # feeds the adjacency both ways
+    )
+    adj = pairs.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    deg = adj.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    labels = deg.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy(F.col("w").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()  # eager: one flat job per round
+        )
+    sz = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        labels.join(sz, "lbl")
+        .join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("lbl").alias("community"),
+            "community_size",
+            "degree",
+        )
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    rounds=_LPA_ROUNDS
+)
+
+
 _KCORE_ROUNDS = 16  # oracle peel rounds per k; extra rounds are no-ops
 _KCORE_MAX_K = 3  # coreness reported up to this k (capped decomposition)
 

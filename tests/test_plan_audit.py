@@ -437,6 +437,7 @@ def test_round13_ops_stay_jvm_side(spark):
         "io_partition_evolution",
         "tokenizer_unigram_encode",
         "mm_ppm_resize",
+        "graph_label_propagation",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 
