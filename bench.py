@@ -263,6 +263,7 @@ HEADLINE = [
     "io_partition_evolution",         # r13: spec evolution, dual-spec pruning
     "mm_ppm_resize",                  # r13: box-filter PPM downsample
     "graph_label_propagation",        # r13: synchronous LPA communities
+    "graph_modularity_score",         # r13: Newman Q of the LPA partition
 ]
 
 

@@ -1500,6 +1500,53 @@ JOIN deg d ON d.node = l.node
     return sql
 
 
+def _lpa_core(t: Catalog):
+    """The shared LPA pipeline: the >= 2-basket edge set, symmetric
+    adjacency, degrees, and the fixed-round synchronous label evolution.
+    Returns (pairs, deg, labels) — consumed by the community readout
+    (``graph_label_propagation``) and the partition-quality score
+    (``graph_modularity_score``) so both run one code path."""
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # feeds the adjacency both ways + intra counts
+    )
+    adj = pairs.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    deg = adj.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    labels = deg.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy(F.col("w").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()  # eager: one flat job per round
+        )
+    return pairs, deg, labels
+
+
 @register("graph_label_propagation", oracle=_lpa_oracle())
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMMUNITY DETECTION by label propagation (Raghavan et al. 2007 —
@@ -1532,44 +1579,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization (only re-propagate changed labels) alters constants,
     not semantics."""
     t = Catalog(spark, sf_dir)
-    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") >= 2)
-        .select("u", "v")
-        .localCheckpoint()  # feeds the adjacency both ways
-    )
-    adj = pairs.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
-        pairs.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
-    ).localCheckpoint()
-    deg = adj.groupBy(F.col("w").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    )
-    labels = deg.select("node", F.col("node").alias("lbl"))
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            adj.join(
-                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
-            )
-            .groupBy(F.col("w").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint()  # eager: one flat job per round
-        )
+    _, deg, labels = _lpa_core(t)
     sz = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
@@ -1588,6 +1598,127 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     rounds=_LPA_ROUNDS
 )
+
+
+def _modularity_oracle() -> str:
+    """The LPA chain (identical to ``_lpa_oracle``'s) + Newman modularity
+    terms per community, every value on an exact integer grid."""
+    sql = _lpa_oracle()
+    # swap the LPA readout tail for the modularity readout over the same
+    # materialized chain
+    tail_from = sql.index(",\nsz AS (")
+    R = _LPA_ROUNDS
+    return sql[:tail_from] + f""",
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+intra AS (
+  SELECT lu.lbl AS lbl, CAST(count(*) AS BIGINT) AS e_c
+  FROM pairs p
+  JOIN lab{R} lu ON lu.node = p.u
+  JOIN lab{R} lv ON lv.node = p.v
+  WHERE lu.lbl = lv.lbl GROUP BY 1),
+dsum AS (
+  SELECT l.lbl, CAST(count(*) AS BIGINT) AS community_size,
+         CAST(sum(d.degree) AS BIGINT) AS d_c
+  FROM lab{R} l JOIN deg d ON d.node = l.node GROUP BY 1),
+terms AS (
+  SELECT dsum.lbl, dsum.community_size,
+         COALESCE(intra.e_c, 0) AS e_c, dsum.d_c,
+         CAST(floor((COALESCE(intra.e_c, 0) * 1.0 / m.m
+                     - (dsum.d_c * 1.0 / (2 * m.m))
+                       * (dsum.d_c * 1.0 / (2 * m.m))) * 100000000 + 0.5)
+              AS BIGINT) AS term_q8
+  FROM dsum LEFT JOIN intra ON intra.lbl = dsum.lbl CROSS JOIN m),
+qt AS (SELECT CAST(sum(term_q8) AS BIGINT) AS q_total_q8 FROM terms)
+SELECT terms.lbl AS community, terms.community_size,
+       terms.e_c AS intra_edges, terms.d_c AS degree_sum,
+       terms.term_q8, qt.q_total_q8
+FROM terms CROSS JOIN qt
+"""
+
+
+@register("graph_modularity_score", oracle=_modularity_oracle())
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the LPA partition — the one-number quality
+    readout community detection is judged by (Newman & Girvan 2004):
+    Q = sum_c [ L_c/m − (d_c/(2m))² ] over communities, where L_c =
+    intra-community edges, d_c = the community's degree mass, m = total
+    edges — detection (``graph_label_propagation``) and its quality
+    metric as a pair, the same discipline as NN-descent reporting edge
+    recall and the calibration family reporting ECE.  Emits one row per
+    community: size, intra-edge count, degree mass, the community's
+    modularity term, and the partition total Q — so the readout shows
+    WHICH communities carry the structure, not just the headline
+    number.
+
+    Exactness: L_c, d_c, m are BIGINT counts; each term is one
+    identical double expression quantized to a 1e-8 BIGINT grid
+    (4dp would zero out 1/m-scale terms), and Q is the exact integer
+    SUM of the quantized terms — order-free, so the compared values
+    are integers end to end.  Q's range invariant (-0.5 <= Q < 1) and
+    a from-scratch Python recompute are pinned in tests.
+
+    Scale: on top of the LPA core (see ``_lpa_core``), one
+    pairs⋈labels⋈labels count for intra edges, one labels⋈degrees
+    aggregate for degree mass, and a 1-row edge-count cross join —
+    all keyed by community; nothing beyond the edge table's size.
+
+    Reference parity: the reference stops at pair counts
+    (/root/reference/src/features/behavioral_features_engine.py:
+    454-485); this scores the block structure those pairs imply."""
+    t = Catalog(spark, sf_dir)
+    pairs, deg, labels = _lpa_core(t)
+    labels = labels.localCheckpoint()  # read thrice below
+    m = pairs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        pairs.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("community_size"),
+            F.sum("degree").cast("long").alias("d_c"),
+        )
+    )
+    half = F.col("d_c") * F.lit(1.0) / (F.lit(2) * F.col("m"))
+    terms = (
+        dsum.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lbl",
+            "community_size",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            "d_c",
+            F.floor(
+                (
+                    F.coalesce("e_c", F.lit(0)) * F.lit(1.0) / F.col("m")
+                    - half * half
+                )
+                * F.lit(100000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_q8"),
+        )
+        .localCheckpoint()  # feeds both the rows and the 1-row total
+    )
+    qt = terms.groupBy().agg(
+        F.sum("term_q8").cast("long").alias("q_total_q8")
+    )
+    return terms.crossJoin(F.broadcast(qt)).select(
+        F.col("lbl").alias("community"),
+        "community_size",
+        F.col("e_c").alias("intra_edges"),
+        F.col("d_c").alias("degree_sum"),
+        "term_q8",
+        "q_total_q8",
+    )
 
 
 _KCORE_ROUNDS = 16  # oracle peel rounds per k; extra rounds are no-ops

@@ -82,12 +82,12 @@ _PRIORITY: list[str] = [
     # _gann_walk helper the composed query reuses, gaining fused
     # multi-variant support — semantics unchanged, re-proven;
     # ab_test_welch: the same decimal(38,0) s2 fix as power_mde).
-    # (3) the remaining 16 slots retire the HEAD of the
+    # (3) the remaining 15 slots retire the HEAD of the
     # 47-name r7-latest backlog in registration order (oracled first).
-    # After this window the oldest driver evidence is r7 with 31 names
-    # left (26 oracled + 5 rows-only); r14 should lead with any new/edited
-    # names, then continue the r7 backlog from 'dedup_fuzzy_names' in
-    # registration order, then start the r8-latest backlog.
+    # After this window the oldest driver evidence is r7 with 32 names
+    # left (27 oracled + 5 rows-only); r14 should lead with any new/edited
+    # names, then continue the r7 backlog from 'dedup_cluster_components'
+    # in registration order, then start the r8-latest backlog.
     # --- r12 overflow: carried names lead (positions 1-28) ----------------
     "io_time_travel_changes",  # r12 NEW: incremental changes-between read
     "io_equality_deletes",  # r12 NEW: Iceberg-style key-valued deletes
@@ -122,10 +122,11 @@ _PRIORITY: list[str] = [
     "io_partition_evolution",  # r13 NEW: spec evolution, per-generation pruning
     "mm_ppm_resize",  # r13 NEW: box-filter downsample of the decoded PPM
     "graph_label_propagation",  # r13 NEW: synchronous LPA communities
+    "graph_modularity_score",  # r13 NEW: Newman Q of the LPA partition
     # --- round 13: edited-after-check code (not already in the window) ----
     "similarity_graph_ann",  # r13: walk factored into _gann_walk (fused variants)
     "ab_test_welch",  # r13: decimal(38,0) s2 accumulation (ADVICE #3)
-    # --- r7-latest backlog: first 16 in registration order (all oracled) --
+    # --- r7-latest backlog: first 15 in registration order (all oracled) --
     "unpivot_store_metrics",
     "metric_suite_global",
     "metric_abc_tiers",
@@ -141,7 +142,6 @@ _PRIORITY: list[str] = [
     "io_csv_roundtrip",
     "io_clustered_stats_prune",
     "text_tfidf_topterms",
-    "dedup_cluster_components",
 ]
 
 

@@ -438,6 +438,7 @@ def test_round13_ops_stay_jvm_side(spark):
         "tokenizer_unigram_encode",
         "mm_ppm_resize",
         "graph_label_propagation",
+        "graph_modularity_score",
     ]:
         assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
 
