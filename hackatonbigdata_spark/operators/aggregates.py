@@ -895,7 +895,7 @@ WITH v AS (
   SELECT event_type, variant,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(v4) AS BIGINT) AS s1,
-         CAST(sum(v4 * v4) AS BIGINT) AS s2
+         CAST(sum(CAST(v4 AS HUGEINT) * v4) AS DOUBLE) AS s2
   FROM v GROUP BY 1, 2
 ), w AS (
   SELECT a.event_type,
@@ -923,9 +923,12 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically bucketed into two variants (user_id parity — the
     hash-bucket assignment every experimentation platform uses), and per
     event type the mean difference and Welch t are computed from INTEGER
-    sufficient statistics (values quantized to 1e-4 before Σv, Σv² —
-    BIGINT sums, order-free; sqrt is IEEE correctly-rounded, so the final
-    statistic is bit-identical cross-engine).  The reference computes its
+    sufficient statistics (values quantized to 1e-4 before Σv, Σv²; Σv is
+    a BIGINT sum and Σv² accumulates in decimal(38,0) / HUGEINT — both
+    exact integer sums, order-free, converted to DOUBLE at the same
+    expression point in both engines; sqrt is IEEE correctly-rounded, so
+    the final statistic is bit-identical cross-engine through the regime
+    where a plain BIGINT Σv² would overflow).  The reference computes its
     comparison statistics in scipy on collected arrays
     (/root/reference/src/evaluation/error_analysis.py:611-750); the
     decision threshold (|t| > 1.96) matches its 5% two-sided convention.
@@ -944,8 +947,9 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v4").alias("s1"),
         # one factor to decimal BEFORE the multiply (v4^2 ~1e14/row nears
         # Long.MAX within ~1e4 rows per group at large SF); decimal(38,0)
-        # sum then one double conversion — the oracle's BIGINT s2 enters
-        # its var expression as DOUBLE the same way
+        # sum then one double conversion — the oracle mirrors with a
+        # HUGEINT product/sum cast to DOUBLE at the identical point, so
+        # both engines stay exact through the same overflow regime
         F.sum(
             (F.col("v4").cast("decimal(19,0)") * F.col("v4")).cast(
                 "decimal(38,0)"
@@ -1884,7 +1888,7 @@ WITH v AS (
   SELECT event_type, variant,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(v4) AS BIGINT) AS s1,
-         CAST(sum(v4 * v4) AS BIGINT) AS s2
+         CAST(sum(CAST(v4 AS HUGEINT) * v4) AS DOUBLE) AS s2
   FROM v GROUP BY 1, 2
 ), w AS (
   SELECT a.event_type,
@@ -1952,8 +1956,9 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v4").alias("s1"),
         # one factor to decimal BEFORE the multiply (v4^2 ~1e14/row nears
         # Long.MAX within ~1e4 rows per group at large SF); decimal(38,0)
-        # sum then one double conversion — the oracle's BIGINT s2 enters
-        # its var expression as DOUBLE the same way
+        # sum then one double conversion — the oracle mirrors with a
+        # HUGEINT product/sum cast to DOUBLE at the identical point, so
+        # both engines stay exact through the same overflow regime
         F.sum(
             (F.col("v4").cast("decimal(19,0)") * F.col("v4")).cast(
                 "decimal(38,0)"

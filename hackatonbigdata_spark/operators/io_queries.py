@@ -1573,6 +1573,14 @@ def expire_snapshots(
     filesystem delete per orphaned file; cost is proportional to churn,
     never to table size — the property that makes retention enforcement
     affordable at 100 TB."""
+    staging = manifest_path.rstrip("/") + "__staging"
+    backup = manifest_path.rstrip("/") + "__old"
+    # self-recovery from a crash BETWEEN the two swap renames: no manifest
+    # at manifest_path but a complete new one at __staging — finish the
+    # interrupted rename before reading, so the next expiry call (not an
+    # operator) completes the swap
+    if not os.path.exists(manifest_path) and os.path.exists(staging):
+        os.rename(staging, manifest_path)
     m = spark.read.parquet(manifest_path)
     # bounded metadata collect: a manifest row per file per snapshot
     rows = m.collect()
@@ -1587,14 +1595,12 @@ def expire_snapshots(
     # atomically): every crash point leaves a COMPLETE manifest on disk —
     # before the first rename the old one is live; between the renames the
     # new manifest sits whole at __staging and the old whole at __old
-    # (recovery = finish the rename); after the second the new one is
-    # live — and no reachable state pairs deleted data files with a
-    # manifest that names them.
+    # (recovery = the automatic finish-the-rename branch at function
+    # entry); after the second the new one is live — and no reachable
+    # state pairs deleted data files with a manifest that names them.
     kept_rows = [
         (r.snapshot_id, r.path, r.kind) for r in rows if r.snapshot_id in keep
     ]
-    staging = manifest_path.rstrip("/") + "__staging"
-    backup = manifest_path.rstrip("/") + "__old"
     if os.path.exists(backup):  # leftover from a crashed prior swap
         shutil.rmtree(backup)
     _write_manifest(staging, kept_rows)

@@ -31,6 +31,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import math
+import re
 from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
@@ -9271,32 +9272,49 @@ def _tok_viterbi_sql(cost: dict[str, int]) -> str:
 
     The cost table is inlined as a ``map(...)`` literal — bounded by the
     vocabulary spec (singles + top-{multi} pieces), the GD-calibrator
-    literal pattern; pieces are [a-z0-9]+ so embedding is safe."""
+    literal pattern.  Safety is ASSERTED, not assumed: every piece must
+    match ``[a-z0-9]+`` (what the upstream word extraction produces)
+    before it is embedded, and the map literal is bound ONCE — it rides
+    in the fold's accumulator struct next to the dp array instead of
+    being repeated in each length branch, so expression size grows with
+    the vocabulary once, not 4x."""
+    bad = [p for p in cost if not re.fullmatch(r"[a-z0-9]+", p)]
+    if bad:
+        raise ValueError(
+            f"vocabulary pieces unsafe to inline as SQL literals: {bad[:5]!r}"
+        )
     cmap = "map(" + ", ".join(
         f"'{p}', {c}L" for p, c in sorted(cost.items())
     ) + ")"
     branches = []
     for l in range(1, _TOK_PIECE_MAX + 1):
-        prev = f"element_at(acc, i - {l} + 1)"
-        cq = f"try_element_at({cmap}, substring(word, i - {l} + 1, {l}))"
+        prev = f"element_at(acc.dp, i - {l} + 1)"
+        cq = f"try_element_at(acc.cm, substring(word, i - {l} + 1, {l}))"
         branches.append(
             f"case when i >= {l} and {prev} is not null"
             f" and {cq} is not null"
             f" then named_struct('cost', {prev}.cost + {cq},"
             f" 'l', {l}L, 'k', {prev}.k + 1L) else null end"
         )
-    step = f"concat(acc, array(array_min(array({', '.join(branches)}))))"
-    # the zero MUST carry a nullable element type: unreachable positions
-    # append null structs, and an accumulator typed containsNull=false
-    # (what a bare array(named_struct(...)) declares) NPEs in codegen the
-    # moment one is read back — hence the slice-over-[struct, null] shape
-    zero = (
+    step = (
+        "named_struct('dp', concat(acc.dp, array(array_min(array("
+        + ", ".join(branches)
+        + ")))), 'cm', acc.cm)"
+    )
+    # the dp zero MUST carry a nullable element type: unreachable
+    # positions append null structs, and an accumulator typed
+    # containsNull=false (what a bare array(named_struct(...)) declares)
+    # NPEs in codegen the moment one is read back — hence the
+    # slice-over-[struct, null] shape
+    zero_dp = (
         "slice(array(named_struct('cost', 0L, 'l', 0L, 'k', 0L), "
         "cast(null as struct<cost:bigint,l:bigint,k:bigint>)), 1, 1)"
     )
+    zero = f"named_struct('dp', {zero_dp}, 'cm', {cmap})"
     return (
-        f"element_at(aggregate(sequence(1, length(word)), {zero}, "
-        f"(acc, i) -> {step}), length(word) + 1)"
+        f"aggregate(sequence(1, length(word)), {zero}, "
+        f"(acc, i) -> {step}, "
+        f"acc -> element_at(acc.dp, length(word) + 1))"
     )
 
 

@@ -379,7 +379,7 @@ def test_partition_evolution_prunes_both_generations(spark):
     # byte-identically on a rerun — the old-files-never-rewritten
     # contract observed as content stability (part names embed UUIDs,
     # so compare the (size, leading-bytes) multiset per month dir)
-    def sig(dirs, root):
+    def sig(root):
         return sorted(
             (
                 os.path.relpath(os.path.dirname(f), root),
@@ -391,9 +391,9 @@ def test_partition_evolution_prunes_both_generations(spark):
             )
         )
 
-    before = sig(a_leaf_dirs, a_dst)
+    before = sig(a_dst)
     QUERIES["io_partition_evolution"](spark, SF_DIR).collect()
-    assert sig(a_leaf_dirs, a_dst) == before and len(before) > 0
+    assert sig(a_dst) == before and len(before) > 0
     # the probe month exists in both generations, so the matched rows
     # really crossed the spec boundary
     probe = f"ship_month={_PE_MONTH}"
@@ -514,8 +514,10 @@ def test_expire_snapshots_swap_is_crash_recoverable(spark, tmp_path):
     atomically): a crash BETWEEN the two renames must leave the complete
     NEW manifest at __staging and the complete OLD one at __old — never
     a state where no full manifest exists or where deleted data files
-    are still addressed.  Recovery = finish the rename; a subsequent
-    expire run over the recovered manifest completes the vacuum."""
+    are still addressed.  Recovery is AUTOMATIC (r14): the next expire
+    call finds no manifest at the live path but a complete one at
+    __staging, finishes the interrupted rename itself, then completes
+    the vacuum."""
     import pytest as _pytest
 
     from hackatonbigdata_spark.operators import io_queries as ioq
@@ -555,9 +557,11 @@ def test_expire_snapshots_swap_is_crash_recoverable(spark, tmp_path):
     assert {r.snapshot_id for r in spark.read.parquet(staging).collect()} == {2}
     assert {r.snapshot_id for r in spark.read.parquet(backup).collect()} == {1, 2}
     assert os.path.isdir(os.path.join(base, "fc"))
-    # recovery: finish the rename, then the rerun vacuums the orphan
-    os.rename(staging, man)
+    # self-recovery: the next expire call finishes the rename on entry
+    # (no manual os.rename needed), then the rerun vacuums the orphan
+    assert not os.path.exists(man)
     stats = ioq.expire_snapshots(spark, man, keep=(2,))
+    assert not os.path.exists(staging)
     assert stats == {
         "n_snapshots_expired": 0,
         "n_files_removed": 0,
