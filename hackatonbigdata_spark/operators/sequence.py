@@ -2014,3 +2014,407 @@ def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_eigencentrality.__doc__ = graph_eigencentrality.__doc__.format(
     iters=_EIG_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED graph family (round 14): the identical >= 2-basket co-occurrence
+# graph, but the co-basket COUNT — computed by every unweighted query and
+# then discarded — is kept as the edge weight.  The reference's pair
+# analysis COUNTS co-occurrences
+# (/root/reference/src/features/behavioral_features_engine.py:457-485), so
+# the weighted forms (weighted LPA votes, weighted Newman Q, strength-
+# normalized PageRank) are the faithful graph reading of its data: an edge
+# seen in 7 baskets pulls 3.5x harder than one seen in 2.
+
+
+def _weighted_edge_sql() -> str:
+    """The shared weighted edge/adjacency/strength CTE block: pairs carry
+    wt = co-basket count (BIGINT), adj is both directions, st holds each
+    node's strength (sum of incident weights) and degree."""
+    return """items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS wt
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (SELECT u AS src, v AS nbr, wt FROM pairs
+                     UNION ALL SELECT v, u, wt FROM pairs),
+st AS MATERIALIZED (
+  SELECT src AS node, CAST(sum(wt) AS BIGINT) AS strength,
+         CAST(count(*) AS BIGINT) AS degree
+  FROM adj GROUP BY 1)"""
+
+
+def _weighted_graph(t: Catalog):
+    """The Spark twin of ``_weighted_edge_sql``: (pairs, adj, st), with
+    pairs and adj eagerly checkpointed (both feed several consumers).
+    The edge CONTRACT is the one every unweighted graph query declares
+    (see ``_lpa_core``): nodes = parts, an edge iff co-ordered in >= 2
+    baskets — only the count survives as ``wt`` instead of being
+    dropped."""
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .localCheckpoint()  # feeds adjacency both ways + intra-weight sums
+    )
+    adj = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("nbr"), "wt")
+        .unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("nbr"), "wt")
+        )
+        .localCheckpoint()
+    )
+    st = adj.groupBy(F.col("src").alias("node")).agg(
+        F.sum("wt").cast("long").alias("strength"),
+        F.count(F.lit(1)).cast("long").alias("degree"),
+    )
+    return pairs, adj, st
+
+
+def _wlpa_core(t: Catalog):
+    """Weighted synchronous LPA: ``_lpa_core``'s fixed-round evolution
+    with the vote changed from neighbor COUNT to neighbor WEIGHT SUM
+    (Raghavan et al. 2007 §IV's weighted form) — ties broken (weight
+    desc, label asc), all sums BIGINT, so the evolution is exact set
+    algebra both engines replay identically.  Returns
+    (pairs, st, labels)."""
+    pairs, adj, st = _weighted_graph(t)
+    labels = st.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            adj.join(labels.select(F.col("node").alias("nbr"), "lbl"), "nbr")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.sum("wt").cast("long").alias("c"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()  # eager: one flat job per round
+        )
+    return pairs, st, labels
+
+
+def _wlpa_oracle() -> str:
+    """Unrolled weighted-LPA rounds — ``_lpa_oracle``'s chain with
+    sum(wt) votes; every chain CTE MATERIALIZED."""
+    sql = "WITH " + _weighted_edge_sql() + """,
+lab0 AS MATERIALIZED (SELECT node, node AS lbl FROM st)"""
+    for r in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+cnt{r} AS MATERIALIZED (
+  SELECT adj.src AS node, l.lbl AS lbl, CAST(sum(adj.wt) AS BIGINT) AS c
+  FROM adj JOIN lab{r - 1} l ON l.node = adj.nbr
+  GROUP BY 1, 2),
+lab{r} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM cnt{r}) WHERE rn = 1)"""
+    sql += f""",
+sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       FROM lab{_LPA_ROUNDS} GROUP BY 1)
+SELECT l.node AS part, l.lbl AS community, sz.community_size,
+       s.strength, s.degree
+FROM lab{_LPA_ROUNDS} l
+JOIN sz ON sz.lbl = l.lbl
+JOIN st s ON s.node = l.node
+"""
+    return sql
+
+
+@register("graph_label_propagation_weighted", oracle=_wlpa_oracle())
+def graph_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED community detection by label propagation: the
+    ``graph_label_propagation`` evolution with each neighbor's vote
+    scaled by the edge weight — a part adopts the label with the largest
+    incident WEIGHT mass (sum of co-basket counts), not the largest
+    neighbor count, each of {rounds} synchronous rounds (weight-sum
+    desc, label asc tie order — total, so both engines replay the
+    identical evolution).  A pair co-ordered in 7 baskets binds its
+    endpoints 3.5x as strongly as a 2-basket pair; binarizing (what the
+    unweighted query does) erases exactly the signal the reference's
+    pair analysis computes
+    (/root/reference/src/features/behavioral_features_engine.py:457-485)
+    — this query keeps it, and emits strength (weighted degree) next to
+    degree so the two granularities sit side by side.
+
+    Exactness: weights are BIGINT co-basket counts; votes are BIGINT
+    sums (order-free); the tie order is total — no float ever enters
+    the evolution.
+
+    Scale: identical to the unweighted query — each round is ONE
+    adjacency⋈labels equi-join + a keyed weight sum + a per-node top-1
+    window, hash-partitioned by node, eager localCheckpoint per round
+    keeps the plan flat.  The weight column rides the same shuffles the
+    count used; cost is unchanged at any scale."""
+    t = Catalog(spark, sf_dir)
+    _, st, labels = _wlpa_core(t)
+    sz = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        labels.join(sz, "lbl")
+        .join(st, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("lbl").alias("community"),
+            "community_size",
+            "strength",
+            "degree",
+        )
+    )
+
+
+graph_label_propagation_weighted.__doc__ = (
+    graph_label_propagation_weighted.__doc__.format(rounds=_LPA_ROUNDS)
+)
+
+
+def _wmod_oracle() -> str:
+    """The weighted-LPA chain + weighted Newman Q terms per community,
+    every value on an exact integer grid."""
+    sql = _wlpa_oracle()
+    tail_from = sql.index(",\nsz AS (")
+    R = _LPA_ROUNDS
+    return sql[:tail_from] + f""",
+wtot AS (SELECT CAST(sum(wt) AS BIGINT) AS w FROM pairs),
+intra AS (
+  SELECT lu.lbl AS lbl, CAST(sum(p.wt) AS BIGINT) AS w_c
+  FROM pairs p
+  JOIN lab{R} lu ON lu.node = p.u
+  JOIN lab{R} lv ON lv.node = p.v
+  WHERE lu.lbl = lv.lbl GROUP BY 1),
+ssum AS (
+  SELECT l.lbl, CAST(count(*) AS BIGINT) AS community_size,
+         CAST(sum(s.strength) AS BIGINT) AS s_c
+  FROM lab{R} l JOIN st s ON s.node = l.node GROUP BY 1),
+terms AS (
+  SELECT ssum.lbl, ssum.community_size,
+         COALESCE(intra.w_c, 0) AS w_c, ssum.s_c,
+         CAST(floor((COALESCE(intra.w_c, 0) * 1.0 / w.w
+                     - (ssum.s_c * 1.0 / (2 * w.w))
+                       * (ssum.s_c * 1.0 / (2 * w.w))) * 100000000 + 0.5)
+              AS BIGINT) AS term_q8
+  FROM ssum LEFT JOIN intra ON intra.lbl = ssum.lbl CROSS JOIN wtot w),
+qt AS (SELECT CAST(sum(term_q8) AS BIGINT) AS q_total_q8 FROM terms)
+SELECT terms.lbl AS community, terms.community_size,
+       terms.w_c AS intra_weight, terms.s_c AS strength_sum,
+       terms.term_q8, qt.q_total_q8
+FROM terms CROSS JOIN qt
+"""
+
+
+@register("graph_modularity_weighted", oracle=_wmod_oracle())
+def graph_modularity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Newman modularity of the weighted-LPA partition — the
+    standard generalization (Newman 2004, "Analysis of weighted
+    networks"): Q_w = sum_c [ W_c/W − (S_c/(2W))² ], where W = total
+    edge weight, W_c = intra-community weight, S_c = the community's
+    STRENGTH mass (sum of weighted degrees) — scoring the weighted
+    detection (``graph_label_propagation_weighted``) with the weighted
+    quality metric, the same detection+metric pairing as the unweighted
+    shelf.  Comparing q_total_q8 here against ``graph_modularity_score``
+    reads directly as "how much block structure the co-basket COUNTS
+    carry beyond the binarized graph".
+
+    Exactness: W, W_c, S_c are BIGINT sums of BIGINT weights
+    (order-free); each term is one identical double expression
+    quantized to the 1e-8 BIGINT grid, and Q is the exact integer sum
+    of the quantized terms — the compared values are integers end to
+    end.  The range invariant (-0.5 <= Q < 1) and a from-scratch
+    Python recompute are pinned in tests.
+
+    Scale: on top of the weighted LPA core, one pairs⋈labels⋈labels
+    weight sum for intra mass, one labels⋈strengths aggregate, and a
+    1-row total cross join — all keyed by community; nothing beyond the
+    edge table's size.
+
+    Reference parity: the reference stops at pair counts
+    (/root/reference/src/features/behavioral_features_engine.py:
+    457-485); this scores the weighted block structure those counts
+    imply."""
+    t = Catalog(spark, sf_dir)
+    pairs, st, labels = _wlpa_core(t)
+    labels = labels.localCheckpoint()  # read thrice below
+    wtot = pairs.groupBy().agg(F.sum("wt").cast("long").alias("w"))
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        pairs.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.sum("wt").cast("long").alias("w_c"))
+    )
+    ssum = (
+        labels.join(st, "node")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("community_size"),
+            F.sum("strength").cast("long").alias("s_c"),
+        )
+    )
+    half = F.col("s_c") * F.lit(1.0) / (F.lit(2) * F.col("w"))
+    terms = (
+        ssum.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "lbl",
+            "community_size",
+            F.coalesce("w_c", F.lit(0)).cast("long").alias("w_c"),
+            "s_c",
+            F.floor(
+                (
+                    F.coalesce("w_c", F.lit(0)) * F.lit(1.0) / F.col("w")
+                    - half * half
+                )
+                * F.lit(100000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_q8"),
+        )
+        .localCheckpoint()  # feeds both the rows and the 1-row total
+    )
+    qt = terms.groupBy().agg(
+        F.sum("term_q8").cast("long").alias("q_total_q8")
+    )
+    return terms.crossJoin(F.broadcast(qt)).select(
+        F.col("lbl").alias("community"),
+        "community_size",
+        F.col("w_c").alias("intra_weight"),
+        F.col("s_c").alias("strength_sum"),
+        "term_q8",
+        "q_total_q8",
+    )
+
+
+def _wpr_oracle() -> str:
+    """Unrolled fixed-iteration WEIGHTED PageRank in exact integer
+    arithmetic — ``_pagerank_oracle``'s grid with the per-edge share
+    changed from pr/deg to pr·wt/strength, round-half-up as
+    (2·pr·wt + s) // (2s)."""
+    sql = "WITH " + _weighted_edge_sql() + f""",
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+pr0 AS (
+  SELECT node, strength,
+         CAST(floor({_PR_SCALE}.0 / nn.n + 0.5) AS BIGINT) AS pr
+  FROM st CROSS JOIN nn
+)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+pr{i} AS MATERIALIZED (
+  SELECT d.node, d.strength,
+         CAST(floor({_PR_SCALE * 15 // 100}.0 / nn.n + 0.5) AS BIGINT)
+           + (coalesce(s.contrib, 0) * 85 + 50) // 100 AS pr
+  FROM st d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.nbr AS node,
+           CAST(sum((p.pr * 2 * e.wt + p.strength)
+                    // (p.strength * 2)) AS BIGINT) AS contrib
+    FROM adj e JOIN pr{i - 1} p ON e.src = p.node GROUP BY 1
+  ) s ON d.node = s.node
+)"""
+    sql += f"""
+SELECT p.node AS part_key, st.degree, p.strength, p.pr AS pr_pico,
+       CAST(rank() OVER (ORDER BY p.pr DESC, p.node) AS BIGINT) AS pr_rank
+FROM pr{_PR_ITERS} p JOIN st ON st.node = p.node
+"""
+    return sql
+
+
+@register("graph_pagerank_weighted", oracle=_wpr_oracle())
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (damping 0.85, {iters} fixed iterations): each
+    node distributes its rank over out-edges IN PROPORTION TO EDGE
+    WEIGHT — share(u→v) = pr(u)·wt(u,v)/strength(u) — the standard
+    weighted random surfer (a shopper is 3.5x as likely to follow a
+    7-basket association as a 2-basket one), versus the unweighted
+    query's uniform 1/deg split.  Side-by-side with
+    ``graph_pagerank_parts`` the rank deltas show which parts anchor
+    the co-purchase graph by TIE STRENGTH rather than tie count —
+    extending the reference's pair-count analysis
+    (/root/reference/src/features/behavioral_features_engine.py:457-485)
+    exactly where its counts matter.
+
+    Exact integer arithmetic (the unweighted query's discipline):
+    BIGINT picoprob grid; the weighted share is round-half-up integer
+    division (2·pr·wt + s) div (2s) — operands nonnegative, so Spark's
+    truncating ``div`` equals DuckDB's flooring ``//``; damping is
+    (85·s + 50) div 100.  Integer sums are order-independent, so the
+    whole fixpoint is bit-identical across engines and partitionings.
+    (Magnitude check: pr ≤ 1e12 and wt ≤ strength, so pr·2·wt stays
+    far below 2^63 for any co-basket count this schema can produce.)
+
+    Scale: identical shuffle shape to the unweighted query — edges
+    pre-partitioned on the source key once (checkpointed), one
+    edges⋈ranks join + destination-keyed sum per iteration; strength
+    rides with the rank table to avoid a second join."""
+    t = Catalog(spark, sf_dir)
+    _, adj, st = _weighted_graph(t)
+    edges = adj.repartition("src").localCheckpoint()
+    st = st.localCheckpoint()  # node-sized; read every iteration + readout
+    nn = st.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = F.floor(
+        F.lit(float(_PR_SCALE * 15 // 100)) / F.col("n") + F.lit(0.5)
+    ).cast("long")
+    pr = st.crossJoin(F.broadcast(nn)).select(
+        "node",
+        "strength",
+        F.floor(F.lit(float(_PR_SCALE)) / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("nbr").alias("node"),
+                F.expr("(pr * 2 * wt + strength) div (strength * 2)").alias(
+                    "share"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        pr = (
+            st.select("node", "strength")
+            .crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "strength",
+                (
+                    base
+                    + F.expr("(coalesce(contrib, 0) * 85 + 50) div 100").cast(
+                        "long"
+                    )
+                ).alias("pr"),
+            )
+        )
+    wr = W.orderBy(F.col("pr").desc(), "node")
+    return pr.join(st.select("node", "degree"), "node").select(
+        F.col("node").alias("part_key"),
+        "degree",
+        "strength",
+        F.col("pr").alias("pr_pico"),
+        F.rank().over(wr).cast("long").alias("pr_rank"),
+    )
+
+
+graph_pagerank_weighted.__doc__ = graph_pagerank_weighted.__doc__.format(
+    iters=_PR_ITERS
+)

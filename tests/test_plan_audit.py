@@ -454,3 +454,38 @@ def test_round13_ops_bounded_shuffles(spark):
     assert s.shuffles <= 3, f"io_partition_evolution: got {s.shuffles}"
     s = plan_stats(QUERIES["similarity_graph_ann_nnd"](spark, SF_DIR))
     assert s.shuffles <= 6, f"similarity_graph_ann_nnd: got {s.shuffles}"
+
+
+def test_round14_ops_stay_jvm_side(spark):
+    """r14 operators are pure column math / keyed windows+aggregates —
+    no Python UDF anywhere (both weighted iterations are bounded
+    driver-side loops over checkpointed DataFrame ops)."""
+    for name in [
+        "graph_label_propagation_weighted",
+        "graph_modularity_weighted",
+        "graph_pagerank_weighted",
+    ]:
+        assert not plan_stats(QUERIES[name](spark, SF_DIR)).has_python_udf, name
+
+
+def test_round14_ops_bounded_shuffles(spark):
+    """Shuffle budgets for the r14 weighted-graph FINAL plans (the
+    per-round evolution is checkpointed, so the returned plan is the
+    readout over the final labels/ranks): the weighted LPA readout is
+    labels⋈sizes⋈strengths (≤4); weighted modularity's term table is
+    checkpointed, leaving the 1-row total cross join (≤2); weighted
+    PageRank deliberately does NOT checkpoint per iteration (each
+    round's state is referenced once, so lineage stays linear — the
+    unweighted query's documented shape): its plan carries the whole
+    {iters}-round fixpoint, bounded at ≤5 exchanges per iteration
+    (edges⋈ranks, destination agg, state rejoin) — measured 24 vs the
+    unweighted query's 29, i.e. the weight column rides existing
+    shuffles."""
+    from hackatonbigdata_spark.operators.sequence import _PR_ITERS
+
+    s = plan_stats(QUERIES["graph_label_propagation_weighted"](spark, SF_DIR))
+    assert s.shuffles <= 4, f"graph_label_propagation_weighted: got {s.shuffles}"
+    s = plan_stats(QUERIES["graph_modularity_weighted"](spark, SF_DIR))
+    assert s.shuffles <= 2, f"graph_modularity_weighted: got {s.shuffles}"
+    s = plan_stats(QUERIES["graph_pagerank_weighted"](spark, SF_DIR))
+    assert s.shuffles <= 5 * _PR_ITERS, f"graph_pagerank_weighted: got {s.shuffles}"
