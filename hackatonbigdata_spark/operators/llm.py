@@ -8934,10 +8934,15 @@ def similarity_nndescent_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_graph_ann_nnd",
-    oracle=f"""
-WITH {_DUCK_EMB},
+def _gann_nnd_oracle(emb_cte: str) -> str:
+    """The composed build-then-search oracle, parameterized by the CTE
+    block that defines ``e(vec_id, emb, nrm)`` — shared verbatim by the
+    near-uniform query (``similarity_graph_ann_nnd`` over the raw
+    embeddings) and the planted-cluster regime
+    (``similarity_graph_ann_clustered`` over the derived clustered
+    vectors), so the two regimes differ ONLY in the vector source."""
+    return f"""
+WITH {emb_cte},
 p AS MATERIALIZED (
   SELECT a.vec_id, b.vec_id AS nb,
          round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos
@@ -9013,8 +9018,10 @@ JOIN nhe ON nhe.vec_id = ne.vec_id
 JOIN nhn ON nhn.vec_id = ne.vec_id
 JOIN nde ON nde.qid = ne.vec_id
 JOIN ndn ON ndn.qid = ne.vec_id
-""",
-)
+"""
+
+
+@register("similarity_graph_ann_nnd", oracle=_gann_nnd_oracle(_DUCK_EMB))
 def similarity_graph_ann_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED graph-ANN production story — search over the
     sub-quadratically BUILT graph — decomposing index loss into its two
@@ -9051,8 +9058,15 @@ def similarity_graph_ann_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a navigable approximate graph with its quality loss measured
     per stage."""
     t = Catalog(spark, sf_dir)
-    e = _embeddings(t).localCheckpoint()
+    return _gann_nnd_compare(spark, _embeddings(t).localCheckpoint())
 
+
+def _gann_nnd_compare(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The composed exact-graph-vs-NND-graph recall/cost comparison over
+    a checkpointed embedding frame ``e(vec_id, emb, nrm)`` — the entire
+    body of ``similarity_graph_ann_nnd``, factored so the planted-cluster
+    regime (``similarity_graph_ann_clustered``) runs the identical
+    builds, walks, and readout over a different vector source."""
     # the exact side (ranked edges -> graph, ground truth, entry hub) and
     # the NND build are INDEPENDENT multi-second pipelines over the same
     # checkpointed input: submit them from two driver threads so their
@@ -9154,6 +9168,132 @@ def similarity_graph_ann_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 similarity_graph_ann_nnd.__doc__ = similarity_graph_ann_nnd.__doc__.format(
     mod=_NND_SAMPLE_MOD, deg=_GANN_DEG, rounds=_NND_ROUNDS
+)
+
+
+# --- planted-cluster regime (round 14) -------------------------------------
+# The synthetic embeddings are near-uniform on the sphere — Dong et al.'s
+# stated hard case for NN-descent, so the composed query's build-loss
+# attribution reads recall_nnd ~ 0.06 there and the recall axis cannot
+# discriminate between index families.  Real corpora (and the reference's
+# product x store similarity structure,
+# /root/reference/src/models/cold_start_solutions.py:95-205) are CLUSTERED;
+# this derived vector column plants that structure deterministically so the
+# same composed query also reports the regime where graph builds earn
+# their keep.
+
+_PC_K = 64  # planted clusters; anchor vectors vec_id < _PC_K are centroids
+_PC_ALPHA = 0.75  # offset scale: vec = anchor(vec_id % K) + alpha * own
+
+_DUCK_EMB_CLUSTERED = f"""
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings),
+an AS (SELECT vec_id AS c, emb0 AS aemb FROM e0 WHERE vec_id < {_PC_K}),
+ec AS (SELECT e0.vec_id,
+              list_transform(range(1, len(e0.emb0) + 1),
+                             i -> an.aemb[i] + {_PC_ALPHA} * e0.emb0[i])
+                AS emb
+       FROM e0 JOIN an ON an.c = e0.vec_id % {_PC_K}),
+e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM ec)
+"""
+
+
+def _embeddings_clustered(t: Catalog) -> DataFrame:
+    """The planted-cluster vector column, derived deterministically from
+    the embeddings table itself: cluster c = vec_id % {k}; the cluster
+    centroid is the ANCHOR row's raw embedding (vec_id = c — ids are
+    dense, and distinct random unit vectors in d=64 are near-orthogonal,
+    so the {k} centroids are well separated); each vector is
+    anchor + {a}·own — intra-cluster cosine ≈ 1/(1+{a}²) ≫ cross-cluster.
+    Elementwise one-multiply-one-add on the identical doubles in both
+    engines (DuckDB's indexed list_transform vs Spark's zip_with — each
+    element is independent, so there is no accumulation order), then the
+    shared left-fold norm: ``e(vec_id, emb, nrm)`` is bit-exact
+    cross-engine, the ``_embeddings`` contract."""
+    e0 = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb0")
+    )
+    an = e0.filter(F.col("vec_id") < _PC_K).select(
+        F.col("vec_id").alias("c"), F.col("emb0").alias("aemb")
+    )
+    ec = (
+        e0.withColumn("c", F.col("vec_id") % _PC_K)
+        .join(F.broadcast(an), "c")
+        .select(
+            "vec_id",
+            F.expr(
+                f"zip_with(aemb, emb0, (a, x) -> a + {_PC_ALPHA}d * x)"
+            ).alias("emb"),
+        )
+    )
+    n_parts = t.spark.sparkContext.defaultParallelism
+    return ec.repartition(n_parts, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot("emb", "emb"))
+    )
+
+
+_embeddings_clustered.__doc__ = _embeddings_clustered.__doc__.format(
+    k=_PC_K, a=_PC_ALPHA
+)
+
+
+@register(
+    "similarity_graph_ann_clustered",
+    oracle=_gann_nnd_oracle(_DUCK_EMB_CLUSTERED),
+)
+def similarity_graph_ann_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``similarity_graph_ann_nnd`` — the IDENTICAL composed
+    build-then-search comparison (exact degree-{deg} graph vs NN-descent
+    round-{rounds} graph, one fused fixed-beam walk, per-query recall@3
+    + distance-eval cost, the same sampled query set) — run over the
+    PLANTED-CLUSTER vector column (``_embeddings_clustered``) instead of
+    the near-uniform raw embeddings, so the recall coordinates finally
+    DISCRIMINATE instead of saturating at the hard-case floor.  Measured
+    at sf0.001 (pinned by the chart test): the exact-graph walk rises
+    0.667 → ~0.84 — cluster structure concentrates each node's edge
+    budget where the true neighbors are, so greedy search gets BETTER —
+    while the NND-graph walk rises only 0.064 → ~0.12.  That split is
+    the fixture's finding, and it is measured, not assumed: the gap is
+    NOT closable by more refinement (re-running the build at 3/4/5
+    rounds moves neither edge recall nor walk recall — refinement
+    converges round 1 to a cliquish local optimum), because the
+    deterministic md5 seed buckets are RANDOM hashing, not locality-
+    sensitive: a node whose seeded neighborhood misses its cluster
+    never discovers it from neighbors-of-neighbors (Dong et al.'s
+    local-minimum caveat, here isolated from data hardness).  The
+    operator reading: spend on a locality-carrying seed (sign-bit LSH,
+    IVF buckets — both on the engine's shelf), never on more rounds.
+    recall_graph − recall_nnd is still the build loss as search
+    experiences it; comparing that gap ACROSS the two regimes (uniform:
+    walk-limited; clustered: seed-limited) is the fixture's point.
+
+    Cluster shape: {k} clusters of n/{k} vectors — small enough that
+    the degree-{deg} exact graph keeps cross-cluster edges (at
+    cluster size > degree the k-NN graph disconnects outright and a
+    single-entry walk reads 0 — measured at K=8, the regime this
+    fixture deliberately avoids), large enough that every query's
+    exact top-3 is in-cluster.
+
+    Exactness: the derivation is one broadcast join + elementwise
+    multiply-add on identical doubles (no accumulation), then every
+    downstream stage is the already-proven composed pipeline — both
+    engines replay the identical builds and walks on the identical r4
+    grid.
+
+    Scale: the derivation adds one broadcast {k}-row join over the
+    embedding scan; everything else inherits the composed query's
+    bounds (no n² stage on the NND side, walk touches
+    ≤ 1 + beam·deg·hops rows per query).
+
+    Reference parity: the reference's similarity engine runs on
+    clustered product×store structure
+    (/root/reference/src/models/cold_start_solutions.py:95-205); this is
+    the regime where its candidate pools behave like these buckets."""
+    t = Catalog(spark, sf_dir)
+    return _gann_nnd_compare(spark, _embeddings_clustered(t).localCheckpoint())
+
+
+similarity_graph_ann_clustered.__doc__ = similarity_graph_ann_clustered.__doc__.format(
+    deg=_GANN_DEG, rounds=_NND_ROUNDS, k=_PC_K
 )
 
 
