@@ -115,7 +115,17 @@ def _doc_shingles(t: Catalog, *, distinct: bool = True) -> DataFrame:
 def _dot(a: str, b: str) -> Column:
     """Dot product as a sequential left-to-right fold — the same IEEE
     addition order as DuckDB's ``list_dot_product`` loop, so cosine is
-    bit-exact cross-engine (verified over all 124,750 sf0.01 pairs)."""
+    bit-exact cross-engine (verified over all 124,750 sf0.01 pairs).
+
+    r14 measurement note: an index-fold spelling
+    (``aggregate(sequence(0, size-1), 0.0, (acc,i) -> acc+a[i]*b[i])``)
+    looked 2.8x faster in a synthetic microbench but was 30-70% SLOWER
+    across the real registered queries (similarity_topk_cosine 1.87 ->
+    2.44 s, embedding_pq_eval 4.80 -> 8.16 s at sf0.1, 3-pass min); on
+    the actual parquet-sourced frames the whole 2M-pair scan costs only
+    ~0.06 s either way, so the fold flavor is noise and the interpolated
+    ``{a}[i]`` re-evaluation of non-attribute args is pure downside.
+    Kept as the zip_with fold."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x,y) -> x*y),"
         " cast(0.0 as double), (acc,v) -> acc+v)"
@@ -501,9 +511,19 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 neighbors only within the bucket.
 
     Scale: candidate set shrinks from n to n/n_buckets per query — the
-    centroid table broadcasts, and the per-bucket self-join shuffles on
-    bucket_id.  At 100 TB the centroids come from MLlib KMeans instead; the
-    plumbing is identical."""
+    centroid table broadcasts, and the in-bucket search joins the
+    repartitioned query side against the BROADCAST coded side.  At 100 TB
+    the centroids come from MLlib KMeans instead; the plumbing is
+    identical.
+
+    r14 join-strategy retrofit (the ``similarity_ivfpq_nprobe`` r11
+    discipline, guide §2.5/§3.1): the bucket equi-join has only
+    {_N_IVF_CENTROIDS} distinct keys, so a shuffled join bottlenecks at
+    {_N_IVF_CENTROIDS} tasks regardless of cluster width; broadcasting
+    the database side and explicitly repartitioning the query side keeps
+    the O(n·bucket) cosine work at full parallelism (explicit partition
+    counts are exempt from AQE coalescing).  Measured 2.5x on the
+    in-bucket scan+rank at sf0.1."""
     t = Catalog(spark, sf_dir)
     e = _embeddings(t)
     c = (
@@ -532,11 +552,13 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("centroid_id").alias("bucket_id"))
     )
     ea = e.join(assign, "vec_id")
-    a = ea.alias("a")
+    a = ea.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).alias("a")
     b = ea.alias("b")
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -614,14 +636,23 @@ def similarity_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket_topk(ea: DataFrame, k: int) -> DataFrame:
     """Top-k cosine neighbors searched only within each vector's bucket.
-    ``ea`` carries (vec_id, emb, nrm, bucket_id); the pair join shuffles on
-    bucket_id, so candidate work is n·(bucket size) instead of n² — the IVF
-    search step shared by the deterministic and KMeans-centroid variants."""
-    a = ea.alias("a")
+    ``ea`` carries (vec_id, emb, nrm, bucket_id); candidate work is
+    n·(bucket size) instead of n² — the IVF search step shared by the
+    deterministic and KMeans-centroid variants.
+
+    r14 join-strategy retrofit (guide §2.5/§3.1, the
+    ``similarity_ivfpq_nprobe`` discipline): the bucket equi-join has
+    only n_buckets distinct keys, so a shuffled join caps at n_buckets
+    tasks; repartition the query side on vec_id and BROADCAST the coded
+    side so the cosine scan runs at full parallelism and the downstream
+    vec_id window reuses the same partitioning (no extra exchange)."""
+    a = ea.repartition(
+        ea.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).alias("a")
     b = ea.alias("b")
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -6861,11 +6892,18 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cn"),
     )
     ex3 = _exact_top3(e)
+    # r14 join-strategy retrofit (guide §2.5/§3.1): the bucket pair join
+    # keys on {_N_IVF_CENTROIDS} distinct bucket_ids — a shuffled join
+    # caps the whole ADC scan at {_N_IVF_CENTROIDS} tasks.  Broadcast the
+    # coded database side instead: the stream (query) side keeps its
+    # vec_id partitioning from the r⋈assign join of two checkpointed
+    # vec_id-partitioned inputs, so both downstream rank windows reuse it
+    # with no exchange.  Measured 2.5x on the bucket scan+rank at sf0.1.
     ea = r.join(assign, "vec_id")
     qa, xb = ea.alias("qa"), ea.alias("xb")
     bp = (
         qa.join(
-            xb,
+            F.broadcast(xb),
             (F.col("qa.bucket_id") == F.col("xb.bucket_id"))
             & (F.col("qa.vec_id") != F.col("xb.vec_id")),
         )
@@ -8241,7 +8279,15 @@ def _gann_walk(
     score its out-neighbors, fold the new nodes in.  Hop 1 runs
     unrolled because its frontier is the entry row for EVERY query (the
     entry node itself has no self-score row, so it can't come from the
-    visited set like later frontiers do)."""
+    visited set like later frontiers do).
+
+    r14 measurement note: a "fewer exchanges" restructure (one window
+    over the full state + one groupBy merge of state∪candidates with
+    lazily-scored NULL rows) measured SLOWER (similarity_graph_ann
+    8.61 s vs 7.08 s at sf0.1, 3-pass min): with AQE coalescing these
+    tiny exchanges to single sub-second tasks, the extra per-row
+    expression work of merging the full state each hop outweighs the
+    saved stages.  The join-based hop below is the measured winner."""
     keyed = "variant" in qids.columns
     keys = ["qid", "variant"] if keyed else ["qid"]
     gkeys = ["variant", "node"] if keyed else ["node"]

@@ -60,6 +60,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "(parts with >=2 shared baskets)",
     "graph_eigencentrality": "final rank over the bounded node dimension "
     "(the graph_pagerank_parts exemption; the fixpoint itself is keyed)",
+    "graph_pagerank_weighted": "final rank over the bounded node dimension "
+    "(the graph_pagerank_parts exemption; the weighted fixpoint is keyed "
+    "identically)",
     "feature_importance_topk": "rank over <= #features rows (the schema, "
     "not the data)",
     "diag_skew_heavy_hitters": "rank over TakeOrdered-limited top-5 rows",
