@@ -5641,13 +5641,15 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized doubles; step 1's penalty term is an explicit 0 so the
     emitted score column is the same definition at every rank.
 
-    Scale: the greedy loop is {_MMR_K} bounded driver-side iterations
-    (the ``quality_classifier_gd`` discipline) over a CANDIDATES-ONLY
-    state table — {_MMR_TOPC} rows per query with all pairwise
-    candidate sims precomputed from one lookup join, so each step is a
-    per-query window + broadcast-size join, never a corpus rescan.  The
-    all-pairs cosine feeding the pool is the documented sampled-oracle
-    regime (production pools come from the IVF/LSH/BM25 paths).
+    Scale: the greedy loop runs ENTIRELY on the executors as one SQL
+    ``aggregate`` fold per query (the ``tokenizer_unigram_encode``
+    discipline, r14) over a CANDIDATES-ONLY state — {_MMR_TOPC}
+    candidates per query plus their pairwise sims as a bounded map from
+    one lookup join — so the whole selection is a single groupBy +
+    projection, never a corpus rescan and never {_MMR_K} driver round
+    trips.  The all-pairs cosine feeding the pool is the documented
+    sampled-oracle regime (production pools come from the IVF/LSH/BM25
+    paths).
 
     Reference parity: the diversified top-k selection a user of
     /root/reference/src/models/cold_start_solutions.py's candidate-pool
@@ -5739,92 +5741,95 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_sim"),
         )
         .select("vec_id", "d", "s", r4("_sim").alias("sim"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint()
     )
-    lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
-    # maxsel starts NULL (not 0.0): cosine can be negative, and the true
-    # MMR penalty is the max over the selected set — a zero seed would
-    # silently floor it and under-penalize nothing / over-penalize
-    # anti-correlated candidates
-    state = cand.select(
-        "vec_id",
-        "nb",
-        "rel",
-        F.lit(None).cast("double").alias("maxsel"),
-        F.lit(None).cast("int").alias("mmr_rank"),
-        F.lit(None).cast("double").alias("score"),
-    ).localCheckpoint()
-    for k in range(1, _MMR_K + 1):
-        pick = (
-            state.filter(F.col("mmr_rank").isNull())
-            .withColumn(
-                "_sc",
-                lam * F.col("rel")
-                - mu * F.coalesce("maxsel", F.lit(0.0)),
+    # r14 fold rewrite (guide §2.4, §1.2; the tokenizer_unigram_encode
+    # discipline): the greedy selection is PER-QUERY-LOCAL over a bounded
+    # pool — {_MMR_TOPC} candidates and their {_MMR_TOPC}² pairwise sims —
+    # so the {_MMR_K} driver-side rounds (each a window + two joins + an
+    # eager checkpoint over the full candidate table) collapse into ONE
+    # executor-side SQL ``aggregate`` fold per query.  Every float op is
+    # the identical expression on the identical r4-grid doubles, in the
+    # identical order: step score λ·rel − μ·coalesce(maxsel, 0), argmax
+    # with (score desc, nb asc) tie-break, maxsel ← greatest(maxsel, sim).
+    # maxsel still starts NULL (not 0.0): cosine can be negative, and a
+    # zero seed would floor the true max over the selected set.
+    cg = cand.groupBy("vec_id").agg(
+        F.expr("array_sort(collect_list(struct(nb, rel)))").alias("cands")
+    )
+    sg = ps.groupBy("vec_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("_", "d", "s").alias("k"),
+                    F.col("sim").alias("v"),
+                )
             )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy(F.col("_sc").desc(), "nb")
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("nb").alias("sel_nb"))
+        ).alias("smap")
+    )
+    _sc_cc = (
+        f"({_MMR_LAMBDA}D * cc.rel - {_MMR_MU}D * coalesce(cc.maxsel, 0.0D))"
+    )
+    _skey = (
+        "concat(cast(c.nb as string), '_', cast(b.nb as string))"
+    )
+    # the 1-element-array aggregate is a let-binding: it names this
+    # round's pick ``b`` (nb + its selection score) so the state update
+    # references it without recomputing the argmax per candidate
+    fold_sql = f"""
+    aggregate(
+      sequence(1, {_MMR_K}),
+      transform(cands, c -> named_struct(
+        'nb', c.nb, 'rel', c.rel,
+        'maxsel', cast(null as double),
+        'mmr_rank', cast(null as int),
+        'score', cast(null as double))),
+      (st, k) -> aggregate(
+        array(
+          aggregate(
+            transform(filter(st, c -> c.mmr_rank is null),
+                      cc -> named_struct('nb', cc.nb, 'sc', {_sc_cc})),
+            cast(null as struct<nb: bigint, sc: double>),
+            (bb, cc2) -> case
+              when bb is null then cc2
+              when cc2.sc > bb.sc
+                   or (cc2.sc = bb.sc and cc2.nb < bb.nb) then cc2
+              else bb end)
+        ),
+        st,
+        (s2, b) -> case when b is null then s2 else
+          transform(s2, c -> case
+            when c.mmr_rank is not null then c
+            when c.nb = b.nb then named_struct(
+              'nb', c.nb, 'rel', c.rel, 'maxsel', c.maxsel,
+              'mmr_rank', k, 'score', b.sc)
+            else named_struct(
+              'nb', c.nb, 'rel', c.rel,
+              'maxsel', case when c.maxsel is null
+                then element_at(smap, {_skey})
+                else greatest(c.maxsel, element_at(smap, {_skey})) end,
+              'mmr_rank', c.mmr_rank, 'score', c.score)
+            end)
+        end)
+    )"""
+    folded = (
+        cg.join(sg, "vec_id", "left")
+        .withColumn(
+            "smap",
+            F.coalesce("smap", F.expr("cast(map() as map<string, double>)")),
         )
-        # LEFT join: a query whose candidate pool is exhausted before
-        # _MMR_K steps has no pick this round — its already-ranked rows
-        # must persist (the oracle keeps partial selections), not vanish
-        # through an inner join
-        upd = (
-            state.join(pick, "vec_id", "left")
-            .join(
-                ps.select(
-                    "vec_id",
-                    F.col("d").alias("nb"),
-                    F.col("s").alias("sel_nb"),
-                    "sim",
-                ),
-                ["vec_id", "nb", "sel_nb"],
-                "left",
-            )
-            .select(
-                "vec_id",
-                "nb",
-                "rel",
-                # remaining candidates absorb the new selection into
-                # their running redundancy max; rows already ranked (and
-                # the fresh pick) keep their state frozen
-                F.when(
-                    F.col("mmr_rank").isNull() & (F.col("nb") != F.col("sel_nb")),
-                    F.when(
-                        F.col("maxsel").isNull(), F.col("sim")
-                    ).otherwise(F.greatest("maxsel", "sim")),
-                )
-                .otherwise(F.col("maxsel"))
-                .alias("maxsel"),
-                F.when(
-                    F.col("mmr_rank").isNull() & (F.col("nb") == F.col("sel_nb")),
-                    F.lit(k),
-                )
-                .otherwise(F.col("mmr_rank"))
-                .alias("mmr_rank"),
-                F.when(
-                    F.col("mmr_rank").isNull() & (F.col("nb") == F.col("sel_nb")),
-                    lam * F.col("rel")
-                    - mu * F.coalesce("maxsel", F.lit(0.0)),
-                )
-                .otherwise(F.col("score"))
-                .alias("score"),
-            )
-        )
-        state = upd.localCheckpoint()
-    return state.filter(F.col("mmr_rank").isNotNull()).select(
+        .select("vec_id", F.expr(fold_sql).alias("sel"))
+    )
+    return folded.select(
         "vec_id",
-        F.col("mmr_rank").cast("long").alias("mmr_rank"),
-        "nb",
-        "rel",
-        r4("score").alias("score"),
+        F.explode(
+            F.expr("filter(sel, c -> c.mmr_rank is not null)")
+        ).alias("c"),
+    ).select(
+        "vec_id",
+        F.col("c.mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("c.nb").alias("nb"),
+        F.col("c.rel").alias("rel"),
+        r4(F.col("c.score")).alias("score"),
     )
 
 
@@ -7274,21 +7279,37 @@ def similarity_ivfpq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qq", _dot("emb", "emb"))
         .localCheckpoint()
     )
-    r = _pq_reconstructed(spark, e)
-    ranks = (
-        _ivf_ranks(e)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint()
-    )
+
+    # r14 (guide §2.6): the three eager materializations after e — the PQ
+    # reconstruction, the coarse ranking, and the O(n²) sampled-oracle
+    # exact scan — are INDEPENDENT pipelines over the same checkpointed
+    # input; submit them from two driver threads (the _gann_nnd_compare
+    # pattern) so their jobs interleave on the executors: results are
+    # identical, wall-clock is max() instead of sum()
+    def _index_side():
+        rr = _pq_reconstructed(spark, e)
+        rk = (
+            _ivf_ranks(e)
+            .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+            .localCheckpoint()
+        )
+        return rr, rk
+
+    def _exact_side():
+        # checkpointed: the O(n²) sampled-oracle scan is read by one hits
+        # join per probe level and must not recompute per branch
+        return (
+            _exact_top3(e)
+            .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi, fx = pool.submit(_index_side), pool.submit(_exact_side)
+        r, ranks = fi.result()
+        ex3 = fx.result()
     assign = ranks.filter(F.col("rn") == 1).select(
         "vec_id", F.col("centroid_id").alias("bucket_id")
-    )
-    # checkpointed: the O(n²) sampled-oracle scan is read by one hits
-    # join per probe level and must not recompute per branch
-    ex3 = (
-        _exact_top3(e)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint()
     )
     # BROADCAST the coded database side: the bucket equi-join has only
     # {_N_IVF_CENTROIDS} distinct keys, so a shuffled hash join would
@@ -9998,7 +10019,14 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-stage ranking swaps to the IVF index, the feedback math
     is unchanged)."""
     t = Catalog(spark, sf_dir)
-    e = _embeddings(t).localCheckpoint()  # corpus side of BOTH pair scans
+    # lazy checkpoints (r14, guide §1.2): all three checkpointed frames
+    # are deterministic and cheap to compute; eager=False still truncates
+    # the logical plan and persists on first compute, but folds what were
+    # three separate ~0.5 s job submissions into the final action.
+    # Two stash A/B pairs (3-pass min, sf0.1): 6.50/7.31 s with vs
+    # 5.49/7.86 s without — noise-dominated; kept for the strictly
+    # smaller eager-job count (identical total compute, proven MATCH)
+    e = _embeddings(t).localCheckpoint(eager=False)  # corpus side of BOTH pair scans
     lab = t.embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
     q = (
         e.filter(F.col("vec_id") % _ROC_QMOD == 0)
@@ -10027,7 +10055,7 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s0"))
         .withColumn("rn", F.row_number().over(w0))
         .filter(F.col("rn") <= _ROC_K)
-        .localCheckpoint()  # feeds purity-before, overlap AND the centroid
+        .localCheckpoint(eager=False)  # feeds purity-before, overlap AND the centroid
     )
     mu = (
         top0.filter(F.col("rn") <= _ROC_FB)
@@ -10075,7 +10103,7 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s1"))
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _ROC_K)
-        .localCheckpoint()  # feeds purity-after AND the overlap join
+        .localCheckpoint(eager=False)  # feeds purity-after AND the overlap join
     )
     lb = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
         "label", "nlabel"

@@ -1527,6 +1527,16 @@ def _lpa_core(t: Catalog):
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     labels = deg.select("node", F.col("node").alias("lbl"))
+    # r14 (guide §1.2/§2): the label chain is LINEAR — each round
+    # references its predecessor exactly ONCE (through the adj join), so
+    # the plan grows linearly, not exponentially, and the per-round eager
+    # localCheckpoint the r12c twice-referenced loops need (k-core,
+    # power iteration) only paid {_LPA_ROUNDS} fixed ~0.5 s job-submission
+    # overheads here.  One eager checkpoint AFTER the loop still gives
+    # every caller a flat, materialized-once labels table (the readouts
+    # reference it 2-3x).  Two stash A/B pairs (3-pass min, sf0.1):
+    # LPA 4.17/4.74 s with vs 4.51/5.62 s without; modularity 3.85/4.28
+    # vs 4.30/5.68 — consistently faster both pairs, modest magnitude.
     for _ in range(_LPA_ROUNDS):
         labels = (
             adj.join(
@@ -1542,9 +1552,8 @@ def _lpa_core(t: Catalog):
             )
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint()  # eager: one flat job per round
         )
-    return pairs, deg, labels
+    return pairs, deg, labels.localCheckpoint()
 
 
 @register("graph_label_propagation", oracle=_lpa_oracle())
@@ -1666,8 +1675,7 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/features/behavioral_features_engine.py:
     454-485); this scores the block structure those pairs imply."""
     t = Catalog(spark, sf_dir)
-    pairs, deg, labels = _lpa_core(t)
-    labels = labels.localCheckpoint()  # read thrice below
+    pairs, deg, labels = _lpa_core(t)  # labels checkpointed by the core
     m = pairs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
@@ -2089,6 +2097,8 @@ def _wlpa_core(t: Catalog):
     (pairs, st, labels)."""
     pairs, adj, st = _weighted_graph(t)
     labels = st.select("node", F.col("node").alias("lbl"))
+    # linear chain: no per-round checkpoint needed — one eager checkpoint
+    # after the loop (see _lpa_core's r14 note)
     for _ in range(_LPA_ROUNDS):
         labels = (
             adj.join(labels.select(F.col("node").alias("nbr"), "lbl"), "nbr")
@@ -2102,9 +2112,8 @@ def _wlpa_core(t: Catalog):
             )
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint()  # eager: one flat job per round
         )
-    return pairs, st, labels
+    return pairs, st, labels.localCheckpoint()
 
 
 def _wlpa_oracle() -> str:
@@ -2247,8 +2256,7 @@ def graph_modularity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     457-485); this scores the weighted block structure those counts
     imply."""
     t = Catalog(spark, sf_dir)
-    pairs, st, labels = _wlpa_core(t)
-    labels = labels.localCheckpoint()  # read thrice below
+    pairs, st, labels = _wlpa_core(t)  # labels checkpointed by the core
     wtot = pairs.groupBy().agg(F.sum("wt").cast("long").alias("w"))
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
