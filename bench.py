@@ -264,6 +264,12 @@ HEADLINE = [
     "mm_ppm_resize",                  # r13: box-filter PPM downsample
     "graph_label_propagation",        # r13: synchronous LPA communities
     "graph_modularity_score",         # r13: Newman Q of the LPA partition
+    # round-14 operators (registered mid-build; added to the bench in the
+    # r14 optimization round — additions only, nothing removed or renamed):
+    "similarity_graph_ann_clustered",  # r14: planted-cluster ANN regime
+    "graph_label_propagation_weighted",  # r14: weighted LPA communities
+    "graph_modularity_weighted",      # r14: weighted Newman Q
+    "graph_pagerank_weighted",        # r14: strength-normalized PageRank
 ]
 
 

@@ -8295,24 +8295,59 @@ def _gann_walk(
       tiny state, so fusing halves the walk's wall-clock vs running
       the variants sequentially; returns (qid, variant, node, cos).
 
-    ONE state table per hop — (*keys, node, cos, expanded) — so each
-    hop is exactly one checkpointed job: mark the frontier expanded,
-    score its out-neighbors, fold the new nodes in.  Hop 1 runs
-    unrolled because its frontier is the entry row for EVERY query (the
-    entry node itself has no self-score row, so it can't come from the
-    visited set like later frontiers do).
+    r14 rewrite (guide §2.4, §1.2 — the ``search_mmr_rerank`` /
+    ``tokenizer_unigram_encode`` fold discipline): the walk state per
+    (query, variant) is BOUNDED (≤ 1 + beam·deg·hops rows) and every
+    hop decision is per-query-local, so the {hops} driver-side hop
+    rounds — each a window + three joins + an eager ``localCheckpoint``
+    over the full state table — collapse into ONE executor-side SQL
+    ``aggregate`` fold per query row: the graph as a broadcast
+    node→neighbors map, the embedding table as a broadcast
+    vec_id→(emb, nrm) map (the walk already broadcast the full
+    embedding table for hop scoring, so the 100 TB memory posture is
+    unchanged), the whole {hops}-hop beam search as one projection.
+    Every float op is the identical expression on the identical
+    doubles in the identical order (the ``_dot`` zip_with fold, the
+    ``r4`` floor-quantize, frontier tie-break (cos desc, node asc) as
+    an array_sort comparator replacing the row_number window) —
+    re-proved bit-identical to the join-based hop loop over every
+    (qid, variant, node, cos) at sf0.01 before the swap, and oracle
+    parity re-proved after it.  The one eager ``localCheckpoint`` on
+    the exploded result replaces the {hops} per-hop ones: the visited
+    state is multi-referenced by every caller's readout (top-3 window +
+    eval counts), exactly the case the eager-checkpoint discipline
+    exists for.
 
-    r14 measurement note: a "fewer exchanges" restructure (one window
-    over the full state + one groupBy merge of state∪candidates with
-    lazily-scored NULL rows) measured SLOWER (similarity_graph_ann
-    8.61 s vs 7.08 s at sf0.1, 3-pass min): with AQE coalescing these
-    tiny exchanges to single sub-second tasks, the extra per-row
-    expression work of merging the full state each hop outweighs the
-    saved stages.  The join-based hop below is the measured winner."""
+    Earlier r14 measurement notes (why the intermediate shapes lost):
+    a "fewer exchanges" join-based restructure (one window over the
+    full state + one groupBy merge with lazily-scored NULL rows)
+    measured SLOWER (similarity_graph_ann 8.61 s vs 7.08 s at sf0.1,
+    3-pass min) — with AQE coalescing the tiny exchanges, the extra
+    per-row merge work outweighed the saved stages; per-hop
+    ``eager=False`` checkpoints measured 1.5–2× slower (the 3-way
+    hop-state reference recomputes whole subtrees inside the final
+    job).  The fold removes the hop loop entirely instead of
+    rearranging it."""
     keyed = "variant" in qids.columns
     keys = ["qid", "variant"] if keyed else ["qid"]
-    gkeys = ["variant", "node"] if keyed else ["node"]
-    ent = F.col("entry") if keyed else F.lit(entry_id).cast("long")
+    varcols = ["variant"] if keyed else []
+
+    # graph and embeddings as 1-row-per-variant broadcast maps: the walk
+    # is the definition of sparse access (≤ beam·hops map probes + ≤
+    # beam·deg·hops candidate scores per query), so a map lookup beats
+    # re-joining per hop; collect_list order inside the maps is
+    # irrelevant — every downstream choice orders by (cos, node)
+    gnode = g.groupBy(*varcols, "node").agg(F.collect_list("nb").alias("nbs"))
+    gm = gnode.groupBy(*varcols).agg(
+        F.map_from_entries(F.collect_list(F.struct("node", "nbs"))).alias(
+            "gmap"
+        )
+    )
+    em = e.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("vec_id", F.struct("emb", "nrm")))
+        ).alias("embmap")
+    )
     eq = F.broadcast(
         e.select(
             F.col("vec_id").alias("qid"),
@@ -8320,83 +8355,81 @@ def _gann_walk(
             F.col("nrm").alias("qnrm"),
         )
     )
-    en = F.broadcast(
-        e.select(
-            F.col("vec_id").alias("node"),
-            F.col("emb").alias("nemb"),
-            F.col("nrm").alias("nnrm"),
-        )
-    )
+    rows = qids.join(eq, "qid")
+    if keyed:
+        rows = rows.join(F.broadcast(gm), "variant")
+    else:
+        rows = rows.withColumn(
+            "entry", F.lit(entry_id).cast("long")
+        ).crossJoin(F.broadcast(gm))
+    rows = rows.crossJoin(F.broadcast(em))
 
-    def _score(cand: DataFrame) -> DataFrame:
+    def _r4_sql(co: str) -> str:
+        # textual twin of functions.core.r4 (floor-quantize, NaN -> NULL)
         return (
-            cand.join(eq, "qid")
-            .join(en, "node")
-            .select(
-                *keys,
-                "node",
-                (
-                    _dot("qemb", "nemb") / (F.col("qnrm") * F.col("nnrm"))
-                ).alias("_co"),
-            )
-            .select(*keys, "node", r4("_co").alias("cos"))
+            f"CASE WHEN isnan({co}) THEN CAST(NULL AS DOUBLE) "
+            f"ELSE signum({co}) * (floor(abs({co}) * 10000.0D + 0.5D) "
+            f"/ 10000.0D) END"
         )
 
-    # v0 holds exactly the scored entry row per (query, variant), so its
-    # rows are the expanded frontier by construction
-    v0 = _score(
-        qids.filter(F.col("qid") != ent).select(*keys, ent.alias("node"))
+    def _sc_sql(c: str) -> str:
+        # textual twin of _dot(qemb, emb[c]) / (qnrm * nrm[c]) |> r4:
+        # identical zip_with fold, identical divide, identical quantize
+        dot = (
+            f"aggregate(zip_with(qemb, element_at(embmap, {c}).emb, "
+            f"(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        co = f"({dot} / (qnrm * element_at(embmap, {c}).nrm))"
+        return (
+            f"named_struct('node', {c}, 'cos', {_r4_sql(co)}, "
+            f"'expanded', false)"
+        )
+
+    empty_big = "slice(array(cast(0 as bigint)), 1, 0)"
+    cmp_sql = (
+        "(x, y) -> CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1 "
+        "WHEN x.node < y.node THEN -1 WHEN x.node > y.node THEN 1 ELSE 0 END"
     )
-    cand1 = (
-        qids.select(*keys, ent.alias("node"))
-        .join(F.broadcast(g), gkeys)
-        .filter(F.col("nb") != F.col("qid"))
-        .select(*keys, F.col("nb").alias("node"))
+    # hop 1 unrolled: the scored entry row (expanded — absent when the
+    # query IS the entry: no self-score row exists) plus the entry's
+    # scored out-neighbors (neither graph contains self-edges, so the
+    # entry can never re-enter as its own candidate)
+    init = (
+        f"concat("
+        f"filter(array(named_struct('node', entry, "
+        f"'cos', ({_sc_sql('entry')}).cos, 'expanded', true)), "
+        f"v -> qid <> entry), "
+        f"transform(filter(coalesce(element_at(gmap, entry), {empty_big}), "
+        f"nb -> nb <> qid), c -> {_sc_sql('c')}))"
     )
-    st = (
-        v0.withColumn("expanded", F.lit(True))
-        .unionByName(
-            _score(
-                cand1.join(v0.select(*keys, "node"), [*keys, "node"], "left_anti")
-            ).withColumn("expanded", F.lit(False))
+    # hops 2..{hops}: the 1-element-array aggregate is a let-binding
+    # naming the frontier (top-{beam} unexpanded by (cos desc, node)) so
+    # the state update references it without recomputing the sort
+    hop = (
+        f"aggregate("
+        f"array(slice(array_sort(filter(st, s -> NOT s.expanded), "
+        f"{cmp_sql}), 1, {_GANN_BEAM})), "
+        f"st, "
+        f"(s2, fr) -> concat("
+        f"transform(s2, s -> IF(exists(fr, f -> f.node = s.node), "
+        f"named_struct('node', s.node, 'cos', s.cos, 'expanded', true), "
+        f"s)), "
+        f"transform("
+        f"filter(array_distinct(flatten(transform(fr, f -> "
+        f"coalesce(element_at(gmap, f.node), {empty_big})))), "
+        f"c -> c <> qid AND NOT exists(s2, s -> s.node = c)), "
+        f"c -> {_sc_sql('c')})))"
+    )
+    fold = f"aggregate(sequence(2, {_GANN_HOPS}), {init}, (st, k) -> {hop})"
+    return (
+        rows.select(*keys, F.explode(F.expr(fold)).alias("v"))
+        .select(
+            *keys,
+            F.col("v.node").alias("node"),
+            F.col("v.cos").alias("cos"),
         )
         .localCheckpoint()
     )
-    for _ in range(1, _GANN_HOPS):
-        fr = (
-            st.filter(~F.col("expanded"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy(*keys).orderBy(F.col("cos").desc(), "node")
-                ),
-            )
-            .filter(F.col("rn") <= _GANN_BEAM)
-            .select(*keys, "node")
-        )
-        cand = (
-            fr.join(F.broadcast(g), gkeys)
-            .filter(F.col("nb") != F.col("qid"))
-            .select(*keys, F.col("nb").alias("node"))
-            .distinct()
-        )
-        scored_new = _score(
-            cand.join(st.select(*keys, "node"), [*keys, "node"], "left_anti")
-        ).withColumn("expanded", F.lit(False))
-        st = (
-            st.join(fr.withColumn("_p", F.lit(True)), [*keys, "node"], "left")
-            .select(
-                *keys,
-                "node",
-                "cos",
-                (F.col("expanded") | F.coalesce("_p", F.lit(False))).alias(
-                    "expanded"
-                ),
-            )
-            .unionByName(scored_new)
-            .localCheckpoint()
-        )
-    return st.select(*keys, "node", "cos")
 
 
 _gann_walk.__doc__ = _gann_walk.__doc__.format(beam=_GANN_BEAM, hops=_GANN_HOPS)
