@@ -10052,14 +10052,18 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-stage ranking swaps to the IVF index, the feedback math
     is unchanged)."""
     t = Catalog(spark, sf_dir)
-    # lazy checkpoints (r14, guide §1.2): all three checkpointed frames
-    # are deterministic and cheap to compute; eager=False still truncates
-    # the logical plan and persists on first compute, but folds what were
-    # three separate ~0.5 s job submissions into the final action.
-    # Two stash A/B pairs (3-pass min, sf0.1): 6.50/7.31 s with vs
-    # 5.49/7.86 s without — noise-dominated; kept for the strictly
-    # smaller eager-job count (identical total compute, proven MATCH)
-    e = _embeddings(t).localCheckpoint(eager=False)  # corpus side of BOTH pair scans
+    # r14 note — lazy checkpoints REVERTED to eager: an eager=False
+    # variant (folding three ~0.5 s job submissions into the final
+    # action) was noise-level in two stash A/B pairs (6.50/7.31 s with
+    # vs 5.49/7.86 s without) BUT every frame here is multi-referenced
+    # (e feeds both pair scans; qv feeds purity-before, the overlap join
+    # AND the centroid), and under the final single action the racing
+    # branch materializations emitted dozens of zombie
+    # accessNonExistentAccumulatorError stack traces per run (isolated
+    # 3-pass re-measure read 8.03 s lazy vs the 7.46 s r13 eager
+    # number).  This is exactly the multi-reference hazard the eager
+    # per-round discipline exists for; eager checkpoints stay.
+    e = _embeddings(t).localCheckpoint()  # corpus side of BOTH pair scans
     lab = t.embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
     q = (
         e.filter(F.col("vec_id") % _ROC_QMOD == 0)
@@ -10088,7 +10092,7 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s0"))
         .withColumn("rn", F.row_number().over(w0))
         .filter(F.col("rn") <= _ROC_K)
-        .localCheckpoint(eager=False)  # feeds purity-before, overlap AND the centroid
+        .localCheckpoint()  # feeds purity-before, overlap AND the centroid
     )
     mu = (
         top0.filter(F.col("rn") <= _ROC_FB)
@@ -10136,7 +10140,7 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "neighbor_id", r4("_s").alias("s1"))
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _ROC_K)
-        .localCheckpoint(eager=False)  # feeds purity-after AND the overlap join
+        .localCheckpoint()  # feeds purity-after AND the overlap join
     )
     lb = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
         "label", "nlabel"
