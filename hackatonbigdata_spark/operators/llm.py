@@ -6928,7 +6928,22 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "nb", r4("_adc").alias("adc"), r4("_adcr").alias("adcr"))
     )
-    # both rankings partition on vec_id → one shared hash exchange
+    # r14 2nd pass: bp feeds TWO rank windows, and after the broadcast
+    # retrofit there is no exchange under them for ReusedExchange to
+    # dedup — so the whole ADC pair scan (two _dot folds per pair) ran
+    # once per branch inside the final job.  One eager checkpoint on bp
+    # makes it a single scan that both branches read back; the branch
+    # windows (different orderBys) still sort CONCURRENTLY inside the
+    # final job.  (The no-extra-job alternative — chaining the two
+    # row_numbers as consecutive Window operators over one child —
+    # measured 40% SLOWER at sf0.1 (13.9 vs 9.0 s same-session stash
+    # A/B): it serializes the two full sorts that the duplicated
+    # branches ran in parallel, and at sf0.1 the scan is cheaper than a
+    # sort.  The checkpoint keeps the scan single AND the sorts
+    # parallel.)
+    bp = bp.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint()
     pq3 = (
         bp.withColumn(
             "rq",
