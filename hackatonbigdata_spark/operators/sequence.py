@@ -1582,9 +1582,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is ONE adjacency⋈labels equi-join + a keyed count
     + a per-node top-1 window — all hash-partitioned by node, no stage
-    beyond the edge table's size; {rounds} rounds with eager
-    localCheckpoint per round keep the plan flat (the k-core
-    discipline).  At 100 TB the same loop shards by node; the classic
+    beyond the edge table's size; the label chain is LINEAR (each round
+    referenced once), so per-round checkpoints were dropped in r14 and
+    one eager localCheckpoint after the loop keeps every caller's
+    readout flat (see _lpa_core).  At 100 TB the same loop shards by
+    node; the classic
     optimization (only re-propagate changed labels) alters constants,
     not semantics."""
     t = Catalog(spark, sf_dir)
@@ -2166,9 +2168,11 @@ def graph_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale: identical to the unweighted query — each round is ONE
     adjacency⋈labels equi-join + a keyed weight sum + a per-node top-1
-    window, hash-partitioned by node, eager localCheckpoint per round
-    keeps the plan flat.  The weight column rides the same shuffles the
-    count used; cost is unchanged at any scale."""
+    window, hash-partitioned by node.  The label chain is LINEAR (each
+    round referenced once), so per-round checkpoints were dropped in
+    r14; one eager localCheckpoint after the loop keeps every caller's
+    readout flat (see _wlpa_core).  The weight column rides the same
+    shuffles the count used; cost is unchanged at any scale."""
     t = Catalog(spark, sf_dir)
     _, st, labels = _wlpa_core(t)
     sz = labels.groupBy("lbl").agg(

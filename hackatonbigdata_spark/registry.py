@@ -92,7 +92,9 @@ _PRIORITY: list[str] = [
     "ann_recall_at_k",  # r14 EDIT: consumes the retrofitted IVF kernel
     "similarity_ivfpq_nprobe",  # r14 EDIT: exact side thread-overlapped
     "search_mmr_rerank",  # r14 EDIT: greedy loop -> executor-side fold
-    "search_rocchio_feedback",  # r14 EDIT: eager -> lazy checkpoints
+    "search_rocchio_feedback",  # r14: lazy checkpoints tried and REVERTED to
+    #   eager (multi-referenced frames raced under one action) — window
+    #   re-proof of the net-zero touch
     "graph_label_propagation",  # r14 EDIT: linear-chain checkpoint drop
     "graph_modularity_score",  # r14 EDIT: consumes the LPA chain
     # --- (3) the r7-latest oracled backlog, registration order ------------
