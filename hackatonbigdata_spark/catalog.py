@@ -11,6 +11,7 @@ projection pruning and predicate pushdown for free
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,9 @@ TABLES = (
 )
 
 
+_PKG_SHIP_LOCK = threading.Lock()
+
+
 def ensure_package_on_executors(spark: SparkSession) -> None:
     """Ship the engine package to Python workers via ``addPyFile`` — the
     local-mode equivalent of ``spark-submit --py-files``.  Worker processes
@@ -36,27 +40,52 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     ``mapInPandas``/``applyInPandas`` closure that references a module-level
     name fails with ModuleNotFoundError unless the package is shipped.  On a
     real cluster the deploy does this once per job; here it is one zip of
-    the source tree per session (idempotent, guarded)."""
+    the source tree per session (idempotent, guarded).
+
+    r15 hardening (exposed by the thread-pooled test sweeps): the zip is
+    now (1) named by a CONTENT hash of the shipped sources — the old
+    ``os.getpid()`` key collided across process lifetimes (Linux reuses
+    pids), silently shipping a STALE zip from a dead process's run of a
+    different source tree; (2) built to a temp name and ``os.replace``d
+    atomically — a concurrent caller used to ``addPyFile`` a half-written
+    zip, and Spark then failed every task with "exists and does not match
+    contents" once the bytes settled; (3) serialized behind a process-wide
+    lock with a double-checked session flag."""
     sc = spark.sparkContext
     if getattr(sc, "_hbd_pkg_shipped", False):
         return
-    import tempfile  # noqa: PLC0415 — driver-side only
-    import zipfile  # noqa: PLC0415
+    with _PKG_SHIP_LOCK:
+        if getattr(sc, "_hbd_pkg_shipped", False):
+            return
+        import hashlib  # noqa: PLC0415 — driver-side only
+        import tempfile  # noqa: PLC0415
+        import zipfile  # noqa: PLC0415
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"hackatonbigdata_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for fn in sorted(files):
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, root))
-    sc.addPyFile(zpath)
-    sc._hbd_pkg_shipped = True
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        srcs: list[str] = []
+        for dirpath, dirs, files in os.walk(pkg_dir):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    srcs.append(os.path.join(dirpath, fn))
+        h = hashlib.md5()
+        for full in srcs:
+            h.update(os.path.relpath(full, root).encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+        zpath = os.path.join(
+            tempfile.gettempdir(),
+            f"hackatonbigdata_spark_pkg_{h.hexdigest()[:12]}.zip",
+        )
+        if not os.path.exists(zpath):
+            tmp = f"{zpath}.tmp{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for full in srcs:
+                    z.write(full, os.path.relpath(full, root))
+            os.replace(tmp, zpath)
+        sc.addPyFile(zpath)
+        sc._hbd_pkg_shipped = True
 
 
 # Footer-type cache keyed on (probe file, mtime): one pyarrow metadata read

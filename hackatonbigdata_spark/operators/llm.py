@@ -8245,7 +8245,15 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GANN_DEG = 16  # out-degree of the k-NN graph (hnswlib's default M)
 _GANN_BEAM = 4  # beam width: best unexpanded nodes expanded per hop
-_GANN_HOPS = 4  # fixed hop budget (bounded driver-side steps)
+_GANN_HOPS = 4  # fixed hop budget; the fold unrolls hop 1 and folds
+#                 hops 2..N, so it requires >= 2 (sequence(2, 1) would
+#                 DESCEND [2, 1] and silently run two extra hops) —
+#                 _gann_walk guards this with an explicit if
+# single-map ceiling for _gann_walk's broadcast node/embedding maps: one
+# map VALUE serializes as one object (~2 GB cap; ≈550 B per 64-d entry
+# ⇒ ~3.9M rows theoretical), built by ONE collect_list task — guard well
+# below it and fall back to the join-based walk beyond (see _gann_walk)
+_GANN_MAP_MAX_ROWS = 1_000_000
 
 
 def _duck_gann_hops(pfx: str = "", g: str = "g", p: str = "p") -> str:
@@ -8318,9 +8326,22 @@ def _gann_walk(
     over the full state table — collapse into ONE executor-side SQL
     ``aggregate`` fold per query row: the graph as a broadcast
     node→neighbors map, the embedding table as a broadcast
-    vec_id→(emb, nrm) map (the walk already broadcast the full
-    embedding table for hop scoring, so the 100 TB memory posture is
-    unchanged), the whole {hops}-hop beam search as one projection.
+    vec_id→(emb, nrm) map, the whole {hops}-hop beam search as one
+    projection.
+
+    BOUND (r15, the r14 verdict's guard): the pre-fold walk broadcast
+    the same two tables as JOIN relations, so executor memory holds the
+    full tables either way — but a single MAP VALUE funnels its build
+    through ONE ``collect_list`` task and hits Spark's ~2 GB
+    single-object serialization ceiling far earlier than a broadcast
+    hash relation does (≈550 bytes per 64-d entry ⇒ low millions of
+    rows).  That posture is SIMILAR, not unchanged: this fold is only
+    for the sampled-oracle regime over the bounded embeddings fixture.
+    Both map builds are guarded by ``raise_error`` at
+    {{_GANN_MAP_MAX_ROWS}} rows (the guard rides the same fold job —
+    no extra action); past the bound, use the join-based walk (the
+    pre-r14 shape preserved in git history: per-hop broadcast joins
+    against the node/embedding tables) instead of raising the limit.
     Every float op is the identical expression on the identical
     doubles in the identical order (the ``_dot`` zip_with fold, the
     ``r4`` floor-quantize, frontier tie-break (cos desc, node asc) as
@@ -8356,12 +8377,14 @@ def _gann_walk(
     gm = gnode.groupBy(*varcols).agg(
         F.map_from_entries(F.collect_list(F.struct("node", "nbs"))).alias(
             "gmap"
-        )
+        ),
+        F.count(F.lit(1)).alias("_n_gnode"),
     )
     em = e.groupBy().agg(
         F.map_from_entries(
             F.collect_list(F.struct("vec_id", F.struct("emb", "nrm")))
-        ).alias("embmap")
+        ).alias("embmap"),
+        F.count(F.lit(1)).alias("_n_emb"),
     )
     eq = F.broadcast(
         e.select(
@@ -8401,8 +8424,16 @@ def _gann_walk(
         )
 
     empty_big = "slice(array(cast(0 as bigint)), 1, 0)"
+    # NULLS LAST explicitly (r15, ADVICE fix): the replaced row_number
+    # window ordered cos DESC = NULLS LAST, and a NULL cos (only possible
+    # from a NaN cosine, i.e. a zero-norm embedding — current data never
+    # produces one) must not tie with scored rows and enter the frontier
+    # by node order
     cmp_sql = (
-        "(x, y) -> CASE WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1 "
+        "(x, y) -> CASE "
+        "WHEN x.cos IS NULL AND y.cos IS NOT NULL THEN 1 "
+        "WHEN x.cos IS NOT NULL AND y.cos IS NULL THEN -1 "
+        "WHEN x.cos > y.cos THEN -1 WHEN x.cos < y.cos THEN 1 "
         "WHEN x.node < y.node THEN -1 WHEN x.node > y.node THEN 1 ELSE 0 END"
     )
     # hop 1 unrolled: the scored entry row (expanded — absent when the
@@ -8435,7 +8466,21 @@ def _gann_walk(
         f"c -> c <> qid AND NOT exists(s2, s -> s.node = c)), "
         f"c -> {_sc_sql('c')})))"
     )
-    fold = f"aggregate(sequence(2, {_GANN_HOPS}), {init}, (st, k) -> {hop})"
+    if _GANN_HOPS > 1:
+        fold = f"aggregate(sequence(2, {_GANN_HOPS}), {init}, (st, k) -> {hop})"
+    else:
+        # sequence(2, 1) DESCENDS ([2, 1]) and would run two extra hops;
+        # with a 1-hop budget the unrolled first hop IS the whole walk
+        fold = init
+    # map-cardinality guard (see _GANN_MAP_MAX_ROWS): rides the fold's
+    # own projection — no extra job; raise_error's NullType coerces to
+    # the fold's array type, so the IF is free for in-bound inputs
+    fold = (
+        f"IF(_n_emb > {_GANN_MAP_MAX_ROWS} OR _n_gnode > {_GANN_MAP_MAX_ROWS}, "
+        f"raise_error('_gann_walk: broadcast single-map bound exceeded "
+        f"(n_emb=' || _n_emb || ', n_gnode=' || _n_gnode || ', max="
+        f"{_GANN_MAP_MAX_ROWS}); use the join-based walk'), {fold})"
+    )
     return (
         rows.select(*keys, F.explode(F.expr(fold)).alias("v"))
         .select(
@@ -8856,16 +8901,34 @@ def _nnd_build(
             .unionByName(sib)
             .filter(F.col("nb") != F.col("vec_id"))
             .distinct()
+            # spread BEFORE the scoring projection: AQE coalesces the tiny
+            # distinct output to 1-2 partitions, which would serialize the
+            # broadcast rescore; hashing on vec_id also pre-establishes the
+            # top-k window's partitioning (no extra exchange)
             .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-            .localCheckpoint()
         )
-        ns = cand.groupBy("vec_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_scored")
-        )
+        # r15 fusion (guide §1.2/§2.4 job-count discipline): the candidate
+        # table and the refined graph were TWO eager checkpoints per round;
+        # n_scored (candidates per node) now rides the top-k window's own
+        # exchange as an unordered count-over-partition, so each round is
+        # ONE eager job and the window reuses the repartition's vec_id
+        # partitioning (the old post-checkpoint window paid a fresh
+        # exchange — ExistingRDD loses partitioning info).  n_scored is
+        # identical: _score is an inner broadcast join on keys that always
+        # resolve (both sides are the embedding table), so scored rows are
+        # 1:1 with candidates, and every node keeps >= 1 row (rn starts at
+        # 1), so no (vec_id, n_scored) pair is lost by the rn filter.
         # keep cos on the refined edges: the final round's graph feeds the
         # entry-hub aggregate of the composed search query
-        g = (
+        g2 = (
             _score(cand)
+            # count window FIRST (= below the rank window in the plan): if
+            # the optimizer ever inserts a WindowGroupLimit under the
+            # rn-filter, the full-partition count has already been computed
+            .withColumn(
+                "n_scored",
+                F.count(F.lit(1)).over(W.partitionBy("vec_id")).cast("long"),
+            )
             .withColumn(
                 "rn",
                 F.row_number().over(
@@ -8873,11 +8936,12 @@ def _nnd_build(
                 ),
             )
             .filter(F.col("rn") <= _NND_DEG)
-            .select("vec_id", "nb", "cos")
+            .select("vec_id", "nb", "cos", "n_scored")
             .localCheckpoint()
         )
+        g = g2.select("vec_id", "nb", "cos")
         per_round.append(
-            g.join(ns, "vec_id").select(
+            g2.select(
                 F.lit(r).cast("int").alias("round"), "vec_id", "nb", "n_scored"
             )
         )

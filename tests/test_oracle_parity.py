@@ -3,27 +3,80 @@
 Mirrors the driver's t2 gate (row count + schema + order-insensitive values)
 at sf0.001 for speed; `pytest -m sf001` style full runs at sf0.01 happen in
 test_oracle_parity_sf001 via the SPARK_GRAFT_TEST_SF env var.
+
+r15 suite-runtime restructure (the r14 verdict's "restore a driver-visible
+green pytest summary"): the exhaustive per-name sweep is CPU-starved — one
+query at a time leaves a 32-core local master ~95% idle while the
+single-threaded driver loop pays per-job scheduling, toPandas, and DuckDB
+latency serially.  The sweep now runs in CHUNKS whose members are checked
+from a small driver thread pool (guide §2.6 — concurrent actions backfill
+the executors; results are position-independent).  Coverage is unchanged:
+every registered name is still compared against its oracle, and a failing
+chunk names each failing query with its detail.  ``io_*`` queries write
+catalog tables / scratch layouts during construction (embedded-derby DDL is
+not safely concurrent), so they run in a dedicated SERIAL chunk.
 """
 
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
-from hackatonbigdata_spark.oracle import check_query
+from hackatonbigdata_spark.oracle import (
+    CompareResult,
+    compare_frames,
+    duckdb_connection,
+)
 from hackatonbigdata_spark.registry import all_oracles, all_queries
+from tests.conftest import cached_query_df
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+_NAMES = sorted(QUERIES)
+_PAR = [n for n in _NAMES if not n.startswith("io_")]
+_SER = [n for n in _NAMES if n.startswith("io_")]
+_CHUNK = 16
+CHUNKS = [_PAR[i : i + _CHUNK] for i in range(0, len(_PAR), _CHUNK)]
+if _SER:
+    CHUNKS.append(_SER)
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, name):
-    res = check_query(spark, SF_DIR, name, QUERIES[name], ORACLES.get(name))
-    assert res.ok, f"{name}: {res.detail}"
+
+def _check_one(spark, name: str) -> CompareResult:
+    try:
+        df = cached_query_df(spark, SF_DIR, name, QUERIES[name])
+        sdf = df.toPandas()
+        sql = ORACLES.get(name)
+        if sql is None:
+            return CompareResult(name, len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
+        con = duckdb_connection(SF_DIR)
+        try:
+            odf = con.execute(sql).fetchdf()
+        finally:
+            con.close()
+        return compare_frames(name, sdf, odf)
+    except Exception as exc:  # noqa: BLE001 — report, don't kill the chunk
+        return CompareResult(name, False, f"{type(exc).__name__}: {str(exc)[:400]}")
+
+
+@pytest.mark.parametrize(
+    "i",
+    range(len(CHUNKS)),
+    ids=[f"{i:02d}_{CHUNKS[i][0]}" for i in range(len(CHUNKS))],
+)
+def test_query_matches_oracle(spark, i):
+    names = CHUNKS[i]
+    if names[0].startswith("io_"):
+        results = [_check_one(spark, n) for n in names]
+    else:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(lambda n: _check_one(spark, n), names))
+    bad = [f"{r.name}: {r.detail}" for r in results if not r.ok]
+    assert not bad, f"{len(bad)} of {len(names)} failed:\n" + "\n".join(bad)
 
 
 def test_every_query_has_oracle_or_reason():

@@ -87,25 +87,64 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_unpartitioned_windows_exhaustive(spark, name):
-    """EVERY registered query plans with zero unpartitioned windows unless
-    exempted above with a documented bounded-domain reason (mirroring how
-    test_every_query_has_oracle_or_reason handles rows-only queries)."""
+# r15 suite-runtime restructure, same shape as test_oracle_parity: the
+# exhaustive sweep constructs every registered DataFrame (iterative
+# operators run their eager checkpoint jobs at construction), so the names
+# are checked in chunks from a small driver thread pool, with the io_*
+# catalog/scratch writers in a dedicated serial chunk, and constructions
+# shared with the parity sweep via tests.conftest.cached_query_df.
+_NAMES = sorted(QUERIES)
+_PAR = [n for n in _NAMES if not n.startswith("io_")]
+_SER = [n for n in _NAMES if n.startswith("io_")]
+_CHUNK = 16
+_WCHUNKS = [_PAR[i : i + _CHUNK] for i in range(0, len(_PAR), _CHUNK)]
+if _SER:
+    _WCHUNKS.append(_SER)
+
+
+def _window_verdict(spark, name: str) -> str | None:
     from hackatonbigdata_spark.plans.audit import unpartitioned_windows
 
-    n = unpartitioned_windows(QUERIES[name](spark, SF_DIR))
+    from tests.conftest import cached_query_df
+
+    try:
+        n = unpartitioned_windows(cached_query_df(spark, SF_DIR, name, QUERIES[name]))
+    except Exception as exc:  # noqa: BLE001 — report, don't kill the chunk
+        return f"{name}: construction/plan failed: {type(exc).__name__}: {str(exc)[:300]}"
     if name in WINDOW_EXEMPT:
-        assert n >= 1, (
-            f"{name} is window-exempt ({WINDOW_EXEMPT[name]}) but plans no "
-            "unpartitioned window — drop the stale exemption"
-        )
-    else:
-        assert n == 0, (
+        if n < 1:
+            return (
+                f"{name} is window-exempt ({WINDOW_EXEMPT[name]}) but plans no "
+                "unpartitioned window — drop the stale exemption"
+            )
+    elif n != 0:
+        return (
             f"{name} plans {n} unpartitioned window(s) — a no-partition "
             "WindowExec moves every row to one task; key it, collapse it "
             "onto a bounded domain, or add a documented exemption"
         )
+    return None
+
+
+@pytest.mark.parametrize(
+    "i",
+    range(len(_WCHUNKS)),
+    ids=[f"{i:02d}_{_WCHUNKS[i][0]}" for i in range(len(_WCHUNKS))],
+)
+def test_no_unpartitioned_windows_exhaustive(spark, i):
+    """EVERY registered query plans with zero unpartitioned windows unless
+    exempted above with a documented bounded-domain reason (mirroring how
+    test_every_query_has_oracle_or_reason handles rows-only queries)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = _WCHUNKS[i]
+    if names[0].startswith("io_"):
+        verdicts = [_window_verdict(spark, n) for n in names]
+    else:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            verdicts = list(pool.map(lambda n: _window_verdict(spark, n), names))
+    bad = [v for v in verdicts if v]
+    assert not bad, f"{len(bad)} of {len(names)} failed:\n" + "\n".join(bad)
 
 
 def test_new_pipeline_ops_stay_jvm_side(spark):
