@@ -10204,6 +10204,18 @@ def search_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             + beta * beta * _dot("mu", "mu")
         ).alias("nq1"),
     )
+    # r15 measurement note — probe-side respread tried and DROPPED: an
+    # isolated test (checkpointed probe side, 1 vs 32 partitions) showed
+    # the re-rank scan 3.8 vs 1.3 s, suggesting the mu-join's exchange
+    # coalesces the scan input; but a repartition(32, qid) here is
+    # REMOVED by the optimizer (the join output is already
+    # hashpartitioning(qid, 32) — the plan is bit-identical, verified in
+    # plans/r15/search_rocchio_feedback_top1job_{before,after}.txt), and
+    # the two real candidates (the no-op repartition; broadcast(mu) so
+    # the scan inherits e's partitioning with no coalescible exchange)
+    # both measured flat across interleaved 4-pass A/Bs (smj min 6.26 s
+    # vs bcast 6.73 s, distributions overlapping).  The query's wall is
+    # the 4-job sequential chain + session noise, not scan parallelism.
     w1 = W.partitionBy("qid").orderBy(F.col("s1").desc(), F.col("neighbor_id"))
     top1 = (
         qf.join(F.broadcast(b), F.col("qid") != F.col("neighbor_id"))

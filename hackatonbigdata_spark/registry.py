@@ -62,77 +62,65 @@ def _load_all() -> None:
 # come first.  Names listed here lead (in this order); everything else follows
 # in registration order.  Rotate per round as coverage lands.
 _PRIORITY: list[str] = [
-    # === ROUND 14 BUDGET (optimization round 1/2; 50-slot driver window) ===
-    # Plan: (1) the 4 names REGISTERED mid-build after the r13 verdict and
-    # never driver-checked lead (the weighted graph trio + the
-    # planted-cluster ANN regime); (2) every query whose CODE PATH this
-    # optimization round edited (the IVF broadcast retrofit, the
-    # nprobe exact-side thread overlap, the MMR greedy fold, the rocchio
-    # lazy checkpoints, the LPA linear-chain checkpoint drop, and the
-    # _gann_walk executor-side fold) — semantics re-proved against the
-    # oracle at sf0.01+sf0.001 before placement, the window check is the
-    # audited re-proof; (3) the entire 27-name r7-latest ORACLED backlog
-    # in registration order (the r13 verdict's #1: retires the r7 cohort);
-    # (4) the 5 r7-latest rows-only names LAST — they record no_oracle by
-    # documented design (allow-listed in tests/test_oracle_parity.py,
-    # each independently pinned), so they spend window slots only after
-    # every oracled proof has landed.  4+11+27+5 = 47 <= 50; the oldest
-    # driver evidence moves to r8 if the window completes.
-    # --- (1) registered mid-build, never driver-checked -------------------
-    "similarity_graph_ann_clustered",  # r14 NEW: planted-cluster ANN regime
-    "graph_label_propagation_weighted",  # r14 NEW: weighted LPA communities
-    "graph_modularity_weighted",  # r14 NEW: weighted Newman Q
-    "graph_pagerank_weighted",  # r14 NEW: strength-normalized PageRank
-    # --- (2) optimization-round edits (oracle re-proved, window re-proof) --
-    "similarity_graph_ann",  # r14 EDIT: _gann_walk -> one executor-side fold
-    "similarity_graph_ann_nnd",  # r14 EDIT: same fold, fused variants
-    "similarity_ivf_bucketed",  # r14 EDIT: bucket join -> broadcast coded side
-    "similarity_ivf_kmeans",  # r14 EDIT: same broadcast retrofit
-    "similarity_ivfpq_topk",  # r14 EDIT: ADC bucket-pair join -> broadcast
-    "ann_recall_at_k",  # r14 EDIT: consumes the retrofitted IVF kernel
-    "similarity_ivfpq_nprobe",  # r14 EDIT: exact side thread-overlapped
-    "search_mmr_rerank",  # r14 EDIT: greedy loop -> executor-side fold
-    "search_rocchio_feedback",  # r14: lazy checkpoints tried and REVERTED to
-    #   eager (multi-referenced frames raced under one action) — window
-    #   re-proof of the net-zero touch
-    "graph_label_propagation",  # r14 EDIT: linear-chain checkpoint drop
-    "graph_modularity_score",  # r14 EDIT: consumes the LPA chain
-    # --- (3) the r7-latest oracled backlog, registration order ------------
-    "dedup_cluster_components",
-    "dedup_fuzzy_names",
-    "text_scrub_numbers",
-    "corpus_curation_pipeline",
-    "dedup_substring_spans",
-    "text_bm25_topk",
-    "dedup_semdedup_ivf",
-    "text_chunk_windows",
-    "multimodal_frame_sample",
-    "mm_patch_byte_stats",
-    "mm_wav_pcm_stats",
-    "scan_project_filter",
-    "sample_scan",
-    "filter_quantile_band",
-    "filter_date_range_valid",
-    "dedup_keep_first",
-    "join_multiway_enrich",
-    "join_anti_orphans",
-    "join_semi_active_customers",
-    "share_window_vs_join_back",
-    "join_range_price_band",
-    "clip_and_rewrite",
-    "graph_triangle_count",
-    "session_gaps_custom_close",
-    "stream_interval_join_views",
-    "stream_hourly_heavy_hitters",
-    "window_expanding_stats",
-    # --- (4) r7-latest rows-only names: placed last by design -------------
-    "agg_approx_sketches",
-    "calibration_platt",
-    "corpus_bpe_merges",
-    "multimodal_decode_stub",
-    "ewm_pandas_per_series",
+    # === ROUND 15 BUDGET (optimization round 2/2; 50-slot driver window) ===
+    # Plan: (1) every query whose CODE PATH this round touched leads — the
+    # _gann_walk guard/NULLS-LAST comparator (3 consumers), the _nnd_build
+    # per-round checkpoint fusion (build + 2 composed consumers), and the
+    # rocchio net-zero touch (respread/broadcast candidates measured and
+    # rejected) — each re-proved against the oracle at sf0.001+sf0.01
+    # (UTC and America/New_York) before placement; the window check is
+    # the audited re-proof.  (2) the entire 26-name
+    # r8-latest ORACLED backlog in registration order (the r14 verdict's
+    # item 8: the rotation moves to the r8 cohort).  (3) the 4 r9-latest
+    # names not re-verified since r9 (similarity_ivfpq_topk already sat in
+    # the r14 window).  (4) the r8 rows-only name LAST (corpus_bpe_encode
+    # records no_oracle by documented design, allow-listed in
+    # tests/test_oracle_parity.py and pinned end-to-end in
+    # tests/test_r8_semantics.py).  5+26+4+1 = 36 <= 50; the oldest driver
+    # evidence moves to r10 next rotation.
+    # --- (1) r15 optimization-round edits (oracle re-proved) --------------
+    "similarity_graph_ann",  # r15 EDIT: map guard + NULLS-LAST comparator
+    "similarity_graph_ann_nnd",  # r15 EDIT: same walk + fused NND rounds
+    "similarity_graph_ann_clustered",  # r15 EDIT: same walk + fused rounds
+    "similarity_nndescent_build",  # r15 EDIT: 1 eager ckpt/round, not 2
+    "search_rocchio_feedback",  # r15: respread + broadcast(mu) tried and
+    #   REJECTED (plan-identical / flat A/B) — window re-proof of the
+    #   net-zero touch (comment-only change at the qf construction)
+    # --- (2) the r8-latest oracled backlog, registration order ------------
+    "corpus_novelty_curve",
+    "text_winnowing_stats",
+    "corpus_cross_source_overlap",
+    "corpus_ccnet_buckets",
+    "corpus_vocab_coverage",
+    "dedup_chunk_hashes",
+    "similarity_matryoshka_eval",
+    "similarity_hamming_binary",
+    "corpus_dsir_weights",
+    "dedup_lsh_calibration",
+    "corpus_mixture_temperature",
+    "corpus_vocab_growth",
+    "search_hybrid_rrf",
+    "corpus_source_report",
+    "corpus_source_kl",
+    "dedup_chunk_incremental",
+    "embedding_int8_ranking",
+    "dedup_savings_report",
+    "quality_classifier_gd",
+    "dedup_bloom_gate",
+    "corpus_budget_selection",
+    "stream_hourly_distinct",
+    "stream_hourly_sample",
+    "stream_user_trailing_count",
+    "stream_hourly_cms",
+    "stream_hourly_value_quantiles",
+    # --- (3) r9-latest names without driver evidence since r9 -------------
+    "dedup_lines_ccnet",
+    "embedding_pq_eval",
+    "mm_ppm_pixel_stats",
+    "stream_hourly_bloom",
+    # --- (4) r8 rows-only name: placed last by design ----------------------
+    "corpus_bpe_encode",
 ]
-
 
 def _ordered(mapping: dict[str, "QueryFn | str"]) -> dict:
     # Every _PRIORITY name must exist in the full registry: a name that

@@ -42,6 +42,12 @@ def get_spark(app_name: str = "hackatonbigdata_spark") -> SparkSession:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # scale-dependent overrides stay parameterised (guide §1.2 step 3 /
+    # r14 verdict item 7): semicolon-separated k=v pairs, empty by default
+    # so the driver's bench session is unchanged unless explicitly tuned
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
